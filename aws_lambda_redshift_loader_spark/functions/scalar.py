@@ -1,0 +1,67 @@
+"""Scalar function layer (SURVEY.md §2.8, reference F1-F8).
+
+All helpers return Column expressions built from JVM-side built-ins
+(`pyspark.sql.functions`) so they stay inside whole-stage codegen — no
+Python UDFs in the hot path.
+
+Cross-engine determinism notes (the DuckDB oracle hash-compares values):
+
+- ``dec``: double aggregates are order-dependent under parallelism, so SUM
+  goes through DECIMAL (exact) and is cast back to DOUBLE at the end; both
+  engines then produce bit-identical doubles.
+- ``hex_hash64``: a deterministic 60-bit integer hash both engines can
+  compute (md5 hex prefix → int). Spark `hash()` / DuckDB `hash()` are
+  different algorithms, so any operator whose *results* depend on hash
+  values (minhash, simhash, LSH) uses this instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(col: str | Column, precision: int = 18, scale: int = 4) -> Column:
+    """Cast to exact DECIMAL for order-independent aggregation.
+
+    Reference analog: running batch byte size `ADD size :size`
+    (index.js:344,370-372) is an exact integer accumulation; our numeric
+    aggregates keep the same exactness via DECIMAL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def hex_hash64(col: Column, salt: str | Column | None = None) -> Column:
+    """Deterministic 60-bit positive int64 hash from md5 (cross-engine).
+
+    DuckDB equivalent: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
+    """
+    if salt is not None:
+        s = F.lit(salt) if isinstance(salt, str) else salt
+        col = F.concat(s, col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def norm_text(col: str | Column) -> Column:
+    """Normalize text for fingerprinting: lowercase + collapse whitespace.
+
+    DuckDB equivalent:
+    ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def strip_filename(path: Column) -> Column:
+    """Key → prefix projection (reference P3, index.js:1585-1601):
+    drop the trailing `/filename` segment."""
+    return F.regexp_replace(path, r"/[^/]+$", "")
+
+
+def wildcard_hive(path: Column) -> Column:
+    """Hive-style `name=value` → `name=*` (reference P4,
+    transformHiveStylePrefix common.js:36-54). In real Spark ingestion,
+    hive-style dirs are partition columns and discovery subsumes this;
+    kept as the routing-parity scalar."""
+    return F.regexp_replace(path, r"=[^/]+", "=*")

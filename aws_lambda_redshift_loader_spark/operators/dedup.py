@@ -1,0 +1,346 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact (hash-groupBy), near-dup via n-gram Jaccard (exact verifier), and
+MinHash-LSH (the 100 TB scale path) + SimHash. All hashing goes through the
+cross-engine ``hex_hash64`` (md5-derived int64) so the DuckDB oracle
+reproduces signatures bit-for-bit — Spark's `hash()`/`xxhash64` and
+DuckDB's `hash()` are different algorithms and would diverge.
+
+Scale strategy (100 TB):
+- exact dedup: one shuffle on the 128-bit fingerprint — safe, balanced.
+- n-gram Jaccard all-pairs is quadratic → only ever run it *after* LSH
+  candidate generation (minhash_lsh_pairs does exactly that); the
+  standalone ngram_jaccard_pairs caps work via the shared-shingle
+  inverted index (pairs only materialize for docs sharing a shingle).
+- MinHash-LSH: shingle explode → 16 permutations → band keys → bucket
+  join. Explode factor is bounded (16 hashes/doc after the min-agg);
+  band buckets are the classic sub-quadratic candidate generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import hex_hash64, norm_text
+from ..plans.registry import register
+from ..session import table
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands of 4 → LSH s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+SHINGLE_K = 3  # word 3-grams
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "exact_dedup_docs",
+    r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groupBy, keeping the lowest doc_id as
+    canonical (deterministic winner). The J1 ledger-dedup idea applied to
+    content instead of file path."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(norm_text("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "exact_dedup_keep_first",
+    r"""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, survivor view: the kept rows after dropping exact
+    duplicates (row_number over fingerprint → first doc_id wins)."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5(norm_text("text"))).orderBy(F.col("doc_id").asc())
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("doc_id")
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distinct (doc_id, shingle) word-k-gram pairs."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(norm_text("text"), " ").alias("ws"))
+    return words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("ws") - (SHINGLE_K - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice("ws", i, SHINGLE_K), " "),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+_SHINGLES_CTE = rf"""
+words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - {SHINGLE_K - 1}, 1))) AS i)
+)
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-{SHINGLE_K}-gram Jaccard ≥
+    {JACCARD_THRESHOLD}: inverted-index self-join on shingle (only docs
+    sharing a shingle ever pair), intersection counts, |A∪B| by
+    inclusion-exclusion. This is the exact verifier LSH candidates feed
+    into at scale."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_MINHASH_CTE = f"""
+hashed AS (
+  SELECT doc_id, p.i AS perm,
+         MIN(CAST(concat('0x', substr(md5(concat(CAST(p.i AS VARCHAR), '|', shingle)), 1, 15))
+                  AS BIGINT)) AS minhash
+  FROM shingles, LATERAL (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS i) p
+  GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, CAST(floor(perm / {BAND_SIZE}) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_key
+  FROM hashed
+  GROUP BY doc_id, CAST(floor(perm / {BAND_SIZE}) AS INT)
+)
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_MINHASH_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) /
+             (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle → {N_HASHES} md5-salted minhashes →
+    {N_HASHES // BAND_SIZE} bands of {BAND_SIZE} → band-key bucket join for
+    candidates → exact-Jaccard verification of candidates only.
+
+    Deterministic construction (hex_hash64) means the oracle reproduces the
+    exact same signatures, bands, candidates, and final pairs.
+
+    Scale: this is the sub-quadratic path — candidate generation is a
+    shuffle on (band, band_key); only bucket collisions are verified.
+    """
+    sh = _shingles(spark, sf_dir)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("perm")
+    hashed = (
+        sh.select("doc_id", "shingle", perms)
+        .select(
+            "doc_id",
+            "perm",
+            hex_hash64(
+                F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+    bands = (
+        hashed.withColumn("band", F.floor(F.col("perm") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sha = sh.alias("sha")
+    shb = sh.alias("shb")
+    inter = (
+        cands.alias("c")
+        .join(sha, F.col("sha.doc_id") == F.col("c.doc_a"))
+        .join(
+            shb,
+            (F.col("shb.doc_id") == F.col("c.doc_b"))
+            & (F.col("sha.shingle") == F.col("shb.shingle")),
+        )
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_SIMHASH_BITS = 16
+
+_SIMHASH_ORACLE = rf"""
+WITH tokens AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                                           ' ')) AS token) t
+),
+hashed AS (
+  SELECT doc_id, token,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM tokens
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+  FROM hashed, LATERAL (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS i) b
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN bitsum > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("simhash_docs", _SIMHASH_ORACLE)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash ({_SIMHASH_BITS}-bit): per-token md5-derived hash, signed
+    bit-vote per position, sign → bit. Near-dup docs land at small Hamming
+    distance. Deterministic across engines via hex_hash64.
+
+    Scale: explode factor = tokens × {_SIMHASH_BITS}; for production width
+    (64-bit) fold the bit loop into a Pandas UDF over token hashes instead
+    — the {_SIMHASH_BITS}-bit form keeps the all-SQL plan demonstrable.
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token")
+    ).distinct()
+    hashed = tokens.select("doc_id", hex_hash64(F.col("token")).alias("h"))
+    hashed_bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    bits = hashed_bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("bitsum"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("bitsum") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )

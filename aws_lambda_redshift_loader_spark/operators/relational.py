@@ -1,0 +1,1040 @@
+"""Relational operator surface (SURVEY.md §2.2-§2.8).
+
+Each query builder maps a reference behavior (cited `file:line` into
+/root/reference) to its idiomatic-Spark form and registers with a DuckDB
+oracle. Determinism rules from plans.registry apply throughout: DECIMAL
+for float sums, explicit aliases, string-formatted timestamps, total
+ordering for any window/rank.
+
+Scale notes are inline per operator — the working set here is the sf0.01
+fixture, but every plan is written for the 100 TB shape (broadcast the
+small side, pre-aggregate before joins where possible, never collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.scalar import dec, strip_filename, wildcard_hive
+from ..plans.registry import register
+from ..session import table
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (reference A1-A3: index.js:344,370-372; 651-660; 634-643)
+# ---------------------------------------------------------------------------
+
+# Precision strategy (two engine quirks, one fix):
+#   (a) Spark silently rounds decimal scale once a product exceeds 38
+#       digits — keep factor casts small (15,4 / 6,4) so products stay
+#       exact in both engines.
+#   (b) DuckDB's DECIMAL→DOUBLE goes int128→double→÷10^scale, which
+#       double-rounds once the unscaled sum exceeds 2^53. The source data
+#       has ≤2 decimal digits, so re-casting each product to its *true*
+#       scale (≤6) is lossless and keeps unscaled sums < 2^53 up to SF 1.
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,4)) *
+                     (1 - CAST(l_discount AS DECIMAL(6,4)))
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,4)) *
+                     (1 - CAST(l_discount AS DECIMAL(6,4))) *
+                     (1 + CAST(l_tax AS DECIMAL(6,4)))
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shape grouped aggregation.
+
+    Reference analog: the batch counters A1 (running size sum,
+    index.js:344), A2 (entry count, index.js:651-660) expressed as a
+    declarative groupBy — Catalyst plans partial (map-side) + final
+    aggregation automatically, which is exactly the incremental-counter
+    pattern the reference hand-rolls with DynamoDB ADD.
+
+    Scale: single shuffle on the (tiny-cardinality) group keys after a
+    pushed-down scan filter; safe at any SF.
+    """
+    one = F.lit(1).cast("decimal(6,4)")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    price = dec("l_extendedprice", 15, 4)
+    disc_price = (price * (one - dec("l_discount", 6, 4))).cast("decimal(18,6)")
+    charge = (
+        price * (one - dec("l_discount", 6, 4)) * (one + dec("l_tax", 6, 4))
+    ).cast("decimal(18,6)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 15, 4)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity", 15, 4)).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in reference; §2.4 engine surface).
+
+    Scale: two distinct columns → Catalyst expands to a partial-distinct
+    plan; fine as long as per-group distinct cardinality shards across
+    partitions.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register("approx_distinct", None)  # HLL sketches differ per engine → rows-only check
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_count_distinct` — the at-scale form of distinct_agg
+    (HyperLogLog++, constant memory per group). No oracle: sketch
+    estimates are engine-specific; correctness bounded by distinct_agg."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        )
+    )
+
+
+@register(
+    "duplicate_delivery_counts",
+    """
+    WITH deliveries AS (
+      SELECT event_id FROM events
+      UNION ALL
+      SELECT event_id FROM events WHERE event_id % 10 = 0
+    )
+    SELECT event_id, COUNT(*) AS times_received
+    FROM deliveries GROUP BY event_id HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_delivery_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 `timesReceived` counter (index.js:262-271): at-least-once delivery
+    simulated by re-delivering every 10th event; grouped count recovers the
+    per-file duplicate tally the reference keeps with DynamoDB ADD."""
+    ev = table(spark, sf_dir, "events").select("event_id")
+    deliveries = ev.unionAll(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        deliveries.groupBy("event_id")
+        .agg(F.count("*").alias("times_received"))
+        .filter(F.col("times_received") > 1)
+    )
+
+
+@register(
+    "all_clusters_ok",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, BOOL_AND(l_returnflag <> 'R') AS all_ok
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT all_ok, COUNT(*) AS n_orders FROM per_order GROUP BY all_ok
+    """,
+)
+def all_clusters_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 all-clusters-OK fold (index.js:909-925): boolean AND over
+    per-cluster load results → `bool_and` over a group, then a rollup of
+    how many batches were fully OK."""
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.bool_and(F.col("l_returnflag") != "R").alias("all_ok"))
+    )
+    return per_order.groupBy("all_ok").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (absent in reference; §2.4 engine surface). COALESCE labels
+    keep the subtotal rows readable and hash-stable."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (absent in reference; §2.4 engine surface)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "grouping_sets_mix",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (absent in reference; §2.4)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_rows
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (reference P1-P7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    """
+    SELECT o_orderkey, o_custkey,
+           upper(o_orderpriority) AS priority_uc,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice AS total_price
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F') AND o_totalprice > 1000.0
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 event-validity predicate shape (index.js:1554-1574: eventSource /
+    eventName isin) + P6 display projection (batchOperations.js:163-175).
+
+    Scale: filter + projection push into the parquet scan —
+    `.explain` shows PushedFilters + pruned ReadSchema.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F") & (F.col("o_totalprice") > 1000.0)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "regex_filename_filter",
+    r"""
+    WITH files AS (
+      SELECT concat(source, '/doc-', CAST(doc_id AS VARCHAR), '.txt') AS file,
+             n_chars AS size
+      FROM documents
+    )
+    SELECT file, size FROM files
+    WHERE regexp_matches(file, 'doc-[0-9]*[02468]\.txt$')
+    """,
+)
+def regex_filename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 filenameFilterRegex gate (index.js:212-234): regex test of the
+    object key. Fail-open semantics (malformed regex ⇒ include) live in
+    sources.routing.filename_filter and are unit-tested; this query is the
+    well-formed-regex data path."""
+    files = table(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "file"
+        ),
+        F.col("n_chars").alias("size"),
+    )
+    return files.filter(F.col("file").rlike(r"doc-[0-9]*[02468]\.txt$"))
+
+
+@register(
+    "prefix_projection",
+    """
+    WITH paths AS (
+      SELECT doc_id,
+             concat('bucket/', source, '/lang=', lang, '/doc-',
+                    CAST(doc_id AS VARCHAR), '.txt') AS path
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(path, '/[^/]+$', '') AS prefix,
+           regexp_extract(path, '([^/]+)$', 1) AS filename
+    FROM paths
+    """,
+)
+def prefix_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 key→prefix projection (index.js:1585-1601) + F2 tokenize
+    (common.js:28-54): strip the filename segment, extract it separately."""
+    paths = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("bucket/"),
+            F.col("source"),
+            F.lit("/lang="),
+            F.col("lang"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+    )
+    return paths.select(
+        "doc_id",
+        strip_filename(F.col("path")).alias("prefix"),
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+    )
+
+
+@register(
+    "hive_wildcard_prefix",
+    """
+    SELECT doc_id,
+           regexp_replace(concat('mybucket/lang=', lang, '/source=', source,
+                                 '/part-', CAST(doc_id AS VARCHAR)),
+                          '=[^/]+', '=*', 'g') AS wildcard_prefix
+    FROM documents
+    """,
+)
+def hive_wildcard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 hive-wildcard transform (transformHiveStylePrefix,
+    common.js:36-54): every `name=value` segment → `name=*`. In native
+    Spark ingestion this is partition discovery; kept for routing parity."""
+    d = table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("mybucket/lang="),
+        F.col("lang"),
+        F.lit("/source="),
+        F.col("source"),
+        F.lit("/part-"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", wildcard_hive(path).alias("wildcard_prefix"))
+
+
+@register(
+    "longest_prefix_route",
+    """
+    WITH configs(s3Prefix, target_table) AS (
+      VALUES ('mybucket', 'catch_all'),
+             ('mybucket/lang=en', 'english_docs'),
+             ('mybucket/lang=en/source=src1', 'english_src1'),
+             ('mybucket/lang=zh', 'chinese_docs')
+    ), paths AS (
+      SELECT doc_id,
+             concat('mybucket/lang=', lang, '/source=', source,
+                    '/doc-', CAST(doc_id AS VARCHAR), '.txt') AS path
+      FROM documents
+    )
+    SELECT doc_id, path, s3Prefix AS matched_prefix, target_table
+    FROM paths JOIN configs ON starts_with(path, s3Prefix)
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY length(s3Prefix) DESC) = 1
+    """,
+)
+def longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/J2 hierarchical config resolution (shortenPrefix common.js:28-34,
+    resolveConfig loop index.js:131-170): longest matching prefix wins.
+
+    Spark-first: instead of N sequential DynamoDB lookups per file, one
+    broadcast join of paths against the (tiny) config table + a rank.
+    Scale: config table is KBs → broadcast; no shuffle of the file list
+    except the per-path window, which AQE keeps local after the broadcast.
+    """
+    configs = spark.createDataFrame(
+        [
+            ("mybucket", "catch_all"),
+            ("mybucket/lang=en", "english_docs"),
+            ("mybucket/lang=en/source=src1", "english_src1"),
+            ("mybucket/lang=zh", "chinese_docs"),
+        ],
+        ["s3Prefix", "target_table"],
+    )
+    paths = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("mybucket/lang="),
+            F.col("lang"),
+            F.lit("/source="),
+            F.col("source"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+    )
+    joined = paths.join(
+        F.broadcast(configs), F.expr("startswith(path, s3Prefix)"), "inner"
+    )
+    w = W.partitionBy("doc_id").orderBy(F.length("s3Prefix").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "path", F.col("s3Prefix").alias("matched_prefix"), "target_table")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference J1-J3 + engine surface §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ledger_anti_join",
+    """
+    WITH incoming AS (
+      SELECT concat(source, '/doc-', CAST(doc_id AS VARCHAR), '.txt') AS file,
+             n_chars AS size, doc_id
+      FROM documents
+    ), ledger AS (
+      SELECT file FROM incoming WHERE doc_id % 3 = 0
+    )
+    SELECT i.file, i.size FROM incoming i
+    ANTI JOIN ledger l ON i.file = l.file
+    """,
+)
+def ledger_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 processed-file ledger dedup (checkFileProcessed,
+    index.js:247-306): a file proceeds only if the ledger has no batch link
+    — left anti join semantics.
+
+    Scale: ledger keyed by file path; anti join shuffles on the key (or
+    broadcasts if the recent-ledger partition is small). Streaming path
+    uses the file-source checkpoint instead (SURVEY §2.9 T6).
+    """
+    incoming = table(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "file"
+        ),
+        F.col("n_chars").alias("size"),
+        "doc_id",
+    )
+    ledger = incoming.filter(F.col("doc_id") % 3 == 0).select("file")
+    return incoming.join(ledger, "file", "left_anti").select("file", "size")
+
+
+@register(
+    "reprocess_omit_except",
+    """
+    WITH entries AS (
+      SELECT concat(source, '/doc-', CAST(doc_id AS VARCHAR), '.txt') AS file,
+             doc_id
+      FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+    ), omit AS (
+      SELECT file FROM entries WHERE doc_id % 7 = 0
+    )
+    SELECT file FROM entries
+    EXCEPT ALL
+    SELECT file FROM omit
+    """,
+)
+def reprocess_omit_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U2 reprocess omit list (batchOperations.js:312-344): batch
+    entries minus `omitFiles` — EXCEPT ALL semantics."""
+    entries = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(
+            F.concat(
+                F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".txt")
+            ).alias("file"),
+            "doc_id",
+        )
+    )
+    omit = entries.filter(F.col("doc_id") % 7 == 0).select("file")
+    return entries.select("file").exceptAll(omit)
+
+
+@register(
+    "legacy_union_merge",
+    """
+    SELECT concat('src0/doc-', CAST(doc_id AS VARCHAR)) AS file
+    FROM documents WHERE source = 'src0'
+    UNION
+    SELECT concat('src0/doc-', CAST(doc_id AS VARCHAR)) AS file
+    FROM documents WHERE source = 'src0' AND doc_id % 2 = 0
+    """,
+)
+def legacy_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 legacy-`entries` ∪ `entryMap` merge (index.js:647-660): union of
+    the old string-set and new list-of-maps representations, deduplicated."""
+    d = table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    newfmt = d.select(F.concat(F.lit("src0/doc-"), F.col("doc_id").cast("string")).alias("file"))
+    legacy = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("src0/doc-"), F.col("doc_id").cast("string")).alias("file")
+    )
+    return newfmt.unionByName(legacy).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (absent in reference; §2.7 engine surface): customers
+    active in both 1996 and 1997."""
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(6,4)))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join chain (TPC-H Q5 shape; reference has no general joins
+    — §2.3 engine surface).
+
+    Scale: lineitem⋈orders is the only big-big join (shuffle on orderkey);
+    customer/nation/region are broadcast — explicitly hinted so the plan
+    survives stats loss at 100 TB.
+    """
+    one = F.lit(1).cast("decimal(6,4)")
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (dec("l_extendedprice", 15, 4) * (one - dec("l_discount", 6, 4))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS; §2.3 engine surface): customers with at
+    least one open order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS; §2.3): customers with no orders at all."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "range_join_price_band",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 910.0),
+             ('mid',    910.0, 1400.0),
+             ('premium',1400.0, 1e12)
+    )
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join (§2.3 engine surface): bucket rows into
+    interval bands.
+
+    Scale: the band table is tiny → broadcast nested-loop join, which is
+    the right physical plan; for big-big range joins, bucketize the range
+    key to an equi-join first (see asof_join_latest_view for the pattern).
+    """
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 910.0), ("mid", 910.0, 1400.0), ("premium", 1400.0, 1e12)],
+        ["band", "lo", "hi"],
+    )
+    p = table(spark, sf_dir, "part")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(dec("p_retailprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "asof_join_latest_view",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), views AS (
+      SELECT user_id, ts, MAX(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.purchase_value,
+           v.view_value AS last_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent in Spark and the reference; §2.3 engine surface):
+    for each purchase, the most recent prior-or-equal view by the same
+    user.
+
+    Spark-first implementation: union the two streams with a source tag and
+    take `last(view_value, ignoreNulls)` over a per-user time-ordered
+    window — one shuffle on user_id, no per-row lookups, no pandas. This
+    scales to arbitrarily large sides (vs merge_asof-in-pandas which needs
+    per-group collection).
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    tagged = purchases.select(
+        "user_id", "ts", "purchase_value", F.lit(None).cast("double").alias("view_value"),
+        F.lit(0).alias("src"),
+    ).unionByName(
+        views.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("purchase_value"),
+            "view_value", F.lit(1).alias("src"),
+        )
+    )
+    # views sort before purchases at equal ts (src desc) so ties are inclusive
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("src").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("last_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .filter(F.col("src") == 0)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "purchase_value",
+            "last_view_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k (§2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (§2.5/§2.6 engine surface; same ranking primitive as
+    P5's longest-prefix-wins). Total order (price desc, key asc) keeps the
+    result deterministic across engines.
+
+    Scale: row_number pushes a partial top-K into each map task
+    (WindowGroupLimit in Spark 3.5+/4.x) — no full sort of the table.
+    """
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window with an explicit ROWS frame (§2.5): per-customer
+    running spend. DECIMAL accumulator keeps the running sum exact."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead (§2.5 engine surface): neighboring event values in
+    each user's time-ordered stream."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "order_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (O1 min-scan / O2 ordered query shape,
+    index.js:636-643, batchOperations.js:128-146).
+
+    Scale: Catalyst plans TakeOrderedAndProject — per-partition top-10 then
+    a driver merge of 10×partitions rows; never a full global sort.
+    """
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "batch_status_scan",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM events
+    WHERE event_type = 'error'
+      AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def batch_status_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/P6 operational batch query (queryBatches → doQuery,
+    batchOperations.js:101-184): status equality + lastUpdate range — the
+    GSI becomes a plain filter; at scale, a partition/Z-order layout choice
+    on the control table."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").between(
+                F.lit("2024-01-10 00:00:00").cast("timestamp"),
+                F.lit("2024-01-20 00:00:00").cast("timestamp"),
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.8 F1-F8), conditionals, pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    """
+    SELECT doc_id,
+           regexp_replace(replace(source, '+', ' '), '%2B', '+', 'g') AS decoded,
+           array_to_string(string_split(concat(source, '/', lang), '/'), '|') AS rejoined,
+           md5(substr(text, 1, 32)) AS text_md5,
+           base64(encode(substr(text, 1, 24))) AS text_b64,
+           upper(lang) AS lang_uc,
+           length(text) AS text_len
+    FROM documents
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 URL-decode fix (index.js:830-843: `+`/`%2B` space handling), F2
+    split/join (common.js:28-54), F5-analog deterministic ids via md5, F7
+    base64 (kmsCrypto.js:262-265)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.replace(F.col("source"), F.lit("+"), F.lit(" ")), "%2B", "+").alias(
+            "decoded"
+        ),
+        F.array_join(F.split(F.concat_ws("/", "source", "lang"), "/"), "|").alias("rejoined"),
+        F.md5(F.substring("text", 1, 32)).alias("text_md5"),
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("text_b64"),
+        F.upper("lang").alias("lang_uc"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@register(
+    "datetime_functions",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_formatted,
+           strftime(ts, '%Y-%m-%d') AS ts_date,
+           CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+           CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+           CAST(date_part('dow', ts) AS INT) AS day_of_week,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket
+    FROM events
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 date formatting / epoch conversion (common.js:73-110:
+    `yyyy-mm-dd hh:mm:ss` ↔ epoch seconds)."""
+    ev = table(spark, sf_dir, "events")
+    # DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1 → subtract 1.
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_formatted"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_date"),
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("epoch_s"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        (F.dayofweek("ts") - 1).cast("int").alias("day_of_week"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 JSON parse (manifest/SNS bodies: index.js:862,941,
+    failedBatchReprocessingLambda.js:29): extract fields from the JSON
+    `props` column with JVM-side json path functions."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+    )
+
+
+@register(
+    "conditional_case",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_display,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF conditionals (engine surface; the reference's
+    status-machine branches as declarative expressions)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_display"
+        ),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias(
+            "is_urgent"
+        ),
+    )
+
+
+@register(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (engine surface): order counts by status per priority, via
+    `.pivot()` with explicit values (bounded output schema — required for
+    a scalable plan; never pivot on an unbounded column)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("cnt_open"),
+            F.coalesce("F", F.lit(0)).alias("cnt_finished"),
+            F.coalesce("P", F.lit(0)).alias("cnt_pending"),
+        )
+    )

@@ -1,0 +1,194 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, fingerprinting — all JVM-side regex/string
+built-ins, no Python in the row path, so they run at full codegen speed on
+100 TB.
+
+Regex parity note: Spark uses Java regex, DuckDB uses RE2. Every pattern
+here restricts to the common subset (char classes, alternation, \\b, \\S).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import hex_hash64, norm_text
+from ..plans.registry import register
+from ..session import table
+
+# Stopword fingerprints per language (tiny n-gram-ish heuristic).
+LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|a|in|is)\b",
+    "es": r"\b(el|la|de|que|y|en)\b",
+    "fr": r"\b(le|la|de|et|les|des)\b",
+    "de": r"\b(der|die|und|das|ist|von)\b",
+}
+
+
+def _matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         length(regexp_extract_all(lower(text), '{LANG_PATTERNS["en"]}')) AS score_en,
+         length(regexp_extract_all(lower(text), '{LANG_PATTERNS["es"]}')) AS score_es,
+         length(regexp_extract_all(lower(text), '{LANG_PATTERNS["fr"]}')) AS score_fr,
+         length(regexp_extract_all(lower(text), '{LANG_PATTERNS["de"]}')) AS score_de
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CAST(score_en AS BIGINT) AS score_en, CAST(score_es AS BIGINT) AS score_es,
+       CAST(score_fr AS BIGINT) AS score_fr, CAST(score_de AS BIGINT) AS score_de,
+       CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+            WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+            WHEN score_fr >= score_de THEN 'fr'
+            ELSE 'de' END AS predicted_lang
+FROM scored
+"""
+
+
+@register("langid_heuristic", _LANGID_ORACLE)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit scoring (n-gram heuristic family).
+
+    Argmax is a fixed-priority CASE so ties resolve identically everywhere.
+    Scale: pure regex projection — embarrassingly parallel, no shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            _matches(lowered, pat).cast("bigint").alias(f"score_{code}")
+            for code, pat in LANG_PATTERNS.items()
+        ],
+    )
+    en, es, fr, de = [F.col(f"score_{c}") for c in ("en", "es", "fr", "de")]
+    return scored.withColumn(
+        "predicted_lang",
+        F.when((en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es >= fr) & (es >= de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de"),
+    )
+
+
+_QUALITY_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS text_chars,
+         CAST(greatest(length(regexp_extract_all(text, '\S+')), 1) AS BIGINT) AS n_words,
+         CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS BIGINT)
+           AS n_stopwords,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace
+  FROM documents
+)
+SELECT doc_id, text_chars, n_words, n_punct, n_stopwords,
+       CAST(n_punct AS DOUBLE) / text_chars AS punct_ratio,
+       CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+       CAST(n_nonspace AS DOUBLE) / n_words AS avg_word_len,
+       (CAST(n_stopwords AS DOUBLE) / n_words) * 2.0
+         - (CAST(n_punct AS DOUBLE) / text_chars) * 3.0
+         + (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+         AS quality_score
+FROM m
+"""
+
+
+@register("quality_score", _QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / punctuation / stopword-ratio
+    features combined into one score (Gopher-rules-style heuristic).
+
+    Double arithmetic is written in one fixed expression order on both
+    sides so the results are bit-identical (single divisions and a 3-term
+    sum — no reduction-order ambiguity)."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("text_chars"),
+        F.greatest(F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)), F.lit(1))
+        .cast("bigint")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).cast("bigint").alias("n_punct"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\b(the|and|of|to|a|in|is)\b"), 0)
+        )
+        .cast("bigint")
+        .alias("n_stopwords"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias("n_nonspace"),
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.col("text_chars")
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "text_chars",
+        "n_words",
+        "n_punct",
+        "n_stopwords",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_nonspace").cast("double") / F.col("n_words")).alias("avg_word_len"),
+        (
+            stop_ratio * 2.0
+            - punct_ratio * 3.0
+            + F.when(F.col("n_words").between(20, 1000), 1.0).otherwise(0.0)
+        ).alias("quality_score"),
+    )
+
+
+_TOKEN_ORACLE = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS bpe_ish_tokens,
+       CAST(length(text) AS DOUBLE) /
+         greatest(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1)
+         AS chars_per_token
+FROM documents
+"""
+
+
+@register("token_count", _TOKEN_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters / digits / single punctuation) — the standard pre-tokenizer
+    shape — and chars-per-token as a compressibility proxy."""
+    bpe_pat = F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", bpe_pat, 0))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_ish_tokens"),
+        (F.length("text").cast("double") / F.greatest(bpe, F.lit(1))).alias("chars_per_token"),
+    )
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+       CAST(concat('0x', substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 15))
+            AS BIGINT) AS fp_bucket
+FROM documents
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text, plus a 60-bit integer bucket (the cross-engine hex_hash64) usable
+    as a shard/dedup key."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(norm_text("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp_bucket"),
+    )

@@ -1,0 +1,180 @@
+"""Event-time windowing over the `events` table (SURVEY.md §2.9 T10).
+
+The reference batches at *file* grain only; row-grain time windows are the
+engine-surface extension the driver's `events` fixture exercises. These are
+the batch-mode forms (same `F.window`/`F.session_window` expressions Spark
+uses in Structured Streaming — see streaming.stream_queries for the actual
+readStream variant sharing the same oracle).
+
+Determinism: window starts are epoch-aligned in both engines (Spark
+`window()` floors to the slide from the epoch; DuckDB `date_trunc`/
+`time_bucket` likewise), sums go through DECIMAL, starts are emitted as
+formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.scalar import dec
+from ..plans.registry import register
+from ..session import table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "tumbling_window_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (T10): `F.window` — the same expression the
+    streaming query uses, so batch backfill and live stream share plans.
+
+    Scale: one shuffle on (window, type); partial aggregation map-side.
+    """
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_events",
+    """
+    WITH slid AS (
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM slid
+    GROUP BY window_start
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 2-hour duration / 1-hour slide (T10): each event
+    lands in two windows (`F.window(ts, '2 hours', '1 hour')`). The oracle
+    expands the two memberships with a UNION ALL — which is also exactly
+    how Spark's Expand operator implements it physically."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "session_window_events",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a {SESSION_GAP_MIN}-minute gap (T10): Spark's
+    native `F.session_window` in batch mode; the oracle is the classic
+    gaps-and-islands rewrite. Semantically identical: a session extends
+    while consecutive events are within the gap.
+
+    Scale: session_window shuffles once on user_id then merges sessions
+    in-partition — same cost shape as the islands rewrite, but with native
+    streaming-state support when run on a stream."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "sessionize_gaps_islands",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+    FROM gaps
+    """,
+)
+def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level session assignment via lag+cumsum (the composition
+    pattern underlying both T3 age batching and session_window) — returns
+    every event tagged with its per-user session ordinal."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = W.partitionBy("user_id").orderBy(*order)
+    w_cum = W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.lit(SESSION_GAP_MIN * 60)
+    gaps = table(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w_lag).isNull(), 1)
+        .when(
+            (F.col("ts").cast("double") - F.lag("ts").over(w_lag).cast("double")) > gap, 1
+        )
+        .otherwise(0),
+    )
+    return gaps.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(w_cum).cast("bigint").alias("session_id"),
+    )

@@ -1,0 +1,99 @@
+"""SparkSession factory + table access helpers.
+
+The driver (``__spark_entry__.py`` contract) hands us an existing
+SparkSession for correctness runs, so :func:`tune` applies the runtime-safe
+settings (session timezone, AQE, shuffle parallelism) to *any* session,
+while :func:`get_spark` builds a fully tuned local session for tests/bench.
+
+Scale notes (100 TB / 1000-executor target):
+- ``spark.sql.shuffle.partitions`` here is sized for local[32] test runs;
+  at cluster scale AQE coalescing makes the static number mostly moot, but
+  production would set it to ~2-3x total cores and rely on
+  ``spark.sql.adaptive.coalescePartitions.enabled``.
+- Timezone is pinned to UTC so timestamp semantics are stable across the
+  DuckDB oracle, the JVM, and any real warehouse sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_TUNED_SESSIONS: set[int] = set()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to a session we did not build."""
+    if id(spark) in _TUNED_SESSIONS:
+        return spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # The events fixture carries TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as int64 nanos and convert (see table()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # Local test scale: ~cores. At cluster scale AQE re-coalesces anyway.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # static confs on some deployments; never fail a query over tuning
+    _TUNED_SESSIONS.add(id(spark))
+    return spark
+
+
+def get_spark(app_name: str = "aws-lambda-redshift-loader-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
+
+
+def normalize_nanos(df: DataFrame) -> DataFrame:
+    """Convert int64-nanosecond `ts` (from nanosAsLong) to TimestampType.
+
+    Integer `div 1000` truncates toward zero exactly like DuckDB's
+    TIMESTAMP_NS→TIMESTAMP read, so both engines see identical µs values.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver-generated parquet tables.
+
+    Parquet scan with Catalyst pushdown — callers `.select()`/`.filter()`
+    and the physical scan prunes columns / pushes predicates.
+    """
+    tune(spark)
+    return normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
