@@ -1,0 +1,103 @@
+"""Multi-format file reader driven by a LoadConfig (reference S3 operator).
+
+The reference routes five payload formats to Redshift COPY without parsing
+them (COPY-options assembly, index.js:1163-1199; formats validated at
+setup.js:212-220): CSV with arbitrary delimiter + optional header skip,
+JSON (+JSONPaths or 'auto'), AVRO, PARQUET, ORC, plus an optional
+compression directive (index.js:1196-1199).
+
+Here the engine *is* the parallel loader (Spark executors replace
+Redshift's COPY fleet), so the same config surface maps onto
+`spark.read` options. Format parsing happens in the JVM's vectorized
+readers; compression codecs are auto-detected by extension, matching the
+reference's GZIP/BZIP2/LZOP passthrough.
+
+Scale notes: `spark.read.format(...).load(files)` with an explicit file
+list does distributed split planning — 10k files become ~10k input splits
+across executors, no driver-side loop. Schema is declared (config DDL) or
+inferred once; at 100 TB always declare (inference is a full extra pass
+for JSON/CSV).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune
+from .routing import LoadConfig
+
+# Reference: supported currently ['CSV','JSON','AVRO','PARQUET','ORC']
+# (setup.js:212-220); unsupported → "unsupported data format" error
+# (index.js:1193-1194).
+SUPPORTED_FORMATS = {"CSV", "JSON", "AVRO", "PARQUET", "ORC"}
+
+
+class UnsupportedFormatError(ValueError):
+    """Mirror of the reference's unsupported-format hard error."""
+
+
+def read_files(
+    spark: SparkSession,
+    config: LoadConfig,
+    files: list[str] | str,
+) -> DataFrame:
+    """Read `files` (a list of paths or a glob/directory) per `config`.
+
+    Returns the parsed DataFrame with the optional P7 column-list
+    projection applied (index.js:1157-1161) — a `.select()` so Catalyst
+    prunes unread columns at the scan.
+    """
+    tune(spark)
+    fmt = (config.data_format or "CSV").upper()
+    if fmt not in SUPPORTED_FORMATS:
+        raise UnsupportedFormatError(
+            f"unsupported data format {config.data_format}"  # index.js:1193
+        )
+
+    reader = spark.read
+    if config.schema:
+        reader = reader.schema(config.schema)
+
+    if fmt == "CSV":
+        reader = (
+            reader.format("csv")
+            # csvDelimiter (index.js:1174-1177); reference default '|'
+            .option("sep", config.csv_delimiter or "|")
+            # ignoreCsvHeader → IGNOREHEADER 1 (index.js:1178-1183)
+            .option("header", bool(config.ignore_csv_header))
+        )
+        if not config.schema:
+            reader = reader.option("inferSchema", True)
+    elif fmt == "JSON":
+        # jsonPath config (index.js:1167-1172): Redshift JSONPaths remap
+        # nested fields to columns; Spark's reader exposes the full nested
+        # struct, so a jsonPath spec becomes a post-read projection below.
+        reader = reader.format("json")
+    else:
+        reader = reader.format(fmt.lower())
+
+    paths = files if isinstance(files, list) else [files]
+    df = reader.load(paths)
+
+    if fmt == "JSON" and config.json_path:
+        # JSONPaths list like ["$.a.b", "$.c"] → ordered column projection.
+        cols = []
+        for i, jp in enumerate(_parse_jsonpaths(config.json_path)):
+            dotted = jp.lstrip("$").lstrip(".")
+            cols.append(df[dotted].alias(dotted.replace(".", "_") or f"c{i}"))
+        df = df.select(*cols)
+
+    if config.column_list:
+        df = df.select(*config.column_list)  # P7 ordered projection
+    return df
+
+
+def _parse_jsonpaths(json_path: str) -> list[str]:
+    """Accept either a comma-joined string of JSONPaths or a JSON document
+    of the Redshift form {"jsonpaths": ["$.a", ...]}."""
+    import json
+
+    s = json_path.strip()
+    if s.startswith("{"):
+        return list(json.loads(s).get("jsonpaths", []))
+    return [p.strip() for p in s.split(",") if p.strip()]

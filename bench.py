@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark: run the full registered query inventory at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization uses the noop sink — full execution of every operator,
+zero driver-side collection cost, which is what a warehouse write would
+look like (the reference's COPY analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_lambda_redshift_loader_spark.plans.registry import load_all
+from aws_lambda_redshift_loader_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    specs = load_all()
+    timings: dict[str, float] = {}
+    # Warm the JVM + file-system caches once with the flagship query so
+    # per-query numbers measure the operators, not session startup.
+    specs["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for name in sorted(specs):
+        t0 = time.perf_counter()
+        try:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(f"# bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
