@@ -28,7 +28,8 @@ from ..session import table
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 QUANT = 10000
-N_PLANES = 8  # LSH signature bits
+N_TABLES = 8  # LSH hash tables (bands)
+PLANES_PER_TABLE = 4  # signature bits per table
 DIM = 64
 
 
@@ -111,44 +112,63 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_ann_lsh", None)  # verified against bruteforce in tests (recall)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: {N_PLANES} ±1-hyperplanes (signs
-    derived from the cross-engine md5 hash of (plane, dim), so the
-    signature is deterministic), bucket = sign-bit integer; neighbor
-    candidates restricted to the same bucket, then exact quantized cosine
-    top-{TOP_K} within bucket.
+    """ANN via multi-table random-hyperplane LSH: {N_TABLES} independent
+    signatures of {PLANES_PER_TABLE} ±1-hyperplanes each (signs derived
+    from the cross-engine md5 hash of (plane, dim), so buckets reproduce
+    everywhere). A candidate pair is any (query, doc) sharing ANY table's
+    bucket — the classic banding trick: short bands give per-band match
+    probability p^b, and T tables lift recall to 1-(1-p^b)^T while each
+    probe stays sub-quadratic. Candidates then get exact quantized-cosine
+    top-{TOP_K} scoring.
 
     Rows-only driver check; tests/test_similarity.py measures recall
-    against embedding_topk_bruteforce. Scale: bucket join replaces the
-    cross join — sub-quadratic candidate generation, same verify step.
+    against embedding_topk_bruteforce. Scale: corpus side explodes to
+    T rows/vector, shuffles on (table, bucket) — each bucket holds
+    ~N/2^b vectors, so candidate generation is O(T·N²/2^b) pair work
+    instead of O(N²); queries are broadcast, never shuffled.
     """
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
 
-    # sign(p, d) = +1/-1 from md5 parity — computed as a 64-element array
-    # literal per plane, broadcast into the projection expression.
+    # sign(t, p, d) = ±1 from md5 parity — a 64-element literal array per
+    # (table, plane), folded into the projection expression JVM-side.
     import hashlib
 
-    def sign(p: int, d: int) -> int:
-        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+    def sign(t: int, p: int, d: int) -> int:
+        h = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
         return 1 if int(h[:15], 16) & 1 else -1
 
-    bucket = None
-    for p in range(N_PLANES):
-        signs = F.array(*[F.lit(sign(p, d)) for d in range(DIM)])
-        proj = F.aggregate(
-            F.zip_with(F.col("e"), signs, lambda x, s: x * s),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    sigs = emb.withColumn("bucket", bucket.cast("int"))
+    def bucket_expr(t: int) -> F.Column:
+        bucket = None
+        for p in range(PLANES_PER_TABLE):
+            signs = F.array(*[F.lit(sign(t, p, d)) for d in range(DIM)])
+            proj = F.aggregate(
+                F.zip_with(F.col("e"), signs, lambda x, s: x * s),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        # Disjoint bucket spaces per table: high bits carry the table id.
+        return (bucket + F.lit(t << PLANES_PER_TABLE)).cast("int")
 
-    queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    sigs = emb.withColumn(
+        "buckets", F.array(*[bucket_expr(t) for t in range(N_TABLES)])
     )
-    cands = sigs.alias("c").join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    corpus = sigs.select("vec_id", "e", F.explode("buckets").alias("bucket"))
+    queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode("buckets").alias("qb"),
+    )
+    cands = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        # A pair sharing k tables would score k times — dedup before the
+        # (more expensive) exact scoring pass.
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "e")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     cosine = (
         _dot(F.col("qe"), F.col("e")).cast("double")
@@ -157,12 +177,62 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
         )
     )
-    scored = cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+    scored = cands.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+NEARDUP_COSINE = 0.35  # fixture-calibrated: p99.9 of pairs ≈ 0.377
+
+
+@register(
+    "embedding_cosine_neardup",
+    f"""
+    WITH {_QUANT_CTE},
+    pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM q a JOIN q b ON a.vec_id < b.vec_id
+    )
+    SELECT keep_id, dup_id, cosine
+    FROM pairs WHERE cosine >= {NEARDUP_COSINE}
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (a < b) pair whose
+    quantized cosine ≥ {NEARDUP_COSINE}; the lower vec_id is the keeper.
+    Semantic dedup — catches paraphrases that MinHash (lexical) misses.
+
+    Exact form is all-pairs, expressed as a self-join with `a < b` so
+    Spark broadcasts one side and scores map-side (no shuffle of the big
+    side at this scale). At 100 TB nobody runs all-pairs: candidate pairs
+    come from the LSH bucket join (embedding_ann_lsh's signature scheme)
+    or an IVF coarse quantizer (embedding_centroid_by_label is its
+    assignment primitive), and THIS operator is then applied to the
+    candidate set as the exact verifier — same expression, bounded input.
+    Integer dots (quantized) keep the threshold comparison deterministic
+    cross-engine; boundary pairs cannot flap.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+    a = emb.select(F.col("vec_id").alias("keep_id"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("dup_id"), F.col("e").alias("eb"))
+    pairs = b.join(F.broadcast(a), F.col("keep_id") < F.col("dup_id"))
+    cosine = (
+        _dot(F.col("ea"), F.col("eb")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("ea"), F.col("ea")).cast("double"))
+            * F.sqrt(_dot(F.col("eb"), F.col("eb")).cast("double"))
+        )
+    )
+    return (
+        pairs.select("keep_id", "dup_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
 
 

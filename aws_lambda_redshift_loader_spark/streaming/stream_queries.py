@@ -95,6 +95,117 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, agg)
 
 
+BATCH_SIZE = 100  # T1 count threshold (shared with operators.batching_sql)
+
+
+@register(
+    "stream_stateful_batcher",
+    f"""
+    WITH files AS (
+      SELECT event_type AS s3Prefix, event_id AS file_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS size
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, row_number() OVER (PARTITION BY s3Prefix
+                                   ORDER BY ts ASC, file_id ASC) AS rn
+      FROM files
+    ),
+    assigned AS (
+      SELECT s3Prefix,
+             CAST(floor((rn - 1) / {BATCH_SIZE}) AS BIGINT) AS batch_seq,
+             COUNT(*) AS n_files,
+             CAST(SUM(size) AS BIGINT) AS batch_bytes
+      FROM numbered
+      GROUP BY s3Prefix, CAST(floor((rn - 1) / {BATCH_SIZE}) AS BIGINT)
+    )
+    SELECT s3Prefix, batch_seq, n_files, batch_bytes
+    FROM assigned WHERE n_files = {BATCH_SIZE}
+    """,
+)
+def stream_stateful_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T4 as a *distributed* stateful streaming operator: per-prefix
+    open-batch state (seq, pending count, pending bytes) lives in Spark's
+    state store via `applyInPandasWithState`; a batch row is emitted the
+    moment the count threshold fills, exactly like the reference's
+    lock-on-threshold (processPendingBatch, index.js:602-813) — but
+    sharded across executors by prefix instead of serialized through
+    DynamoDB CAS. This is the scale path for streaming.batcher's
+    driver-side control loop: 10M prefixes = 10M state rows, no driver
+    involvement.
+
+    Oracle: closed batches equal the backfill count-trigger assignment
+    restricted to full batches (the still-open tail never emits). Rows
+    are sorted by (ts, file_id) inside each group before folding, so the
+    assignment is deterministic at any partitioning.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_nanos(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    files = stream.select(
+        F.col("event_type").alias("s3Prefix"),
+        F.col("event_id").alias("file_id"),
+        F.col("ts"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("size"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("s3Prefix", T.StringType()),
+            T.StructField("batch_seq", T.LongType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("batch_bytes", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("pending_n", T.LongType()),
+            T.StructField("pending_bytes", T.LongType()),
+        ]
+    )
+
+    def fold(key: tuple, pdfs, state: GroupState):
+        seq, pending_n, pending_bytes = state.get if state.exists else (0, 0, 0)
+        closed: list[tuple] = []
+        rows = pd.concat(list(pdfs))
+        # Deterministic arrival order regardless of shuffle partitioning.
+        rows = rows.sort_values(["ts", "file_id"])
+        for size in rows["size"]:
+            pending_n += 1
+            pending_bytes += int(size)
+            if pending_n >= BATCH_SIZE:  # T1 flush = lock + rotate (T4/T5)
+                closed.append((key[0], seq, pending_n, pending_bytes))
+                seq, pending_n, pending_bytes = seq + 1, 0, 0
+        state.update((seq, pending_n, pending_bytes))
+        yield pd.DataFrame(closed, columns=["s3Prefix", "batch_seq", "n_files", "batch_bytes"])
+
+    name = f"stream_result_{next(_COUNTER)}"
+    q = (
+        files.groupBy("s3Prefix")
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @register("stream_dedup_dropduplicates", None)  # state op → rows-only check
 def stream_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 file-level dedup as a streaming state op: `dropDuplicates` on the
