@@ -80,41 +80,79 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decoder. A real deployment would plug
-    PIL/ffmpeg/torchaudio here; the container has none of them, so this
-    computes byte-level stats instead (same I/O shape: bytes in,
-    fixed-width features out).
-
-    Raises NotImplementedError for mime types a real decoder would handle
-    differently — the plumbing treats that as a per-row error column.
-    """
-    import hashlib
-
-    if payload is None:
-        raise NotImplementedError("real media decode requires PIL/ffmpeg (not in container)")
-    return {
-        "n_bytes": len(payload),
-        "mean_byte": float(sum(payload)) / max(len(payload), 1),
-        "head_md5": hashlib.md5(payload[:64]).hexdigest(),
-    }
+# NOTE: every mapInPandas worker below is defined INSIDE its query
+# builder. Module-level functions are cloudpickled by *reference* and the
+# executors would need this package importable (sys.path/cwd dependent —
+# breaks when the host session runs from another directory); closures are
+# pickled by *value* and carry their constants with them.
 
 
-def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batch of (doc_id, payload) → features.
+FRAME_STRIDE = 64  # chars between frame starts (fake "video" timeline)
+FRAME_LEN = 16  # chars per sampled frame
+MAX_FRAMES = 8
 
-    Vectorized per batch (one Python call per Arrow batch, not per row).
-    """
-    for pdf in batches:
-        feats = [_decode_stub(p) for p in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": [f["n_bytes"] for f in feats],
-                "mean_byte": [f["mean_byte"] for f in feats],
-                "head_md5": [f["head_md5"] for f in feats],
-            }
-        )
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+           md5(substr(text, CAST(u.i AS INT) * {FRAME_STRIDE} + 1, {FRAME_LEN})) AS frame_md5
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0,
+             least({MAX_FRAMES - 1},
+                   CAST(floor((length(text) - {FRAME_LEN}) / {FRAME_STRIDE}) AS INT)))) AS i) u
+    WHERE length(text) >= {FRAME_LEN}
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media payloads: every document explodes into up
+    to {MAX_FRAMES} fixed-stride frames, md5-fingerprinted — the
+    mapInPandas 1→N shape a video frame-sampler has (decode seek points,
+    emit k frames per clip). Runs through real Arrow batches; the SQL
+    oracle reproduces the frames with generate_series + substr, so even
+    the pandas path is hash-verified, not rows-only.
+
+    Scale: map-only explode with bounded fan-out (≤{MAX_FRAMES}×input);
+    no shuffle; frames shard with their source partitions."""
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text")
+    frame_stride, frame_len, max_frames = FRAME_STRIDE, FRAME_LEN, MAX_FRAMES
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """1→N worker: each document yields up to max_frames frame rows —
+        the frame-sampling slot of a video pipeline (a real decoder would
+        seek keyframes; the fake samples fixed strides of the payload)."""
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n < frame_len:
+                    continue
+                n_frames = min(max_frames, (n - frame_len) // frame_stride + 1)
+                for i in range(n_frames):
+                    frame = text[i * frame_stride : i * frame_stride + frame_len]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return rows.mapInPandas(sample_frames, schema=_FRAME_SCHEMA)
 
 
 @register("multimodal_features", None)  # pandas path → rows-only driver check
@@ -128,4 +166,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     read is the only I/O. Partition count = input splits, so 100 TB of
     media shards across however many executors exist."""
     rows = _with_payload(spark, sf_dir).select("doc_id", "payload")
-    return rows.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+    def decode_stub(payload: bytes) -> dict:
+        """Deterministic fake decoder. A real deployment would plug
+        PIL/ffmpeg/torchaudio here; the container has none of them, so
+        this computes byte-level stats instead (same I/O shape: bytes in,
+        fixed-width features out). Raises NotImplementedError where a
+        real decoder would be required."""
+        import hashlib
+
+        if payload is None:
+            raise NotImplementedError("real media decode requires PIL/ffmpeg (not in container)")
+        return {
+            "n_bytes": len(payload),
+            "mean_byte": float(sum(payload)) / max(len(payload), 1),
+            "head_md5": hashlib.md5(payload[:64]).hexdigest(),
+        }
+
+    def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Arrow batch of (doc_id, payload) → features; one Python call
+        per batch, not per row."""
+        for pdf in batches:
+            feats = [decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "mean_byte": [f["mean_byte"] for f in feats],
+                    "head_md5": [f["head_md5"] for f in feats],
+                }
+            )
+
+    return rows.mapInPandas(extract_features, schema=_FEATURE_SCHEMA)

@@ -1038,3 +1038,120 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("cnt_pending"),
         )
     )
+
+
+@register(
+    "left_outer_order_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def left_outer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + two-level aggregation (TPC-H Q13 shape): order
+    count per customer including zero-order customers, then the customer
+    distribution over that count. Engine surface for outer joins (absent
+    in reference; §2.3 inventory row).
+
+    Scale: one shuffle on o_custkey for the join+first agg (Catalyst
+    fuses them), a near-free second agg on the tiny distribution. Skewed
+    big-buyer customers are handled by AQE skew-join splitting.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "full_outer_nation_activity",
+    """
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (engine surface; §2.3): per-nation customer vs
+    supplier counts, keeping nations present on either side only.
+
+    Scale: both sides pre-aggregate to ≤nation-cardinality rows BEFORE
+    the join — the aggregate-then-join rewrite that turns a row-level
+    outer join into a trivial one. Never outer-join the raw fact tables
+    when the query only needs grouped counts.
+    """
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    j = c.alias("c").join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full")
+    return j.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(15,4))) AS part_sum_qty,
+             COUNT(*) AS part_cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(15,4)) * 5 * part_cnt < part_sum_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape): rows
+    whose quantity is below 20% of their part's average quantity. The
+    correlated `(SELECT 0.2*avg(..) WHERE same part)` becomes a grouped
+    pre-aggregate + equi-join — the decorrelation Catalyst itself applies
+    to such subqueries, written explicitly.
+
+    Determinism: the avg comparison `qty < 0.2 * (sum/cnt)` is algebraically
+    rearranged to `qty * 5 * cnt < sum` — all-DECIMAL/integer products, no
+    division, so the boundary comparison is exact in both engines.
+
+    Scale: two shuffles on l_partkey (agg + join); co-partitioned, so AQE
+    typically plans the second as a local join. Never evaluate per-row
+    correlated subqueries at scale.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity", 15, 4)).alias("part_sum_qty"),
+        F.count("*").alias("part_cnt"),
+    )
+    j = l.select("l_partkey", "l_quantity", "l_extendedprice").join(pa, "l_partkey")
+    filtered = j.filter(
+        dec("l_quantity", 15, 4) * F.lit(5) * F.col("part_cnt") < F.col("part_sum_qty")
+    )
+    return filtered.agg(
+        F.sum(dec("l_extendedprice", 15, 4)).cast("double").alias("total_price"),
+        F.count("*").alias("n_rows"),
+    )

@@ -209,31 +209,65 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized cosine ≥ {NEARDUP_COSINE}; the lower vec_id is the keeper.
     Semantic dedup — catches paraphrases that MinHash (lexical) misses.
 
-    Exact form is all-pairs, expressed as a self-join with `a < b` so
-    Spark broadcasts one side and scores map-side (no shuffle of the big
-    side at this scale). At 100 TB nobody runs all-pairs: candidate pairs
-    come from the LSH bucket join (embedding_ann_lsh's signature scheme)
-    or an IVF coarse quantizer (embedding_centroid_by_label is its
-    assignment primitive), and THIS operator is then applied to the
-    candidate set as the exact verifier — same expression, bounded input.
+    Physical strategy: broadcast the quantized corpus matrix (int64,
+    N×DIM — the *small* side by construction) to every executor; a
+    map-only `mapInPandas` pass computes each partition-block's dot
+    products against the broadcast matrix as ONE numpy integer matmul
+    and emits only above-threshold pairs. No shuffle, no per-pair
+    expression evaluation — Catalyst's higher-order-function fold costs
+    ~100× more per element than the BLAS path for exactly this shape.
+
+    At 100 TB nobody runs all-pairs: candidate pairs come from the LSH
+    bucket join (embedding_ann_lsh's signature scheme) or an IVF coarse
+    quantizer (embedding_centroid_by_label is its assignment primitive),
+    and THIS operator is the exact verifier applied per candidate block —
+    the broadcast side is then the bounded candidate set, same code path.
     Integer dots (quantized) keep the threshold comparison deterministic
-    cross-engine; boundary pairs cannot flap.
+    cross-engine (int64 matmul is exact; cosine is one IEEE sqrt/divide
+    per pair in both engines); boundary pairs cannot flap.
     """
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-side
+    from pyspark.sql import types as T
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
-    a = emb.select(F.col("vec_id").alias("keep_id"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("dup_id"), F.col("e").alias("eb"))
-    pairs = b.join(F.broadcast(a), F.col("keep_id") < F.col("dup_id"))
-    cosine = (
-        _dot(F.col("ea"), F.col("eb")).cast("double")
-        / (
-            F.sqrt(_dot(F.col("ea"), F.col("ea")).cast("double"))
-            * F.sqrt(_dot(F.col("eb"), F.col("eb")).cast("double"))
-        )
+    rows = emb.collect()  # corpus matrix: the broadcast-able small side
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.e for r in rows], dtype=np.float64)  # exact; see worker note
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("keep_id", T.LongType()),
+            T.StructField("dup_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    return (
-        pairs.select("keep_id", "dup_id", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEARDUP_COSINE)
-    )
+
+    def block_matmul(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # float64 on purpose: int64 matmul bypasses BLAS (≈50× slower),
+            # while every product (≤1e8) and dot (≤6.4e9) here is an
+            # integer < 2^53, so the float64 GEMM is bit-exact.
+            a_mat = np.array(list(pdf["e"]), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            dots = a_mat @ b_mat.T
+            cos = dots / (a_norms[:, None] * b_norms[None, :])
+            ai, bj = np.nonzero((cos >= NEARDUP_COSINE) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "keep_id": a_ids[ai],
+                    "dup_id": b_ids[bj],
+                    "cosine": cos[ai, bj],
+                }
+            )
+
+    return emb.mapInPandas(block_matmul, schema=out_schema)
 
 
 @register(

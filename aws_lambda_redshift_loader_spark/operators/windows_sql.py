@@ -178,3 +178,44 @@ def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("new_session").over(w_cum).cast("bigint").alias("session_id"),
     )
+
+
+RANGE_SECS = 30 * 24 * 3600  # 30-day trailing range frame
+
+
+@register(
+    "window_range_frame_spend",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_part('epoch', date_trunc('second', o_orderdate))
+             RANGE BETWEEN {RANGE_SECS} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (§2.5 engine surface — the frame kind
+    `rowsBetween` cannot express): per customer, the trailing-30-day spend
+    at each order, frame bounded by *value distance* on the order
+    timestamp, so same-timestamp peers aggregate together regardless of
+    row order (which also makes the result deterministic without a
+    tiebreaker — RANGE frames include all peers).
+
+    Scale: one shuffle on o_custkey; per-partition sort on the frame key.
+    Range frames evaluate with a sliding two-pointer over the sorted
+    partition — O(n) per partition, same cost class as a rows frame.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    epoch = F.unix_timestamp(F.date_trunc("second", F.col("o_orderdate")))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-RANGE_SECS, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice", 15, 4)).over(w).cast("double").alias("trailing_30d_spend"),
+    )

@@ -32,6 +32,13 @@ def main() -> None:
     # Warm the JVM + file-system caches once with the flagship query so
     # per-query numbers measure the operators, not session startup.
     specs["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Also warm the Python worker daemon (one-time ~10 s cost otherwise
+    # billed to whichever Arrow/pandas query happens to run first).
+    import pandas as _pd
+
+    spark.range(32).mapInPandas(
+        lambda it: ( _pd.DataFrame({"id": pdf["id"]}) for pdf in it ), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     for name in sorted(specs):
         t0 = time.perf_counter()

@@ -1,0 +1,76 @@
+"""Structured-Streaming ingest tests: exactly-once across restarts (the
+checkpoint replaces the reference's ledger+CAS), availableNow drain, and
+micro-batch status records."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from aws_lambda_redshift_loader_spark.sources.routing import ClusterSink, LoadConfig
+from aws_lambda_redshift_loader_spark.streaming.stream_ingest import StreamIngest
+
+
+def _write_files(src, start, n):
+    os.makedirs(src, exist_ok=True)
+    for i in range(start, start + n):
+        base = i * 6 + 1
+        with open(os.path.join(src, f"f{i}.csv"), "w") as f:
+            f.write(f"{base}|{base + 1}|{base + 2}\n{base + 3}|{base + 4}|{base + 5}\n")
+
+
+def _ingest(spark, tmp_path):
+    src = str(tmp_path / "in")
+    cfg = LoadConfig(
+        s3_prefix=src,
+        data_format="CSV",
+        csv_delimiter="|",
+        schema="a INT, b INT, c INT",
+        sinks=[ClusterSink(target_table="t", path=str(tmp_path / "warehouse"))],
+    )
+    return StreamIngest(
+        spark,
+        cfg,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        status_dir=str(tmp_path / "status"),
+    )
+
+
+def test_available_now_drain_and_exactly_once_restart(spark, tmp_path):
+    ing = _ingest(spark, tmp_path)
+    _write_files(ing.source_dir, 0, 3)
+    ing.run_available()
+    sink_path = os.path.join(str(tmp_path / "warehouse"), "t")
+    assert spark.read.parquet(sink_path).count() == 6  # 3 files x 2 rows
+
+    # Restart with NO new files: checkpoint must prevent any re-load
+    # (T4/T6 — the reference needs DynamoDB CAS + ledger for this).
+    ing2 = _ingest(spark, tmp_path)
+    ing2.run_available()
+    assert spark.read.parquet(sink_path).count() == 6
+
+    # New files after restart load exactly once.
+    _write_files(ing.source_dir, 3, 2)
+    ing3 = _ingest(spark, tmp_path)
+    ing3.run_available()
+    df = spark.read.parquet(sink_path)
+    assert df.count() == 10
+    assert df.select("a").distinct().count() == 10  # no duplicated rows
+
+    # Status records (S7 analog) were written per epoch with ok=True.
+    statuses = []
+    for fn in os.listdir(str(tmp_path / "status")):
+        with open(os.path.join(str(tmp_path / "status"), fn)) as f:
+            statuses.append(json.load(f))
+    assert statuses and all(s["ok"] for s in statuses)
+    assert all(r["status"] == "loaded" for s in statuses for r in s["results"])
+
+
+def test_streaming_requires_declared_schema(spark, tmp_path):
+    cfg = LoadConfig(s3_prefix="p", data_format="CSV", schema=None)
+    ing = StreamIngest(spark, cfg, "src", "ckpt")
+    import pytest
+
+    with pytest.raises(ValueError, match="declared schema"):
+        ing._reader()
