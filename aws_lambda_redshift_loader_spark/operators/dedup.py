@@ -158,19 +158,45 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Minwise hashing via ONE base hash per shingle + N_HASHES affine
+# permutations h_i = (a_i*h + b_i) mod P — the standard universal-hash
+# family. One md5 per shingle instead of N_HASHES md5s per shingle
+# occurrence (~6x less hash work at 16 permutations). h uses 7 hex chars
+# (< 2^28) so a_i*h + b_i stays far below 2^63 in BOTH engines (DuckDB
+# errors on BIGINT overflow; Spark wraps — neither can happen here).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _mh_ab(i: int) -> tuple[int, int]:
+    return 2 * i + 1, 7919 * i + 1
+
+
+_HASHED_COLS = ",\n         ".join(
+    f"MIN(({_mh_ab(i)[0]} * h + {_mh_ab(i)[1]}) % {MINHASH_P}) AS mh{i}"
+    for i in range(N_HASHES)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM hashed".format(
+        b=b,
+        cols=", ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        ),
+    )
+    for b in range(N_HASHES // BAND_SIZE)
+)
+
 _MINHASH_CTE = f"""
+base AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+  FROM shingles
+),
 hashed AS (
-  SELECT doc_id, p.i AS perm,
-         MIN(CAST(concat('0x', substr(md5(concat(CAST(p.i AS VARCHAR), '|', shingle)), 1, 15))
-                  AS BIGINT)) AS minhash
-  FROM shingles, LATERAL (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS i) p
-  GROUP BY doc_id, p.i
+  SELECT doc_id,
+         {_HASHED_COLS}
+  FROM base GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(floor(perm / {BAND_SIZE}) AS INT) AS band,
-         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_key
-  FROM hashed
-  GROUP BY doc_id, CAST(floor(perm / {BAND_SIZE}) AS INT)
+{_BAND_SELECTS}
 )
 """
 
@@ -207,44 +233,43 @@ bands AS (
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: shingle → {N_HASHES} md5-salted minhashes →
-    {N_HASHES // BAND_SIZE} bands of {BAND_SIZE} → band-key bucket join for
-    candidates → exact-Jaccard verification of candidates only.
+    """MinHash + LSH near-dup: shingle → one md5-derived base hash →
+    {N_HASHES} affine-permutation minhashes → {N_HASHES // BAND_SIZE}
+    bands of {BAND_SIZE} → band-key bucket join for candidates →
+    exact-Jaccard verification of candidates only.
 
-    Deterministic construction (hex_hash64) means the oracle reproduces the
-    exact same signatures, bands, candidates, and final pairs.
+    Deterministic construction (md5-derived base hash + integer affine
+    permutations) means the oracle reproduces the exact same signatures,
+    bands, candidates, and final pairs.
 
     Scale: this is the sub-quadratic path — candidate generation is a
     shuffle on (band, band_key); only bucket collisions are verified.
     """
     sh = _shingles(spark, sf_dir)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("perm")
-    hashed = (
-        sh.select("doc_id", "shingle", perms)
-        .select(
-            "doc_id",
-            "perm",
-            hex_hash64(
-                F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    # One md5 per distinct (doc, shingle); 16 affine permutations as
+    # sixteen MIN aggregate columns over it — a single shuffle on doc_id,
+    # no explode, all JVM codegen arithmetic.
+    base = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint").alias("h"),
     )
-    bands = (
-        hashed.withColumn("band", F.floor(F.col("perm") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_key")
+    hashed = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * _mh_ab(i)[0] + _mh_ab(i)[1]) % MINHASH_P).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)],
+            )
         )
+        for b in range(N_HASHES // BAND_SIZE)
+    ]
+    bands = hashed.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
