@@ -127,33 +127,59 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~N/2^b vectors, so candidate generation is O(T·N²/2^b) pair work
     instead of O(N²); queries are broadcast, never shuffled.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
-
-    # sign(t, p, d) = ±1 from md5 parity — a 64-element literal array per
-    # (table, plane), folded into the projection expression JVM-side.
     import hashlib
 
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-side
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+
+    # sign(t, p, d) = ±1 from md5 parity; all N_TABLES*PLANES_PER_TABLE
+    # hyperplanes form one (planes x DIM) matrix so every signature bit of
+    # a block of vectors is a single BLAS matmul in the pandas worker
+    # (the per-element Catalyst fold costs ~100x more for this shape).
     def sign(t: int, p: int, d: int) -> int:
         h = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
         return 1 if int(h[:15], 16) & 1 else -1
 
-    def bucket_expr(t: int) -> F.Column:
-        bucket = None
-        for p in range(PLANES_PER_TABLE):
-            signs = F.array(*[F.lit(sign(t, p, d)) for d in range(DIM)])
-            proj = F.aggregate(
-                F.zip_with(F.col("e"), signs, lambda x, s: x * s),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        # Disjoint bucket spaces per table: high bits carry the table id.
-        return (bucket + F.lit(t << PLANES_PER_TABLE)).cast("int")
-
-    sigs = emb.withColumn(
-        "buckets", F.array(*[bucket_expr(t) for t in range(N_TABLES)])
+    planes = np.array(
+        [
+            [sign(t, p, d) for d in range(DIM)]
+            for t in range(N_TABLES)
+            for p in range(PLANES_PER_TABLE)
+        ],
+        dtype=np.float64,  # exact: entries ±1, dots are integers << 2^53
     )
+    n_tables, planes_per_table = N_TABLES, PLANES_PER_TABLE
+    sig_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.LongType())),
+            T.StructField("buckets", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def project(batches):
+        bits = (1 << np.arange(planes_per_table, dtype=np.int64))[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            proj = mat @ planes.T  # (n, tables*planes) — one GEMM
+            pos = (proj > 0).reshape(len(pdf), n_tables, planes_per_table)
+            buckets = (pos * bits[None, :, :]).sum(axis=2) + (
+                np.arange(n_tables, dtype=np.int64) << planes_per_table
+            )[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "e": pdf["e"],
+                    "buckets": [row.astype("int32") for row in buckets],
+                }
+            )
+
+    sigs = emb.mapInPandas(project, schema=sig_schema)
     corpus = sigs.select("vec_id", "e", F.explode("buckets").alias("bucket"))
     queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.scalar import hex_hash64, norm_text
 from ..plans.registry import register
@@ -191,4 +192,69 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp_bucket"),
+    )
+
+
+WINNOW_K = 8  # rolling k-gram length (chars)
+WINNOW_W = 16  # winnowing window (hashes per window)
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, u.i AS pos,
+             CAST(concat('0x', substr(md5(substr(lower(text), CAST(u.i AS INT), {WINNOW_K})),
+                                      1, 15)) AS BIGINT) AS gram_hash
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - {WINNOW_K} + 1)) AS i) u
+      WHERE length(text) >= {WINNOW_K}
+    ),
+    windowed AS (
+      SELECT doc_id,
+             MIN(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp AS fingerprint
+    FROM windowed
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer/
+    Wilkerson/Aiken's MOSS algorithm): hash every {WINNOW_K}-char gram,
+    then keep the minimum hash of each {WINNOW_W}-gram window — the
+    guarantee is any shared substring of length ≥ {WINNOW_K + WINNOW_W - 1}
+    yields at least one shared fingerprint, so copied passages are
+    detectable from a small sketch instead of full text comparison.
+
+    The rolling window is a frame-bounded MIN — one shuffle on doc_id,
+    linear two-pointer evaluation per partition. The k-gram explode is
+    bounded (one row per char); at 100 TB shard docs across partitions
+    and the sketch per doc is ~len/w hashes, an ~94% reduction feeding
+    any downstream pair-matching join.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_K)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {WINNOW_K} + 1), "
+                f"i -> conv(substring(md5(substring(lower(text), i, {WINNOW_K})), 1, 15), 16, 10))"
+            )
+        ).alias("pos0", "gram_hash_str"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("gram_hash_str").cast("bigint").alias("gram_hash"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, WINNOW_W - 1)
+    )
+    return (
+        grams.select("doc_id", F.min("gram_hash").over(w).alias("fingerprint"))
+        .distinct()
     )

@@ -25,6 +25,10 @@ from aws_lambda_redshift_loader_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # 62 queries in one JVM accumulate broadcasts / memory-sink tables /
+    # AQE state; a small heap GC-thrashes the alphabetical tail. The box
+    # has 128 GiB — give the bench session real headroom.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark("bench")
 
     specs = load_all()
@@ -48,6 +52,12 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"# bench error in {name}: {exc}", file=sys.stderr)
+        # Drop per-query litter (cached rels, memory-sink temp views) so
+        # later queries measure operators, not accumulated heap pressure.
+        spark.catalog.clearCache()
+        for tbl in spark.catalog.listTables():
+            if tbl.name.startswith("stream_result_"):
+                spark.catalog.dropTempView(tbl.name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
