@@ -14,6 +14,9 @@ Scale strategy:
 - LSH-bucketed ANN: random-hyperplane signatures (±1 planes derived from
   the cross-engine md5 hash, so buckets reproduce everywhere) restrict
   comparisons to same-bucket pairs — the sub-quadratic scale path.
+- IVF ANN: coarse-quantizer cells + nprobe probing — the inverted-file
+  layout; centroid assignment and query probing are per-block BLAS
+  matmuls against broadcast centroids.
 """
 
 from __future__ import annotations
@@ -323,4 +326,115 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", (F.col("pos") + 1).cast("int").alias("dim"), "q_val")
     return exploded.groupBy("label", "dim").agg(
         F.sum("q_val").cast("bigint").alias("component_sum"), F.count("*").alias("n_vectors")
+    )
+
+
+IVF_CELLS = 16  # coarse-quantizer cells
+IVF_NPROBE = 4  # cells probed per query
+
+
+@register("embedding_ivf_topk", None)  # approximate → recall-tested vs bruteforce
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF (inverted-file) index: a coarse quantizer of
+    {IVF_CELLS} centroids partitions the corpus into cells; each query
+    probes only its {IVF_NPROBE} nearest cells and re-ranks exactly
+    within them — the other classic sub-quadratic ANN layout next to LSH
+    (embedding_ann_lsh), searching ~nprobe/cells of the corpus.
+
+    Centroids here are the first {IVF_CELLS} corpus vectors (deterministic
+    single-step seeding); production would run k-means, i.e. repeated
+    application of this same assignment plus embedding_centroid_by_label's
+    grouped component-sum (the update step).
+
+    Physical plan: centroids broadcast; cell assignment is one BLAS
+    matmul per block (map-only, no shuffle — same pattern as the LSH
+    projections); the probe restricts the scoring join to matching cells.
+    Scale: cells shard across executors by cell id; per-cell candidate
+    lists are the "inverted file". Deterministic: integer-quantized
+    cosines, argmax ties broken toward the lower centroid id, candidate
+    re-rank ordered by (cosine DESC, neighbor_id ASC).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-side
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+    seed = emb.filter(F.col("vec_id") < IVF_CELLS).collect()
+    cent = np.array([r.e for r in sorted(seed, key=lambda r: r.vec_id)], dtype=np.float64)
+    cent_norms = np.sqrt((cent * cent).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cent, cent_norms))
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.LongType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        c_mat, c_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ c_mat.T) / (norms[:, None] * c_norms[None, :])
+            # np.argmax returns the FIRST max index → ties to lower cell id.
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "e": pdf["e"],
+                    "cell": np.argmax(cos, axis=1).astype("int32"),
+                }
+            )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qe", T.ArrayType(T.LongType())),
+            T.StructField("qcell", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches):
+        c_mat, c_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ c_mat.T) / (norms[:, None] * c_norms[None, :])
+            # Deterministic top-nprobe cells: sort by (-cos, cell id).
+            order = np.lexsort((np.arange(cos.shape[1])[None, :].repeat(len(pdf), 0), -cos), axis=1)
+            cells = order[:, :IVF_NPROBE]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].repeat(IVF_NPROBE),
+                    "qe": [e for e in pdf["e"] for _ in range(IVF_NPROBE)],
+                    "qcell": cells.reshape(-1).astype("int32"),
+                }
+            )
+
+    assigned = emb.mapInPandas(assign, schema=assign_schema)
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES).mapInPandas(probe, schema=probe_schema)
+    )
+    cands = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cosine = (
+        _dot(F.col("qe"), F.col("e")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+            * F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
+        )
+    )
+    scored = cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
