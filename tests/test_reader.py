@@ -1,0 +1,84 @@
+"""Multi-format reader tests (reference S3 operator: CSV any-delimiter +
+header skip, JSON + JSONPaths, PARQUET, ORC; AVRO gated — it is an
+external Spark module not present in this container)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from aws_lambda_redshift_loader_spark.sources.reader import (
+    UnsupportedFormatError,
+    read_files,
+)
+from aws_lambda_redshift_loader_spark.sources.routing import LoadConfig
+
+
+def test_csv_delimiter_and_header(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("a;b;c\n1;2;3\n4;5;6\n")
+    cfg = LoadConfig(
+        s3_prefix="x", data_format="CSV", csv_delimiter=";",
+        ignore_csv_header=True, schema="a INT, b INT, c INT",
+    )
+    df = read_files(spark, cfg, str(p))
+    assert df.columns == ["a", "b", "c"]
+    assert sorted(r.a for r in df.collect()) == [1, 4]
+
+
+def test_csv_column_list_projection(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("1|2|3\n")
+    cfg = LoadConfig(
+        s3_prefix="x", data_format="CSV", schema="a INT, b INT, c INT",
+        column_list=["c", "a"],
+    )
+    df = read_files(spark, cfg, str(p))
+    assert df.columns == ["c", "a"]  # P7 ordered projection
+
+
+def test_json_with_jsonpaths(spark, tmp_path):
+    p = tmp_path / "in.json"
+    rows = [{"user": {"id": 7, "name": "x"}, "value": 1.5},
+            {"user": {"id": 8, "name": "y"}, "value": 2.5}]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    cfg = LoadConfig(
+        s3_prefix="x", data_format="JSON",
+        json_path=json.dumps({"jsonpaths": ["$.user.id", "$.value"]}),
+    )
+    df = read_files(spark, cfg, str(p))
+    assert df.columns == ["user_id", "value"]
+    assert sorted(r.user_id for r in df.collect()) == [7, 8]
+
+
+def test_parquet_and_orc_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    for fmt in ["parquet", "orc"]:
+        path = str(tmp_path / fmt)
+        src.write.format(fmt).save(path)
+        cfg = LoadConfig(s3_prefix="x", data_format=fmt.upper())
+        files = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(f".{fmt}")]
+        df = read_files(spark, cfg, files)
+        assert df.count() == 2
+
+
+def test_unsupported_format_rejected(spark):
+    cfg = LoadConfig(s3_prefix="x", data_format="XML")
+    with pytest.raises(UnsupportedFormatError):
+        # index.js:1193-1194 "unsupported data format" hard error
+        read_files(spark, cfg, "whatever")
+
+
+def test_avro_gated(spark, tmp_path):
+    """AVRO routes through the reader but the container lacks the
+    external spark-avro module; a real deployment ships it. Assert the
+    failure is the module-missing error, not a routing bug."""
+    cfg = LoadConfig(s3_prefix="x", data_format="AVRO", schema="a INT")
+    p = tmp_path / "x.avro"
+    p.write_text("")
+    try:
+        read_files(spark, cfg, str(p)).count()
+    except Exception as exc:
+        assert "avro" in str(exc).lower()
