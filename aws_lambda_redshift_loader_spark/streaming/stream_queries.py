@@ -95,6 +95,62 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, agg)
 
 
+SESSION_GAP_MIN = 30  # shared with operators.windows_sql
+
+
+@register(
+    "stream_session_counts",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 session windows, streaming for real: `F.session_window` with
+    merging session state per user_id, complete-mode memory sink. Over
+    the finite fixture the final state equals the batch session query, so
+    it shares the gaps-and-islands oracle — the streaming state machinery
+    (session merge on late-arriving in-gap events) is hash-verified
+    against declarative SQL.
+
+    Scale: state is per (user, open session); with a watermark (the
+    production form) closed sessions evict, so state ∝ active users, not
+    history.
+    """
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(
+                F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n_events",
+            )
+        )
+
+    return _run_stream(spark, sf_dir, agg)
+
+
 BATCH_SIZE = 100  # T1 count threshold (shared with operators.batching_sql)
 
 
