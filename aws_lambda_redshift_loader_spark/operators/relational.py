@@ -1155,3 +1155,39 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice", 15, 4)).cast("double").alias("total_price"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "event_validity_filter",
+    """
+    SELECT event_id, event_type, user_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+      AND json_extract(props, '$.k') IS NOT NULL
+    """,
+)
+def event_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 event-validity predicate (index.js:1554-1574): the reference
+    accepts only `aws:s3` ObjectCreated:{Put,Copy,CompleteMultipartUpload}
+    events with a parseable record — here the same whitelist-AND-parseable
+    gate over the events table (type whitelist + JSON payload must carry
+    the expected field).
+
+    Scale: pure scan predicate — the IN-list pushes to the parquet scan
+    and the JSON probe runs codegen'd; invalid events are dropped before
+    any shuffle, exactly where the reference drops them (before any
+    DynamoDB write)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.col("event_type").isin("click", "view", "purchase")
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        )
+    )
