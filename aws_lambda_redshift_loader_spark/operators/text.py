@@ -258,3 +258,101 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.select("doc_id", F.min("gram_hash").over(w).alias("fingerprint"))
         .distinct()
     )
+
+
+QUALITY_MIN = 0.5
+TOKENS_MIN, TOKENS_MAX = 50, 5000
+
+
+@register(
+    "training_corpus_select",
+    rf"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+    ),
+    features AS (
+      SELECT d.doc_id, d.source,
+             CAST(greatest(length(regexp_extract_all(d.text, '\S+')), 1) AS BIGINT) AS n_words,
+             CAST(length(regexp_extract_all(d.text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+             (CAST(length(regexp_extract_all(lower(d.text),
+                   '\b(the|and|of|to|a|in|is)\b')) AS DOUBLE) /
+              greatest(length(regexp_extract_all(d.text, '\S+')), 1)) * 2.0
+               - (CAST(length(regexp_extract_all(d.text, '[.,;:!?]')) AS DOUBLE)
+                  / length(d.text)) * 3.0
+               + (CASE WHEN greatest(length(regexp_extract_all(d.text, '\S+')), 1)
+                       BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) AS quality_score,
+             length(regexp_extract_all(lower(d.text), '{LANG_PATTERNS["en"]}')) AS s_en,
+             length(regexp_extract_all(lower(d.text), '{LANG_PATTERNS["es"]}')) AS s_es,
+             length(regexp_extract_all(lower(d.text), '{LANG_PATTERNS["fr"]}')) AS s_fr,
+             length(regexp_extract_all(lower(d.text), '{LANG_PATTERNS["de"]}')) AS s_de
+      FROM documents d JOIN canon c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, n_words, bpe_ish_tokens, quality_score
+    FROM features
+    WHERE s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+      AND quality_score >= {QUALITY_MIN}
+      AND bpe_ish_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
+    """,
+)
+def training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite the engine exists for: materialize a training corpus
+    slice — exact-dedup to canonical docs, keep English-detected text,
+    quality score ≥ {QUALITY_MIN}, token count inside the budget window.
+    One declarative plan composing the dedup/langid/quality/token
+    operators, so Catalyst fuses all the per-doc feature extraction into
+    a single scan projection and the only shuffle is the dedup groupBy.
+
+    Scale: fingerprint groupBy is the lone shuffle; every filter is a
+    scan-level predicate; at 100 TB this is a two-stage job regardless of
+    corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    canon = (
+        d.select("doc_id", F.md5(norm_text("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    lowered = F.lower(F.col("text"))
+    n_words = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)), F.lit(1)
+    ).cast("bigint")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+    stop_ratio = (
+        F.size(
+            F.regexp_extract_all(lowered, F.lit(r"\b(the|and|of|to|a|in|is)\b"), 0)
+        ).cast("double")
+        / n_words
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).cast("double")
+        / F.length("text")
+    )
+    quality = (
+        stop_ratio * 2.0
+        - punct_ratio * 3.0
+        + F.when(n_words.between(20, 1000), 1.0).otherwise(0.0)
+    )
+    scores = {c: _matches(lowered, p) for c, p in LANG_PATTERNS.items()}
+    feats = d.join(canon, "doc_id").select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        bpe.alias("bpe_ish_tokens"),
+        quality.alias("quality_score"),
+        *[scores[c].alias(f"s_{c}") for c in ("en", "es", "fr", "de")],
+    )
+    en, es, fr, de = [F.col(f"s_{c}") for c in ("en", "es", "fr", "de")]
+    return (
+        feats.filter(
+            (en >= es) & (en >= fr) & (en >= de)
+            & (F.col("quality_score") >= QUALITY_MIN)
+            & F.col("bpe_ish_tokens").between(TOKENS_MIN, TOKENS_MAX)
+        )
+        .select("doc_id", "source", "n_words", "bpe_ish_tokens", "quality_score")
+    )
