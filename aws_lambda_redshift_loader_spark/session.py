@@ -97,3 +97,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     tune(spark)
     return normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view so the engine's full
+    surface is reachable through plain ``spark.sql`` — the query language
+    a reference user ultimately writes against the warehouse. Views are
+    lazy: registering costs one schema read per table; plans built from
+    them get the same pushdown/pruning as the DataFrame path.
+    """
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run an ANSI-SQL query against the registered tables."""
+    register_tables(spark, sf_dir)
+    return spark.sql(query)
