@@ -209,6 +209,18 @@ class IngestPipeline:
         batcher.current.size += batch.size
         return batcher.current
 
+    def reset_current_batch(self, s3_prefix: str) -> str:
+        """resetCurrentBatch.js → common.js: allocate a fresh currentBatch
+        id on the config when the open batch is wedged; the old open batch
+        stays in history (still `open`) for unlock/delete triage. Returns
+        the new batch id."""
+        batcher = self.batchers[s3_prefix]
+        old = batcher.current
+        if old is not None and old.entries:
+            batcher.history.append(old)
+        batcher._rotate()
+        return batcher.current.batch_id
+
     def delete_batches(self, status: str, dry_run: bool = True) -> list[Batch]:
         """deleteBatches.js:10-28 (dryRun gate, batchOperations.js:235)."""
         victims = self.query_batches(status)

@@ -221,6 +221,22 @@ def test_operational_queries_and_unlock(spark, tmp_path, sample_files):
     assert pipe.query_batches(COMPLETE) == []
 
 
+def test_reset_current_batch(spark, tmp_path, sample_files):
+    """resetCurrentBatch CLI parity: wedged open batch parked in history,
+    fresh uuid rotated onto the config, new events land in the new batch."""
+    prefix = os.path.dirname(sample_files[0])
+    pipe, cfg, _ = make_pipeline(spark, tmp_path, prefix, batch_size=10)
+    pipe.on_file_event(FileEvent(key=sample_files[0], size=10, ts=T0))
+    old_id = pipe.batchers[prefix].current.batch_id
+    new_id = pipe.reset_current_batch(prefix)
+    assert new_id != old_id
+    assert cfg.current_batch == new_id
+    parked = pipe.describe_batch(prefix, old_id)
+    assert parked.status == OPEN and parked.entry_count == 1
+    pipe.on_file_event(FileEvent(key=sample_files[1], size=10, ts=T0 + 1))
+    assert pipe.batchers[prefix].current.files() == [sample_files[1]]
+
+
 def test_illegal_status_transition_raises():
     cfg = LoadConfig(s3_prefix="p", batch_size=1)
     b = Batcher(cfg)
