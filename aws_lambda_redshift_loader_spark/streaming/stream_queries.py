@@ -95,6 +95,43 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, agg)
 
 
+@register(
+    "stream_sliding_counts",
+    """
+    WITH slid AS (
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM slid
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 sliding windows streaming (2-hour windows, 1-hour slide): each
+    event updates two window states via Spark's Expand; complete-mode
+    final state equals the batch expansion, sharing its oracle."""
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(dec("value", 18, 4)).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return _run_stream(spark, sf_dir, agg)
+
+
 SESSION_GAP_MIN = 30  # shared with operators.windows_sql
 
 
