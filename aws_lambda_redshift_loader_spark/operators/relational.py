@@ -1235,3 +1235,39 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("part_qty").cast("double").alias("sum_qty"),
         F.sum("part_n").alias("n_rows"),
     )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(list_max([CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                          FOR x IN embedding]) AS BIGINT) AS max_q,
+           CAST(list_sum([CASE WHEN x > 0 THEN 1 ELSE 0 END FOR x IN embedding])
+                AS BIGINT) AS n_positive,
+           [CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+            FOR x IN embedding[1:4]] AS head_q
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (§2.8 engine extension): size/max/filter/
+    slice/transform over the embedding array column — the collection
+    library a vector pipeline leans on before ever reaching a UDF.
+    Quantized comparisons keep max/sum exact cross-engine.
+
+    Scale: all higher-order expressions run JVM-side per row, no shuffle,
+    no Python; arrays stay columnar (Parquet LIST) end to end."""
+    q = F.transform("embedding", lambda x: F.floor(x.cast("double") * 10000).cast("bigint"))
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.array_max(q).cast("bigint").alias("max_q"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.when(x > 0, 1).otherwise(0)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_positive"),
+        F.slice(q, 1, 4).alias("head_q"),
+    )
