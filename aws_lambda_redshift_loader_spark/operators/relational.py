@@ -1271,3 +1271,116 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_positive"),
         F.slice(q, 1, 4).alias("head_q"),
     )
+
+
+# Per-language sampling rates (percent) for the stratified sample.
+SAMPLE_RATES = {"en": 50, "es": 25, "fr": 10, "de": 5}
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+    FROM hashed
+    WHERE (lang = 'en' AND bucket < {SAMPLE_RATES["en"]})
+       OR (lang = 'es' AND bucket < {SAMPLE_RATES["es"]})
+       OR (lang = 'fr' AND bucket < {SAMPLE_RATES["fr"]})
+       OR (lang = 'de' AND bucket < {SAMPLE_RATES["de"]})
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content hash: each document's
+    md5-derived bucket (0-99) gates inclusion at a per-language rate —
+    the training-data downsampling/rebalancing primitive (e.g. keep 50%
+    en, 5% de). Hash-gated, NOT rand()-gated: the same doc samples
+    identically on every run, cluster size, and retry — `sampleBy` would
+    give a statistically-equivalent but non-reproducible subset, which is
+    unacceptable for training-corpus lineage.
+
+    Scale: pure scan predicate, no shuffle; rates adjust per stratum
+    without repartitioning anything."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    hashed = d.select("doc_id", "lang", bucket.alias("bucket"))
+    cond = None
+    for lang, rate in SAMPLE_RATES.items():
+        c = (F.col("lang") == lang) & (F.col("bucket") < rate)
+        cond = c if cond is None else cond | c
+    return hashed.filter(cond)
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, concat('UPDATED-', c_name) AS c_name, c_acctbal * 2 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, 'NEW-CUSTOMER' AS c_name,
+             0.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, t.c_name) AS c_name,
+           COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+           CASE WHEN u.c_custkey IS NULL THEN 'unchanged'
+                WHEN t.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) t
+    FULL OUTER JOIN updates u ON u.c_custkey = t.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) semantics — WHEN MATCHED THEN UPDATE / WHEN NOT
+    MATCHED THEN INSERT — as the full-outer-join rewrite, which is
+    exactly how lakehouse MERGE executes under the hood. The reference's
+    control plane leans on the same idea (ledger upsert probe,
+    index.js:252-272). Result = the post-merge table plus the per-row
+    action taken.
+
+    Scale: one shuffle on the merge key (or broadcast when the update
+    set is small — here it is derived, so Catalyst decides); the rewrite
+    is the portable form when no Delta/Iceberg txn log is available,
+    written via overwrite-by-partition for atomicity.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"),
+            (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW-CUSTOMER").alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    t = c.alias("t")
+    u = updates.alias("u")
+    j = t.join(u, F.col("u.c_custkey") == F.col("t.c_custkey"), "full")
+    return j.select(
+        F.coalesce(F.col("u.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("t.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_acctbal"), F.col("t.c_acctbal")).alias("c_acctbal"),
+        F.when(F.col("u.c_custkey").isNull(), "unchanged")
+        .when(F.col("t.c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
