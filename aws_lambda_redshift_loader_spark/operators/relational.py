@@ -1384,3 +1384,75 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@register(
+    "unpivot_order_flags",
+    """
+    SELECT o_orderkey, flag_name, CAST(flag_value AS BIGINT) AS flag_value
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_finished,
+             CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS is_large
+      FROM orders
+    )
+    UNPIVOT (flag_value FOR flag_name IN (is_open, is_finished, is_large))
+    """,
+)
+def unpivot_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of pivot_status_counts): wide flag
+    columns → long (key, name, value) rows via `DataFrame.unpivot` —
+    Spark's Expand operator, one output row per (row, column), no
+    shuffle. The long form is what feature stores and metric sinks
+    ingest."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_finished"),
+        F.when(F.col("o_totalprice") > 100000, 1).otherwise(0).alias("is_large"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["is_open", "is_finished", "is_large"],
+        variableColumnName="flag_name",
+        valueColumnName="flag_value",
+    ).withColumn("flag_value", F.col("flag_value").cast("bigint"))
+
+
+@register(
+    "window_ranking_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist()    OVER w AS cdist,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (§2.5): rank / dense_rank /
+    percent_rank / cume_dist / ntile over a totally-ordered window
+    (price DESC, key ASC tiebreak — required: percent_rank and ntile
+    are position-dependent, so any tie ambiguity would flap the hash).
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
+    double divisions — identical in both engines.
+
+    Scale: one shuffle on the partition key; all five functions evaluate
+    in the same single sorted pass."""
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
