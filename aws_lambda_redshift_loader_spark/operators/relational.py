@@ -1456,3 +1456,28 @@ def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "having_filter",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING): customers with ≥12 orders.
+    Catalyst plans it as filter-above-aggregate; no second shuffle —
+    the predicate applies on the reduced groups, never the raw rows."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice", 15, 4)).cast("double").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
