@@ -369,3 +369,71 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("simhash")
     )
+
+
+HAMMING_MAX = 3  # near-dup threshold on the 16-bit signature
+
+
+@register(
+    "simhash_neardup_pairs",
+    f"""
+    WITH sigs AS ({_SIMHASH_ORACLE}),
+    banded AS (
+      SELECT doc_id, simhash,
+             simhash % 256 AS band_lo, simhash // 256 AS band_hi
+      FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id
+       AND (a.band_lo = b.band_lo OR a.band_hi = b.band_hi)
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+    """,
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates from the pigeonhole band trick
+    (split the {_SIMHASH_BITS}-bit signature into two bytes — any pair at
+    Hamming distance ≤ 1 per band must share a band), verified by exact
+    XOR popcount ≤ {HAMMING_MAX}. Completes the SimHash dedup story:
+    simhash_docs builds signatures, this pairs them.
+
+    Scale: the band join buckets on a byte (256 buckets/band) — at real
+    corpus sizes use 64-bit signatures with 4×16-bit bands (the classic
+    d<=3 pigeonhole); the shape is identical. XOR+popcount is a codegen
+    integer op, no Python."""
+    sigs = simhash_docs(spark, sf_dir)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("band_lo"),
+        (F.col("simhash") / 256).cast("bigint").alias("band_hi"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.band_lo") == F.col("b.band_lo"))
+                | (F.col("a.band_hi") == F.col("b.band_hi"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
