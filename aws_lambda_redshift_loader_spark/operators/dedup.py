@@ -437,3 +437,97 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_MINHASH_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS reached FROM nodes
+      UNION
+      SELECT e.dst, r.reached FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(reached) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    MinHash-LSH verified pair graph by iterative min-label propagation
+    (each node adopts the smallest doc_id it can reach; fixpoint =
+    component id). Turning pairwise matches into clusters is the step
+    that decides which docs actually survive dedup — pairs alone
+    over-delete (A~B, B~C removes B and C even when A!~C).
+
+    The iterative Spark form is the 100 TB path: label propagation is
+    Pregel-style — per iteration one join + grouped min, state strictly
+    shrinking; converges in O(component diameter) rounds (near-dup
+    clusters are shallow). The oracle computes the same fixpoint with a
+    recursive CTE — a genuinely iterative algorithm, still hash-verified.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    # Min-label propagation to fixpoint. Driver loop, distributed body;
+    # each round: neighbor-min join + grouped min. Bounded by component
+    # diameter (checked, not assumed).
+    for _ in range(30):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
