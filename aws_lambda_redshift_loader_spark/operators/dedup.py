@@ -519,6 +519,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
+        # Truncate lineage each round: without this, round i replans the
+        # whole join history (O(i) plan depth — fatal at real iteration
+        # counts); the checkpoint also materializes once for both the
+        # convergence probe and the next round.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
