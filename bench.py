@@ -45,6 +45,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     for name in sorted(specs):
+        print(f"# bench running {name}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
