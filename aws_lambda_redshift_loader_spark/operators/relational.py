@@ -1481,3 +1481,50 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 12)
     )
+
+
+@register(
+    "salted_skew_join",
+    """
+    WITH dim(flag, flag_desc) AS (
+      VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned')
+    )
+    SELECT d.flag_desc,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN dim d ON d.flag = l.l_returnflag
+    GROUP BY d.flag_desc
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN by salting — the companion to salted_skew_agg: the
+    join key has 3 values, so a plain shuffle join lands each flag's
+    entire row set on one reducer. The build side is replicated once per
+    salt (dim × N_SALTS rows), the fact side gets a deterministic row
+    salt, and the join runs on (key, salt) — N_SALTS-way parallel per hot
+    key. Forced to a sort-merge join (merge hint) so the demo is honest:
+    with a 3-row dim you would broadcast (see revenue_by_nation); salting
+    is for build sides too big to broadcast but with hot probe keys.
+
+    Oracle is the plain join: salting is answer-invariant (each fact row
+    still matches exactly one replicated dim row).
+    """
+    fact = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        dec("l_quantity", 15, 4).alias("qty"),
+        (F.abs(F.hash("l_orderkey", "l_linenumber")) % N_SALTS).alias("salt"),
+    )
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")], ["flag", "flag_desc"]
+    )
+    dim_salted = dim.select(
+        "flag", "flag_desc", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("salt")
+    )
+    joined = fact.hint("merge").join(
+        dim_salted,
+        (fact.l_returnflag == dim_salted.flag) & (fact.salt == dim_salted.salt),
+    )
+    return joined.groupBy("flag_desc").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("qty").cast("double").alias("sum_qty"),
+    )
