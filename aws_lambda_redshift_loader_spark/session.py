@@ -89,6 +89,13 @@ def normalize_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
+# DataFrame handles are immutable logical plans — safe to memoize. A harness
+# that runs 80+ queries back-to-back otherwise pays one parquet footer/schema
+# read per table per query; the memo turns that into one per (session, sf_dir,
+# table) for the whole run.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver-generated parquet tables.
 
@@ -96,7 +103,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and the physical scan prunes columns / pushes predicates.
     """
     tune(spark)
-    return normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Benchmark: run the full registered query inventory at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+SHORT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {headline: sec}, "sf": ..., "n_queries": N, "detail": path}.
+
+Round-1 lesson: with the full per-query map (80+ entries) the stdout line
+is ~4 KB and the driver's capture truncated it (BENCH_r01 parsed: null).
+The stdout line now carries only a small headline-query map and stays well
+under 1 KB; the complete per-query map goes to BENCH_DETAIL.json next to
+this script (and to stderr for humans).
 
 Materialization uses the noop sink — full execution of every operator,
 zero driver-side collection cost, which is what a warehouse write would
@@ -25,7 +31,7 @@ from aws_lambda_redshift_loader_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # 62 queries in one JVM accumulate broadcasts / memory-sink tables /
+    # 80+ queries in one JVM accumulate broadcasts / memory-sink tables /
     # AQE state; a small heap GC-thrashes the alphabetical tail. The box
     # has 128 GiB — give the bench session real headroom.
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
@@ -61,14 +67,35 @@ def main() -> None:
                 spark.catalog.dropTempView(tbl.name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({"sf": sf, "total_sec": total, "queries": timings}, fh, indent=1, sort_keys=True)
+    print(f"# full per-query map: {json.dumps(timings, sort_keys=True)}", file=sys.stderr)
+    # Headline subset keeps the stdout line short enough to survive any
+    # output-capture truncation (round-1 failure mode).
+    headline = [
+        "pricing_summary",
+        "revenue_by_nation",
+        "asof_join_latest_view",
+        "window_topk_per_group",
+        "count_trigger_batches",
+        "minhash_lsh_pairs",
+        "embedding_cosine_neardup",
+        "training_corpus_select",
+        "token_count",
+        "stream_tumbling_counts",
+    ]
     print(
         json.dumps(
             {
                 "metric": "total_runtime_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {q: timings[q] for q in headline if q in timings},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "detail": detail_path,
             }
         )
     )
