@@ -113,22 +113,15 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_lsh", None)  # verified against bruteforce in tests (recall)
-def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via multi-table random-hyperplane LSH: {N_TABLES} independent
-    signatures of {PLANES_PER_TABLE} ±1-hyperplanes each (signs derived
-    from the cross-engine md5 hash of (plane, dim), so buckets reproduce
-    everywhere). A candidate pair is any (query, doc) sharing ANY table's
-    bucket — the classic banding trick: short bands give per-band match
-    probability p^b, and T tables lift recall to 1-(1-p^b)^T while each
-    probe stays sub-quadratic. Candidates then get exact quantized-cosine
-    top-{TOP_K} scoring.
-
-    Rows-only driver check; tests/test_similarity.py measures recall
-    against embedding_topk_bruteforce. Scale: corpus side explodes to
-    T rows/vector, shuffles on (table, bucket) — each bucket holds
-    ~N/2^b vectors, so candidate generation is O(T·N²/2^b) pair work
-    instead of O(N²); queries are broadcast, never shuffled.
+def _lsh_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, e) → (vec_id, e, buckets array<int>): multi-table
+    random-hyperplane LSH signatures. Signs derive from the md5 parity of
+    ``"{table}:{plane}:{dim}"`` so the buckets reproduce bit-identically in
+    any engine (the DuckDB oracles rebuild the same planes in SQL). All
+    N_TABLES*PLANES_PER_TABLE hyperplanes form one (planes x DIM) matrix so
+    every signature bit of a block of vectors is a single BLAS matmul in
+    the pandas worker (the per-element Catalyst fold costs ~100x more for
+    this shape). Map-only: no shuffle, corpus never leaves the executors.
     """
     import hashlib
 
@@ -136,12 +129,6 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: F811 — worker-side
     from pyspark.sql import types as T
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
-
-    # sign(t, p, d) = ±1 from md5 parity; all N_TABLES*PLANES_PER_TABLE
-    # hyperplanes form one (planes x DIM) matrix so every signature bit of
-    # a block of vectors is a single BLAS matmul in the pandas worker
-    # (the per-element Catalyst fold costs ~100x more for this shape).
     def sign(t: int, p: int, d: int) -> int:
         h = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
         return 1 if int(h[:15], 16) & 1 else -1
@@ -182,7 +169,54 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sigs = emb.mapInPandas(project, schema=sig_schema)
+    return emb.mapInPandas(project, schema=sig_schema)
+
+
+# The same LSH planes/buckets rebuilt in pure DuckDB SQL: md5 parity of the
+# 15-hex-digit prefix == parity of its last hex digit (substr position 15).
+_LSH_BUCKETS_CTE = f"""
+planes AS (
+  SELECT t, p, d,
+         CASE WHEN substr(md5(t || ':' || p || ':' || d), 15, 1)
+                   IN ('1','3','5','7','9','b','d','f')
+              THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, {N_TABLES - 1}) g1(t),
+       generate_series(0, {PLANES_PER_TABLE - 1}) g2(p),
+       generate_series(0, {DIM - 1}) g3(d)
+),
+proj AS (
+  SELECT q.vec_id, pl.t, pl.p, SUM(pl.s * q.e[pl.d + 1]) AS proj
+  FROM q, planes pl
+  GROUP BY q.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         t * {1 << PLANES_PER_TABLE} +
+         SUM(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, t
+)
+"""
+
+
+@register("embedding_ann_lsh", None)  # verified against bruteforce in tests (recall)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table random-hyperplane LSH: {N_TABLES} independent
+    signatures of {PLANES_PER_TABLE} ±1-hyperplanes each (signs derived
+    from the cross-engine md5 hash of (plane, dim), so buckets reproduce
+    everywhere). A candidate pair is any (query, doc) sharing ANY table's
+    bucket — the classic banding trick: short bands give per-band match
+    probability p^b, and T tables lift recall to 1-(1-p^b)^T while each
+    probe stays sub-quadratic. Candidates then get exact quantized-cosine
+    top-{TOP_K} scoring.
+
+    Rows-only driver check; tests/test_similarity.py measures recall
+    against embedding_topk_bruteforce. Scale: corpus side explodes to
+    T rows/vector, shuffles on (table, bucket) — each bucket holds
+    ~N/2^b vectors, so candidate generation is O(T·N²/2^b) pair work
+    instead of O(N²); queries are broadcast, never shuffled.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+    sigs = _lsh_signatures(emb)
     corpus = sigs.select("vec_id", "e", F.explode("buckets").alias("bucket"))
     queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -222,81 +256,79 @@ NEARDUP_COSINE = 0.35  # fixture-calibrated: p99.9 of pairs ≈ 0.377
     "embedding_cosine_neardup",
     f"""
     WITH {_QUANT_CTE},
-    pairs AS (
-      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
-               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
-                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
-      FROM q a JOIN q b ON a.vec_id < b.vec_id
+    {_LSH_BUCKETS_CTE},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT keep_id, dup_id, cosine
-    FROM pairs WHERE cosine >= {NEARDUP_COSINE}
+    SELECT c.keep_id, c.dup_id,
+           list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+    FROM cand c
+    JOIN q a ON a.vec_id = c.keep_id
+    JOIN q b ON b.vec_id = c.dup_id
+    WHERE list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) >= {NEARDUP_COSINE}
     """,
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: every (a < b) pair whose
-    quantized cosine ≥ {NEARDUP_COSINE}; the lower vec_id is the keeper.
-    Semantic dedup — catches paraphrases that MinHash (lexical) misses.
+    """Embedding-cosine near-duplicate pairs, LSH-candidate-fed: every
+    (a < b) pair that shares at least one random-hyperplane LSH bucket
+    (the deterministic md5-derived planes of embedding_ann_lsh) AND whose
+    exact quantized cosine ≥ {NEARDUP_COSINE}; the lower vec_id is the
+    keeper. Semantic dedup — catches paraphrases that MinHash (lexical)
+    misses. The operator is explicitly approximate-recall/exact-precision:
+    tests/test_similarity.py measures pair recall against the all-pairs
+    ground truth; the DuckDB oracle applies the IDENTICAL bucket condition
+    (planes rebuilt in SQL from the same md5 parity), so the hash check
+    verifies both the candidate generation and the verification pass.
 
-    Physical strategy: broadcast the quantized corpus matrix (int64,
-    N×DIM — the *small* side by construction) to every executor; a
-    map-only `mapInPandas` pass computes each partition-block's dot
-    products against the broadcast matrix as ONE numpy integer matmul
-    and emits only above-threshold pairs. No shuffle, no per-pair
-    expression evaluation — Catalyst's higher-order-function fold costs
-    ~100× more per element than the BLAS path for exactly this shape.
-
-    At 100 TB nobody runs all-pairs: candidate pairs come from the LSH
-    bucket join (embedding_ann_lsh's signature scheme) or an IVF coarse
-    quantizer (embedding_centroid_by_label is its assignment primitive),
-    and THIS operator is the exact verifier applied per candidate block —
-    the broadcast side is then the bounded candidate set, same code path.
+    Physical strategy (the 100 TB shape — no driver collect, no all-pairs):
+    1. map-only GEMM pass stamps each vector with its {N_TABLES} bucket ids
+       (`_lsh_signatures`);
+    2. slim (vec_id, bucket) rows self-join on bucket — pair work is
+       O(T·N²/2^b) with per-bucket occupancy ~N/2^b, not O(N²); at real
+       corpus sizes PLANES_PER_TABLE scales as ~log2(N) to hold per-bucket
+       occupancy constant (4 bits here suits the fixture's N=500-2000);
+    3. exact integer-dot cosine verifies only the deduped candidate pairs.
     Integer dots (quantized) keep the threshold comparison deterministic
-    cross-engine (int64 matmul is exact; cosine is one IEEE sqrt/divide
-    per pair in both engines); boundary pairs cannot flap.
+    cross-engine (float64 GEMM over ints < 2^53 is exact; cosine is one
+    IEEE sqrt/divide per pair in both engines); boundary pairs cannot flap.
     """
-    import numpy as np
-    import pandas as pd  # noqa: F811 — worker-side
-    from pyspark.sql import types as T
-
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
-    rows = emb.collect()  # corpus matrix: the broadcast-able small side
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.e for r in rows], dtype=np.float64)  # exact; see worker note
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("keep_id", T.LongType()),
-            T.StructField("dup_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    slim = _lsh_signatures(emb).select("vec_id", F.explode("buckets").alias("bucket"))
+    cand = (
+        slim.alias("a")
+        .join(
+            slim.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        # a pair sharing k tables' buckets would verify k times — dedup
+        # the slim id pairs BEFORE attaching vectors / scoring.
+        .select(F.col("a.vec_id").alias("keep_id"), F.col("b.vec_id").alias("dup_id"))
+        .dropDuplicates(["keep_id", "dup_id"])
     )
-
-    def block_matmul(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            # float64 on purpose: int64 matmul bypasses BLAS (≈50× slower),
-            # while every product (≤1e8) and dot (≤6.4e9) here is an
-            # integer < 2^53, so the float64 GEMM is bit-exact.
-            a_mat = np.array(list(pdf["e"]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            dots = a_mat @ b_mat.T
-            cos = dots / (a_norms[:, None] * b_norms[None, :])
-            ai, bj = np.nonzero((cos >= NEARDUP_COSINE) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "keep_id": a_ids[ai],
-                    "dup_id": b_ids[bj],
-                    "cosine": cos[ai, bj],
-                }
-            )
-
-    return emb.mapInPandas(block_matmul, schema=out_schema)
+    # Attach vectors by id (hash joins on vec_id — scale-safe; only the
+    # candidate set, not the corpus squared, flows through these joins).
+    with_vecs = (
+        cand.join(emb.select(F.col("vec_id").alias("keep_id"), F.col("e").alias("ae")), "keep_id")
+        .join(emb.select(F.col("vec_id").alias("dup_id"), F.col("e").alias("be")), "dup_id")
+    )
+    cosine = (
+        _dot(F.col("ae"), F.col("be")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("ae"), F.col("ae")).cast("double"))
+            * F.sqrt(_dot(F.col("be"), F.col("be")).cast("double"))
+        )
+    )
+    return (
+        with_vecs.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .select("keep_id", "dup_id", "cosine")
+    )
 
 
 @register(
