@@ -310,7 +310,28 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
+# Production-width SimHash: 60-bit signatures (15 md5 hex chars — the
+# widest value that stays a POSITIVE int64 in both engines; 16 chars
+# would overflow DuckDB's signed BIGINT cast), banded for the classic
+# pigeonhole candidate trick: HAMMING_MAX+1 bands of 15 bits each, so any
+# pair within Hamming distance HAMMING_MAX differs in at most HAMMING_MAX
+# bands and MUST agree exactly on at least one.
+_SIMHASH_BITS = 60
+HAMMING_MAX = 3  # near-dup threshold on the signature
+_SIMHASH_BANDS = HAMMING_MAX + 1  # pigeonhole: d<=3 → >=1 band equal
+_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 15
+_BAND_MASK = (1 << _BAND_BITS) - 1
+
+# One groupBy with 60 SUM columns (the same single-shuffle shape as the
+# MinHash 16-MIN-column aggregate): for bit i, bitsum_i = 2*ones_i - n,
+# so "bitsum > 0" ⟺ "2*SUM((h>>i)&1) > COUNT(*)" — no tokens×60 explode.
+_SIMHASH_SUMS = ",\n         ".join(
+    f"SUM((h >> {i}) & 1) AS s{i}" for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN 2 * s{i} > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(_SIMHASH_BITS)
+)
 
 _SIMHASH_ORACLE = rf"""
 WITH tokens AS (
@@ -320,20 +341,17 @@ WITH tokens AS (
                                            ' ')) AS token) t
 ),
 hashed AS (
-  SELECT doc_id, token,
+  SELECT doc_id,
          CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
   FROM tokens
 ),
-bits AS (
-  SELECT doc_id, b.i AS bit,
-         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
-  FROM hashed, LATERAL (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS i) b
-  GROUP BY doc_id, b.i
+votes AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {_SIMHASH_SUMS}
+  FROM hashed GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN bitsum > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM bits GROUP BY doc_id
+SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash
+FROM votes
 """
 
 
@@ -343,52 +361,49 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-vote per position, sign → bit. Near-dup docs land at small Hamming
     distance. Deterministic across engines via hex_hash64.
 
-    Scale: explode factor = tokens × {_SIMHASH_BITS}; for production width
-    (64-bit) fold the bit loop into a Pandas UDF over token hashes instead
-    — the {_SIMHASH_BITS}-bit form keeps the all-SQL plan demonstrable.
+    Scale: one groupBy(doc_id) carrying {_SIMHASH_BITS} SUM columns — a
+    single shuffle of one row per doc, no tokens×bits explode; every
+    bit-vote is codegen integer arithmetic (shift/mask/sum), no Python.
+    bitsum_i = 2*ones_i - n_tokens, so the sign test is 2*s_i > n.
     """
     d = table(spark, sf_dir, "documents")
     tokens = d.select(
         "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token")
     ).distinct()
     hashed = tokens.select("doc_id", hex_hash64(F.col("token")).alias("h"))
-    hashed_bits = hashed.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    votes = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.expr(f"(h >> {i}) & 1")).alias(f"s{i}") for i in range(_SIMHASH_BITS)],
     )
-    bits = hashed_bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("bitsum"))
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("bitsum") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(0)
+    fold = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(2 * F.col(f"s{i}") > F.col("n"), F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .cast("bigint")
-        .alias("simhash")
-    )
+        fold = term if fold is None else fold + term
+    return votes.select("doc_id", fold.cast("bigint").alias("simhash"))
 
 
-HAMMING_MAX = 3  # near-dup threshold on the 16-bit signature
+_SIMHASH_BAND_SELECTS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, simhash, {b} AS band,"
+    f" (simhash >> {b * _BAND_BITS}) & {_BAND_MASK} AS band_val FROM sigs"
+    for b in range(_SIMHASH_BANDS)
+)
 
 
 @register(
     "simhash_neardup_pairs",
     f"""
     WITH sigs AS ({_SIMHASH_ORACLE}),
-    banded AS (
-      SELECT doc_id, simhash,
-             simhash % 256 AS band_lo, simhash // 256 AS band_hi
-      FROM sigs
+    bands AS (
+{_SIMHASH_BAND_SELECTS}
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sig_a, b.simhash AS sig_b
-      FROM banded a JOIN banded b
-        ON a.doc_id < b.doc_id
-       AND (a.band_lo = b.band_lo OR a.band_hi = b.band_hi)
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
@@ -397,32 +412,37 @@ HAMMING_MAX = 3  # near-dup threshold on the 16-bit signature
     """,
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates from the pigeonhole band trick
-    (split the {_SIMHASH_BITS}-bit signature into two bytes — any pair at
-    Hamming distance ≤ 1 per band must share a band), verified by exact
-    XOR popcount ≤ {HAMMING_MAX}. Completes the SimHash dedup story:
-    simhash_docs builds signatures, this pairs them.
+    """SimHash near-dup pairs: pigeonhole banding over the
+    {_SIMHASH_BITS}-bit signature — {_SIMHASH_BANDS} bands of {_BAND_BITS}
+    bits; a pair at Hamming distance ≤ {HAMMING_MAX} differs in at most
+    {HAMMING_MAX} bands, so it MUST share at least one band exactly (the
+    sound d≤{HAMMING_MAX} candidate generator — 2 bands only guaranteed
+    d≤1 and silently dropped split pairs). Candidates are then verified
+    by exact XOR popcount ≤ {HAMMING_MAX}.
 
-    Scale: the band join buckets on a byte (256 buckets/band) — at real
-    corpus sizes use 64-bit signatures with 4×16-bit bands (the classic
-    d<=3 pigeonhole); the shape is identical. XOR+popcount is a codegen
-    integer op, no Python."""
+    Scale: the band join buckets on ({_SIMHASH_BANDS} bands × 2^{_BAND_BITS}
+    values) — an equi-join Catalyst hashes, never an OR-of-bands nested
+    loop. XOR+popcount is a codegen integer op, no Python."""
     sigs = simhash_docs(spark, sf_dir)
-    banded = sigs.select(
+    bands = sigs.select(
         "doc_id",
         "simhash",
-        (F.col("simhash") % 256).alias("band_lo"),
-        (F.col("simhash") / 256).cast("bigint").alias("band_hi"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {b * _BAND_BITS}) & {_BAND_MASK}")
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                (F.col("a.band_lo") == F.col("b.band_lo"))
-                | (F.col("a.band_hi") == F.col("b.band_hi"))
-            ),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

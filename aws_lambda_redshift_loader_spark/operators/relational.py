@@ -1246,8 +1246,8 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                           FOR x IN embedding]) AS BIGINT) AS max_q,
            CAST(list_sum([CASE WHEN x > 0 THEN 1 ELSE 0 END FOR x IN embedding])
                 AS BIGINT) AS n_positive,
-           [CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)
-            FOR x IN embedding[1:4]] AS head_q
+           array_to_string([CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                            FOR x IN embedding[1:4]], ',') AS head_q
     FROM embeddings
     """,
 )
@@ -1255,7 +1255,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface (§2.8 engine extension): size/max/filter/
     slice/transform over the embedding array column — the collection
     library a vector pipeline leans on before ever reaching a UDF.
-    Quantized comparisons keep max/sum exact cross-engine.
+    Quantized comparisons keep max/sum exact cross-engine. head_q is
+    emitted as a comma-joined string (not a raw array) so the driver's
+    pandas-based row canonicalizer can hash it.
 
     Scale: all higher-order expressions run JVM-side per row, no shuffle,
     no Python; arrays stay columnar (Parquet LIST) end to end."""
@@ -1269,7 +1271,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("n_positive"),
-        F.slice(q, 1, 4).alias("head_q"),
+        F.array_join(F.slice(q, 1, 4).cast("array<string>"), ",").alias("head_q"),
     )
 
 
