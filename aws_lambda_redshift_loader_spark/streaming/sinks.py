@@ -15,8 +15,17 @@ not S3 (the reference reads S3 once per cluster; we do better). Sinks:
 
 - path sink (parquet/delta-style directory per table) — the lakehouse
   analog of a warehouse table; atomic via Spark's output committer.
-- JDBC sink — `df.write.jdbc` with pre/post SQL and truncate, the direct
-  COPY replacement (gated: no JDBC warehouse in the test container).
+- JDBC sink — the direct COPY replacement, exercised in tests against
+  embedded Derby (jars ship inside pyspark). Executors append into a
+  staging table in parallel (the COPY analog: N writers, no driver
+  bottleneck), then ONE driver-side transaction does
+  begin; presql; [delete target]; INSERT..SELECT stage; postsql; commit
+  — so the target mutates atomically, exactly the all-or-nothing
+  visibility the reference gets from its single wrapped transaction
+  (index.js:1098-1231). We use DELETE FROM rather than TRUNCATE for the
+  truncate_target option because TRUNCATE implicitly commits in the
+  reference's warehouse (and takes table locks in Derby); DELETE keeps
+  the whole swap in one transaction — strictly stronger atomicity.
 
 A manifest (S6) is written per batch for audit parity: the same
 {entries:[{url, mandatory, meta:{content_length}}]} shape the reference
@@ -63,29 +72,80 @@ def write_to_sink(df: DataFrame, sink: ClusterSink) -> SinkResult:
         return SinkResult(sink=sink.target_table, status="error", error=str(exc))
 
 
+def _strip_semi(sql: str) -> str:
+    """Reference normalizes trailing ';' on presql/postsql
+    (index.js:1103-1105, 1227-1229); JDBC Statement.execute rejects it."""
+    return sql.strip().rstrip(";")
+
+
 def _write_jdbc(df: DataFrame, sink: ClusterSink) -> None:
-    """JDBC path: pre/post SQL around a transactional batch write — the
-    presql/postsql extension hooks (index.js:1103-1105,1227-1229) and
-    truncateTarget (index.js:1141-1147)."""
-    props = {"url": sink.jdbc_url, "dbtable": sink.target_table}
-    if sink.presql or sink.postsql:
-        # Pre/post statements ride the same JDBC connection semantics the
-        # reference wraps around COPY; executed via the driver's connection.
-        _run_jdbc_statements(sink, [s for s in (sink.presql,) if s])
-    writer = df.write.format("jdbc").options(**props).mode("append")
+    """Transactional warehouse load (loadCluster, index.js:1077-1321).
+
+    Two phases, mirroring how COPY actually scales:
+    1. Executors append `df` into a per-load staging table in parallel —
+       the COPY ingest analog (every node writes; the driver never holds
+       the data).
+    2. One driver connection runs, in a single transaction:
+       presql; [DELETE FROM target]; INSERT INTO target SELECT .. FROM
+       stage; postsql; commit (runPgCommand wraps the same sequence,
+       index.js:977-1071 + copyCommand assembly index.js:1098-1231).
+       Any failure rolls the target back untouched — the reference's
+       all-or-nothing batch contract (index.js:909-925).
+
+    The staging table is dropped afterwards in both outcomes."""
+    import uuid
+
+    spark = df.sparkSession
+    stage = f"{sink.target_table}_stage_{uuid.uuid4().hex[:8]}"
+    # Ensure the target exists with df's schema before staging (Spark
+    # creates-on-append); a 0-row append is a no-op on an existing table.
+    df.limit(0).write.format("jdbc").options(
+        url=sink.jdbc_url, dbtable=sink.target_table
+    ).mode("append").save()
+    df.write.format("jdbc").options(url=sink.jdbc_url, dbtable=stage).mode(
+        "overwrite"
+    ).save()
+    cols = ", ".join(f'"{c}"' for c in df.columns)
+    swap: list[str] = []
+    if sink.presql:
+        swap.append(_strip_semi(sink.presql))
     if sink.truncate_target:
-        writer = writer.option("truncate", True).mode("overwrite")
-    writer.save()
-    if sink.postsql:
-        _run_jdbc_statements(sink, [sink.postsql])
-
-
-def _run_jdbc_statements(sink: ClusterSink, statements: list[str]) -> None:
-    raise NotImplementedError(
-        "JDBC pre/post SQL requires a live warehouse connection; "
-        "not available in this container (reference: runPgCommand "
-        "index.js:977-1071)."
+        swap.append(f"DELETE FROM {sink.target_table}")
+    swap.append(
+        f"INSERT INTO {sink.target_table} ({cols}) SELECT {cols} FROM {stage}"
     )
+    if sink.postsql:
+        swap.append(_strip_semi(sink.postsql))
+    try:
+        _run_jdbc_statements(spark, sink, swap)
+    finally:
+        try:
+            _run_jdbc_statements(spark, sink, [f"DROP TABLE {stage}"])
+        except Exception:
+            pass  # stage cleanup is best-effort; the load outcome stands
+
+
+def _run_jdbc_statements(spark, sink: ClusterSink, statements: list[str]) -> None:
+    """Run statements on ONE driver-side JDBC connection in ONE
+    transaction (begin/commit wrapper, index.js:1098-1100, 1234). Uses
+    java.sql.DriverManager via the live JVM — no extra deps; the Derby
+    embedded driver (and any driver jar on spark.jars) self-registers."""
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(sink.jdbc_url)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            for s in statements:
+                stmt.execute(s)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def fan_out(df: DataFrame, sinks: list[ClusterSink]) -> tuple[bool, list[SinkResult]]:
