@@ -93,46 +93,98 @@ def count_trigger_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bytes_trigger_batches",
     f"""
-    WITH {_FILES_CTE},
+    WITH RECURSIVE {_FILES_CTE},
     cum AS (
-      SELECT *, SUM(size) OVER (PARTITION BY s3Prefix
-                                ORDER BY ts ASC, file_id ASC
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS cum_bytes
+      SELECT *,
+             SUM(size) OVER (PARTITION BY s3Prefix ORDER BY ts ASC, file_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             row_number() OVER (PARTITION BY s3Prefix
+                                ORDER BY ts ASC, file_id ASC) AS rn
       FROM files
+    ),
+    heads(s3Prefix, head_rn, batch_seq, base) AS (
+      SELECT s3Prefix, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT s3Prefix FROM files)
+      UNION ALL
+      SELECT s.s3Prefix, s.first_cross + 1, s.batch_seq + 1, s.cross_c
+      FROM (
+        SELECT h.s3Prefix, h.batch_seq,
+               MIN(CASE WHEN c.c - h.base >= {BATCH_BYTES} THEN c.rn END) AS first_cross,
+               MIN(CASE WHEN c.c - h.base >= {BATCH_BYTES} THEN c.c END) AS cross_c,
+               MAX(c.rn) AS last_rn
+        FROM heads h JOIN cum c ON c.s3Prefix = h.s3Prefix AND c.rn >= h.head_rn
+        GROUP BY h.s3Prefix, h.batch_seq, h.base
+      ) s
+      WHERE s.first_cross IS NOT NULL AND s.first_cross < s.last_rn
+    ),
+    assigned AS (
+      SELECT c.s3Prefix, c.rn, c.size, MAX(h.batch_seq) AS batch_seq
+      FROM cum c JOIN heads h ON h.s3Prefix = c.s3Prefix AND h.head_rn <= c.rn
+      GROUP BY c.s3Prefix, c.rn, c.size
     )
-    SELECT s3Prefix,
-           CAST(floor((cum_bytes - size) / {BATCH_BYTES}) AS BIGINT) AS batch_seq,
-           COUNT(*) AS n_files,
+    SELECT s3Prefix, batch_seq, COUNT(*) AS n_files,
            CAST(SUM(size) AS BIGINT) AS batch_bytes
-    FROM cum
-    GROUP BY s3Prefix, CAST(floor((cum_bytes - size) / {BATCH_BYTES}) AS BIGINT)
+    FROM assigned GROUP BY s3Prefix, batch_seq
     """,
 )
 def bytes_trigger_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 byte-size trigger (index.js:684-691) in backfill form: a file
-    joins the batch indexed by how many `batchSizeBytes` thresholds the
-    running total had already crossed *before* it arrived (the reference
-    flushes once the open batch's sum crosses the limit, so the crossing
-    file still lands in the closing batch — hence `cum_bytes - size`).
+    """T2 byte-size trigger (index.js:684-691) in backfill form, with the
+    reference's exact reset-on-flush semantics: a file joins the open
+    batch, and once the batch's accumulated size crosses
+    `batchSizeBytes` the batch closes WITH that file and the accumulator
+    resets to zero — overshoot does NOT carry into the next batch (the
+    pre-r3 floor-of-global-cumsum form shifted every later boundary).
 
-    All-integer running sums keep the assignment exact at any parallelism.
+    Segment-recursive assignment can't be a plain window function, so
+    each prefix's ledger runs through an Arrow-batched applyInPandas
+    with a numpy searchsorted loop (O(batches · log files) per prefix).
+    That mirrors the reference's own concurrency model — per-prefix
+    sequential (its DynamoDB conditional update serializes a prefix),
+    parallel across prefixes — so the shape is as distributed as the
+    semantics allow. The oracle is a recursive CTE over batch heads,
+    validated against a direct simulation of index.js:684-691.
     """
-    w = (
-        W.partitionBy("s3Prefix")
-        .orderBy(F.col("ts").asc(), F.col("file_id").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        _files(spark, sf_dir)
-        .withColumn("cum_bytes", F.sum("size").over(w))
-        .withColumn(
-            "batch_seq",
-            F.floor((F.col("cum_bytes") - F.col("size")) / BATCH_BYTES).cast("bigint"),
+    return assign_bytes_batches(_files(spark, sf_dir), BATCH_BYTES)
+
+
+def assign_bytes_batches(files: DataFrame, limit: int) -> DataFrame:
+    """Reset-on-flush byte batching over a (s3Prefix, file_id, ts, size)
+    ledger — the reusable core of bytes_trigger_batches (and the unit
+    test target for the reference counterexample: uniform 90-byte files
+    with a 100-byte limit must yield 2-file batches)."""
+    schema = "s3Prefix string, batch_seq bigint, n_files bigint, batch_bytes bigint"
+
+    def assign(pdf):
+        # Defined in-builder: pickled by value so executors never import
+        # this module (see .claude/skills/verify gotchas).
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "file_id"], kind="mergesort")
+        cum = pdf["size"].to_numpy(dtype=np.int64).cumsum()
+        n = len(cum)
+        seqs = np.empty(n, dtype=np.int64)
+        start, base, seq = 0, 0, 0
+        while start < n:
+            close = int(np.searchsorted(cum, base + limit, side="left"))
+            close = min(close, n - 1)
+            seqs[start : close + 1] = seq
+            base = int(cum[close])
+            start, seq = close + 1, seq + 1
+        out = pd.DataFrame(
+            {"s3Prefix": pdf["s3Prefix"].to_numpy(), "batch_seq": seqs, "size": pdf["size"].to_numpy()}
         )
-        .groupBy("s3Prefix", "batch_seq")
-        .agg(F.count("*").alias("n_files"), F.sum("size").cast("bigint").alias("batch_bytes"))
-    )
+        g = out.groupby("batch_seq", sort=True)
+        return pd.DataFrame(
+            {
+                "s3Prefix": g["s3Prefix"].first(),
+                "batch_seq": g["batch_seq"].first(),
+                "n_files": g["size"].count().astype("int64"),
+                "batch_bytes": g["size"].sum().astype("int64"),
+            }
+        )
+
+    return files.groupBy("s3Prefix").applyInPandas(assign, schema)
 
 
 @register(

@@ -81,3 +81,40 @@ def test_batcher_no_thresholds_never_flushes(evs):
         now += dt
         assert b.add_file(f"f{i}", size, now) is None
     assert len(b.history) == 0
+
+
+def test_bytes_batches_reset_on_flush(spark):
+    """Reference T2 counterexample (index.js:684-691): the accumulator
+    resets on every flush, so uniform 90-byte files under a 100-byte
+    limit form 2-file batches forever — a floor-of-global-cumsum
+    assignment would drift (file 3 -> seq 1, file 4 -> seq 2, ...)."""
+    from datetime import datetime, timedelta
+
+    from aws_lambda_redshift_loader_spark.operators.batching_sql import (
+        assign_bytes_batches,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("p", f"f{i:02d}", t0 + timedelta(seconds=i), 90) for i in range(6)]
+    files = spark.createDataFrame(rows, "s3Prefix string, file_id string, ts timestamp, size long")
+    got = sorted(
+        tuple(r) for r in assign_bytes_batches(files, 100).collect()
+    )
+    assert got == [("p", 0, 2, 180), ("p", 1, 2, 180), ("p", 2, 2, 180)]
+
+
+def test_bytes_batches_crossing_file_included_and_overshoot_dropped(spark):
+    """The crossing file lands in the closing batch, and its overshoot
+    does not leak into the next batch's budget."""
+    from datetime import datetime, timedelta
+
+    from aws_lambda_redshift_loader_spark.operators.batching_sql import (
+        assign_bytes_batches,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    sizes = [10, 250, 30, 40, 40]  # limit 100: [10,250] closes, [30,40,40] open
+    rows = [("p", f"f{i}", t0 + timedelta(seconds=i), s) for i, s in enumerate(sizes)]
+    files = spark.createDataFrame(rows, "s3Prefix string, file_id string, ts timestamp, size long")
+    got = sorted(tuple(r) for r in assign_bytes_batches(files, 100).collect())
+    assert got == [("p", 0, 2, 260), ("p", 1, 3, 110)]
