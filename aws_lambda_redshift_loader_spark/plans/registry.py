@@ -53,6 +53,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # streaming forms sit at each block's tail so a time-budgeted harness spends
 # its window on cheap analytic queries, not fixed streaming machinery cost.
 _FIRST = [
+    # round-3 new queries (no prior correctness row) go first
+    "kmeans_step",
+    "embedding_cosine_neardup_exact",
     # round-2 new / previously-unverified analytics (cheap, oracle-backed)
     "array_functions",
     "stratified_sample",
@@ -70,7 +73,6 @@ _FIRST = [
     "embedding_topk_bruteforce",
     "embedding_centroid_by_label",
     "embedding_cosine_neardup",
-    "kmeans_step",
     "embedding_ann_lsh",
     "embedding_ivf_topk",
     "tumbling_window_events",
@@ -105,7 +107,9 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from ..streaming import stream_queries  # noqa: F401
 
-    ordered = {name: QUERIES[name] for name in _FIRST if name in QUERIES}
+    missing = set(_FIRST) - set(QUERIES)
+    assert not missing, f"_FIRST names without a registered query: {sorted(missing)}"
+    ordered = {name: QUERIES[name] for name in _FIRST}
     for name, spec in QUERIES.items():
         if name not in ordered:
             ordered[name] = spec

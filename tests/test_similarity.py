@@ -61,3 +61,72 @@ def test_neardup_pairs_ordered_and_thresholded(spark):
     assert len(rows) > 0  # fixture-calibrated threshold must fire
     assert all(r.keep_id < r.dup_id for r in rows)
     assert all(r.cosine >= 0.35 for r in rows)
+
+
+def test_neardup_recall_against_allpairs(spark):
+    """ADVICE r2: the neardup oracle shares the LSH bucket condition, so
+    a recall collapse would pass the hash check — this test compares the
+    LSH-fed operator against the registered exact all-pairs form."""
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        embedding_cosine_neardup_exact,
+    )
+
+    truth = {
+        (r.keep_id, r.dup_id)
+        for r in embedding_cosine_neardup_exact(spark, SF_ORACLE).collect()
+    }
+    got = {
+        (r.keep_id, r.dup_id)
+        for r in embedding_cosine_neardup(spark, SF_ORACLE).collect()
+    }
+    assert got <= truth  # exact-precision: every emitted pair is real
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"LSH neardup recall collapsed: {recall:.3f}"
+
+
+def test_ivf_kmeans_trained_recall_not_worse_than_seeded(spark):
+    """The trained coarse quantizer (IVF_TRAIN_ITERS Lloyd rounds) must
+    probe at least as well as the raw first-K-vectors seeding it
+    replaced (quantizer recall: exact top-k neighbors whose cell lands
+    in the query's probed set)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        IVF_NPROBE,
+        IVF_TRAIN_ITERS,
+        _assign_cells,
+        _kmeans_centroids,
+        _quantize,
+    )
+    from aws_lambda_redshift_loader_spark.session import table
+
+    emb = table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    exact = {}
+    for r in embedding_topk_bruteforce(spark, SF_ORACLE).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def quantizer_recall(iters):
+        ids, cent = _kmeans_centroids(spark, emb, iters)
+        cell_of = {
+            r.vec_id: r.cell
+            for r in _assign_cells(emb, ids, cent).select("vec_id", "cell").collect()
+        }
+        norms = np.sqrt((cent * cent).sum(axis=1))
+        hit = tot = 0
+        for qr in emb.filter(F.col("vec_id") < N_QUERIES).collect():
+            v = np.array(qr.e, dtype=np.float64)
+            cos = (cent @ v) / (np.sqrt(v @ v) * norms)
+            probed = set(ids[np.lexsort((ids, -cos))[:IVF_NPROBE]].tolist())
+            for n in exact[qr.vec_id]:
+                tot += 1
+                hit += cell_of[n] in probed
+        return hit / tot
+
+    seeded = quantizer_recall(0)
+    trained = quantizer_recall(IVF_TRAIN_ITERS)
+    assert trained >= seeded, (
+        f"k-means training reduced IVF recall: {trained:.3f} < {seeded:.3f}"
+    )
