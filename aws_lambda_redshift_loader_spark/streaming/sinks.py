@@ -53,18 +53,33 @@ class SinkResult:
     error: str | None = None
 
 
-def write_to_sink(df: DataFrame, sink: ClusterSink) -> SinkResult:
+def write_to_sink(df: DataFrame, sink: ClusterSink, epoch_id: int | None = None) -> SinkResult:
     """One transactional load (reference loadCluster, index.js:1077-1321):
-    begin; [presql;] [truncate;] COPY [(cols)]; [postsql;] commit."""
+    begin; [presql;] [truncate;] COPY [(cols)]; [postsql;] commit.
+
+    With `epoch_id` (streaming foreachBatch), the write is IDEMPOTENT
+    under epoch replay — required for multi-sink all-or-nothing: if sink
+    2 of 3 fails, the raised error makes Spark replay the whole epoch,
+    and sink 1 must not double-load (the reference's all-or-nothing
+    batch status, index.js:909-925). Path sinks write the epoch into its
+    own `epoch=<id>` partition with overwrite (replay replaces, never
+    appends — and the partition column is the batchId audit tag); JDBC
+    sinks commit an epoch-ledger row in the same transaction as the data
+    and skip epochs already in the ledger."""
     try:
         out = df
         if sink.column_list:
             out = out.select(*sink.column_list)  # P7 (index.js:1157-1161)
         if sink.jdbc_url:
-            _write_jdbc(out, sink)
+            _write_jdbc(out, sink, epoch_id)
         elif sink.path:
-            mode = "overwrite" if sink.truncate_target else "append"
-            out.write.mode(mode).parquet(os.path.join(sink.path, sink.target_table))
+            target = os.path.join(sink.path, sink.target_table)
+            if sink.truncate_target:
+                out.write.mode("overwrite").parquet(target)  # idempotent as-is
+            elif epoch_id is not None:
+                out.write.mode("overwrite").parquet(os.path.join(target, f"epoch={int(epoch_id)}"))
+            else:
+                out.write.mode("append").parquet(target)
         else:
             raise ValueError(f"sink {sink.target_table} has neither jdbc_url nor path")
         return SinkResult(sink=sink.target_table, status="loaded")
@@ -78,7 +93,7 @@ def _strip_semi(sql: str) -> str:
     return sql.strip().rstrip(";")
 
 
-def _write_jdbc(df: DataFrame, sink: ClusterSink) -> None:
+def _write_jdbc(df: DataFrame, sink: ClusterSink, epoch_id: int | None = None) -> None:
     """Transactional warehouse load (loadCluster, index.js:1077-1321).
 
     Two phases, mirroring how COPY actually scales:
@@ -92,10 +107,25 @@ def _write_jdbc(df: DataFrame, sink: ClusterSink) -> None:
        Any failure rolls the target back untouched — the reference's
        all-or-nothing batch contract (index.js:909-925).
 
-    The staging table is dropped afterwards in both outcomes."""
+    The staging table is dropped afterwards in both outcomes.
+
+    With `epoch_id`, an epoch-ledger row commits atomically WITH the
+    data (same transaction) and already-ledgered epochs are skipped —
+    exactly-once under streaming epoch replay even though the stage
+    append itself re-runs."""
     import uuid
 
     spark = df.sparkSession
+    ledger = f"{sink.target_table}_epochs"
+    if epoch_id is not None:
+        try:
+            _run_jdbc_statements(
+                spark, sink, [f"CREATE TABLE {ledger} (epoch BIGINT PRIMARY KEY)"]
+            )
+        except Exception:
+            pass  # already exists
+        if _jdbc_scalar(spark, sink, f"SELECT COUNT(*) FROM {ledger} WHERE epoch = {int(epoch_id)}"):
+            return  # epoch already committed — replay is a no-op
     stage = f"{sink.target_table}_stage_{uuid.uuid4().hex[:8]}"
     # Ensure the target exists with df's schema before staging (Spark
     # creates-on-append); a 0-row append is a no-op on an existing table.
@@ -116,6 +146,8 @@ def _write_jdbc(df: DataFrame, sink: ClusterSink) -> None:
     )
     if sink.postsql:
         swap.append(_strip_semi(sink.postsql))
+    if epoch_id is not None:
+        swap.append(f"INSERT INTO {ledger} VALUES ({int(epoch_id)})")
     try:
         _run_jdbc_statements(spark, sink, swap)
     finally:
@@ -123,6 +155,22 @@ def _write_jdbc(df: DataFrame, sink: ClusterSink) -> None:
             _run_jdbc_statements(spark, sink, [f"DROP TABLE {stage}"])
         except Exception:
             pass  # stage cleanup is best-effort; the load outcome stands
+
+
+def _jdbc_scalar(spark, sink: ClusterSink, query: str) -> int:
+    """Driver-side scalar SELECT (epoch-ledger lookups)."""
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(sink.jdbc_url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            rs = stmt.executeQuery(query)
+            rs.next()
+            return int(rs.getLong(1))
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def _run_jdbc_statements(spark, sink: ClusterSink, statements: list[str]) -> None:
@@ -148,18 +196,22 @@ def _run_jdbc_statements(spark, sink: ClusterSink, statements: list[str]) -> Non
         conn.close()
 
 
-def fan_out(df: DataFrame, sinks: list[ClusterSink]) -> tuple[bool, list[SinkResult]]:
+def fan_out(
+    df: DataFrame, sinks: list[ClusterSink], epoch_id: int | None = None
+) -> tuple[bool, list[SinkResult]]:
     """S5 multi-cluster fan-out + A5 all-OK fold (index.js:892-970).
 
     df is persisted once; each sink write reuses the cached rows, so N
     sinks cost one source scan + N writes (the reference costs N full
-    S3 re-reads, one per cluster's COPY).
+    S3 re-reads, one per cluster's COPY). Pass `epoch_id` from streaming
+    foreachBatch so partial failure + epoch replay can't double-load the
+    sinks that already succeeded (see write_to_sink).
     """
     if not sinks:
         return True, []
     df.persist()
     try:
-        results = [write_to_sink(df, s) for s in sinks]
+        results = [write_to_sink(df, s, epoch_id) for s in sinks]
     finally:
         df.unpersist()
     all_ok = all(r.status == "loaded" for r in results)  # A5

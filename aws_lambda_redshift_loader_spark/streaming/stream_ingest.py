@@ -90,13 +90,15 @@ class StreamIngest:
 
     def _load_micro_batch(self, df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body = S4-S7: fan-out load + status record.
-        Idempotent per epoch_id: on restart-and-replay the sinks receive
-        the same epoch; path sinks are directory-atomic, JDBC sinks
-        should stage by epoch (the reference's manifest-named-COPY
-        equivalent)."""
+        Idempotent per epoch_id even under PARTIAL multi-sink failure:
+        fan_out threads the epoch through every sink write, so when sink
+        2 of 3 fails and the raise below makes Spark replay the epoch,
+        the already-loaded sinks replace their `epoch=<id>` partition
+        (path) or skip via the in-transaction epoch ledger (JDBC)
+        instead of appending duplicates."""
         if self.config.column_list:
             df = df.select(*self.config.column_list)  # P7
-        ok, results = fan_out(df, self.config.sinks)
+        ok, results = fan_out(df, self.config.sinks, epoch_id)
         if self.status_dir:
             status = {
                 "epoch_id": epoch_id,

@@ -74,3 +74,61 @@ def test_streaming_requires_declared_schema(spark, tmp_path):
 
     with pytest.raises(ValueError, match="declared schema"):
         ing._reader()
+
+
+def test_partial_sink_failure_replay_no_duplicates(spark, tmp_path):
+    """VERDICT r2 #6: fail sink 2 of 3 mid-epoch, restart from the
+    checkpoint, and assert the sink that had already loaded holds no
+    duplicate rows after the replayed epoch succeeds (all-or-nothing,
+    reference index.js:909-925)."""
+    import pytest
+
+    src = str(tmp_path / "in")
+    good1 = ClusterSink(target_table="t", path=str(tmp_path / "wh1"))
+    bad = ClusterSink(target_table="t")  # neither path nor jdbc → errors
+    good3 = ClusterSink(target_table="t", path=str(tmp_path / "wh3"))
+    cfg = LoadConfig(
+        s3_prefix=src,
+        data_format="CSV",
+        csv_delimiter="|",
+        schema="a INT, b INT, c INT",
+        sinks=[good1, bad, good3],
+    )
+
+    def ingest():
+        return StreamIngest(
+            spark, cfg, source_dir=src,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            status_dir=str(tmp_path / "status"),
+        )
+
+    _write_files(src, 0, 3)
+    with pytest.raises(Exception, match="failed on"):
+        ingest().run_available()
+    # good1 loaded its epoch before the batch failed on the bad sink.
+    assert spark.read.parquet(os.path.join(str(tmp_path / "wh1"), "t")).count() == 6
+
+    # "Fix" sink 2 and restart: Spark replays the uncommitted epoch.
+    bad.path = str(tmp_path / "wh2")
+    ingest().run_available()
+    for wh in ("wh1", "wh2", "wh3"):
+        df = spark.read.parquet(os.path.join(str(tmp_path / wh), "t"))
+        assert df.count() == 6, f"{wh}: replay duplicated rows"
+        assert df.select("a").distinct().count() == 6
+
+
+def test_jdbc_sink_epoch_replay_idempotent(spark, tmp_path):
+    """JDBC epoch ledger: a replayed epoch is a committed no-op."""
+    from aws_lambda_redshift_loader_spark.streaming.sinks import write_to_sink
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    sink = ClusterSink(target_table="epoch_t", jdbc_url=url)
+    assert write_to_sink(df, sink, epoch_id=7).status == "loaded"
+    assert write_to_sink(df, sink, epoch_id=7).status == "loaded"  # replay
+    got = spark.read.format("jdbc").options(url=url, dbtable="epoch_t").load()
+    assert got.count() == 2  # not 4 — the replay skipped
+    assert write_to_sink(df, sink, epoch_id=8).status == "loaded"  # next epoch loads
+    assert (
+        spark.read.format("jdbc").options(url=url, dbtable="epoch_t").load().count() == 4
+    )
