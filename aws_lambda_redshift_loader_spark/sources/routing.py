@@ -17,23 +17,35 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-HIVE_SEGMENT = re.compile(r"^[^/]+=[^/]*$")
+def parse_suppression_list(val: str | bool | None) -> list[str] | None:
+    """SuppressWildcardExpansionPrefixList env parsing
+    (getWildcardPrefixSuppressionList, common.js:56-67 + fixture
+    test/testCommon.js:10-13): ``"*"`` (or True) → suppress everything;
+    otherwise split on commas/whitespace."""
+    if not val:
+        return None
+    if val is True or val == "*":
+        return ["*"]
+    return [p for p in re.split(r"[ ,]+", val) if p]
 
 
-def transform_hive_style_prefix(prefix: str, suppress: list[str] | None = None) -> str:
+def transform_hive_style_prefix(prefix: str, suppress: list[str] | bool | None = None) -> str:
     """`name=value` path segments → `name=*` (transformHiveStylePrefix,
     common.js:36-54), unless the prefix is suppressed.
 
     ``suppress`` mirrors SuppressWildcardExpansionPrefixList
-    (common.js:56-67): a list of prefixes exempt from expansion; ``["*"]``
-    suppresses everything.
-    """
+    (common.js:39-41): EXACT membership (`suppressionList.includes`),
+    not a startswith test — a suppressed prefix exempts only itself,
+    never its sub-paths (reference fixtures test/testCommon.js:15-26).
+    ``True`` or ``["*"]`` suppresses everything. Segment rewrite matches
+    the reference's `replace(/\\=(.*)/, "=*")`: anything from the first
+    '=' onward becomes '=*' in any segment containing '='."""
+    suppress = parse_suppression_list(suppress) if isinstance(suppress, (str, bool)) else suppress
     suppress = suppress or []
-    if "*" in suppress or any(prefix.startswith(s) for s in suppress if s):
+    if "*" in suppress or prefix in suppress:
         return prefix
     parts = [
-        f"{seg.split('=', 1)[0]}=*" if HIVE_SEGMENT.match(seg) else seg
-        for seg in prefix.split("/")
+        f"{seg.split('=', 1)[0]}=*" if "=" in seg else seg for seg in prefix.split("/")
     ]
     return "/".join(parts)
 
@@ -108,6 +120,11 @@ class LoadConfig:
     json_path: str | None = None
     column_list: list[str] | None = None  # P7 ordered projection (index.js:1157-1161)
     filename_filter_regex: str | None = None
+    # Streaming-only pushdown variant: a GLOB (Hadoop pathGlobFilter), NOT a
+    # regex — unmatched files are skipped at listing time, never opened. A
+    # regex fed to pathGlobFilter silently drops everything (the inverse of
+    # P2's fail-open contract), so the two filters are separate fields.
+    filename_filter_glob: str | None = None
     batch_size: int = 0  # T1 count trigger; 0 = disabled
     batch_size_bytes: int = 0  # T2 bytes trigger; 0 = disabled
     batch_timeout_secs: int = 0  # T3 age trigger; 0 = disabled

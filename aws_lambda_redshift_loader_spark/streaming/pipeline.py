@@ -222,11 +222,22 @@ class IngestPipeline:
         return batcher.current.batch_id
 
     def delete_batches(self, status: str, dry_run: bool = True) -> list[Batch]:
-        """deleteBatches.js:10-28 (dryRun gate, batchOperations.js:235)."""
+        """deleteBatches.js:10-28 (dryRun gate, batchOperations.js:227-271).
+
+        The status query can return the LIVE open batch (batcher.current),
+        which is not in `history` — deleting it means rotating to a fresh
+        current batch (the reference deletes the DynamoDB row and lets
+        processPendingBatch lazily recreate the open batch), NOT
+        history.remove(), which raised mid-loop and left a partial
+        delete."""
         victims = self.query_batches(status)
         if not dry_run:
             for b in victims:
-                self.batchers[b.s3_prefix].history.remove(b)
+                batcher = self.batchers[b.s3_prefix]
+                if b is batcher.current:
+                    batcher._rotate()
+                else:
+                    batcher.history.remove(b)
         return victims
 
     def _all_batches(self) -> list[Batch]:

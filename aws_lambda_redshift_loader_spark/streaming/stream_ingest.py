@@ -33,7 +33,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.routing import LoadConfig
+from ..sources.routing import LoadConfig, filename_filter_col
 from ..session import tune
 from .sinks import fan_out
 
@@ -77,11 +77,12 @@ class StreamIngest:
             )
         else:
             reader = reader.format(fmt.lower())
-        if cfg.filename_filter_regex:
+        if cfg.filename_filter_glob:
             # P2 filename filter, pushed to *file listing* (cheaper than a
-            # row filter: unmatched files are never opened). Glob, not
-            # regex — configs using regex route through pipeline.py.
-            reader = reader.option("pathGlobFilter", cfg.filename_filter_regex)
+            # row filter: unmatched files are never opened). This field is
+            # a GLOB by contract; the regex form is applied post-read in
+            # start() (fail-open, like the reference index.js:212-234).
+            reader = reader.option("pathGlobFilter", cfg.filename_filter_glob)
         if cfg.batch_size:
             reader = reader.option("maxFilesPerTrigger", cfg.batch_size)  # T1
         if cfg.batch_size_bytes:
@@ -125,6 +126,13 @@ class StreamIngest:
         (flush cadence); `available_now=True` drains existing files and
         stops — the backfill/test mode."""
         stream = self._reader().load(self.source_dir)
+        if self.config.filename_filter_regex:
+            # P2 regex filter, post-read on the source filename (JVM rlike,
+            # fail-open on a malformed pattern — the glob field handles the
+            # cheaper listing-time pushdown).
+            stream = stream.filter(
+                filename_filter_col(F.input_file_name(), self.config.filename_filter_regex)
+            )
         writer = (
             stream.writeStream.foreachBatch(self._load_micro_batch)
             .option("checkpointLocation", self.checkpoint_dir)

@@ -280,3 +280,21 @@ def test_hive_partitioned_routing(spark, tmp_path):
     p.write_text("1\n2\n")
     out = pipe.on_file_event(FileEvent(key=str(p), size=4, ts=T0))
     assert out is not None and out.ok
+
+
+def test_delete_batches_open_status_rotates_current(spark, tmp_path, sample_files):
+    """VERDICT r2 #7: delete_batches('open', dry_run=False) used to crash
+    on the live open batch (history.remove(ValueError)) leaving a
+    partial delete; the reference deletes the row and lazily recreates
+    the open batch (batchOperations.js:227-271)."""
+    prefix = os.path.dirname(sample_files[0])
+    pipe, cfg, _ = make_pipeline(spark, tmp_path, prefix, batch_size=10)
+    pipe.on_file_event(FileEvent(key=sample_files[0], size=10, ts=T0))
+    pipe.on_file_event(FileEvent(key=sample_files[1], size=10, ts=T0 + 1))
+    open_batches = pipe.query_batches("open")
+    assert open_batches  # the live current batch is visible to the query
+    assert open_batches[0].entries  # and non-empty (would crash pre-fix)
+    victims = pipe.delete_batches("open", dry_run=False)
+    assert len(victims) == len(open_batches)
+    # Deletion rotated to a fresh, EMPTY open batch; nothing crashed.
+    assert all(not b.entries for b in pipe.query_batches("open"))

@@ -72,3 +72,37 @@ def test_filename_filter_fail_open_on_bad_regex():
     # Malformed regex must INCLUDE the file (index.js:216-228 catch path) —
     # the reference logs and proceeds rather than dropping data.
     assert filename_filter("input/upload.csv", r"([unclosed")
+
+
+def test_suppression_is_exact_membership_not_startswith():
+    # common.js:39-41 uses suppressionList.includes(...) — a suppressed
+    # prefix exempts ITSELF only; sub-paths still transform.
+    child = PREFIXES[0] + "/c=3"
+    assert (
+        transform_hive_style_prefix(child, SUPPRESS) == "bucket/a=*/b=*/bob/c=*"
+    )
+
+
+def test_parse_suppression_list_string():
+    # testCommon.js:10-13 "Should parse string suppression lists correctly"
+    from aws_lambda_redshift_loader_spark.sources.routing import parse_suppression_list
+
+    assert (
+        parse_suppression_list("bucket/a=1/b=2/bob, bucket/z=200/y=whatever/dude")
+        == PREFIXES
+    )
+    assert parse_suppression_list("*") == ["*"]
+    assert parse_suppression_list(True) == ["*"]
+    assert parse_suppression_list(None) is None
+
+
+def test_hive_transform_suppress_true_boolean():
+    # testCommon.js:15-17: transformHiveStylePrefix(true) → unchanged.
+    assert transform_hive_style_prefix(PREFIXES[0], True) == PREFIXES[0]
+
+
+def test_hive_transform_valueless_equals_segment():
+    # common.js:43-50 replace(/\=(.*)/,"=*"): any segment containing '='
+    # rewrites from the first '=' — including a leading-'=' segment.
+    assert transform_hive_style_prefix("b/=orphan/x") == "b/=*/x"
+    assert transform_hive_style_prefix("b/a=b=c/x") == "b/a=*/x"

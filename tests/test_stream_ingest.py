@@ -132,3 +132,30 @@ def test_jdbc_sink_epoch_replay_idempotent(spark, tmp_path):
     assert (
         spark.read.format("jdbc").options(url=url, dbtable="epoch_t").load().count() == 4
     )
+
+
+def test_glob_pushdown_and_regex_post_filter(spark, tmp_path):
+    """P2 in streaming: filename_filter_glob prunes at listing time
+    (pathGlobFilter), filename_filter_regex filters post-read on
+    input_file_name — a regex is never fed to the glob option (which
+    silently dropped every file pre-fix)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for name, rows in [("a0.csv", "1|2|3"), ("a1.csv", "4|5|6"), ("skip.dat", "7|8|9")]:
+        with open(os.path.join(src, name), "w") as f:
+            f.write(rows + "\n")
+    cfg = LoadConfig(
+        s3_prefix=src,
+        data_format="CSV",
+        csv_delimiter="|",
+        schema="a INT, b INT, c INT",
+        filename_filter_glob="*.csv",  # listing-time: excludes skip.dat
+        filename_filter_regex=r"a1\.csv$",  # row-time: keeps only a1
+        sinks=[ClusterSink(target_table="t", path=str(tmp_path / "wh"))],
+    )
+    StreamIngest(
+        spark, cfg, source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).run_available()
+    rows = spark.read.parquet(os.path.join(str(tmp_path / "wh"), "t")).collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [(4, 5, 6)]
