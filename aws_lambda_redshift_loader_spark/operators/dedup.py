@@ -105,16 +105,26 @@ shingles AS (
 """
 
 
+HOT_SHINGLE_DF_CAP = 100  # max docs a shingle may appear in and still index
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""
     WITH {_SHINGLES_CTE},
+    capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s
+      JOIN (SELECT shingle FROM shingles
+            GROUP BY shingle HAVING COUNT(*) <= {HOT_SHINGLE_DF_CAP}) k
+        ON k.shingle = s.shingle
+    ),
     sizes AS (
-      SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_shingles FROM capped GROUP BY doc_id
     ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM capped a JOIN capped b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
@@ -128,12 +138,28 @@ shingles AS (
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-{SHINGLE_K}-gram Jaccard ≥
+    """Near-dup pairs by word-{SHINGLE_K}-gram Jaccard ≥
     {JACCARD_THRESHOLD}: inverted-index self-join on shingle (only docs
     sharing a shingle ever pair), intersection counts, |A∪B| by
     inclusion-exclusion. This is the exact verifier LSH candidates feed
-    into at scale."""
+    into at scale.
+
+    Hot-shingle cap: shingles appearing in more than
+    {HOT_SHINGLE_DF_CAP} documents are dropped from the representation
+    (sizes AND index — Jaccard is computed over the capped sets, both
+    engines identically). Without it one stop-phrase shared by 10⁶ docs
+    turns its inverted-index bucket into a quadratic hot spot; with it
+    per-shingle pair work is bounded by C(cap, 2) regardless of corpus
+    size. Near-dup pairs share many RARE shingles, so discriminative
+    signal survives."""
     sh = _shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

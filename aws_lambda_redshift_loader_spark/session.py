@@ -33,12 +33,22 @@ TABLES = (
     "embeddings",
 )
 
-_TUNED_SESSIONS: set[int] = set()
+def _session_cache(spark: SparkSession) -> dict:
+    """Per-session state stored ON the session object, so it dies with
+    the session handle: no global registry keyed on id() (ids get reused
+    by new sessions at the same address — a module-level dict could both
+    leak stopped sessions and serve a dead session's DataFrames)."""
+    cache = getattr(spark, "_alrs_cache", None)
+    if cache is None:
+        cache = {"tuned": False, "tables": {}}
+        spark._alrs_cache = cache
+    return cache
 
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to a session we did not build."""
-    if id(spark) in _TUNED_SESSIONS:
+    cache = _session_cache(spark)
+    if cache["tuned"]:
         return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -52,7 +62,7 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass  # static confs on some deployments; never fail a query over tuning
-    _TUNED_SESSIONS.add(id(spark))
+    cache["tuned"] = True
     return spark
 
 
@@ -89,25 +99,26 @@ def normalize_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
-# DataFrame handles are immutable logical plans — safe to memoize. A harness
-# that runs 80+ queries back-to-back otherwise pays one parquet footer/schema
-# read per table per query; the memo turns that into one per (session, sf_dir,
-# table) for the whole run.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
-
-
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver-generated parquet tables.
 
     Parquet scan with Catalyst pushdown — callers `.select()`/`.filter()`
     and the physical scan prunes columns / pushes predicates.
+
+    DataFrame handles are immutable logical plans — safe to memoize. A
+    harness that runs 80+ queries back-to-back otherwise pays one parquet
+    footer/schema read per table per query; the memo (stored on the
+    session, see _session_cache) turns that into one per (sf_dir, table)
+    per session. Assumption: a given sf_dir's files are immutable for
+    the session's lifetime (the memoized relation pins the file listing).
     """
     tune(spark)
-    key = (id(spark), sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    tables = _session_cache(spark)["tables"]
+    key = (sf_dir, name)
+    df = tables.get(key)
     if df is None:
         df = normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-        _TABLE_CACHE[key] = df
+        tables[key] = df
     return df
 
 
