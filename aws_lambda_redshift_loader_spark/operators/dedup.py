@@ -582,3 +582,74 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+BENCH_DOC_MAX = 20  # doc_id < 20 stand in for the held-out benchmark set
+CONTAM_MIN_COMMON = 3  # shared shingles before a pair is reported
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (
+      SELECT doc_id, shingle FROM shingles WHERE doc_id < {BENCH_DOC_MAX}
+    ),
+    bench_sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_shingles
+      FROM bench GROUP BY doc_id
+    ),
+    overlap AS (
+      SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shingles c JOIN bench b ON b.shingle = c.shingle
+      WHERE c.doc_id >= {BENCH_DOC_MAX}
+      GROUP BY c.doc_id, b.doc_id
+    )
+    SELECT corpus_doc, bench_doc, n_common,
+           CAST(n_common AS DOUBLE) / s.n_bench_shingles AS contamination
+    FROM overlap o JOIN bench_sizes s ON s.doc_id = o.bench_doc
+    WHERE n_common >= {CONTAM_MIN_COMMON}
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination check: word-{SHINGLE_K}-gram overlap
+    between every corpus document and a held-out benchmark set (here:
+    doc_id < {BENCH_DOC_MAX} as the stand-in) — the decontamination pass
+    every serious pretraining pipeline runs so eval data doesn't leak
+    into training. Reports (corpus_doc, bench_doc) pairs sharing ≥
+    {CONTAM_MIN_COMMON} shingles with the contaminated fraction of the
+    benchmark doc.
+
+    Scale: the benchmark side is tiny by definition — broadcast it; the
+    corpus side streams map-only through the broadcast hash join, then
+    one groupBy on the (corpus_doc, bench_doc) pairs that actually
+    overlap. No corpus self-join anywhere."""
+    sh = _shingles(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") < BENCH_DOC_MAX)
+    bench_sizes = bench.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bench_shingles")
+    )
+    overlap = (
+        sh.filter(F.col("doc_id") >= BENCH_DOC_MAX)
+        .select(F.col("doc_id").alias("corpus_doc"), "shingle")
+        .join(
+            F.broadcast(bench.select(F.col("doc_id").alias("bench_doc"), "shingle")),
+            "shingle",
+        )
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        overlap.join(
+            F.broadcast(bench_sizes.select(F.col("doc_id").alias("bench_doc"), "n_bench_shingles")),
+            "bench_doc",
+        )
+        .filter(F.col("n_common") >= CONTAM_MIN_COMMON)
+        .select(
+            "corpus_doc",
+            "bench_doc",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_bench_shingles")).alias("contamination"),
+        )
+    )

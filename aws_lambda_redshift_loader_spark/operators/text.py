@@ -356,3 +356,222 @@ def training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_words", "bpe_ish_tokens", "quality_score")
     )
+
+
+# Gopher-style repetition/quality gates (word-level: the synthetic corpus
+# has no line structure, so the line rules' analogs operate on words).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_AWL, GOPHER_MAX_AWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+
+_GOPHER_ORACLE = rf"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(greatest(length(regexp_extract_all(text, '\S+')), 1) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
+         CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_symbols,
+         CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS BIGINT)
+           AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words,
+       CAST(n_nonspace AS DOUBLE) / n_words AS avg_word_len,
+       CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+       n_stopwords,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_word_count,
+       CAST(n_nonspace AS DOUBLE) / n_words BETWEEN {GOPHER_MIN_AWL} AND {GOPHER_MAX_AWL}
+         AS ok_word_len,
+       CAST(n_symbols AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbols,
+       n_stopwords >= {GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (CAST(n_nonspace AS DOUBLE) / n_words
+              BETWEEN {GOPHER_MIN_AWL} AND {GOPHER_MAX_AWL})
+         AND (CAST(n_symbols AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO})
+         AND (n_stopwords >= {GOPHER_MIN_STOPWORD_HITS}) AS passes_all
+FROM m
+"""
+
+
+@register("gopher_quality_rules", _GOPHER_ORACLE)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules-style hard quality gates (Rae et al. 2021 §A1.1,
+    adapted to word level): word-count window, mean-word-length window,
+    symbol-to-word ratio cap, minimum stopword evidence — each emitted
+    as its own boolean plus the conjunction, so a pipeline can both
+    filter on `passes_all` and audit which rule fired per document.
+
+    Scale: pure scan projection (regex counts + a few divides), no
+    shuffle, full codegen."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)), F.lit(1)
+    ).cast("bigint")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s", "")).cast("bigint")
+    n_symbols = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"\b(the|and|of|to|a|in|is)\b"), 0)
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_nonspace.alias("n_nonspace"),
+        n_symbols.alias("n_symbols"),
+        n_stop.alias("n_stopwords"),
+    )
+    awl = F.col("n_nonspace").cast("double") / F.col("n_words")
+    sym = F.col("n_symbols").cast("double") / F.col("n_words")
+    ok_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_awl = awl.between(GOPHER_MIN_AWL, GOPHER_MAX_AWL)
+    ok_sym = sym <= GOPHER_MAX_SYMBOL_RATIO
+    ok_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORD_HITS
+    return m.select(
+        "doc_id",
+        "n_words",
+        awl.alias("avg_word_len"),
+        sym.alias("symbol_ratio"),
+        "n_stopwords",
+        ok_wc.alias("ok_word_count"),
+        ok_awl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_awl & ok_sym & ok_stop).alias("passes_all"),
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CAST(greatest(len(ws) - 1, 1) AS BIGINT) AS n_grams,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         u.g AS gram
+  FROM words,
+       LATERAL (SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                               FOR i IN range(1, greatest(len(ws), 2))]) AS g) u
+)
+SELECT doc_id,
+       MAX(n_words) AS n_words,
+       MAX(n_grams) AS n_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+       1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / MAX(n_grams) AS dup_gram_fraction
+FROM grams
+GROUP BY doc_id
+"""
+
+
+@register("intra_doc_repetition", _REPETITION_ORACLE)
+def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher duplicate-n-gram-fraction
+    family): fraction of word 2-grams that are repeats of an earlier
+    2-gram in the same document — high values flag boilerplate/looping
+    text that exact and near dedup both miss (they compare ACROSS
+    documents).
+
+    Scale: explode is bounded (one row per word), the groupBy(doc_id)
+    carries a COUNT DISTINCT — one shuffle, partial aggregation
+    map-side."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(norm_text("text"), " ").alias("ws"))
+    grams = words.select(
+        "doc_id",
+        F.greatest(F.size("ws") - 1, F.lit(1)).cast("bigint").alias("n_grams"),
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                   "i -> concat(ws[i - 1], ' ', ws[i]))")
+        ).alias("gram"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("n_grams").alias("n_grams"),
+        F.countDistinct("gram").cast("bigint").alias("distinct_grams"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("gram").cast("double") / F.max("n_grams")
+        ).alias("dup_gram_fraction"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = rf"""
+WITH tokens AS (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+       LATERAL (SELECT unnest(ws) AS token) u
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tokens GROUP BY token
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token AS term, tf.tf, df.df,
+         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000)
+              AS BIGINT) AS tfidf_q
+  FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf_q, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_q DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP_K} terms by tf·idf — the classic
+    keyword/topic primitive over an inverted index (term frequency per
+    doc × ln(N/document-frequency)).
+
+    Determinism: natural log is NOT correctly-rounded-guaranteed (Java's
+    Math.log and libm disagree by 1 ulp on this very fixture), so the
+    score is quantized to floor(tf·ln(N/df)·10⁶) int64 — the ulp noise
+    sits ~6 orders of magnitude below the quantum, and ranking on the
+    quantized integer makes the top-k identical everywhere; ties order
+    by term. Scale: two shuffles (tf groupBy, df groupBy) + a
+    token-keyed hash join against the df side; the final top-k is a
+    WindowGroupLimit — rank-1..k filtering happens map-side before the
+    window shuffle."""
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    df = tokens.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = d.count()  # one scalar job; the corpus count is plan metadata
+    scored = (
+        tf.join(df, "token")
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1_000_000
+            )
+            .cast("bigint")
+            .alias("tfidf_q"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_q").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf_q", "rank")
+    )

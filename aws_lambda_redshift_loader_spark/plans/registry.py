@@ -56,6 +56,10 @@ _FIRST = [
     # round-3 new queries (no prior correctness row) go first
     "kmeans_step",
     "embedding_cosine_neardup_exact",
+    "gopher_quality_rules",
+    "intra_doc_repetition",
+    "tfidf_top_terms",
+    "benchmark_contamination",
     # round-2 new / previously-unverified analytics (cheap, oracle-backed)
     "array_functions",
     "stratified_sample",
