@@ -106,3 +106,22 @@ def test_hive_transform_valueless_equals_segment():
     # rewrites from the first '=' — including a leading-'=' segment.
     assert transform_hive_style_prefix("b/=orphan/x") == "b/=*/x"
     assert transform_hive_style_prefix("b/a=b=c/x") == "b/a=*/x"
+
+
+def test_reference_resolve_config_fixture():
+    # test/testResolveConfig.js:28 end-to-end: hive-transform the deep
+    # key, then resolve by successive prefix shortening to a config
+    # registered at the wildcard prefix.
+    key = (
+        "energy-streaming-demo/data/csv/capture_date=2015-09-28/"
+        "capture_time=15/test/part-00000"
+    )
+    wild = transform_hive_style_prefix(key)
+    assert wild == (
+        "energy-streaming-demo/data/csv/capture_date=*/capture_time=*/"
+        "test/part-00000"
+    )
+    cfg_prefix = "energy-streaming-demo/data/csv/capture_date=*/capture_time=*"
+    configs = {cfg_prefix: LoadConfig(s3_prefix=cfg_prefix)}
+    hit = resolve_config(wild, configs)
+    assert hit is configs[cfg_prefix]
