@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the properties that make these
+queries scale (pushdown, pruning, broadcast strategy, map-side top-k)
+are asserted directly on .explain output, so a refactor that silently
+degrades the plan — not just the answer — fails CI.
+
+These complement tests/test_bucketing.py (zero-Exchange co-located
+join) and tests/test_sorted_write.py (data-skipping layout).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_lambda_redshift_loader_spark.plans.registry import load_all
+
+from conftest import SF_SMOKE
+
+SPECS = load_all()
+
+
+def _formatted(spark, name):
+    df = SPECS[name].fn(spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _formatted(spark, "pricing_summary")
+    # The shipdate predicate must reach the parquet scan...
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # ...and the scan must not read all 16 lineitem columns.
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert read_schema.count(",") < 10, f"column pruning lost: {read_schema}"
+
+
+def test_revenue_by_nation_all_dimensions_broadcast(spark):
+    plan = _formatted(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "a dimension fell off the broadcast path"
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _formatted(spark, "semi_join_active_customers")
+    assert "LeftSemi" in plan
+
+
+def test_tfidf_topk_limits_before_shuffle(spark):
+    # WindowGroupLimit must appear BELOW the rank exchange too (map-side
+    # partial top-k), not only after it.
+    plan = _formatted(spark, "tfidf_top_terms")
+    assert plan.count("WindowGroupLimit") >= 2, "map-side rank limit missing"
+
+
+def test_longest_prefix_route_broadcasts_config_side(spark):
+    # Non-equi startswith theta join against a KB config table: a
+    # BroadcastNestedLoopJoin is the right plan; a shuffled cartesian is not.
+    plan = _formatted(spark, "longest_prefix_route")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pricing_summary", "langid_heuristic", "gopher_quality_rules", "token_count"],
+)
+def test_scan_queries_have_no_python_in_row_path(spark, name):
+    # These operators advertise JVM-only row paths; a sneaky Python UDF
+    # would show up as BatchEvalPython / ArrowEvalPython.
+    plan = _formatted(spark, name)
+    assert "EvalPython" not in plan, f"{name} fell off the codegen path"
