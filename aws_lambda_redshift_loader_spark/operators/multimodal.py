@@ -155,12 +155,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.mapInPandas(sample_frames, schema=_FRAME_SCHEMA)
 
 
-@register("multimodal_features", None)  # pandas path → rows-only driver check
+@register(
+    "multimodal_features",
+    """
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(SUM(ascii(u.c)) AS DOUBLE)
+             / greatest(octet_length(encode(d.text)), 1) AS mean_byte,
+           md5(substr(d.text, 1, 64)) AS head_md5
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, '')) AS c) u
+    GROUP BY d.doc_id, d.text
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas: the decode/
     resize/frame-sample slot in a media pipeline. Deterministic byte-stat
     fake decode (see _decode_stub); exact values asserted in
-    tests/test_multimodal.py.
+    tests/test_multimodal.py AND hash-verified against a DuckDB oracle
+    (payload = utf-8 of ASCII fixture text, so bytes == code points and
+    the byte sum is a per-char ascii() sum; mean_byte is exact-int-sum /
+    length — one IEEE divide in both engines).
 
     Scale: map-only (no shuffle); Arrow-batched transfer; payload column
     read is the only I/O. Partition count = input splits, so 100 TB of

@@ -198,7 +198,33 @@ buckets AS (
 """
 
 
-@register("embedding_ann_lsh", None)  # verified against bruteforce in tests (recall)
+_ANN_LSH_ORACLE = f"""
+    WITH {_QUANT_CTE},
+    {_LSH_BUCKETS_CTE},
+    qb AS (SELECT vec_id, bucket FROM buckets WHERE vec_id < {N_QUERIES}),
+    cands AS (
+      SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qb JOIN buckets c ON c.bucket = qb.bucket AND c.vec_id <> qb.vec_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM cands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("embedding_ann_lsh", _ANN_LSH_ORACLE)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: {N_TABLES} independent
     signatures of {PLANES_PER_TABLE} ±1-hyperplanes each (signs derived
@@ -209,8 +235,11 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe stays sub-quadratic. Candidates then get exact quantized-cosine
     top-{TOP_K} scoring.
 
-    Rows-only driver check; tests/test_similarity.py measures recall
-    against embedding_topk_bruteforce. Scale: corpus side explodes to
+    Hash-verified end to end: the DuckDB oracle rebuilds the identical
+    md5-parity hyperplanes in SQL, so bucket generation, candidate
+    pairing, AND the exact re-rank all gate on the driver's value hash;
+    tests/test_similarity.py additionally measures recall against
+    embedding_topk_bruteforce. Scale: corpus side explodes to
     T rows/vector, shuffles on (table, bucket) — each bucket holds
     ~N/2^b vectors, so candidate generation is O(T·N²/2^b) pair work
     instead of O(N²); queries are broadcast, never shuffled.
@@ -551,10 +580,12 @@ def _kmeans_centroids(spark: SparkSession, emb: DataFrame, iters: int):
     return ids, cent
 
 
-def _kmeans_oracle(iters: int) -> str:
-    """Unrolled fixed-round Lloyd oracle (same pattern as the
+def _kmeans_ctes(iters: int) -> list[str]:
+    """Unrolled fixed-round Lloyd CTE chain (same pattern as the
     dedup_connected_components recursive-CTE oracle, but round count is
-    static so plain CTE chaining suffices)."""
+    static so plain CTE chaining suffices). Produces cent0..cent{iters-1}
+    and assign0..assign{iters-1}; shared by the kmeans_step and IVF
+    oracles."""
     parts = [
         f"cent0 AS (SELECT CAST(vec_id AS INT) AS cell, e AS s FROM q WHERE vec_id < {IVF_CELLS})"
     ]
@@ -586,7 +617,11 @@ def _kmeans_oracle(iters: int) -> str:
       ) GROUP BY cell
     )"""
             )
-    chained = ",\n    ".join(parts)
+    return parts
+
+
+def _kmeans_oracle(iters: int) -> str:
+    chained = ",\n    ".join(_kmeans_ctes(iters))
     return f"""
     WITH {_QUANT_CTE},
     {chained}
@@ -620,7 +655,48 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cell_component_sums(_assign_cells(emb, ids, cent))
 
 
-@register("embedding_ivf_topk", None)  # approximate → recall-tested vs bruteforce
+def _ivf_oracle() -> str:
+    """IVF oracle: the kmeans CTE chain with one extra round supplies
+    BOTH the trained centroids (cent{u}) and the corpus cell assignment
+    (assign{u} = argmax vs cent{u}); probing reuses score{u} restricted
+    to the query vectors. Every stage of the index — training,
+    assignment, probing, exact re-rank — is hash-gated."""
+    u = IVF_TRAIN_ITERS
+    chained = ",\n    ".join(_kmeans_ctes(u + 1))
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained},
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rk
+        FROM score{u} WHERE vec_id < {N_QUERIES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign{u} a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    rescored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM cands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("embedding_ivf_topk", _ivf_oracle())
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via an IVF (inverted-file) index: a coarse quantizer of
     {IVF_CELLS} centroids partitions the corpus into cells; each query
