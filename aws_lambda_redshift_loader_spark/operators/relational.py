@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.scalar import dec, strip_filename, wildcard_hive
+from ..functions.scalar import dec, hex_hash64, strip_filename, wildcard_hive
 from ..plans.registry import register
 from ..session import table
 
@@ -120,7 +120,9 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`approx_count_distinct` — the at-scale form of distinct_agg
     (HyperLogLog++, constant memory per group). No oracle: sketch
-    estimates are engine-specific; correctness bounded by distinct_agg."""
+    estimates are engine-specific; correctness bounded by distinct_agg
+    and by kmv_distinct_estimate (the deterministic sketch that IS
+    hash-verified)."""
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -128,6 +130,77 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
             F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         )
+    )
+
+
+KMV_K = 256  # sketch size (k minimum values); rel. error ~ 1/sqrt(k) ≈ 6%
+
+
+@register(
+    "kmv_distinct_estimate",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv ASC) AS rn
+      FROM h
+    ),
+    sketch AS (
+      SELECT l_returnflag, COUNT(*) AS n_kept, MAX(hv) AS kth
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY l_returnflag
+    ),
+    exact AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT e.l_returnflag, e.exact_distinct,
+           CAST(CASE WHEN s.n_kept < {KMV_K} THEN s.n_kept
+                     ELSE floor(({KMV_K} - 1) * 1152921504606846976.0 / s.kth) END
+                AS BIGINT) AS kmv_estimate
+    FROM exact e JOIN sketch s ON s.l_returnflag = e.l_returnflag
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketching that IS cross-engine deterministic: a
+    k-minimum-values sketch (Bar-Yossef et al. 2002) over the md5-derived
+    60-bit hash — estimate = (k-1)·2^60 / k-th smallest hash, exact count
+    when a group holds fewer than k distinct hashes. Unlike HLL
+    (approx_distinct, engine-specific registers), every intermediate here
+    is reproducible anywhere: md5 hashes, a per-group top-k, one double
+    multiply/divide ((k-1)·2^60 is a small-int × power-of-two — exactly
+    representable), floor. Emitted next to the exact distinct so the
+    ~1/√k relative error is visible in the result itself.
+
+    Scale: the sketch is mergeable — per-partition top-k then global
+    top-k (Spark's row_number window after a distinct); memory per group
+    is K hashes regardless of cardinality. At 100 TB this is the
+    pre-aggregation you'd persist per shard and merge at read time."""
+    li = table(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag", hex_hash64(F.col("l_orderkey").cast("string")).alias("hv")
+    ).distinct()
+    w = W.partitionBy("l_returnflag").orderBy(F.col("hv").asc())
+    sketch = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_kept"), F.max("hv").alias("kth"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_distinct")
+    )
+    est = (
+        F.when(F.col("n_kept") < KMV_K, F.col("n_kept"))
+        .otherwise(F.floor((KMV_K - 1) * F.lit(1152921504606846976.0) / F.col("kth")))
+        .cast("bigint")
+    )
+    return exact.join(sketch, "l_returnflag").select(
+        "l_returnflag", "exact_distinct", est.alias("kmv_estimate")
     )
 
 

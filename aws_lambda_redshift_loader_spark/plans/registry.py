@@ -60,6 +60,10 @@ _FIRST = [
     "intra_doc_repetition",
     "tfidf_top_terms",
     "benchmark_contamination",
+    "kmv_distinct_estimate",
+    "multimodal_features",
+    "embedding_ann_lsh",
+    "embedding_ivf_topk",
     # round-2 new / previously-unverified analytics (cheap, oracle-backed)
     "array_functions",
     "stratified_sample",
@@ -77,8 +81,6 @@ _FIRST = [
     "embedding_topk_bruteforce",
     "embedding_centroid_by_label",
     "embedding_cosine_neardup",
-    "embedding_ann_lsh",
-    "embedding_ivf_topk",
     "tumbling_window_events",
     "sliding_window_events",
     "session_window_events",
