@@ -299,13 +299,25 @@ def stream_stateful_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_dedup_dropduplicates", None)  # state op → rows-only check
+@register(
+    "stream_dedup_dropduplicates",
+    """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 file-level dedup as a streaming state op: `dropDuplicates` on the
     event id with a watermark bounding state — the exactly-once ingest gate
     the reference implements with the DynamoDB ledger (index.js:247-306).
-    Result: per-type counts after streaming dedup (equals batch distinct
-    counts on the finite fixture)."""
+    Result: per-type counts after streaming dedup.
+
+    Oracle note: batch COUNT(DISTINCT event_id) per type equals the
+    streamed result whenever each event_id carries one event_type (true
+    here — ids are unique — and of any sane event stream). If an id
+    arrived under two types, the streaming op would keep the
+    first-arrival row and the comparison would be order-dependent; that
+    is the one semantic the batch form cannot express."""
 
     def agg(stream: DataFrame) -> DataFrame:
         return (
