@@ -305,3 +305,60 @@ def first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", composite).alias("last_order"),
         F.count("*").alias("n_orders"),
     )
+
+
+PCTS = (0.5, 0.9, 0.99)  # exact rank-based percentiles (no interpolation)
+
+
+@register(
+    "exact_percentiles_by_priority",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(n) AS n_orders,
+           {", ".join(
+               f"MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) "
+               f"THEN o_totalprice END) AS p{int(p * 100)}"
+               for p in PCTS
+           )}
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def exact_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles by the rank method (§2.5 analytics
+    surface): the value at rank ceil(p·n) under a TOTAL ordering — the
+    deterministic alternative to interpolating `percentile_cont` (whose
+    interpolation arithmetic differs subtly across engines) and to
+    `approx_percentile` sketches (engine-specific). p50/p90/p99 of order
+    value per priority class, the ops-dashboard staple.
+
+    Scale: one shuffle on the group key; the two windows share the same
+    partitioning so Catalyst evaluates them in a single Window node;
+    the final groupBy is map-side-combined conditional MAXes. ceil(p·n)
+    over exact doubles (p has a short binary expansion? no — but both
+    engines compute the same IEEE product and ceil, and n < 2^53, so the
+    rank index is identical everywhere)."""
+    o = table(spark, sf_dir, "orders")
+    w_rank = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w_all = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_orders")]
+    for p in PCTS:
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        aggs.append(
+            F.max(F.when(F.col("rn") == idx, F.col("o_totalprice"))).alias(f"p{int(p * 100)}")
+        )
+    return ranked.groupBy("o_orderpriority").agg(*aggs)

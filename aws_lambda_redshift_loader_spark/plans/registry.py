@@ -61,6 +61,7 @@ _FIRST = [
     "tfidf_top_terms",
     "benchmark_contamination",
     "kmv_distinct_estimate",
+    "exact_percentiles_by_priority",
     "multimodal_features",
     "embedding_ann_lsh",
     "embedding_ivf_topk",
