@@ -1,0 +1,199 @@
+"""Deterministic sketch operators (count-min, Bloom) — the streaming/
+join-pruning primitives a 100 TB pipeline leans on, built on the
+cross-engine md5 hash so every counter and bit reproduces identically in
+the DuckDB oracle (engine-native sketch functions — approx_percentile,
+bloom_filter_agg, HLL — are register-format-specific and can never be
+hash-verified; these can).
+
+Related: kmv_distinct_estimate (operators.relational) is the
+distinct-count member of this family; approx_distinct keeps the native
+HLL form as the rows-only engine-specific comparison point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.scalar import hex_hash64, norm_text
+from ..plans.registry import register
+from ..session import table
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 256  # counters per row
+CMS_TOP = 20  # heavy hitters reported
+
+# DuckDB fragment: md5-derived 60-bit hash of (salt || ':' || key) % width.
+def _duck_bucket(salt: str, key: str, width: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}', ':', {key})), 1, 15)) AS BIGINT)"
+        f" % {width}"
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+    WITH tokens AS (
+      SELECT u.token
+      FROM (SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS token) u
+    ),
+    cms AS (
+      SELECT d.i, {_duck_bucket("' || d.i || '", "tokens.token", CMS_WIDTH)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tokens, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i) d
+      GROUP BY d.i, bucket
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tokens GROUP BY token
+    ),
+    est AS (
+      SELECT e.token, e.exact_count, MIN(cms.c) AS cms_estimate
+      FROM exact e,
+           (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i) d
+      JOIN cms ON cms.i = d.i
+             AND cms.bucket = {_duck_bucket("' || d.i || '", "e.token", CMS_WIDTH)}
+      GROUP BY e.token, e.exact_count
+    )
+    SELECT token, exact_count, cms_estimate, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, token ASC) AS rank
+      FROM est
+    ) WHERE rank <= {CMS_TOP}
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (Cormode/Muthukrishnan 2005):
+    {CMS_DEPTH} md5-salted hash rows × {CMS_WIDTH} counters; a key's
+    estimate is the MIN of its {CMS_DEPTH} counters (never an
+    underestimate). Reported next to the exact count so the collision
+    overestimate is visible. Unlike engine-native sketches, every counter
+    here is reproducible anywhere — the oracle rebuilds the identical
+    sketch and the driver hash-gates it.
+
+    Scale: sketch state is DEPTH×WIDTH counters regardless of stream
+    length — THE skew detector for a 100 TB shuffle (find hot keys
+    before salting); building it is one groupBy over (row, bucket) with
+    map-side combine, so the shuffle carries at most DEPTH×WIDTH rows
+    per partition."""
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    buckets = [
+        (hex_hash64(F.col("token"), salt=f"{i}:") % CMS_WIDTH).alias(f"b{i}")
+        for i in range(CMS_DEPTH)
+    ]
+    with_buckets = tokens.select("token", *buckets)
+    cms = None
+    for i in range(CMS_DEPTH):
+        row = (
+            with_buckets.groupBy(F.col(f"b{i}").alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .select(F.lit(i).alias("i"), "bucket", "c")
+        )
+        cms = row if cms is None else cms.unionByName(row)
+    exact = with_buckets.groupBy("token", *[f"b{i}" for i in range(CMS_DEPTH)]).agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    est = exact
+    for i in range(CMS_DEPTH):
+        row_i = cms.filter(F.col("i") == i).select(
+            F.col("bucket").alias(f"rb{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(row_i), est[f"b{i}"] == row_i[f"rb{i}"])
+    estimate = F.least(*[F.col(f"c{i}") for i in range(CMS_DEPTH)])
+    scored = est.select("token", "exact_count", estimate.alias("cms_estimate"))
+    w = W.orderBy(F.col("cms_estimate").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CMS_TOP)
+        .select("token", "exact_count", "cms_estimate", "rank")
+    )
+
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions
+
+
+@register(
+    "bloom_filter_probe",
+    f"""
+    WITH build_keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bloom AS (
+      SELECT DISTINCT {_duck_bucket("' || j.j || '", "build_keys.k", BLOOM_M)} AS pos
+      FROM build_keys, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j) j
+    ),
+    probe_keys AS (
+      SELECT c_custkey FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000 FROM customer
+    ),
+    probe AS (
+      SELECT c.c_custkey,
+             c.c_custkey IN (SELECT k FROM build_keys) AS is_member,
+             (SELECT COUNT(*)
+              FROM (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j) j
+              WHERE {_duck_bucket("' || j.j || '", "c.c_custkey", BLOOM_M)}
+                    IN (SELECT pos FROM bloom)) = {BLOOM_K} AS bloom_positive
+      FROM probe_keys c
+    )
+    SELECT is_member, bloom_positive, CAST(COUNT(*) AS BIGINT) AS n_probed
+    FROM probe GROUP BY is_member, bloom_positive
+    """,
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter, hand-rolled on the cross-engine md5
+    hash ({BLOOM_K} salted positions in {BLOOM_M} bits) so the oracle
+    reproduces every bit (Spark's native bloom_filter_agg is
+    format-specific). Builds over orders' customer keys, probes every
+    customer, and emits the 2×2 (is_member × bloom_positive) confusion
+    matrix — the (member, not-positive) cell MUST be absent (Bloom
+    filters have no false negatives; the driver hash check enforces it),
+    and the false-positive cell quantifies the {BLOOM_M}-bit sizing.
+
+    Scale: this is the semi-join pre-filter for shuffle pruning — build
+    side reduces to ≤{BLOOM_M} bit positions (broadcastable at any build
+    cardinality), probe is map-only; rows failing the bloom never enter
+    the join shuffle."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    build = o.select(F.col("o_custkey").alias("k")).distinct()
+    pos = None
+    for j in range(BLOOM_K):
+        pj = build.select((hex_hash64(F.col("k"), salt=f"{j}:") % BLOOM_M).alias("pos"))
+        pos = pj if pos is None else pos.unionByName(pj)
+    bloom = pos.distinct()
+    # Probe every customer PLUS a shifted copy guaranteed absent from the
+    # build side, so all reachable confusion-matrix cells are exercised.
+    probe_keys = c.select("c_custkey").unionByName(
+        c.select((F.col("c_custkey") + 1_000_000).alias("c_custkey"))
+    )
+    probe = probe_keys.select(
+        "c_custkey",
+        *[
+            (hex_hash64(F.col("c_custkey"), salt=f"{j}:") % BLOOM_M).alias(f"p{j}")
+            for j in range(BLOOM_K)
+        ],
+    )
+    for j in range(BLOOM_K):
+        bj = bloom.select(F.col("pos").alias(f"bp{j}"))
+        probe = probe.join(
+            F.broadcast(bj), probe[f"p{j}"] == bj[f"bp{j}"], "left"
+        ).withColumn(f"hit{j}", F.col(f"bp{j}").isNotNull())
+    bloom_positive = F.expr(" AND ".join(f"hit{j}" for j in range(BLOOM_K)))
+    membership = probe_keys.join(
+        build.select(F.col("k").alias("c_custkey")).distinct(), "c_custkey", "left_semi"
+    ).withColumn("is_member_flag", F.lit(True))
+    out = (
+        probe.join(F.broadcast(membership), "c_custkey", "left")
+        .select(
+            F.coalesce(F.col("is_member_flag"), F.lit(False)).alias("is_member"),
+            bloom_positive.alias("bloom_positive"),
+        )
+        .groupBy("is_member", "bloom_positive")
+        .agg(F.count("*").cast("bigint").alias("n_probed"))
+    )
+    return out

@@ -62,6 +62,8 @@ _FIRST = [
     "benchmark_contamination",
     "kmv_distinct_estimate",
     "exact_percentiles_by_priority",
+    "heavy_hitters_cms",
+    "bloom_filter_probe",
     "multimodal_features",
     "embedding_ann_lsh",
     "embedding_ivf_topk",
@@ -109,6 +111,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sketches,
         text,
         windows_sql,
     )
