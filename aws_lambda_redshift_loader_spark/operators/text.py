@@ -575,3 +575,115 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "tfidf_q", "rank")
     )
+
+
+PR_ITERS = 3  # fixed PageRank rounds (unrolled in the oracle)
+PR_SCALE = 1_000_000  # integer rank scale
+# Integer damping: teleport = (SCALE*15) div 100, propagate 85%.
+_PR_BASE = (PR_SCALE * 15) // 100
+
+_PR_GRAPH_CTE = r"""
+words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+  FROM documents
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (
+    SELECT ws[i] AS src, ws[i + 1] AS dst
+    FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i)
+    WHERE len(ws) >= 2
+  ) GROUP BY src, dst
+),
+outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+)
+"""
+
+
+def _pagerank_oracle(iters: int) -> str:
+    parts = [f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"]
+    for t in range(iters):
+        parts.append(
+            f"""r{t + 1} AS (
+      SELECT n.node,
+             {_PR_BASE} + (85 * coalesce(s.contrib, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM((p.r * e.w) // o.wout) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN r{t} p ON p.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        )
+    chained = ",\n    ".join(parts)
+    return f"""
+    WITH {_PR_GRAPH_CTE},
+    {chained}
+    SELECT node AS token, CAST(r AS BIGINT) AS rank_q FROM r{iters}
+    """
+
+
+@register("pagerank_token_graph", _pagerank_oracle(PR_ITERS))
+def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed token-bigram graph (word → next word,
+    weighted by corpus bigram counts) — {PR_ITERS} fixed rounds, the
+    second iterative-algorithm family next to connected components.
+    Token authority on the co-occurrence graph surfaces hub/function
+    words (a TextRank-style centrality usable for stopword discovery).
+
+    Cross-engine determinism by INTEGER arithmetic end to end: ranks are
+    {PR_SCALE}-scaled int64; per-edge contribution is (r·w) div w_out,
+    damping is (85·sum) div 100 + a constant integer teleport — all
+    positive integer division (floor == truncate), so no float ever
+    appears and the unrolled-CTE oracle matches bit-for-bit. (Dangling
+    mass is not redistributed — the uniform-teleport variant — noted so
+    the parity claim is exact.)
+
+    Scale: per round one join edges⋈ranks (shuffle on src) + one grouped
+    sum (shuffle on dst) — the Pregel shape; state is one int per node.
+    Rank skew (celebrity nodes) is absorbed by the map-side combine on
+    dst."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.split(norm_text("text"), " ").alias("ws")).filter(F.size("ws") >= 2)
+    edges = (
+        words.select(
+            F.explode(
+                F.expr("transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                       "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    edges = edges.join(outdeg, "src")
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("(r * w) div wout").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("contrib"))
+        )
+        ranks = nodes.join(
+            contribs, nodes.node == contribs.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("85 * coalesce(contrib, 0) div 100")
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.select(F.col("node").alias("token"), F.col("r").alias("rank_q"))

@@ -64,6 +64,7 @@ _FIRST = [
     "exact_percentiles_by_priority",
     "heavy_hitters_cms",
     "bloom_filter_probe",
+    "pagerank_token_graph",
     "multimodal_features",
     "embedding_ann_lsh",
     "embedding_ivf_topk",
