@@ -151,16 +151,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns its inverted-index bucket into a quadratic hot spot; with it
     per-shingle pair work is bounded by C(cap, 2) regardless of corpus
     size. Near-dup pairs share many RARE shingles, so discriminative
-    signal survives."""
+    signal survives.
+
+    Scale: both the DF cap and the per-doc set size ride on the shingle
+    rows as window aggregates (partitioned by shingle / by doc_id), so
+    the verify step needs NO join against a per-document sizes table —
+    the old broadcast(sizes) hint would have collected one row per
+    corpus document onto the driver, an OOM at real corpus scale."""
+    from pyspark.sql.window import Window as W
+
     sh = _shingles(spark, sf_dir)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
-        .select("shingle")
+    # Document frequency per shingle as a window count — reuses the
+    # shingle partitioning the self-join needs anyway; no broadcast
+    # anti-join against an unbounded hot-shingle table.
+    sh = (
+        sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
+        .drop("df")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # Capped set size per doc, carried on every shingle row: constant per
+    # doc_id, so MIN over the pair group recovers it exactly.
+    sh = sh.withColumn("n_shingles", F.count("*").over(W.partitionBy("doc_id")))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -169,17 +180,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("a.n_shingles").alias("na"),
+            F.min("b.n_shingles").alias("nb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jaccard = F.col("n_common").cast("double") / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
+        inter.select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -270,7 +281,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the sub-quadratic path — candidate generation is a
     shuffle on (band, band_key); only bucket collisions are verified.
+    The per-doc set size rides on the shingle rows as a window count, so
+    the verify needs no join against (let alone broadcast of) a
+    one-row-per-document sizes table.
     """
+    from pyspark.sql.window import Window as W
+
     sh = _shingles(spark, sf_dir)
     # One md5 per distinct (doc, shingle); 16 affine permutations as
     # sixteen MIN aggregate columns over it — a single shuffle on doc_id,
@@ -309,9 +325,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sha = sh.alias("sha")
-    shb = sh.alias("shb")
+    sh_n = sh.withColumn("n_shingles", F.count("*").over(W.partitionBy("doc_id")))
+    sha = sh_n.alias("sha")
+    shb = sh_n.alias("shb")
     inter = (
         cands.alias("c")
         .join(sha, F.col("sha.doc_id") == F.col("c.doc_a"))
@@ -321,17 +337,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sha.shingle") == F.col("shb.shingle")),
         )
         .groupBy("c.doc_a", "c.doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("sha.n_shingles").alias("na"),
+            F.min("shb.n_shingles").alias("nb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jaccard = F.col("n_common").cast("double") / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 

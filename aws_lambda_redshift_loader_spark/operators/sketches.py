@@ -184,11 +184,16 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(bj), probe[f"p{j}"] == bj[f"bp{j}"], "left"
         ).withColumn(f"hit{j}", F.col(f"bp{j}").isNotNull())
     bloom_positive = F.expr(" AND ".join(f"hit{j}" for j in range(BLOOM_K)))
-    membership = probe_keys.join(
-        build.select(F.col("k").alias("c_custkey")).distinct(), "c_custkey", "left_semi"
-    ).withColumn("is_member_flag", F.lit(True))
+    # Ground-truth membership: plain keyed left join against the distinct
+    # build keys — NO broadcast hint (build cardinality is unbounded;
+    # forcing a driver collect+broadcast of it is the 100 TB OOM the
+    # bloom filter itself exists to avoid). AQE picks the strategy from
+    # runtime stats.
+    membership = build.select(F.col("k").alias("c_custkey")).withColumn(
+        "is_member_flag", F.lit(True)
+    )
     out = (
-        probe.join(F.broadcast(membership), "c_custkey", "left")
+        probe.join(membership, "c_custkey", "left")
         .select(
             F.coalesce(F.col("is_member_flag"), F.lit(False)).alias("is_member"),
             bloom_positive.alias("bloom_positive"),

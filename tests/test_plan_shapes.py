@@ -59,6 +59,34 @@ def test_longest_prefix_route_broadcasts_config_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def _analyzed(spark, name):
+    # Post-analysis, pre-optimization plan: explicit broadcast()/hint()
+    # calls survive here as ResolvedHint nodes, so this is the one place
+    # a forced-broadcast anti-pattern is mechanically detectable (the
+    # optimizer folds hints into join nodes later).
+    df = SPECS[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+@pytest.mark.parametrize("name", ["ngram_jaccard_pairs", "minhash_lsh_pairs"])
+def test_dedup_verify_never_hints_broadcast(spark, name):
+    # The verify step must not broadcast a one-row-per-document sizes
+    # table (unbounded at corpus scale → driver OOM). n_shingles rides on
+    # the candidate rows instead; no hint of any kind is acceptable here.
+    assert "ResolvedHint" not in _analyzed(spark, name)
+
+
+def test_bloom_probe_broadcasts_only_bounded_bitsets(spark):
+    # The only legitimate broadcasts in the bloom probe are the K
+    # bit-position tables, each <= BLOOM_M rows by construction. The
+    # ground-truth membership join (unbounded build-key cardinality)
+    # must carry no hint.
+    from aws_lambda_redshift_loader_spark.operators.sketches import BLOOM_K
+
+    plan = _analyzed(spark, "bloom_filter_probe")
+    assert plan.count("ResolvedHint") <= BLOOM_K
+
+
 @pytest.mark.parametrize(
     "name",
     ["pricing_summary", "langid_heuristic", "gopher_quality_rules", "token_count"],
