@@ -56,6 +56,11 @@ def tune(spark: SparkSession) -> SparkSession:
     # The events fixture carries TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects; read as int64 nanos and convert (see table()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixtures written as naive timestamp[us] would otherwise surface as
+    # TIMESTAMP_NTZ, which withWatermark() and numeric casts reject. With
+    # the session pinned to UTC, reading them as TIMESTAMP (LTZ) yields
+    # byte-identical values to DuckDB's naive interpretation.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     try:
         # Local test scale: ~cores. At cluster scale AQE re-coalesces anyway.
         spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -96,6 +101,11 @@ def normalize_nanos(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Defensive: a session whose NTZ-inference conf we could not
+            # flip (tune() failed or ran after the scan) still gets LTZ
+            # columns; session tz is UTC so the instant is unchanged.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
