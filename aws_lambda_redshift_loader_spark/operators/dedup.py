@@ -153,44 +153,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. Near-dup pairs share many RARE shingles, so discriminative
     signal survives.
 
-    Scale: both the DF cap and the per-doc set size ride on the shingle
-    rows as window aggregates (partitioned by shingle / by doc_id), so
-    the verify step needs NO join against a per-document sizes table —
-    the old broadcast(sizes) hint would have collected one row per
-    corpus document onto the driver, an OOM at real corpus scale."""
-    from pyspark.sql.window import Window as W
-
+    Scale: the DF filter is a groupBy(shingle) partial aggregate — a hot
+    stop-phrase collapses to ONE (shingle, count) row at the map side
+    instead of materializing every occurrence in a single window task —
+    joined back on shingle with no hint, so the shingle-partitioned
+    stream feeds the self-join with no extra exchange. Per-doc set sizes
+    are a separate small aggregate joined to the already-aggregated
+    candidate pairs (hint-free; AQE sizes the strategy at runtime)."""
     sh = _shingles(spark, sf_dir)
-    # Document frequency per shingle as a window count — reuses the
-    # shingle partitioning the self-join needs anyway; no broadcast
-    # anti-join against an unbounded hot-shingle table.
-    sh = (
-        sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+    # Document frequency per shingle via groupBy: map-side partial agg
+    # bounds the hot-key cost, and the join back on shingle leaves the
+    # surviving rows partitioned exactly as the self-join needs.
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
-        .drop("df")
+        .select("shingle")
     )
-    # Capped set size per doc, carried on every shingle row: constant per
-    # doc_id, so MIN over the pair group recovers it exactly.
-    sh = sh.withColumn("n_shingles", F.count("*").over(W.partitionBy("doc_id")))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    capped = sh.join(keep, "shingle")
+    # Capped set size per doc: one row per document, joined AFTER the
+    # pair aggregation (candidate pairs are far fewer than shingle rows).
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = capped.alias("a")
+    b = capped.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count("*").alias("n_common"),
-            F.min("a.n_shingles").alias("na"),
-            F.min("b.n_shingles").alias("nb"),
-        )
+        .agg(F.count("*").alias("n_common"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jaccard = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 

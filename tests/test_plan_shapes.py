@@ -78,13 +78,43 @@ def test_dedup_verify_never_hints_broadcast(spark, name):
 
 def test_bloom_probe_broadcasts_only_bounded_bitsets(spark):
     # The only legitimate broadcasts in the bloom probe are the K
-    # bit-position tables, each <= BLOOM_M rows by construction. The
-    # ground-truth membership join (unbounded build-key cardinality)
-    # must carry no hint.
+    # bit-position tables, each <= BLOOM_M rows by construction — all K
+    # must be present (dropping one degrades the probe to a shuffle).
+    # The ground-truth membership join (unbounded build-key cardinality)
+    # must carry no hint: no ResolvedHint subtree may mention the
+    # membership flag column.
     from aws_lambda_redshift_loader_spark.operators.sketches import BLOOM_K
 
     plan = _analyzed(spark, "bloom_filter_probe")
-    assert plan.count("ResolvedHint") <= BLOOM_K
+    assert plan.count("ResolvedHint") == BLOOM_K
+    for subtree in _hint_subtrees(plan):
+        assert "is_member_flag" not in subtree, (
+            "broadcast hint reattached to the unbounded membership join:\n" + subtree
+        )
+
+
+def _hint_subtrees(plan: str) -> list[str]:
+    # A node's subtree in Spark's tree rendering is the run of following
+    # lines with strictly greater indentation (indent = chars before the
+    # node name, counting the +-/:- connector prefix).
+    lines = plan.splitlines()
+
+    def indent(line: str) -> int:
+        stripped = line.lstrip(" :+-")
+        return len(line) - len(stripped)
+
+    subtrees = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        depth = indent(line)
+        block = [line]
+        for nxt in lines[i + 1 :]:
+            if indent(nxt) <= depth:
+                break
+            block.append(nxt)
+        subtrees.append("\n".join(block))
+    return subtrees
 
 
 @pytest.mark.parametrize(
