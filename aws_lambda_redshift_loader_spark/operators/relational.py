@@ -1055,6 +1055,48 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_shape_roundtrip",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           concat('{"event_id":', event_id,
+                  ',"event_type":"', event_type,
+                  '","k":', CAST(json_extract(props, '$.k') AS INT), '}') AS body
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    """,
+)
+def json_shape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 JSON both directions (the manifest/SNS body shapes the
+    reference serializes at index.js:862 and index.js:941, and re-parses
+    at failedBatchReprocessingLambda.js:106,140-141): typed parse via
+    `from_json` with an explicit schema, then `to_json` re-serialization
+    of a struct — the notification-body round trip as one query. The
+    oracle rebuilds Spark's compact to_json rendering by concatenation,
+    so field order and separators are hash-checked too.
+
+    Scale: both functions are JVM codegen expressions (Jackson under
+    whole-stage codegen) — map-only, no Python, no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    ).filter(F.col("p.k").isNotNull())
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("p.k").alias("k"),
+            )
+        ).alias("body"),
+    )
+
+
+@register(
     "conditional_case",
     """
     SELECT o_orderkey,

@@ -114,6 +114,97 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_CAND_DOCS = 50  # bounded candidate-sample size for the sketch-only form
+
+
+@register(
+    "heavy_hitters_cms_only",
+    f"""
+    WITH tokens AS (
+      SELECT u.token
+      FROM (SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS token) u
+    ),
+    cms AS (
+      SELECT d.i, {_duck_bucket("' || d.i || '", "tokens.token", CMS_WIDTH)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tokens, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i) d
+      GROUP BY d.i, bucket
+    ),
+    candidates AS (
+      SELECT DISTINCT u.token
+      FROM (SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+            FROM documents WHERE doc_id < {CMS_CAND_DOCS}),
+           LATERAL (SELECT unnest(ws) AS token) u
+    ),
+    est AS (
+      SELECT e.token, MIN(cms.c) AS cms_estimate
+      FROM candidates e,
+           (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i) d
+      JOIN cms ON cms.i = d.i
+             AND cms.bucket = {_duck_bucket("' || d.i || '", "e.token", CMS_WIDTH)}
+      GROUP BY e.token
+    )
+    SELECT token, cms_estimate, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, token ASC) AS rank
+      FROM est
+    ) WHERE rank <= {CMS_TOP}
+    """,
+)
+def heavy_hitters_cms_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters, production shape: the full corpus touches ONLY the
+    sketch (groupBy bucket with map-side combine — the shuffle carries at
+    most {CMS_DEPTH}×{CMS_WIDTH} rows per map partition, bounded by
+    construction regardless of corpus size). Candidate keys come from a
+    bounded sample (the first {CMS_CAND_DOCS} documents — partition-
+    prunable on doc_id) and are scored by probing the sketch; unlike
+    `heavy_hitters_cms` there is NO exact per-token groupBy anywhere in
+    the plan — that exact side is the very cost CMS exists to avoid, and
+    the companion query keeps it only as a self-auditing check.
+
+    Estimates are upward-biased by collisions (CMS guarantee: never an
+    underestimate), and the candidate sample bounds recall — both are the
+    documented trade of the sketch."""
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    cms = None
+    for i in range(CMS_DEPTH):
+        row = (
+            tokens.groupBy(
+                (hex_hash64(F.col("token"), salt=f"{i}:") % CMS_WIDTH).alias("bucket")
+            )
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .select(F.lit(i).alias("i"), "bucket", "c")
+        )
+        cms = row if cms is None else cms.unionByName(row)
+    candidates = (
+        d.filter(F.col("doc_id") < CMS_CAND_DOCS)
+        .select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
+        .distinct()
+    )
+    est = candidates
+    for i in range(CMS_DEPTH):
+        row_i = cms.filter(F.col("i") == i).select(
+            F.col("bucket").alias(f"rb{i}"), F.col("c").alias(f"c{i}")
+        )
+        # The CMS rows are bounded (DEPTH×WIDTH) — broadcast is safe at
+        # any corpus size, unlike a per-key aggregate.
+        est = est.join(
+            F.broadcast(row_i),
+            (hex_hash64(F.col("token"), salt=f"{i}:") % CMS_WIDTH) == row_i[f"rb{i}"],
+        )
+    estimate = F.least(*[F.col(f"c{i}") for i in range(CMS_DEPTH)])
+    scored = est.select("token", estimate.alias("cms_estimate"))
+    w = W.orderBy(F.col("cms_estimate").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CMS_TOP)
+        .select("token", "cms_estimate", "rank")
+    )
+
+
 BLOOM_M = 4096  # bits
 BLOOM_K = 3  # hash functions
 

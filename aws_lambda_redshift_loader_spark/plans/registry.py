@@ -53,7 +53,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # streaming forms sit at each block's tail so a time-budgeted harness spends
 # its window on cheap analytic queries, not fixed streaming machinery cost.
 _FIRST = [
-    # round-3 new queries (no prior correctness row) go first
+    # round-5 new queries (no prior correctness row) go first
+    "json_shape_roundtrip",
+    "heavy_hitters_cms_only",
+    # round-5 repaired queries (errored in r4 on NTZ timestamps)
+    "sessionize_gaps_islands",
+    "stream_tumbling_counts",
+    "stream_dedup_dropduplicates",
+    # round-3 new queries
     "kmeans_step",
     "embedding_cosine_neardup_exact",
     "gopher_quality_rules",
@@ -88,16 +95,13 @@ _FIRST = [
     "tumbling_window_events",
     "sliding_window_events",
     "session_window_events",
-    "sessionize_gaps_islands",
     "window_range_frame_spend",
     "resample_fill_gaps",
     "first_last_orders",
     # previously-unverified streaming forms (fixed per-query machinery cost)
-    "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_counts",
     "stream_stateful_batcher",
-    "stream_dedup_dropduplicates",
 ]
 
 

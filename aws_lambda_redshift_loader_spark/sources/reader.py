@@ -54,6 +54,19 @@ def read_files(
             f"unsupported data format {config.data_format}"  # index.js:1193
         )
 
+    paths = files if isinstance(files, list) else [files]
+    if fmt == "AVRO":
+        # JVM spark-avro datasource when deployed; otherwise the engine's
+        # own container-file decoder (sources/avro_io.py) over a
+        # distributed binaryFile scan. Schema comes from the file header
+        # either way (Avro is self-describing).
+        from .avro_io import read_avro
+
+        df = read_avro(spark, paths)
+        if config.column_list:
+            df = df.select(*config.column_list)  # P7 ordered projection
+        return df
+
     reader = spark.read
     if config.schema:
         reader = reader.schema(config.schema)
@@ -76,7 +89,6 @@ def read_files(
     else:
         reader = reader.format(fmt.lower())
 
-    paths = files if isinstance(files, list) else [files]
     df = reader.load(paths)
 
     if fmt == "JSON" and config.json_path:

@@ -117,6 +117,21 @@ def _hint_subtrees(plan: str) -> list[str]:
     return subtrees
 
 
+def test_cms_only_probe_prunes_candidate_scan(spark):
+    # The sketch-only heavy-hitters form: the only per-token aggregate is
+    # the candidate DISTINCT over a doc_id-pruned scan (pushdown must
+    # reach parquet); the full-corpus side touches nothing keyed on token.
+    from aws_lambda_redshift_loader_spark.operators.sketches import CMS_CAND_DOCS
+
+    plan = _formatted(spark, "heavy_hitters_cms_only")
+    assert f"LessThan(doc_id,{CMS_CAND_DOCS})" in plan, "candidate scan not pruned"
+    # The sketch build aggregates on `bucket` (bounded WIDTH), never on a
+    # raw token column: no exact per-token count anywhere in this plan.
+    aggs = [ln for ln in plan.splitlines() if "Keys [1]: [token" in ln]
+    # Only the candidate-distinct (pruned side) may key on token.
+    assert len(aggs) <= 2, f"unexpected token-keyed aggregates:\n" + "\n".join(aggs)
+
+
 @pytest.mark.parametrize(
     "name",
     ["pricing_summary", "langid_heuristic", "gopher_quality_rules", "token_count"],
