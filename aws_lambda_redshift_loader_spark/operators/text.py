@@ -687,3 +687,204 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("r"),
         )
     return ranks.select(F.col("node").alias("token"), F.col("r").alias("rank_q"))
+
+
+# CCNet-style LM-quality proxy (Wenzek et al. 2020): score each document
+# by the mean unigram surprisal -ln p(token) under the corpus's own
+# unigram distribution. Low mean surprisal ≈ boilerplate/repetitive text;
+# high ≈ rare-token noise — the standard first-pass perplexity filter
+# before a real LM scores the corpus. ln() is NOT correctly rounded
+# across engines (Java Math.log vs libm differ by 1 ulp), so every
+# logarithm is quantized to floor(ln(x)*1e6) BIGINT on BOTH sides and all
+# downstream arithmetic is integer-exact.
+_SURPRISAL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        FROM documents),
+       LATERAL (SELECT unnest(ws) AS token) u
+),
+vocab AS (
+  SELECT token, CAST(floor(ln(COUNT(*)) * 1e6) AS BIGINT) AS q_ln_cnt
+  FROM toks GROUP BY token
+),
+tot AS (
+  SELECT CAST(floor(ln(COUNT(*)) * 1e6) AS BIGINT) AS q_ln_total FROM toks
+),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(v.q_ln_cnt) AS sum_q
+  FROM toks t JOIN vocab v ON v.token = t.token
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens * q_ln_total - sum_q AS BIGINT) AS surprisal_q,
+       CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens AS mean_surprisal_q
+FROM per_doc, tot
+"""
+
+
+@register("unigram_logprob_quality", _SURPRISAL_ORACLE)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document (micro-nats): -ln p(tok) =
+    ln(N_total) - ln(cnt_tok) summed over occurrences, all logs quantized
+    to int64 micro-nats so the oracle matches bit-for-bit.
+
+    Scale: vocab is a token-keyed groupBy with map-side combine; the
+    tokens⋈vocab join shuffles on token with NO broadcast hint (vocab
+    cardinality is unbounded — AQE decides); the corpus total is a 1-row
+    aggregate, the one genuinely broadcast-safe shape. Per-doc reduce is
+    a second map-side-combined groupBy. Nothing Python, nothing driver."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(
+        F.floor(F.ln(F.count("*")) * 1e6).cast("bigint").alias("q_ln_cnt")
+    )
+    total = toks.agg(
+        F.floor(F.ln(F.count("*")) * 1e6).cast("bigint").alias("q_ln_total")
+    )
+    per_doc = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("q_ln_cnt").alias("sum_q"))
+    )
+    surprisal = F.col("n_tokens") * F.col("q_ln_total") - F.col("sum_q")
+    return per_doc.crossJoin(total).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        surprisal.cast("bigint").alias("surprisal_q"),
+        (surprisal.cast("double") / F.col("n_tokens")).alias("mean_surprisal_q"),
+    )
+
+
+@register(
+    "domain_mix_report",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+               AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+    FROM toks
+    GROUP BY source, lang
+    """,
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (source, lang): doc/token/char totals and
+    mean length — the mixture report every training-data pipeline keeps
+    in front of its sampling weights (what fraction of the corpus is
+    which domain, in which language, at what verbosity).
+
+    Scale: token counts are size(split()) projections (no explode — the
+    per-doc count never materializes token rows), then one
+    map-side-combined groupBy on a low-cardinality key."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "lang", "n_chars",
+        F.size(F.split(norm_text("text"), " ")).alias("n_tokens"),
+    )
+    return toks.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
+    )
+
+
+# Temperature-resampling gate scale: rates are floor-quantized to parts
+# per RESAMPLE_SCALE so the hash gate is integer-exact in both engines.
+RESAMPLE_SCALE = 1_000_000
+RESAMPLE_TARGET_PER_SOURCE = 2.0  # K: kept docs per source ~ K*sqrt(n_s)
+
+
+@register(
+    "temperature_resample",
+    f"""
+    WITH sized AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    rated AS (
+      -- keep-rate r_s = min(1, K/sqrt(n_s)): sampling proportional to
+      -- n^0.5 (temperature alpha=0.5). sqrt and divide are correctly
+      -- rounded IEEE ops, so the quantized rate matches across engines.
+      SELECT source, n_docs,
+             CAST(floor(least(1.0, {RESAMPLE_TARGET_PER_SOURCE} / sqrt(n_docs))
+                        * {RESAMPLE_SCALE}) AS BIGINT) AS rate_q
+      FROM sized
+    )
+    SELECT d.doc_id, d.source, r.rate_q
+    FROM documents d JOIN rated r ON r.source = d.source
+    WHERE CAST(concat('0x', substr(md5(concat('resample:', CAST(d.doc_id AS VARCHAR))), 1, 15))
+               AS BIGINT) % {RESAMPLE_SCALE} < r.rate_q
+    """,
+)
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual/domain
+    rebalancing of Conneau & Lample 2019 at alpha=0.5): per-source keep
+    rate K/sqrt(n_s) flattens the domain distribution toward the small
+    sources; membership is a deterministic md5 gate on doc_id, so the
+    sample is reproducible and lineage-stable (same property as
+    stratified_sample, different target distribution).
+
+    Scale: per-source counts are a tiny aggregate; the gate is a map-only
+    predicate after a small-side join AQE will broadcast at runtime (the
+    source dimension is bounded by construction, unlike per-doc tables —
+    no manual hint either way)."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    rated = sized.select(
+        "source", "n_docs",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(RESAMPLE_TARGET_PER_SOURCE) / F.sqrt("n_docs"))
+            * RESAMPLE_SCALE
+        ).cast("bigint").alias("rate_q"),
+    )
+    gate = hex_hash64(F.col("doc_id").cast("string"), salt="resample:") % RESAMPLE_SCALE
+    return (
+        d.join(rated, "source")
+        .filter(gate < F.col("rate_q"))
+        .select("doc_id", "source", "rate_q")
+    )
+
+
+# Publicly-standard PII patterns (emails / E.164-ish phones), restricted
+# to the Java-regex ∩ RE2 subset (no backrefs, no lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+
+
+@register(
+    "pii_redaction",
+    f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count + redact email/phone spans with
+    placeholder tokens (the standard pre-training privacy filter). The
+    redacted text is emitted as an md5 so the oracle verifies the exact
+    output string without hauling full texts through the compare.
+
+    Scale: two regexp_replace projections, JVM codegen, map-only —
+    embarrassingly parallel at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).cast("bigint").alias("n_emails"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -362,3 +362,70 @@ def exact_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max(F.when(F.col("rn") == idx, F.col("o_totalprice"))).alias(f"p{int(p * 100)}")
         )
     return ranked.groupBy("o_orderpriority").agg(*aggs)
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    intervals AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS valid_to
+      FROM changes
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+             AS valid_to,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM intervals
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event stream into
+    validity intervals [valid_from, valid_to) per state (event_type),
+    open-ended on the current state — the canonical warehouse
+    dimension-history shape the reference's Redshift target consumes via
+    MERGE loads (our merge_upsert is the type-1 sibling; SURVEY §1.3
+    batch-status analog: batchOperations.js:279,358 status transitions).
+
+    Change detection = lag(); interval close = lead() over the change
+    rows only. Ties broken by event_id for a total order, so both engines
+    build identical histories.
+
+    Scale: two windows over the same (user_id, ts) partitioning — one
+    shuffle, states per user bounded by their event count; the sentinel
+    9999-12-31 keeps the open interval filterable without NULL logic."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ordered = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = W.partitionBy("user_id").orderBy(F.col("ts").asc())
+    intervals = changes.select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    return intervals.select(
+        "user_id", "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )

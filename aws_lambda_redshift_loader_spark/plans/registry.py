@@ -56,6 +56,11 @@ _FIRST = [
     # round-5 new queries (no prior correctness row) go first
     "json_shape_roundtrip",
     "heavy_hitters_cms_only",
+    "unigram_logprob_quality",
+    "scd2_user_state",
+    "domain_mix_report",
+    "temperature_resample",
+    "pii_redaction",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Scale-proof bench: measure the most expensive queries at sf0.1 AND at a
+derived 10x fixture, and record the observed scaling exponent per query in
+BENCH_SCALE.json. The 100 TB design claims elsewhere in this repo argue
+from plan shape; this catches super-linear surprises empirically (LSH
+bucket occupancy, connected-components iteration growth, window-state
+blowup) at the largest scale the sandbox sustains.
+
+The 10x fixture is DERIVED from the driver's sf0.1 parquet (never used
+for correctness — the oracle gate stays on driver data only) by
+replica-disjoint, structure-preserving transforms, so per-replica query
+structure is isomorphic to sf0.1 and cross-replica interaction is ~nil:
+
+- documents: 10 replicas; every token in replica r>0 gets a '~r' suffix
+  (disjoint vocabularies -> zero cross-replica shingles/near-dup pairs;
+  per-replica hot-shingle + near-dup structure preserved exactly);
+- embeddings: vec_ids shifted, vectors rolled by r dims (norms and
+  within-replica dot products preserved; cross-replica decorrelated);
+- events: ids/users shifted, ts shifted by r*400 days (no window overlap
+  across replicas -> group counts scale linearly);
+- lineitem/orders/customer: keys shifted per replica.
+
+Expected behavior is therefore LINEAR (exponent ~1 in data size) for
+every bucketed/aggregated query; the JSON records time10x/time1x and the
+implied exponent log10(ratio) so any super-linearity is visible at a
+glance. Fixed per-query overhead (session, file listing, Python worker
+spin-up) deflates small exponents below 1 — exponents are capped notes,
+not physics.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale_sf1")
+REPLICAS = 10
+
+# The bench set: the top of BENCH_DETAIL.json by cost, one query per
+# distinct scale-sensitive mechanism, plus a classic scan anchor.
+QUERIES = [
+    "minhash_lsh_pairs",          # LSH band join + candidate verify
+    "dedup_connected_components", # iterative label propagation
+    "ngram_jaccard_pairs",        # capped inverted-index self-join
+    "pagerank_token_graph",       # fixed-round iteration over bigram graph
+    "embedding_cosine_neardup",   # LSH buckets + integer verify
+    "winnowing_fingerprints",     # rolling-hash frame MIN
+    "simhash_neardup_pairs",      # banded 60-bit signatures
+    "heavy_hitters_cms",          # sketch + exact audit side
+    "heavy_hitters_cms_only",     # sketch-only form (bounded shuffle)
+    "embedding_ann_lsh",          # hyperplane LSH probe
+    "session_window_events",      # session windows over events
+    "pricing_summary",            # scan + groupBy anchor (lineitem)
+]
+
+
+def build_fixture() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+
+    def write(table: str, select_for_replica) -> None:
+        out = f"{DST}/{table}.parquet"
+        if os.path.exists(out):
+            return
+        parts = " UNION ALL ".join(select_for_replica(r) for r in range(REPLICAS))
+        con.execute(f"COPY ({parts}) TO '{out}' (FORMAT PARQUET)")
+        print(f"# built {out}", file=sys.stderr, flush=True)
+
+    src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"
+
+    write(
+        "documents",
+        lambda r: (
+            f"SELECT doc_id + {r * 10_000} AS doc_id, "
+            + (
+                "text, "
+                if r == 0
+                else f"regexp_replace(text, '(\\S+)', '\\1~{r}', 'g') AS text, "
+            )
+            + f"lang, source, n_chars FROM {src('documents')}"
+        ),
+    )
+    write(
+        "embeddings",
+        lambda r: (
+            f"SELECT vec_id + {r * 10_000} AS vec_id, "
+            + (
+                "embedding, "
+                if r == 0
+                else f"list_concat(embedding[{r + 1}:], embedding[1:{r}]) AS embedding, "
+            )
+            + f"label FROM {src('embeddings')}"
+        ),
+    )
+    write(
+        "events",
+        lambda r: (
+            f"SELECT event_id + {r * 1_000_000} AS event_id, "
+            f"ts + INTERVAL {r * 400} DAY AS ts, "
+            f"user_id + {r * 100_000} AS user_id, "
+            f"event_type, value, props FROM {src('events')}"
+        ),
+    )
+    write(
+        "lineitem",
+        lambda r: (
+            f"SELECT * REPLACE (l_orderkey + {r * 10_000_000} AS l_orderkey) "
+            f"FROM {src('lineitem')}"
+        ),
+    )
+    # Small dimensions pass through unchanged (queries above touch only
+    # lineitem of the TPC-H side; orders etc. copied for completeness).
+    for t in ["orders", "customer", "supplier", "part", "nation", "region"]:
+        out = f"{DST}/{t}.parquet"
+        if not os.path.exists(out):
+            con.execute(f"COPY (SELECT * FROM {src(t)}) TO '{out}' (FORMAT PARQUET)")
+
+
+def run(spark, specs, sf_dir: str, name: str) -> float:
+    t0 = time.perf_counter()
+    specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith("stream_result_"):
+            spark.catalog.dropTempView(tbl.name)
+    return round(dt, 3)
+
+
+def main() -> None:
+    build_fixture()
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    from aws_lambda_redshift_loader_spark.plans.registry import load_all
+    from aws_lambda_redshift_loader_spark.session import get_spark
+
+    spark = get_spark("scale-bench")
+    specs = load_all()
+
+    # Warm JVM + Python worker daemon.
+    specs["pricing_summary"].fn(spark, SRC).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        print(f"# scale-bench {name} @1x", file=sys.stderr, flush=True)
+        t1 = run(spark, specs, SRC, name)
+        print(f"# scale-bench {name} @10x", file=sys.stderr, flush=True)
+        t10 = run(spark, specs, DST, name)
+        ratio = round(t10 / t1, 2) if t1 > 0 else None
+        results[name] = {
+            "sec_1x": t1,
+            "sec_10x": t10,
+            "ratio": ratio,
+            # time ~ size^e  =>  e = log10(t10/t1) for a 10x size step.
+            "exponent": round(math.log10(ratio), 2) if ratio and ratio > 0 else None,
+        }
+        print(f"# {name}: {t1}s -> {t10}s (ratio {ratio})", file=sys.stderr, flush=True)
+
+    out = {
+        "src": SRC,
+        "scale_dir": DST,
+        "replicas": REPLICAS,
+        "queries": results,
+        "note": (
+            "10x fixture derived from sf0.1 with replica-disjoint transforms; "
+            "expected scaling is linear (exponent ~1); fixed per-query overhead "
+            "deflates exponents below 1 on cheap queries"
+        ),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: v["ratio"] for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
