@@ -697,8 +697,7 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # across engines (Java Math.log vs libm differ by 1 ulp), so every
 # logarithm is quantized to floor(ln(x)*1e6) BIGINT on BOTH sides and all
 # downstream arithmetic is integer-exact.
-_SURPRISAL_ORACLE = r"""
-WITH toks AS (
+_SURPRISAL_CTES = r"""toks AS (
   SELECT doc_id, u.token
   FROM (SELECT doc_id,
                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
@@ -716,7 +715,10 @@ per_doc AS (
   SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(v.q_ln_cnt) AS sum_q
   FROM toks t JOIN vocab v ON v.token = t.token
   GROUP BY t.doc_id
-)
+)"""
+
+_SURPRISAL_ORACLE = f"""
+WITH {_SURPRISAL_CTES}
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_tokens * q_ln_total - sum_q AS BIGINT) AS surprisal_q,
@@ -725,17 +727,9 @@ FROM per_doc, tot
 """
 
 
-@register("unigram_logprob_quality", _SURPRISAL_ORACLE)
-def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean unigram surprisal per document (micro-nats): -ln p(tok) =
-    ln(N_total) - ln(cnt_tok) summed over occurrences, all logs quantized
-    to int64 micro-nats so the oracle matches bit-for-bit.
-
-    Scale: vocab is a token-keyed groupBy with map-side combine; the
-    tokens⋈vocab join shuffles on token with NO broadcast hint (vocab
-    cardinality is unbounded — AQE decides); the corpus total is a 1-row
-    aggregate, the one genuinely broadcast-safe shape. Per-doc reduce is
-    a second map-side-combined groupBy. Nothing Python, nothing driver."""
+def _doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, n_tokens, surprisal_q, mean_surprisal_q) — shared
+    by unigram_logprob_quality and ccnet_bucket."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
     vocab = toks.groupBy("token").agg(
@@ -755,6 +749,104 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         surprisal.cast("bigint").alias("surprisal_q"),
         (surprisal.cast("double") / F.col("n_tokens")).alias("mean_surprisal_q"),
+    )
+
+
+@register("unigram_logprob_quality", _SURPRISAL_ORACLE)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document (micro-nats): -ln p(tok) =
+    ln(N_total) - ln(cnt_tok) summed over occurrences, all logs quantized
+    to int64 micro-nats so the oracle matches bit-for-bit.
+
+    Scale: vocab is a token-keyed groupBy with map-side combine; the
+    tokens⋈vocab join shuffles on token with NO broadcast hint (vocab
+    cardinality is unbounded — AQE decides); the corpus total is a 1-row
+    aggregate, the one genuinely broadcast-safe shape. Per-doc reduce is
+    a second map-side-combined groupBy. Nothing Python, nothing driver."""
+    return _doc_surprisal(spark, sf_dir)
+
+
+_CCNET_SAMPLE_MOD = 10  # ~10% threshold-calibration sample
+
+
+@register(
+    "ccnet_bucket",
+    f"""
+    WITH {_SURPRISAL_CTES},
+    scored AS (
+      SELECT doc_id,
+             CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens AS mean_surprisal_q
+      FROM per_doc, tot
+    ),
+    sample AS (
+      SELECT mean_surprisal_q, doc_id FROM scored
+      WHERE CAST(concat('0x', substr(md5(concat('ppl:', CAST(doc_id AS VARCHAR))), 1, 15))
+                 AS BIGINT) % {_CCNET_SAMPLE_MOD} = 0
+    ),
+    ranked AS (
+      SELECT mean_surprisal_q,
+             row_number() OVER (ORDER BY mean_surprisal_q ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sample
+    ),
+    thr AS (
+      SELECT MAX(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                      THEN mean_surprisal_q END) AS t1,
+             MAX(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                      THEN mean_surprisal_q END) AS t2
+      FROM ranked
+    )
+    SELECT doc_id, mean_surprisal_q,
+           CASE WHEN mean_surprisal_q <= t1 THEN 'head'
+                WHEN mean_surprisal_q <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored, thr
+    """,
+)
+def ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning (Wenzek et al. 2020): tertile
+    thresholds of mean unigram surprisal are calibrated on a ~{100 // _CCNET_SAMPLE_MOD}%
+    deterministic md5-gated sample, then the FULL corpus is bucketed
+    map-only against the two broadcast cutoffs — low surprisal = 'head'
+    (fluent/common), high = 'tail' (rare-token noise).
+
+    Scale: this is the honest 100 TB shape for global quantile gating —
+    the global sort happens only on the bounded calibration sample (one
+    window task over ~N/{_CCNET_SAMPLE_MOD} rows at sample grain; at real
+    scale the gate modulus grows so the sample stays fixed-size), while
+    the corpus-wide pass is a cross join against a 1-row threshold
+    aggregate. Never rank 100 TB to bucket it."""
+    from pyspark.sql.window import Window as W
+
+    scored = _doc_surprisal(spark, sf_dir).select("doc_id", "mean_surprisal_q")
+    sample = scored.filter(
+        hex_hash64(F.col("doc_id").cast("string"), salt="ppl:") % _CCNET_SAMPLE_MOD == 0
+    )
+    rank_w = W.orderBy(F.col("mean_surprisal_q").asc(), F.col("doc_id").asc())
+    ranked = sample.select(
+        "mean_surprisal_q",
+        F.row_number().over(rank_w).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    thr = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") / 3.0), F.col("mean_surprisal_q")
+            )
+        ).alias("t1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 2 / 3.0), F.col("mean_surprisal_q")
+            )
+        ).alias("t2"),
+    )
+    return scored.crossJoin(thr).select(
+        "doc_id",
+        "mean_surprisal_q",
+        F.when(F.col("mean_surprisal_q") <= F.col("t1"), "head")
+        .when(F.col("mean_surprisal_q") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
 
 

@@ -429,3 +429,66 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    f"""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = '{FUNNEL_STAGES[1]}' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = '{FUNNEL_STAGES[2]}' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             t_view IS NOT NULL AS s1,
+             t_view IS NOT NULL AND t_click > t_view AS s2,
+             t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click AS s3
+      FROM firsts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+    FROM staged
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase): a user
+    reaches stage k when their earliest stage-k event strictly follows
+    their earliest reached stage-(k-1) event — the standard
+    product-analytics sequence operator, expressed as one conditional-MIN
+    aggregate per stage instead of per-row sequence scans.
+
+    NULL semantics carry the funnel logic: a missing earlier stage makes
+    the comparison NULL → false in both engines.
+
+    Scale: ONE groupBy(user_id) with three conditional MINs (map-side
+    combined), then a single global fold — no window, no self-join, no
+    per-event state; skew-safe because per-user output is one row."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in FUNNEL_STAGES
+        ]
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    staged = firsts.select(
+        s1.alias("s1"),
+        F.coalesce(s2, F.lit(False)).alias("s2"),
+        F.coalesce(s3, F.lit(False)).alias("s3"),
+    )
+    return staged.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("bigint").alias("reached_view"),
+        F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("bigint").alias("reached_click"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("bigint").alias("reached_purchase"),
+    )

@@ -61,6 +61,8 @@ _FIRST = [
     "domain_mix_report",
     "temperature_resample",
     "pii_redaction",
+    "funnel_conversion",
+    "ccnet_bucket",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
