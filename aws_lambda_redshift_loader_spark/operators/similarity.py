@@ -28,11 +28,20 @@ from pyspark.sql.window import Window as W
 from ..plans.registry import register
 from ..session import table
 
+import os as _os
+
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 QUANT = 10000
 N_TABLES = 8  # LSH hash tables (bands)
-PLANES_PER_TABLE = 4  # signature bits per table
+# Signature bits per table: an index-geometry BUILD parameter, not a
+# constant of the algorithm. Per-bucket occupancy is ~N/2^bits, so bits
+# must grow ~log2(N) to keep the bucket self-join linear in N (the
+# BENCH_SCALE.json embedding entries measure exactly this). Both the
+# engine AND the DuckDB oracles derive from this one value at import
+# time, so any setting stays hash-verifiable; 4 suits the driver's
+# sf0.001-0.1 fixtures (N=200-2000).
+PLANES_PER_TABLE = int(_os.environ.get("ALRS_LSH_BITS", "4"))
 DIM = 64
 
 

@@ -89,18 +89,44 @@ def build_fixture() -> None:
             + f"lang, source, n_chars FROM {src('documents')}"
         ),
     )
-    write(
-        "embeddings",
-        lambda r: (
-            f"SELECT vec_id + {r * 10_000} AS vec_id, "
-            + (
-                "embedding, "
-                if r == 0
-                else f"list_concat(embedding[{r + 1}:], embedding[1:{r}]) AS embedding, "
-            )
-            + f"label FROM {src('embeddings')}"
-        ),
-    )
+    # Embeddings: element-wise deterministic ±1 mask per replica. Sign
+    # flips preserve norms and within-replica dot products EXACTLY (the
+    # replica is isomorphic to sf0.1), while cross-replica similarities
+    # decorrelate. (A cyclic roll does NOT work: roll(v,r1)·roll(v,r2) is
+    # v's autocorrelation, which is large for structured vectors — the
+    # first run's 24x embedding_cosine_neardup blowup was that artifact,
+    # 10 correlated copies of every vector flooding the candidate stage.)
+    emb_out = f"{DST}/embeddings.parquet"
+    if not os.path.exists(emb_out):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SRC}/embeddings.parquet")
+        vec_ids = t["vec_id"].to_numpy()
+        labels = t["label"].to_numpy()
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        dim = emb.shape[1]
+        ids_all, labs_all, emb_all = [], [], []
+        for r in range(REPLICAS):
+            mask = (
+                1 - 2 * (((np.arange(dim) * 2_654_435_761 + r * 97) >> 3) & 1)
+            ).astype(np.float32) if r else np.ones(dim, dtype=np.float32)
+            ids_all.append(vec_ids + r * 10_000)
+            labs_all.append(labels)
+            emb_all.append(emb * mask)
+        out_t = pa.table(
+            {
+                "vec_id": np.concatenate(ids_all),
+                "embedding": pa.array(
+                    [row for block in emb_all for row in block.tolist()],
+                    type=t.schema.field("embedding").type,
+                ),
+                "label": np.concatenate(labs_all),
+            }
+        )
+        pq.write_table(out_t, emb_out)
+        print(f"# built {emb_out}", file=sys.stderr, flush=True)
     write(
         "events",
         lambda r: (
@@ -137,6 +163,9 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
 
 
 def main() -> None:
+    # Optional query-name args: re-measure a subset (results merge into an
+    # existing BENCH_SCALE.json instead of replacing it).
+    subset = [a for a in sys.argv[1:] if a in QUERIES]
     build_fixture()
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
@@ -149,14 +178,23 @@ def main() -> None:
     # Warm JVM + Python worker daemon.
     specs["pricing_summary"].fn(spark, SRC).write.format("noop").mode("overwrite").save()
 
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json")
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    if subset and os.path.exists(path):
+        with open(path) as fh:
+            results = json.load(fh).get("queries", {})
+    # LSH geometry override runs record under a suffixed key so the
+    # default-geometry entry and the scaled-geometry entry coexist.
+    key_suffix = (
+        f"@bits={os.environ['ALRS_LSH_BITS']}" if os.environ.get("ALRS_LSH_BITS") else ""
+    )
+    for name in subset or QUERIES:
         print(f"# scale-bench {name} @1x", file=sys.stderr, flush=True)
         t1 = run(spark, specs, SRC, name)
         print(f"# scale-bench {name} @10x", file=sys.stderr, flush=True)
         t10 = run(spark, specs, DST, name)
         ratio = round(t10 / t1, 2) if t1 > 0 else None
-        results[name] = {
+        results[name + key_suffix] = {
             "sec_1x": t1,
             "sec_10x": t10,
             "ratio": ratio,
@@ -176,7 +214,6 @@ def main() -> None:
             "deflates exponents below 1 on cheap queries"
         ),
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v["ratio"] for k, v in results.items()}))
