@@ -503,10 +503,10 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_connected_components",
-    f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
+# Recursive-CTE fixpoint of min-label propagation over the verified LSH
+# pair graph — shared by dedup_connected_components and
+# dedup_cluster_keep_best.
+_CC_CTES = f"""{_SHINGLES_CTE},
     {_MINHASH_CTE},
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -538,7 +538,13 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node, node AS reached FROM nodes
       UNION
       SELECT e.dst, r.reached FROM reach r JOIN edges e ON e.src = r.node
-    )
+    )"""
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_CC_CTES}
     SELECT node AS doc_id, MIN(reached) AS cluster_id
     FROM reach GROUP BY node
     """,
@@ -669,5 +675,93 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bench_doc",
             "n_common",
             (F.col("n_common").cast("double") / F.col("n_bench_shingles")).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    clusters AS (
+      SELECT node AS doc_id, MIN(reached) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    quality AS (
+      SELECT doc_id,
+             (CAST(length(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b'))
+                   AS DOUBLE)
+              / greatest(length(regexp_extract_all(text, '\\S+')), 1)) * 2.0
+             - (CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                / length(text)) * 3.0
+             + (CASE WHEN length(regexp_extract_all(text, '\\S+')) BETWEEN 20 AND 1000
+                     THEN 1.0 ELSE 0.0 END) AS quality_score
+      FROM documents
+    ),
+    membership AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, q.quality_score
+      FROM documents d
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      JOIN quality q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality_score,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality_score DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM membership
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-pipeline dedup decision: near-dup clusters (MinHash-LSH
+    pairs → connected components) each keep exactly ONE survivor — the
+    member with the best heuristic quality score (ties to the lowest
+    doc_id); docs outside any cluster are their own singleton cluster.
+    This is the step that turns pairwise similarity into the actual
+    training-set membership list, choosing the best-written copy instead
+    of an arbitrary one.
+
+    Quality is text.quality_score's fixed-order double expression
+    (hash-verified on its own), so the argmax is cross-engine stable.
+
+    Scale: inherits the CC iteration (O(cluster diameter) rounds); the
+    keep-best pass adds one left join of the corpus against the (much
+    smaller) clustered set and one per-cluster window — cluster sizes
+    are near-dup group sizes, naturally bounded after the hot-shingle
+    cap, so the window partition never degenerates."""
+    from ..operators import text as _text
+
+    d = table(spark, sf_dir, "documents")
+    clusters = dedup_connected_components(spark, sf_dir)
+    quality = _text.quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    membership = (
+        d.select("doc_id")
+        .join(clusters.withColumnRenamed("cluster_id", "cc_id"), "doc_id", "left")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cc_id"), F.col("doc_id")).alias("cluster_id"),
+            "quality_score",
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        membership.select(
+            "cluster_id", "doc_id", "quality_score",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy("cluster_id")).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
         )
     )

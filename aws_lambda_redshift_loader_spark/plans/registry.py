@@ -63,6 +63,7 @@ _FIRST = [
     "pii_redaction",
     "funnel_conversion",
     "ccnet_bucket",
+    "dedup_cluster_keep_best",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
