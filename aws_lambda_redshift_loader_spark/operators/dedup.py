@@ -765,3 +765,60 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+@register(
+    "line_dedup_fraction",
+    r"""
+    WITH lines AS (
+      SELECT DISTINCT doc_id,
+             md5(lower(trim(u.line))) AS line_hash
+      FROM (SELECT doc_id, string_split_regex(text, '\. ') AS ls FROM documents),
+           LATERAL (SELECT unnest(ls) AS line) u
+      WHERE length(trim(u.line)) >= 10
+    ),
+    df AS (
+      SELECT line_hash, COUNT(*) AS n_docs FROM lines GROUP BY line_hash
+    )
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS dup_fraction
+    FROM lines l JOIN df ON df.line_hash = l.line_hash
+    GROUP BY l.doc_id
+    """,
+)
+def line_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/paragraph-grain duplication signal (the CCNet / RefinedWeb
+    line-dedup pass): split each document into sentence-ish lines (>=10
+    chars), fingerprint them, and report per document how many of its
+    lines also appear in at least one OTHER document — the boilerplate
+    detector (headers, navbars, license blocks) that document-grain
+    dedup cannot see. Dropping lines with dup_fraction-style gates is
+    the standard cleanup before near-dup dedup.
+
+    A line counts once per document (DISTINCT), so within-doc repetition
+    does not inflate the cross-doc signal (intra_doc_repetition measures
+    that separately).
+
+    Scale: explode → distinct (one shuffle keyed on (doc, hash)) →
+    line-hash groupBy with map-side combine (a boilerplate line shared
+    by 10^6 docs collapses per map task) → join back on line_hash,
+    hint-free — the same partial-agg + join-back shape as the n-gram
+    hot-shingle filter."""
+    d = table(spark, sf_dir, "documents")
+    lines = (
+        d.select("doc_id", F.explode(F.split("text", r"\. ")).alias("line"))
+        .filter(F.length(F.trim("line")) >= 10)
+        .select("doc_id", F.md5(F.lower(F.trim("line"))).alias("line_hash"))
+        .distinct()
+    )
+    df_counts = lines.groupBy("line_hash").agg(F.count("*").alias("n_docs"))
+    joined = lines.join(df_counts, "line_hash")
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        dup.cast("bigint").alias("n_dup_lines"),
+        (dup.cast("double") / F.count("*")).alias("dup_fraction"),
+    )

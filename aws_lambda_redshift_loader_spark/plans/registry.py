@@ -64,6 +64,7 @@ _FIRST = [
     "funnel_conversion",
     "ccnet_bucket",
     "dedup_cluster_keep_best",
+    "line_dedup_fraction",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
