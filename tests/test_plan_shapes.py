@@ -141,3 +141,28 @@ def test_scan_queries_have_no_python_in_row_path(spark, name):
     # would show up as BatchEvalPython / ArrowEvalPython.
     plan = _formatted(spark, name)
     assert "EvalPython" not in plan, f"{name} fell off the codegen path"
+
+
+def test_funnel_has_no_window_or_join(spark):
+    # The funnel is two hash aggregates (per-user conditional MINs + the
+    # global fold) — a window or self-join here would be the slow shape.
+    plan = _formatted(spark, "funnel_conversion")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ccnet_sorts_only_the_sample(spark):
+    # Tertile calibration must sort ONLY the hash-gated sample: the Sort
+    # feeding the row_number window sits above the md5-gate Filter, and
+    # the full-corpus bucketing side carries no Sort at all.
+    plan = _formatted(spark, "ccnet_bucket")
+    assert "pmod" in plan or "%" in plan  # the sample gate survived
+    # exactly one ranking window (over the sample), none over the corpus
+    assert plan.count("row_number") == 1
+
+
+@pytest.mark.parametrize("name", ["line_dedup_fraction", "dedup_cluster_keep_best"])
+def test_round5_dedup_queries_never_hint_broadcast(spark, name):
+    # Same invariant as the other dedup paths: per-doc/per-line aggregate
+    # tables are unbounded — no forced broadcasts anywhere.
+    assert "ResolvedHint" not in _analyzed(spark, name)
