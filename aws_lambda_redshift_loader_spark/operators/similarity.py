@@ -791,3 +791,205 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---- Product quantization (PQ) ANN -----------------------------------
+# The memory-bounded regime's standard index (Jégou et al. 2011): DIM is
+# split into PQ_M subspaces; each database subvector is replaced by the
+# id of its nearest codebook entry (argmin L2, integer-exact), so a
+# 64-dim vector stores as PQ_M bytes. Queries score against codes via an
+# asymmetric-distance lookup table (query subvector · codebook entry —
+# integer dots), then the top PQ_R candidates re-rank exactly.
+# Codebooks are SEEDED from the first PQ_K corpus vectors (deterministic,
+# like the k-means seed) — training them with Lloyd rounds would reuse
+# _kmeans_centroids per subspace; the index/scoring shape is identical.
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codebook entries per subspace
+PQ_R = 50  # ADC candidate pool before exact re-rank
+
+
+def _pq_oracle() -> str:
+    sub = lambda col, m: f"{col}[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]"
+    cb_selects = "\n      UNION ALL\n".join(
+        f"      SELECT {m} AS m, CAST(vec_id AS INT) AS code, {sub('e', m)} AS c "
+        f"FROM q WHERE vec_id < {PQ_K}"
+        for m in range(PQ_M)
+    )
+    enc_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT x.vec_id, cb.m, cb.code,
+             CAST(list_dot_product(CAST(cb.c AS DOUBLE[]), CAST(cb.c AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST({sub('x.e', m)} AS DOUBLE[]),
+                                         CAST(cb.c AS DOUBLE[])) AS BIGINT) AS d
+      FROM q x JOIN cb ON cb.m = {m}"""
+        for m in range(PQ_M)
+    )
+    adc_terms = " + ".join(
+        f"""list_dot_product(CAST({sub('qq.e', m)} AS DOUBLE[]),
+                             CAST(c{m}.c AS DOUBLE[]))"""
+        for m in range(PQ_M)
+    )
+    adc_joins = "\n      ".join(
+        f"JOIN enc e{m} ON e{m}.vec_id = x.vec_id AND e{m}.m = {m}\n"
+        f"      JOIN cb c{m} ON c{m}.m = {m} AND c{m}.code = e{m}.code"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH {_QUANT_CTE},
+    cb AS (
+{cb_selects}
+    ),
+    scored_codes AS (
+{enc_selects}
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, code ASC) AS rk
+        FROM scored_codes
+      ) WHERE rk = 1
+    ),
+    adc AS (
+      SELECT qq.vec_id AS query_id, x.vec_id AS neighbor_id,
+             CAST({adc_terms} AS BIGINT) AS est
+      FROM q qq, (SELECT DISTINCT vec_id FROM enc) x
+      {adc_joins}
+      WHERE qq.vec_id < {N_QUERIES} AND x.vec_id <> qq.vec_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY est DESC, neighbor_id ASC) AS rk
+        FROM adc
+      ) WHERE rk <= {PQ_R}
+    ),
+    rescored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM cands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("embedding_pq_topk", _pq_oracle())
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization with asymmetric distance (ADC) +
+    exact re-rank — the third index family next to LSH and IVF, and the
+    one that matters when 100 TB of embeddings must fit in memory: the
+    corpus stores as {PQ_M} small codes per vector ({PQ_M}×log2({PQ_K})
+    bits here vs {DIM}×64 raw), queries score codes through a per-query
+    lookup table, and only the top {PQ_R} ADC candidates touch full
+    vectors again.
+
+    Determinism end to end: codebooks are the first {PQ_K} corpus
+    vectors' subvectors; encoding argmin uses integer L2 (|c|² − 2⟨x,c⟩,
+    ties to the lower code — np.argmin's first-max rule = the oracle's
+    ORDER BY d, code); ADC estimates are integer sums of quantized dots;
+    the re-rank is the shared exact-cosine form.
+
+    Physical plan: encoding is a map-only numpy pass against broadcast
+    codebooks (one {PQ_K}×{PQ_SUB} GEMM per subspace per Arrow batch);
+    ADC scoring is pure JVM codegen — element_at() into the broadcast
+    per-query LUT arrays plus integer adds, no Python per row; the
+    driver only ever holds {PQ_K}+{N_QUERIES} vectors (seed + queries,
+    both bounded constants, same class as the k-means seed collect)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+
+    seed = sorted(emb.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id)
+    books = np.array([r.e for r in seed], dtype=np.float64).reshape(PQ_K, PQ_M, PQ_SUB)
+    # books[k, m] = codebook entry k of subspace m
+    bc = spark.sparkContext.broadcast(books)
+
+    enc_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(f"code{m}", T.IntegerType()) for m in range(PQ_M)]
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        bks = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.float64).reshape(len(pdf), PQ_M, PQ_SUB)
+            out = {"vec_id": pdf["vec_id"]}
+            for m in range(PQ_M):
+                cm = bks[:, m, :]  # PQ_K × PQ_SUB
+                # argmin |c|^2 - 2<x,c>: first occurrence = lowest code id
+                d = (cm * cm).sum(axis=1)[None, :] - 2.0 * (mat[:, m, :] @ cm.T)
+                out[f"code{m}"] = np.argmin(d, axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    encoded = emb.mapInPandas(encode, enc_schema)
+
+    queries = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    lut_rows = []
+    for r in queries:
+        qv = np.array(r.e, dtype=np.float64).reshape(PQ_M, PQ_SUB)
+        luts = [
+            [int(x) for x in (bc.value[:, m, :] @ qv[m]).astype(np.int64)]
+            for m in range(PQ_M)
+        ]
+        lut_rows.append((r.vec_id, *luts))
+    lut_schema = T.StructType(
+        [T.StructField("query_id", T.LongType())]
+        + [T.StructField(f"lut{m}", T.ArrayType(T.LongType())) for m in range(PQ_M)]
+    )
+    lut_df = spark.createDataFrame(lut_rows, lut_schema)
+
+    est = sum(
+        F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M)
+    )
+    adc = (
+        encoded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), est.alias("est"))
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("est").desc(), F.col("neighbor_id").asc())
+    cands = (
+        adc.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= PQ_R)
+        .select("query_id", "neighbor_id")
+    )
+    with_vecs = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("be")),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            emb.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), F.col("e").alias("ae")
+            )
+        ),
+        "query_id",
+    )
+    cosine = (
+        _dot(F.col("ae"), F.col("be")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("ae"), F.col("ae")).cast("double"))
+            * F.sqrt(_dot(F.col("be"), F.col("be")).cast("double"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        with_vecs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -65,6 +65,7 @@ _FIRST = [
     "ccnet_bucket",
     "dedup_cluster_keep_best",
     "line_dedup_fraction",
+    "embedding_pq_topk",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",

@@ -130,3 +130,20 @@ def test_ivf_kmeans_trained_recall_not_worse_than_seeded(spark):
     assert trained >= seeded, (
         f"k-means training reduced IVF recall: {trained:.3f} < {seeded:.3f}"
     )
+
+
+def test_pq_recall_against_bruteforce(spark):
+    from aws_lambda_redshift_loader_spark.operators.similarity import embedding_pq_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_topk_bruteforce(spark, SF_ORACLE).collect()
+    }
+    rows = embedding_pq_topk(spark, SF_ORACLE).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    # ADC over seeded 16-entry codebooks + PQ_R=50 exact re-rank: the
+    # floor guards encoding/LUT breakage (e.g. wrong subspace slicing
+    # collapses all codes to one entry and recall to ~chance).
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall collapsed: {recall:.3f}"
+    assert len(rows) == N_QUERIES * TOP_K
