@@ -492,3 +492,65 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("bigint").alias("reached_click"),
         F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("bigint").alias("reached_purchase"),
     )
+
+
+ZSCORE_Q = 10_000  # value quantization for exact cross-engine moments
+ZSCORE_THRESHOLD = 3.0
+
+
+@register(
+    "value_outliers_zscore",
+    f"""
+    WITH qv AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v
+      FROM events
+    ),
+    moments AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS s2
+      FROM qv GROUP BY event_type
+    ),
+    scored AS (
+      SELECT q.event_id, q.event_type, q.v,
+             (CAST(q.v AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n) /
+               sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                    - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n))
+               AS z
+      FROM qv q JOIN moments m ON m.event_type = q.event_type
+    )
+    SELECT event_id, event_type, v AS value_q, z
+    FROM scored WHERE z > {ZSCORE_THRESHOLD} OR z < -{ZSCORE_THRESHOLD}
+    """,
+)
+def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (the data-quality gate a load
+    pipeline runs before committing a batch): values quantized to int64
+    so COUNT/SUM/SUM-of-squares are exact in any engine and any
+    summation order; mean, variance, and z are then a fixed chain of
+    IEEE divides/sqrt — bit-identical cross-engine, so even boundary
+    outliers match.
+
+    Scale: one map-side-combined groupBy for the moments (|event_type|
+    rows), joined back hint-free (bounded dimension — AQE broadcasts at
+    runtime), then a map-only score+filter. No window, no sort."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    )
+    m = qv.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("v").cast("double") - mean) / F.sqrt(var)
+    return (
+        qv.join(m, "event_type")
+        .select("event_id", "event_type", F.col("v").alias("value_q"), z.alias("z"))
+        .filter((F.col("z") > ZSCORE_THRESHOLD) | (F.col("z") < -ZSCORE_THRESHOLD))
+    )

@@ -66,6 +66,7 @@ _FIRST = [
     "dedup_cluster_keep_best",
     "line_dedup_fraction",
     "embedding_pq_topk",
+    "value_outliers_zscore",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
