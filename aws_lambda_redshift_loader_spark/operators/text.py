@@ -980,3 +980,92 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).cast("bigint").alias("n_emails"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+TRIANGLE_TOP = 25  # report the 25 most triangle-dense tokens
+
+
+@register(
+    "triangle_count_token_graph",
+    f"""
+    WITH {_PR_GRAPH_CTE},
+    undirected AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    triangles AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM undirected e1
+      JOIN undirected e2 ON e2.a = e1.b
+      JOIN undirected e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (
+        SELECT x AS node FROM triangles
+        UNION ALL SELECT y FROM triangles
+        UNION ALL SELECT z FROM triangles
+      ) GROUP BY node
+    )
+    SELECT node AS token, n_triangles, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_triangles DESC, node ASC) AS rank
+      FROM per_node
+    ) WHERE rank <= {TRIANGLE_TOP}
+    """,
+)
+def triangle_count_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the undirected token co-occurrence graph —
+    the graph-analytics family next to the iterative ones (PageRank,
+    connected components): triangles are ENUMERATED by the canonical
+    two-join plan, not converged. Per-token triangle membership is the
+    local clustering signal (function words close many triangles;
+    content words few) — top-{TRIANGLE_TOP} reported.
+
+    The classic optimization is built in: edges are canonicalized a<b
+    (string order), so each triangle x<y<z is generated exactly once as
+    (x,y)⋈(y,z)⋈(x,z) — no 6-fold duplication, and the join fan-out of
+    any hot node is bounded by its HIGHER-ordered neighbors only (the
+    degree-ordering trick that tames power-law graphs: a hub's triangles
+    are mostly closed by its smaller neighbors' joins, not its own).
+
+    Scale: two shuffle joins on edge endpoints + one union-groupBy, all
+    map-side combined; no iteration, no driver state."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.split(norm_text("text"), " ").alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                "i -> struct(ws[i - 1] AS src, ws[i] AS dst))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    und = (
+        bigrams.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    per_node = (
+        triangles.select(F.col("x").alias("node"))
+        .unionByName(triangles.select(F.col("y").alias("node")))
+        .unionByName(triangles.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+    return (
+        per_node.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TRIANGLE_TOP)
+        .select(F.col("node").alias("token"), "n_triangles", "rank")
+    )

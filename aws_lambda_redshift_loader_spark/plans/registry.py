@@ -67,6 +67,7 @@ _FIRST = [
     "line_dedup_fraction",
     "embedding_pq_topk",
     "value_outliers_zscore",
+    "triangle_count_token_graph",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
