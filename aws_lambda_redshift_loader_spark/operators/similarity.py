@@ -811,17 +811,35 @@ PQ_R = 50  # ADC candidate pool before exact re-rank
 
 def _pq_oracle() -> str:
     sub = lambda col, m: f"{col}[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]"
-    cb_selects = "\n      UNION ALL\n".join(
+
+    def scored(cb: str, tag: str) -> str:
+        selects = "\n      UNION ALL\n".join(
+            f"""      SELECT x.vec_id, b.m, b.code,
+             CAST(list_dot_product(CAST(b.c AS DOUBLE[]), CAST(b.c AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST({sub('x.e', m)} AS DOUBLE[]),
+                                         CAST(b.c AS DOUBLE[])) AS BIGINT) AS d
+      FROM q x JOIN {cb} b ON b.m = {m}"""
+            for m in range(PQ_M)
+        )
+        return f"""scored{tag} AS (
+{selects}
+    ),
+    enc{tag} AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, code ASC) AS rk
+        FROM scored{tag}
+      ) WHERE rk = 1
+    )"""
+
+    cb0_selects = "\n      UNION ALL\n".join(
         f"      SELECT {m} AS m, CAST(vec_id AS INT) AS code, {sub('e', m)} AS c "
         f"FROM q WHERE vec_id < {PQ_K}"
         for m in range(PQ_M)
     )
-    enc_selects = "\n      UNION ALL\n".join(
-        f"""      SELECT x.vec_id, cb.m, cb.code,
-             CAST(list_dot_product(CAST(cb.c AS DOUBLE[]), CAST(cb.c AS DOUBLE[]))
-                  - 2 * list_dot_product(CAST({sub('x.e', m)} AS DOUBLE[]),
-                                         CAST(cb.c AS DOUBLE[])) AS BIGINT) AS d
-      FROM q x JOIN cb ON cb.m = {m}"""
+    asub_selects = "\n      UNION ALL\n".join(
+        f"      SELECT e0.m, e0.code, {sub('x.e', m)} AS se "
+        f"FROM q x JOIN enc0 e0 ON e0.vec_id = x.vec_id AND e0.m = {m}"
         for m in range(PQ_M)
     )
     adc_terms = " + ".join(
@@ -830,29 +848,33 @@ def _pq_oracle() -> str:
         for m in range(PQ_M)
     )
     adc_joins = "\n      ".join(
-        f"JOIN enc e{m} ON e{m}.vec_id = x.vec_id AND e{m}.m = {m}\n"
-        f"      JOIN cb c{m} ON c{m}.m = {m} AND c{m}.code = e{m}.code"
+        f"JOIN enc1 e{m} ON e{m}.vec_id = x.vec_id AND e{m}.m = {m}\n"
+        f"      JOIN cb1 c{m} ON c{m}.m = {m} AND c{m}.code = e{m}.code"
         for m in range(PQ_M)
     )
     return f"""
     WITH {_QUANT_CTE},
-    cb AS (
-{cb_selects}
+    cb0 AS (
+{cb0_selects}
     ),
-    scored_codes AS (
-{enc_selects}
+    {scored('cb0', '0')},
+    assigned_subs AS (
+{asub_selects}
     ),
-    enc AS (
-      SELECT vec_id, m, code FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                     ORDER BY d ASC, code ASC) AS rk
-        FROM scored_codes
-      ) WHERE rk = 1
+    cb1 AS (
+      SELECT m, code, list(v ORDER BY dim) AS c FROM (
+        SELECT a.m, a.code, u.i AS dim,
+               CAST(floor(CAST(SUM(a.se[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+        FROM assigned_subs a,
+             LATERAL (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) u
+        GROUP BY a.m, a.code, u.i
+      ) GROUP BY m, code
     ),
+    {scored('cb1', '1')},
     adc AS (
       SELECT qq.vec_id AS query_id, x.vec_id AS neighbor_id,
              CAST({adc_terms} AS BIGINT) AS est
-      FROM q qq, (SELECT DISTINCT vec_id FROM enc) x
+      FROM q qq, (SELECT DISTINCT vec_id FROM enc1) x
       {adc_joins}
       WHERE qq.vec_id < {N_QUERIES} AND x.vec_id <> qq.vec_id
     ),
@@ -881,38 +903,21 @@ def _pq_oracle() -> str:
     """
 
 
-@register("embedding_pq_topk", _pq_oracle())
-def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via product quantization with asymmetric distance (ADC) +
-    exact re-rank — the third index family next to LSH and IVF, and the
-    one that matters when 100 TB of embeddings must fit in memory: the
-    corpus stores as {PQ_M} small codes per vector ({PQ_M}×log2({PQ_K})
-    bits here vs {DIM}×64 raw), queries score codes through a per-query
-    lookup table, and only the top {PQ_R} ADC candidates touch full
-    vectors again.
+def _pq_encode(emb: DataFrame, books):
+    """Distributed PQ encoding: (vec_id, e) -> (vec_id, code0..code{M-1}).
 
-    Determinism end to end: codebooks are the first {PQ_K} corpus
-    vectors' subvectors; encoding argmin uses integer L2 (|c|² − 2⟨x,c⟩,
-    ties to the lower code — np.argmin's first-max rule = the oracle's
-    ORDER BY d, code); ADC estimates are integer sums of quantized dots;
-    the re-rank is the shared exact-cosine form.
-
-    Physical plan: encoding is a map-only numpy pass against broadcast
-    codebooks (one {PQ_K}×{PQ_SUB} GEMM per subspace per Arrow batch);
-    ADC scoring is pure JVM codegen — element_at() into the broadcast
-    per-query LUT arrays plus integer adds, no Python per row; the
-    driver only ever holds {PQ_K}+{N_QUERIES} vectors (seed + queries,
-    both bounded constants, same class as the k-means seed collect)."""
+    ``books`` is a per-subspace list of (code_ids, matrix) — ids may be a
+    sparse subset after training (codes that lost every vector drop out,
+    as in the k-means oracle). argmin uses integer L2 (|c|^2 - 2<x,c>);
+    np.argmin's first-occurrence rule == ORDER BY d, code ASC because
+    ids are sorted. One GEMM per subspace per Arrow batch, map-only."""
     import numpy as np
     from pyspark.sql import types as T
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
-
-    seed = sorted(emb.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id)
-    books = np.array([r.e for r in seed], dtype=np.float64).reshape(PQ_K, PQ_M, PQ_SUB)
-    # books[k, m] = codebook entry k of subspace m
-    bc = spark.sparkContext.broadcast(books)
-
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [(np.asarray(ids, dtype=np.int64), np.asarray(mat, dtype=np.float64)) for ids, mat in books]
+    )
     enc_schema = T.StructType(
         [T.StructField("vec_id", T.LongType())]
         + [T.StructField(f"code{m}", T.IntegerType()) for m in range(PQ_M)]
@@ -929,13 +934,76 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = np.array(list(pdf["e"]), dtype=np.float64).reshape(len(pdf), PQ_M, PQ_SUB)
             out = {"vec_id": pdf["vec_id"]}
             for m in range(PQ_M):
-                cm = bks[:, m, :]  # PQ_K × PQ_SUB
-                # argmin |c|^2 - 2<x,c>: first occurrence = lowest code id
+                ids, cm = bks[m]
                 d = (cm * cm).sum(axis=1)[None, :] - 2.0 * (mat[:, m, :] @ cm.T)
-                out[f"code{m}"] = np.argmin(d, axis=1).astype("int32")
+                out[f"code{m}"] = ids[np.argmin(d, axis=1)].astype("int32")
             yield pd.DataFrame(out)
 
-    encoded = emb.mapInPandas(encode, enc_schema)
+    return emb.mapInPandas(encode, enc_schema)
+
+
+@register("embedding_pq_topk", _pq_oracle())
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization with asymmetric distance (ADC) +
+    exact re-rank — the fourth index family next to brute/LSH/IVF, and
+    the one that matters when 100 TB of embeddings must fit in memory:
+    the corpus stores as {PQ_M} small codes per vector ({PQ_M}×log2({PQ_K})
+    bits vs {DIM}×64 raw), queries score codes through a per-query lookup
+    table, and only the top {PQ_R} ADC candidates touch full vectors.
+
+    Codebooks are TRAINED: seeded from the first {PQ_K} corpus vectors'
+    subvectors, then one distributed Lloyd round per subspace — encode
+    (integer-L2 argmin GEMM) + update (floor-mean int64 centroids via a
+    map-side-combined groupBy, the same re-quantization trick as the IVF
+    quantizer; codes that lose every vector drop out in both engines).
+    The oracle unrolls seed → enc0 → cb1 → enc1 → ADC statically, so
+    training, encoding, scoring, and re-rank are ALL hash-gated.
+
+    Physical plan: encoding is map-only numpy against broadcast books
+    (one {PQ_K}×{PQ_SUB} GEMM per subspace per Arrow batch); the Lloyd
+    update shuffles at most M×K×SUB aggregate rows; ADC scoring is pure
+    JVM codegen — element_at() into broadcast per-query LUT arrays plus
+    integer adds, no Python per row; the driver only ever holds
+    {PQ_K}+{N_QUERIES} vectors + M×K×SUB centroid aggregates (bounded
+    constants, same class as the k-means seed collect)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+
+    seed = sorted(emb.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id)
+    seed_mat = np.array([r.e for r in seed], dtype=np.float64).reshape(PQ_K, PQ_M, PQ_SUB)
+    books0 = [(list(range(PQ_K)), seed_mat[:, m, :]) for m in range(PQ_M)]
+
+    # One Lloyd round: distributed assignment + floor-mean centroid update
+    # (M*K*SUB aggregate rows — bounded — reach the driver).
+    enc0 = _pq_encode(emb, books0)
+    joined = enc0.join(emb, "vec_id")
+    per_m = None
+    for m in range(PQ_M):
+        part = joined.select(
+            F.lit(m).alias("m"),
+            F.col(f"code{m}").alias("code"),
+            F.posexplode(F.slice("e", m * PQ_SUB + 1, PQ_SUB)).alias("pos", "v"),
+        )
+        per_m = part if per_m is None else per_m.unionByName(part)
+    cent_rows = (
+        per_m.groupBy("m", "code", "pos")
+        .agg(F.floor(F.sum("v").cast("double") / F.count("*")).cast("bigint").alias("v"))
+        .collect()
+    )
+    by_mc: dict = {}
+    for r in cent_rows:
+        by_mc.setdefault((r.m, r.code), {})[r.pos] = r.v
+    books1 = []
+    for m in range(PQ_M):
+        ids = sorted(code for (mm, code) in by_mc if mm == m)
+        mat = np.array(
+            [[by_mc[(m, c)][p] for p in range(PQ_SUB)] for c in ids], dtype=np.float64
+        )
+        books1.append((ids, mat))
+
+    encoded = _pq_encode(emb, books1)
 
     queries = sorted(
         emb.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
@@ -943,10 +1011,13 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut_rows = []
     for r in queries:
         qv = np.array(r.e, dtype=np.float64).reshape(PQ_M, PQ_SUB)
-        luts = [
-            [int(x) for x in (bc.value[:, m, :] @ qv[m]).astype(np.int64)]
-            for m in range(PQ_M)
-        ]
+        luts = []
+        for m in range(PQ_M):
+            ids, mat = books1[m]
+            dense = [0] * PQ_K  # dropped codes never appear in enc output
+            for i, code in enumerate(ids):
+                dense[code] = int((mat[i] @ qv[m]))
+            luts.append(dense)
         lut_rows.append((r.vec_id, *luts))
     lut_schema = T.StructType(
         [T.StructField("query_id", T.LongType())]
