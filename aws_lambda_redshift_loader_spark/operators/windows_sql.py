@@ -554,3 +554,113 @@ def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.col("v").alias("value_q"), z.alias("z"))
         .filter((F.col("z") > ZSCORE_THRESHOLD) | (F.col("z") < -ZSCORE_THRESHOLD))
     )
+
+
+HIST_BINS = 20
+
+
+@register(
+    "value_histogram",
+    f"""
+    WITH qv AS (
+      SELECT event_type, CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v FROM events
+    ),
+    rng AS (
+      SELECT event_type, MIN(v) AS lo, MAX(v) AS hi,
+             CAST(ceil(CAST(MAX(v) - MIN(v) + 1 AS DOUBLE) / {HIST_BINS}) AS BIGINT) AS width
+      FROM qv GROUP BY event_type
+    )
+    SELECT q.event_type,
+           CAST((q.v - r.lo) // r.width AS INT) AS bin,
+           CAST(r.lo + ((q.v - r.lo) // r.width) * r.width AS BIGINT) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM qv q JOIN rng r ON r.event_type = q.event_type
+    GROUP BY q.event_type, (q.v - r.lo) // r.width, r.lo, r.width
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per group — the distributed shape of quantile
+    estimation at scale (sort-free, mergeable, one pass + one tiny range
+    aggregate): values quantize to int64, bin width is an integer ceil of
+    the range over {HIST_BINS}, bin assignment is integer floor-division
+    — every boundary lands identically in both engines.
+
+    Scale: a min/max groupBy on the (bounded) group key joined back
+    hint-free, then one map-side-combined count per (group, bin). At
+    most |groups|×{HIST_BINS} output rows regardless of input size."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "event_type", F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v")
+    )
+    rng = qv.groupBy("event_type").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.ceil((F.max("v") - F.min("v") + 1).cast("double") / HIST_BINS)
+        .cast("bigint")
+        .alias("width"),
+    )
+    binned = qv.join(rng, "event_type").select(
+        "event_type",
+        ((F.col("v") - F.col("lo")) / F.col("width")).cast("bigint").alias("binq"),
+        "lo",
+        "width",
+    )
+    return (
+        binned.groupBy("event_type", "binq", "lo", "width")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.col("binq").cast("int").alias("bin"),
+            (F.col("lo") + F.col("binq") * F.col("width")).cast("bigint").alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+@register(
+    "weekly_retention",
+    """
+    WITH weekly AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT strftime(a.week, '%Y-%m-%d') AS week,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS retained_next_week,
+           CAST(COUNT(DISTINCT b.user_id) AS DOUBLE) / COUNT(DISTINCT a.user_id)
+             AS retention_rate
+    FROM weekly a
+    LEFT JOIN weekly b ON b.user_id = a.user_id
+                      AND b.week = a.week + INTERVAL 7 DAY
+    GROUP BY a.week
+    """,
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: of the users active in week w, the share
+    also active in week w+1 — the canonical product/engagement metric
+    over the events stream, built from a distinct (user, week) activity
+    set self-joined one week forward.
+
+    Scale: the activity set is one dropDuplicates shuffle (rows ∝ active
+    user-weeks, far fewer than events); the self-join keys on user_id —
+    a co-partitioned equi-join — and the final aggregate is per-week."""
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    a, b = weekly.alias("a"), weekly.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.week") == F.col("a.week") + F.expr("INTERVAL 7 DAY")),
+        "left",
+    )
+    return joined.groupBy(F.col("a.week").alias("wk")).agg(
+        F.countDistinct("a.user_id").cast("bigint").alias("active_users"),
+        F.countDistinct("b.user_id").cast("bigint").alias("retained_next_week"),
+        (
+            F.countDistinct("b.user_id").cast("double") / F.countDistinct("a.user_id")
+        ).alias("retention_rate"),
+    ).select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "active_users",
+        "retained_next_week",
+        "retention_rate",
+    )

@@ -68,6 +68,8 @@ _FIRST = [
     "embedding_pq_topk",
     "value_outliers_zscore",
     "triangle_count_token_graph",
+    "value_histogram",
+    "weekly_retention",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
