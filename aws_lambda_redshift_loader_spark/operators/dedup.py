@@ -822,3 +822,48 @@ def line_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.cast("bigint").alias("n_dup_lines"),
         (dup.cast("double") / F.count("*")).alias("dup_fraction"),
     )
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH {_SHINGLES_CTE},
+    first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_seen_before,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM shingles s JOIN first_seen f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against the corpus in ingestion order
+    (doc_id as arrival order): the fraction of a document's word-
+    {SHINGLE_K}-grams whose FIRST corpus occurrence is the document
+    itself. Low novelty = the document mostly restates earlier content —
+    the incremental-crawl dedup signal (only pay training compute for
+    what's new), complementing line_dedup_fraction (order-free
+    boilerplate) and intra_doc_repetition (self-repetition).
+
+    Scale: first-occurrence is a MIN groupBy over shingles (map-side
+    combined, hot shingles collapse per partition) joined back on
+    shingle hint-free, then a per-doc fold — the standard partial-agg +
+    join-back shape; no window, no ordering shuffle."""
+    sh = _shingles(spark, sf_dir)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0))
+    novel = F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 0).otherwise(1))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            seen.cast("bigint").alias("n_seen_before"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

@@ -70,6 +70,7 @@ _FIRST = [
     "triangle_count_token_graph",
     "value_histogram",
     "weekly_retention",
+    "ngram_novelty",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
