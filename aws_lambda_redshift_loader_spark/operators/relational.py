@@ -1645,3 +1645,61 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("qty").cast("double").alias("sum_qty"),
     )
+
+
+COPURCHASE_TOP = 25
+
+
+@register(
+    "copurchase_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, support, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY support DESC, part_a ASC, part_b ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= {COPURCHASE_TOP}
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining (frequent-itemset support at
+    pair grain): parts appearing in the same order, counted across all
+    orders, top-{COPURCHASE_TOP} pairs — the association-rule primitive
+    every recommender pipeline starts from.
+
+    Scale: the self-join keys on l_orderkey, so pair fan-out per order
+    is C(items_per_order, 2) — bounded by basket size, NOT corpus size
+    (the same bounded-bucket argument as the LSH band joins); support
+    counting is a map-side-combined groupBy and only pair aggregates
+    reach the final top-k window."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= COPURCHASE_TOP)
+        .select("part_a", "part_b", "support", "rank")
+    )

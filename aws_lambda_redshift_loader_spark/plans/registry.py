@@ -71,6 +71,7 @@ _FIRST = [
     "value_histogram",
     "weekly_retention",
     "ngram_novelty",
+    "copurchase_pairs",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
