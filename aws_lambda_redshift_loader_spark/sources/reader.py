@@ -36,6 +36,12 @@ class UnsupportedFormatError(ValueError):
     """Mirror of the reference's unsupported-format hard error."""
 
 
+class MaxErrorExceeded(ValueError):
+    """Load aborted: malformed-row count exceeded the MAXERROR budget
+    (the Redshift COPY error-ceiling semantic, copyOptions passthrough
+    index.js:1202-1204)."""
+
+
 def read_files(
     spark: SparkSession,
     config: LoadConfig,
@@ -68,7 +74,18 @@ def read_files(
         return df
 
     reader = spark.read
-    if config.schema:
+    max_error = config.max_error
+    if max_error is not None and fmt in ("CSV", "JSON"):
+        # COPY MAXERROR analog (copyOptions, index.js:1202-1204): parse
+        # permissively into a corrupt-record column, budget the malformed
+        # rows, and fail the whole load once the budget is exceeded —
+        # exactly Redshift's per-load error ceiling.
+        if not config.schema:
+            raise ValueError("max_error requires an explicit schema")
+        reader = reader.schema(config.schema + ", _corrupt_record STRING").option(
+            "mode", "PERMISSIVE"
+        ).option("columnNameOfCorruptRecord", "_corrupt_record")
+    elif config.schema:
         reader = reader.schema(config.schema)
 
     if fmt == "CSV":
@@ -79,7 +96,7 @@ def read_files(
             # ignoreCsvHeader → IGNOREHEADER 1 (index.js:1178-1183)
             .option("header", bool(config.ignore_csv_header))
         )
-        if not config.schema:
+        if not config.schema and max_error is None:
             reader = reader.option("inferSchema", True)
     elif fmt == "JSON":
         # jsonPath config (index.js:1167-1172): Redshift JSONPaths remap
@@ -90,6 +107,19 @@ def read_files(
         reader = reader.format(fmt.lower())
 
     df = reader.load(paths)
+
+    if max_error is not None and fmt in ("CSV", "JSON"):
+        from pyspark.sql import functions as F
+
+        # Cache before splitting: Spark refuses to filter on the corrupt
+        # column of an un-materialized permissive scan.
+        df = df.cache()
+        n_bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
+        if n_bad > max_error:
+            raise MaxErrorExceeded(
+                f"{n_bad} malformed rows exceed MAXERROR {max_error}"
+            )
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
     if fmt == "JSON" and config.json_path:
         # JSONPaths list like ["$.a.b", "$.c"] → ordered column projection.

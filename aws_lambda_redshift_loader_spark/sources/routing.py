@@ -131,3 +131,9 @@ class LoadConfig:
     schema: str | None = None  # DDL string; None = infer (CSV/JSON only)
     sinks: list[ClusterSink] = field(default_factory=list)  # S5 fan-out
     current_batch: str | None = None  # rotated by the batcher (T5)
+    # COPY `MAXERROR N` analog (copyOptions passthrough, index.js:1202-1204;
+    # Redshift aborts the load once more than N rows are malformed). None =
+    # Spark's default permissive parse; an int = count malformed CSV/JSON
+    # rows against the budget — within it they are dropped (and available
+    # for audit), beyond it the load fails atomically. Requires `schema`.
+    max_error: int | None = None

@@ -148,3 +148,22 @@ def test_compressed_csv_and_json_autodetect(spark, tmp_path):
     jcfg = LoadConfig(s3_prefix="p", data_format="JSON", schema="a INT, b STRING")
     jrows = sorted(tuple(r) for r in read_files(spark, jcfg, str(bz)).collect())
     assert jrows == [(1, "x"), (2, "y")]
+
+
+def test_max_error_budget_and_abort(spark, tmp_path):
+    """COPY MAXERROR analog: within budget, malformed rows drop and the
+    load succeeds; over budget, the load fails atomically."""
+    from aws_lambda_redshift_loader_spark.sources.reader import MaxErrorExceeded
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("1|2|3\nbad|row|here|too|many|fields\n4|5|6\nx|y\n")
+    base = dict(s3_prefix="x", data_format="CSV", schema="a INT, b INT, c INT")
+
+    ok = read_files(spark, LoadConfig(**base, max_error=2), str(p))
+    assert sorted(r.a for r in ok.collect()) == [1, 4]
+
+    with pytest.raises(MaxErrorExceeded):
+        read_files(spark, LoadConfig(**base, max_error=1), str(p)).collect()
+
+    with pytest.raises(ValueError):  # budget requires a declared schema
+        read_files(spark, LoadConfig(s3_prefix="x", data_format="CSV", max_error=1), str(p))
