@@ -1703,3 +1703,53 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= COPURCHASE_TOP)
         .select("part_a", "part_b", "support", "rank")
     )
+
+
+FUZZY_BLOCK_LEN = 15  # blocking-key prefix length
+FUZZY_MAX_DIST = 1
+
+
+@register(
+    "fuzzy_match_names",
+    f"""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, {FUZZY_BLOCK_LEN}) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching, the scalable shape: a cheap BLOCKING key
+    (shared {FUZZY_BLOCK_LEN}-char prefix) restricts the candidate space
+    to equi-join buckets, then edit distance ≤ {FUZZY_MAX_DIST} verifies
+    candidates only — never all-pairs Levenshtein (quadratic in both
+    rows AND string length). The same block-then-verify discipline as
+    the LSH dedup paths, at string grain; levenshtein() is the classic
+    DP, identical in both engines.
+
+    Scale: the self-join keys on the block — per-block pair work is
+    C(block size, 2), tuned by the key length exactly like LSH bits;
+    the distance runs only on bucket collisions."""
+    c = table(spark, sf_dir, "customer")
+    blocked = c.select(
+        "c_custkey", "c_name", F.substring("c_name", 1, FUZZY_BLOCK_LEN).alias("blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.levenshtein("a.c_name", "b.c_name").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )

@@ -72,6 +72,7 @@ _FIRST = [
     "weekly_retention",
     "ngram_novelty",
     "copurchase_pairs",
+    "fuzzy_match_names",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
