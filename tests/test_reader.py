@@ -167,3 +167,46 @@ def test_max_error_budget_and_abort(spark, tmp_path):
 
     with pytest.raises(ValueError):  # budget requires a declared schema
         read_files(spark, LoadConfig(s3_prefix="x", data_format="CSV", max_error=1), str(p))
+
+
+def test_avro_codec_property_roundtrip():
+    """Property: encode→decode is identity for arbitrary flat records
+    (strings incl. non-ASCII, int64 range, bools, nullable strings,
+    int arrays, doubles)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_lambda_redshift_loader_spark.sources.avro_io import (
+        decode_container,
+        encode_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "opt", "type": ["null", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+            {"name": "d", "type": "double"},
+        ],
+    }
+    row = st.tuples(
+        st.text(max_size=50),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.booleans(),
+        st.none() | st.text(max_size=20),
+        st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=8),
+        st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(row, max_size=20))
+    def check(rows):
+        got_schema, got_rows = decode_container(encode_container(schema, rows))
+        assert got_rows == rows
+        assert got_schema == schema
+
+    check()
