@@ -73,6 +73,7 @@ _FIRST = [
     "ngram_novelty",
     "copurchase_pairs",
     "fuzzy_match_names",
+    "stream_funnel_join",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",

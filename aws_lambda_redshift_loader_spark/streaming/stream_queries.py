@@ -328,3 +328,92 @@ def stream_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_stream(spark, sf_dir, agg)
+
+
+FUNNEL_JOIN_WINDOW_MIN = 30
+
+
+@register(
+    "stream_funnel_join",
+    f"""
+    SELECT a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL {FUNNEL_JOIN_WINDOW_MIN} MINUTE
+    """,
+)
+def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join — the Structured Streaming operator
+    family the windowed queries don't exercise: view events join
+    purchase events of the same user within {FUNNEL_JOIN_WINDOW_MIN}
+    minutes, both sides watermarked so the join state is bounded (a view
+    can be dropped from state once no in-window purchase can still
+    arrive). Inner joins emit eagerly, so over the finite fixture the
+    append-mode result equals the batch time-range self-join and shares
+    its oracle — the state machinery is hash-verified.
+
+    Scale: state per side ∝ events inside the watermark horizon, keyed
+    and co-partitioned on user_id; the time-range predicate is what
+    lets Spark evict (no watermark + range bound = unbounded state)."""
+
+    def agg(stream: DataFrame) -> DataFrame:
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("view_ts"))
+            .withWatermark("view_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        return (
+            views.join(
+                purchases,
+                (F.col("p_user_id") == F.col("user_id"))
+                & (F.col("purchase_ts") >= F.col("view_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("view_ts") + F.expr(f"INTERVAL {FUNNEL_JOIN_WINDOW_MIN} MINUTES")
+                ),
+            )
+            .select(
+                "user_id",
+                F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+                F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            )
+        )
+
+    return _run_stream_append(spark, sf_dir, agg)
+
+
+def _run_stream_append(spark: SparkSession, sf_dir: str, builder) -> DataFrame:
+    """Like _run_stream but append-mode (stream-stream joins and other
+    operators that emit incrementally rather than holding a result
+    table)."""
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_nanos(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    name = f"stream_result_{next(_COUNTER)}"
+    q = (
+        builder(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
