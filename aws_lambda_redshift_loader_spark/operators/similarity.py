@@ -1064,3 +1064,243 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---- IVF-PQ composite ------------------------------------------------
+# The production-scale ANN layout (FAISS IVFPQ): an IVF coarse quantizer
+# prunes the search to nprobe cells AND a residual product quantizer
+# compresses what is stored per vector — at 100 TB the corpus lives as
+# (cell id + PQ codes), full vectors touched only at re-rank. Residuals
+# (x − centroid) are integer vectors here (both are quantized int64), so
+# every training/encoding/scoring step stays hash-verifiable.
+
+
+def _ivfpq_oracle() -> str:
+    u = IVF_TRAIN_ITERS
+    kmeans = ",\n    ".join(_kmeans_ctes(u + 1))
+    sub = lambda col, m: f"{col}[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]"
+    rcb_selects = "\n      UNION ALL\n".join(
+        f"      SELECT {m} AS m, CAST(vec_id AS INT) AS code, {sub('r', m)} AS c "
+        f"FROM residuals WHERE vec_id < {PQ_K}"
+        for m in range(PQ_M)
+    )
+    renc_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT x.vec_id, b.m, b.code,
+             CAST(list_dot_product(CAST(b.c AS DOUBLE[]), CAST(b.c AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST({sub('x.r', m)} AS DOUBLE[]),
+                                         CAST(b.c AS DOUBLE[])) AS BIGINT) AS d
+      FROM residuals x JOIN rcb b ON b.m = {m}"""
+        for m in range(PQ_M)
+    )
+    adc_terms = " + ".join(
+        f"""list_dot_product(CAST({sub('qq.e', m)} AS DOUBLE[]),
+                             CAST(c{m}.c AS DOUBLE[]))"""
+        for m in range(PQ_M)
+    )
+    adc_joins = "\n      ".join(
+        f"JOIN renc e{m} ON e{m}.vec_id = x.vec_id AND e{m}.m = {m}\n"
+        f"      JOIN rcb c{m} ON c{m}.m = {m} AND c{m}.code = e{m}.code"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH {_QUANT_CTE},
+    {kmeans},
+    residuals AS (
+      SELECT a.vec_id, a.cell,
+             [a.e[i] - c.s[i] FOR i IN generate_series(1, {DIM})] AS r
+      FROM assign{u} a JOIN cent{u} c ON c.cell = a.cell
+    ),
+    rcb AS (
+{rcb_selects}
+    ),
+    scored_rcodes AS (
+{renc_selects}
+    ),
+    renc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, code ASC) AS rk
+        FROM scored_rcodes
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rk
+        FROM score{u} WHERE vec_id < {N_QUERIES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    qcell AS (
+      SELECT qq.vec_id AS query_id, c.cell,
+             CAST(list_dot_product(CAST(qq.e AS DOUBLE[]), CAST(c.s AS DOUBLE[]))
+                  AS BIGINT) AS qc
+      FROM q qq, cent{u} c WHERE qq.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             CAST(qc.qc + {adc_terms} AS BIGINT) AS est
+      FROM probe p
+      JOIN residuals x ON x.cell = p.cell AND x.vec_id <> p.query_id
+      JOIN q qq ON qq.vec_id = p.query_id
+      JOIN qcell qc ON qc.query_id = p.query_id AND qc.cell = p.cell
+      {adc_joins}
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY est DESC, neighbor_id ASC) AS rk
+        FROM adc
+      ) WHERE rk <= {PQ_R}
+    ),
+    rescored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM cands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("embedding_ivfpq_topk", _ivfpq_oracle())
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via the IVF-PQ composite — cell pruning (search only
+    {IVF_NPROBE} of {IVF_CELLS} cells) TIMES storage compression (each
+    vector stored as cell id + {PQ_M} residual codes): the layout that
+    serves billion-vector corpora from RAM. The trained IVF quantizer
+    supplies cells; residuals (x − centroid, integer vectors) are
+    product-quantized with codebooks seeded from the first {PQ_K}
+    residuals; a query's ADC estimate is q·centroid (per probed cell) +
+    Σ_m LUT_m[code_m] — all integers, so the oracle replays training,
+    assignment, residual encoding, probing, and scoring bit-for-bit.
+
+    Physical plan: residual computation and encoding are map-only numpy
+    passes over broadcast centroids/codebooks; the probe list and
+    per-query LUTs are driver-built from bounded aggregates
+    ({N_QUERIES}×{IVF_NPROBE} rows, {IVF_CELLS}·{DIM} centroid ints);
+    candidate scoring is a broadcast join on cell + JVM element_at adds;
+    only the top {PQ_R} candidates per query touch full vectors."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    assigned = _assign_cells(emb, ids, cent)
+
+    cent_by_cell = {int(c): cent[i] for i, c in enumerate(ids)}
+    bc_cent = spark.sparkContext.broadcast(cent_by_cell)
+    res_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("r", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def residualize(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            cmat = np.array([cents[int(c)] for c in cells], dtype=np.int64)
+            resid = mat - cmat
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells, "r": list(resid)}
+            )
+
+    residuals = assigned.mapInPandas(residualize, res_schema)
+
+    seed = sorted(
+        residuals.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
+    )
+    seed_mat = np.array([row.r for row in seed], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUB
+    )
+    books = [(list(range(PQ_K)), seed_mat[:, m, :]) for m in range(PQ_M)]
+    renc = _pq_encode(residuals.select("vec_id", F.col("r").alias("e")), books)
+    encoded = renc.join(residuals.select("vec_id", "cell"), "vec_id")
+
+    # Driver-side query prep (bounded: N_QUERIES vectors, K centroids).
+    queries = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    cent_f = cent.astype(np.float64)
+    cent_norms = np.sqrt((cent_f * cent_f).sum(axis=1))
+    probe_rows = []
+    for qrow in queries:
+        qv = np.array(qrow.e, dtype=np.float64)
+        qn = np.sqrt((qv * qv).sum())
+        cos = (cent_f @ qv) / (cent_norms * qn)
+        # (cos DESC, cell ASC): stable argsort on (-cos, cell) == oracle.
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], int(ids[i])))
+        qsub = qv.reshape(PQ_M, PQ_SUB)
+        luts = [
+            [int(x) for x in (books[m][1] @ qsub[m]).astype(np.int64)]
+            for m in range(PQ_M)
+        ]
+        for i in order[: min(IVF_NPROBE, len(ids))]:
+            qc = int(cent_f[i] @ qv)
+            probe_rows.append((qrow.vec_id, int(ids[i]), qc, *luts))
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("qc", T.LongType()),
+        ]
+        + [T.StructField(f"lut{m}", T.ArrayType(T.LongType())) for m in range(PQ_M)]
+    )
+    probes = spark.createDataFrame(probe_rows, probe_schema)
+
+    est = F.col("qc") + sum(
+        F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M)
+    )
+    adc = (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), est.alias("est"))
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("est").desc(), F.col("neighbor_id").asc())
+    cands = (
+        adc.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= PQ_R)
+        .select("query_id", "neighbor_id")
+    )
+    with_vecs = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("be")),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            emb.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), F.col("e").alias("ae")
+            )
+        ),
+        "query_id",
+    )
+    cosine = (
+        _dot(F.col("ae"), F.col("be")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("ae"), F.col("ae")).cast("double"))
+            * F.sqrt(_dot(F.col("be"), F.col("be")).cast("double"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        with_vecs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

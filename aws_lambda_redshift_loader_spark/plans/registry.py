@@ -74,6 +74,7 @@ _FIRST = [
     "copurchase_pairs",
     "fuzzy_match_names",
     "stream_funnel_join",
+    "embedding_ivfpq_topk",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",

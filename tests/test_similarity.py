@@ -147,3 +147,20 @@ def test_pq_recall_against_bruteforce(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"PQ recall collapsed: {recall:.3f}"
     assert len(rows) == N_QUERIES * TOP_K
+
+
+def test_ivfpq_recall_against_bruteforce(spark):
+    from aws_lambda_redshift_loader_spark.operators.similarity import embedding_ivfpq_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_topk_bruteforce(spark, SF_ORACLE).collect()
+    }
+    rows = embedding_ivfpq_topk(spark, SF_ORACLE).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    # Compression (residual PQ) stacks its loss on cell pruning, so the
+    # floor sits below plain IVF's; it guards composite breakage (wrong
+    # residual sign, LUT misindexing) which collapses recall to ~chance.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall collapsed: {recall:.3f}"
+    assert len(rows) == N_QUERIES * TOP_K
