@@ -664,3 +664,69 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retained_next_week",
         "retention_rate",
     )
+
+
+CORR_Q = 100  # cents-style quantization for exact correlation moments
+
+
+@register(
+    "correlation_by_group",
+    f"""
+    WITH qv AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * {CORR_Q}) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * {CORR_Q}) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM qv GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_qty_price
+    FROM m
+    """,
+)
+def correlation_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (quantity vs extended price) from
+    integer-exact co-moments: both columns quantize to int64 so the five
+    sums are exact at any parallelism; r is then one fixed chain of IEEE
+    multiply/subtract/sqrt/divide — bit-identical cross-engine (the
+    engine-native corr() aggregates a float stream and can never be
+    hash-verified; this form can, same discipline as
+    value_outliers_zscore).
+
+    Scale: one map-side-combined groupBy carrying five sums — the
+    single-pass parallel correlation estimator; |groups| output rows.
+
+    Caution for adopters: n·Σxy needs headroom — with {CORR_Q}-scaled
+    cents values this stays well under 2^63 here, but a 100 TB fact
+    table needs the same bound check (shift to per-partition means or
+    DECIMAL(38) sums when n·max(x)·max(y) approaches int64)."""
+    li = table(spark, sf_dir, "lineitem")
+    qv = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * CORR_Q).cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * CORR_Q).cast("bigint").alias("y"),
+    )
+    m = qv.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (n * F.col("sxy") - sx * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - sx * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", F.col("n").cast("bigint").alias("n"), corr.alias("corr_qty_price")
+    )

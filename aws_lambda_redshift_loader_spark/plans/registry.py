@@ -75,6 +75,7 @@ _FIRST = [
     "fuzzy_match_names",
     "stream_funnel_join",
     "embedding_ivfpq_topk",
+    "correlation_by_group",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
