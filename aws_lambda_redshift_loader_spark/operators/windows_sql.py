@@ -730,3 +730,66 @@ def correlation_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", F.col("n").cast("bigint").alias("n"), corr.alias("corr_qty_price")
     )
+
+
+TREND_T0 = "2024-01-01 00:00:00"  # fixture time origin (bounds x*x in int64)
+
+
+@register(
+    "linear_trend_by_group",
+    f"""
+    WITH qv AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(TIMESTAMP '{TREND_T0}')) AS BIGINT) AS x,
+             CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM qv GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope_q_per_sec,
+           (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n AS intercept_q
+    FROM m
+    """,
+)
+def linear_trend_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (quantized value vs seconds since the fixture
+    origin): slope and intercept from the same single-pass integer
+    co-moments as correlation_by_group — drift detection per event type
+    (is this metric degrading over the month?) without any sort or
+    window. The time origin offset keeps x² within int64 for the whole
+    fixture family; both slope and intercept are fixed IEEE chains over
+    exact integer sums, so boundary values match bit-for-bit.
+
+    Scale: identical shape to the other moments queries — one map-side-
+    combined groupBy, |groups| rows out."""
+    ev = table(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts") - F.unix_timestamp(F.lit(TREND_T0).cast("timestamp"))
+    qv = ev.select(
+        "event_type",
+        x.cast("bigint").alias("x"),
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("y"),
+    )
+    m = qv.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n, sx = F.col("n").cast("double"), F.col("sx").cast("double")
+    slope = (n * F.col("sxy") - sx * F.col("sy")) / (n * F.col("sxx") - sx * F.col("sx"))
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_q_per_sec"),
+        intercept.alias("intercept_q"),
+    )

@@ -76,6 +76,7 @@ _FIRST = [
     "stream_funnel_join",
     "embedding_ivfpq_topk",
     "correlation_by_group",
+    "linear_trend_by_group",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
