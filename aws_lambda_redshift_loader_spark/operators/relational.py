@@ -1753,3 +1753,59 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
     )
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK chain —
+    the validation a warehouse load runs before committing a batch (the
+    reference delegates it to Redshift constraints; our engine makes it
+    a query): orphan counts per relation via LEFT ANTI joins.
+
+    Scale: each anti-join shuffles on its key with map-side pre-
+    aggregation of the probe side possible; the dimension sides
+    (customer→nation) broadcast naturally. Output is one row per
+    relation regardless of fact size."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+
+    def audit(name: str, child: DataFrame, child_key: str, parent: DataFrame, parent_key: str):
+        # Declarative 1-row slice: anti-join count x total count, no
+        # driver-side action — the three audits union into ONE plan.
+        orphans = (
+            child.join(parent, child[child_key] == parent[parent_key], "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+        total = child.agg(F.count("*").cast("bigint").alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("relation"), "n_orphans", "n_rows"
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(audit("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )

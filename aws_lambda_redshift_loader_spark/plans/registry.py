@@ -77,6 +77,7 @@ _FIRST = [
     "embedding_ivfpq_topk",
     "correlation_by_group",
     "linear_trend_by_group",
+    "referential_integrity_audit",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
