@@ -1069,3 +1069,47 @@ def triangle_count_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TRIANGLE_TOP)
         .select(F.col("node").alias("token"), "n_triangles", "rank")
     )
+
+
+_READABILITY_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(greatest(length(regexp_extract_all(text, '\S+')), 1) AS BIGINT) AS n_words,
+         CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         CAST(greatest(length(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+FROM m
+"""
+
+
+@register("readability_flesch", _READABILITY_ORACLE)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948 — the classic
+    readability feature in quality-filter stacks): words, sentence-ish
+    [.!?]+ runs, and vowel-group syllable approximation, combined in the
+    standard formula. The three counts are integers and the formula is a
+    fixed IEEE chain, so scores match bit-for-bit cross-engine.
+
+    Scale: three regexp projections + arithmetic — map-only codegen."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.greatest(F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)), F.lit(1))
+        .cast("bigint").alias("n_words"),
+        F.greatest(F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1))
+        .cast("bigint").alias("n_sentences"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), 0)), F.lit(1)
+        ).cast("bigint").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select("doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch"))

@@ -78,6 +78,7 @@ _FIRST = [
     "correlation_by_group",
     "linear_trend_by_group",
     "referential_integrity_audit",
+    "readability_flesch",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
