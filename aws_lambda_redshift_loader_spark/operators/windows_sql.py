@@ -793,3 +793,74 @@ def linear_trend_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_q_per_sec"),
         intercept.alias("intercept_q"),
     )
+
+
+CHI2_SCALE = 1_000_000  # per-cell contribution quantization (micro-units)
+
+
+@register(
+    "chi_square_independence",
+    f"""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    margins AS (
+      SELECT c.event_type, c.dow, c.observed,
+             rt.row_total, ct.col_total, t.grand_total
+      FROM cells c
+      JOIN (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS row_total
+            FROM cells GROUP BY event_type) rt ON rt.event_type = c.event_type
+      JOIN (SELECT dow, CAST(SUM(observed) AS BIGINT) AS col_total
+            FROM cells GROUP BY dow) ct ON ct.dow = c.dow
+      CROSS JOIN (SELECT CAST(SUM(observed) AS BIGINT) AS grand_total FROM cells) t
+    ),
+    contrib AS (
+      SELECT event_type, dow, observed,
+             CAST(floor(
+               ((observed - (CAST(row_total AS DOUBLE) * col_total) / grand_total)
+                * (observed - (CAST(row_total AS DOUBLE) * col_total) / grand_total)
+                / ((CAST(row_total AS DOUBLE) * col_total) / grand_total))
+               * {CHI2_SCALE}) AS BIGINT) AS chi2_q
+      FROM margins
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(chi2_q) AS BIGINT) AS chi2_stat_q
+    FROM contrib
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (event_type × day-of-week): the
+    categorical-association screen a data-quality suite runs on every
+    load ("did the mix shift?"). Observed counts and margins are exact
+    integers; each cell's (O−E)²/E contribution is a fixed IEEE chain
+    quantized to int64 micro-units BEFORE the final sum, so the statistic
+    is order-independent and bit-identical cross-engine (a raw double
+    SUM over cells would be reduction-order-nondeterministic — the same
+    trick as the surprisal micro-nats).
+
+    Scale: contingency cells are a map-side-combined groupBy; margins
+    are two tiny re-aggregations of the CELLS (never the raw data) plus
+    a 1-row grand total — nothing touches the fact table twice."""
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", F.dayofweek("ts").cast("int").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("bigint").alias("observed"))
+    )
+    row_t = cells.groupBy("event_type").agg(
+        F.sum("observed").cast("bigint").alias("row_total")
+    )
+    col_t = cells.groupBy("dow").agg(F.sum("observed").cast("bigint").alias("col_total"))
+    grand = cells.agg(F.sum("observed").cast("bigint").alias("grand_total"))
+    m = cells.join(row_t, "event_type").join(col_t, "dow").crossJoin(grand)
+    expected = (F.col("row_total").cast("double") * F.col("col_total")) / F.col(
+        "grand_total"
+    )
+    diff = F.col("observed") - expected
+    chi2_q = F.floor((diff * diff / expected) * CHI2_SCALE).cast("bigint")
+    return m.select(chi2_q.alias("chi2_q")).agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("chi2_q").cast("bigint").alias("chi2_stat_q"),
+    )

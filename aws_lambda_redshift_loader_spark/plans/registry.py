@@ -79,6 +79,7 @@ _FIRST = [
     "linear_trend_by_group",
     "referential_integrity_audit",
     "readability_flesch",
+    "chi_square_independence",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
