@@ -80,6 +80,7 @@ _FIRST = [
     "referential_integrity_audit",
     "readability_flesch",
     "chi_square_independence",
+    "stream_dedup_within_watermark",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",

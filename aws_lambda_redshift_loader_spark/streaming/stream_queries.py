@@ -417,3 +417,30 @@ def _run_stream_append(spark: SparkSession, sf_dir: str, builder) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 dedup in its state-BOUNDED production form:
+    `dropDuplicatesWithinWatermark` (Spark 3.5+) evicts a key's dedup
+    state once the watermark passes its event time + delay — unlike
+    plain dropDuplicates-with-watermark, whose state for keys without
+    event-time columns grows forever. This is the variant a 24/7 ingest
+    pipeline actually runs; same oracle as the unbounded form (ids are
+    unique per type in the fixture, so the kept-row set is identical).
+    """
+
+    def agg(stream: DataFrame) -> DataFrame:
+        deduped = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+    return _run_stream(spark, sf_dir, agg)

@@ -62,3 +62,26 @@ def test_schema_of_json_infers_props_shape(spark):
     # F8 completeness: schema_of_json drives from_json schema discovery.
     row = spark.sql("SELECT schema_of_json('{\"k\": 42}') AS s").head()
     assert row.s == "STRUCT<k: BIGINT>"
+
+
+def test_python_udtf_register_and_sql_call(spark):
+    # §2.10's table-function surface: a Python UDTF registered by name
+    # and lateral-joined in SQL (Spark 3.5+).
+    try:
+        from pyspark.sql.functions import udtf
+    except ImportError:
+        import pytest
+
+        pytest.skip("udtf not in this pyspark")
+
+    @udtf(returnType="pos INT, word STRING")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    rows = spark.sql(
+        "SELECT t.pos, t.word FROM (SELECT 'a b c' AS s), LATERAL split_words(s) t"
+    ).collect()
+    assert [(r.pos, r.word) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
