@@ -864,3 +864,57 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_cells"),
         F.sum("chi2_q").cast("bigint").alias("chi2_stat_q"),
     )
+
+
+BENFORD_SCALE = 1_000_000
+
+
+@register(
+    "benford_digit_audit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts)
+    SELECT c.digit, c.observed,
+           CAST(floor((CAST(c.observed AS DOUBLE) / t.n) * {BENFORD_SCALE}) AS BIGINT)
+             AS observed_freq_q,
+           CAST(floor((ln(1.0 + 1.0 / c.digit) / ln(10.0)) * {BENFORD_SCALE}) AS BIGINT)
+             AS benford_freq_q
+    FROM counts c, tot t
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fraud / synthetic-data screen: observed leading-digit frequencies
+    next to the log10(1+1/d) expectation. Frequencies and expectations
+    are floor-quantized to parts-per-million (ln is not correctly
+    rounded cross-engine — same micro-unit discipline as the surprisal
+    scores); digit extraction goes through integer-string truncation so
+    float formatting never leaks in.
+
+    Scale: one map-side-combined digit groupBy (9 output rows) + a 1-row
+    total — nothing else."""
+    o = table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("observed"))
+    tot = counts.agg(F.sum("observed").cast("bigint").alias("n"))
+    obs_q = F.floor(
+        (F.col("observed").cast("double") / F.col("n")) * BENFORD_SCALE
+    ).cast("bigint")
+    ben_q = F.floor(
+        (F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)))
+        * BENFORD_SCALE
+    ).cast("bigint")
+    return counts.crossJoin(tot).select(
+        "digit", "observed", obs_q.alias("observed_freq_q"), ben_q.alias("benford_freq_q")
+    )

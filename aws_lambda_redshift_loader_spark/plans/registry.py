@@ -81,6 +81,8 @@ _FIRST = [
     "readability_flesch",
     "chi_square_independence",
     "stream_dedup_within_watermark",
+    "benford_digit_audit",
+    "stream_static_enrich",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",

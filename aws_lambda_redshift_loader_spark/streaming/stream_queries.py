@@ -444,3 +444,55 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         return deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
     return _run_stream(spark, sf_dir, agg)
+
+
+# Static dimension for the stream-static join (inline by design: the
+# point is the JOIN SHAPE — broadcast of a static side under a streaming
+# scan — not the dimension's provenance).
+EVENT_CATEGORIES = {
+    "view": "engagement",
+    "click": "engagement",
+    "purchase": "revenue",
+    "signup": "growth",
+    "error": "reliability",
+}
+
+
+@register(
+    "stream_static_enrich",
+    f"""
+    WITH dim(event_type, category) AS (VALUES
+      {", ".join(f"('{k}', '{v}')" for k, v in sorted(EVENT_CATEGORIES.items()))}
+    )
+    SELECT d.category, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY d.category
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the third streaming join family next to the
+    windowed aggregations and the stream-stream funnel join: a streaming
+    scan enriched against a static dimension (event_type → category),
+    then aggregated per category. Spark broadcasts the static side into
+    every micro-batch; no state is kept for the join itself (only the
+    complete-mode aggregate), which is why stream-static is the cheapest
+    enrichment shape and the first choice before a stream-stream join.
+
+    Shares the batch join+aggregate oracle over the finite fixture."""
+
+    def agg(stream: DataFrame) -> DataFrame:
+        spark = stream.sparkSession
+        dim = spark.createDataFrame(
+            sorted(EVENT_CATEGORIES.items()), "event_type STRING, category STRING"
+        )
+        return (
+            stream.join(F.broadcast(dim), "event_type")
+            .groupBy("category")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("sum_value"),
+            )
+        )
+
+    return _run_stream(spark, sf_dir, agg)
