@@ -993,11 +993,28 @@ TRIANGLE_TOP = 25  # report the 25 most triangle-dense tokens
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM edges WHERE src <> dst
     ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM undirected UNION ALL SELECT b FROM undirected
+      ) GROUP BY node
+    ),
+    oriented AS (
+      -- orient each edge from the LOWER-(degree, name) endpoint to the
+      -- higher: out-degree of any node is bounded by its higher-ordered
+      -- neighborhood, which tames power-law hubs.
+      SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi
+      FROM undirected u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    ),
     triangles AS (
-      SELECT e1.a AS x, e1.b AS y, e2.b AS z
-      FROM undirected e1
-      JOIN undirected e2 ON e2.a = e1.b
-      JOIN undirected e3 ON e3.a = e1.a AND e3.b = e2.b
+      -- wedge at the lowest-ordered vertex + closing edge: each triangle
+      -- counted exactly once.
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM oriented e1
+      JOIN oriented e2 ON e2.lo = e1.hi
+      JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
     ),
     per_node AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
@@ -1022,15 +1039,23 @@ def triangle_count_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     local clustering signal (function words close many triangles;
     content words few) — top-{TRIANGLE_TOP} reported.
 
-    The classic optimization is built in: edges are canonicalized a<b
-    (string order), so each triangle x<y<z is generated exactly once as
-    (x,y)⋈(y,z)⋈(x,z) — no 6-fold duplication, and the join fan-out of
-    any hot node is bounded by its HIGHER-ordered neighbors only (the
-    degree-ordering trick that tames power-law graphs: a hub's triangles
-    are mostly closed by its smaller neighbors' joins, not its own).
+    This is the real degree-ordered algorithm (Latapy 2008 / the
+    standard distributed formulation): every edge is oriented from its
+    lower-(degree, name) endpoint to the higher one, so wedges are only
+    built at each triangle's LOWEST-ordered vertex. A celebrity hub
+    contributes wedges only through its (few) higher-ordered neighbors —
+    per-node wedge work is O(out-degree²) with out-degree bounded by
+    sqrt(edges) under this orientation, instead of O(hub-degree²). A
+    lexicographic a<b orientation would NOT give that bound (a
+    lexicographically-small hub keeps its whole neighborhood); the
+    orientation costs one degree aggregate + join, both map-side
+    combined. Per-node triangle counts are orientation-independent, so
+    the oracle mirrors the same (degree, name) order and enumerates the
+    identical set.
 
-    Scale: two shuffle joins on edge endpoints + one union-groupBy, all
-    map-side combined; no iteration, no driver state."""
+    Scale: degree aggregate, two shuffle joins on edge endpoints, one
+    union-groupBy — all map-side combined; no iteration, no driver
+    state."""
     d = table(spark, sf_dir, "documents")
     words = d.select(F.split(norm_text("text"), " ").alias("ws")).filter(F.size("ws") >= 2)
     bigrams = words.select(
@@ -1048,11 +1073,27 @@ def triangle_count_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    with_deg = und.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     triangles = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(e3, (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")))
+        .select(F.col("e1.lo").alias("x"), F.col("e1.hi").alias("y"), F.col("e2.hi").alias("z"))
     )
     per_node = (
         triangles.select(F.col("x").alias("node"))
