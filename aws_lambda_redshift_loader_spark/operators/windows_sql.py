@@ -918,3 +918,97 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(tot).select(
         "digit", "observed", obs_q.alias("observed_freq_q"), ben_q.alias("benford_freq_q")
     )
+
+
+PSI_BINS = 10
+PSI_SPLIT = "2024-01-16 00:00:00"  # period A = before, period B = from
+PSI_SCALE = 1_000_000_000  # nano-unit quantization of per-bin terms
+
+
+@register(
+    "distribution_drift_psi",
+    f"""
+    WITH qv AS (
+      SELECT CAST(ts >= TIMESTAMP '{PSI_SPLIT}' AS INT) AS period,
+             CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v
+      FROM events
+    ),
+    rng AS (
+      SELECT MIN(v) AS lo,
+             CAST(ceil(CAST(MAX(v) - MIN(v) + 1 AS DOUBLE) / {PSI_BINS}) AS BIGINT) AS width
+      FROM qv
+    ),
+    binned AS (
+      SELECT q.period, (q.v - r.lo) // r.width AS bin FROM qv q, rng r
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM counts
+    ),
+    terms AS (
+      -- Laplace-smoothed shares (never zero), PSI term per bin quantized
+      -- BEFORE the sum so the statistic is reduction-order-independent.
+      SELECT CAST(floor(
+               ((CAST(c.a + 1 AS DOUBLE) / (t.na + t.k)) - (CAST(c.b + 1 AS DOUBLE) / (t.nb + t.k)))
+               * (ln(CAST(c.a + 1 AS DOUBLE) / (t.na + t.k)) - ln(CAST(c.b + 1 AS DOUBLE) / (t.nb + t.k)))
+               * {PSI_SCALE}) AS BIGINT) AS term_q
+      FROM counts c, tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(term_q) AS BIGINT) AS psi_q
+    FROM terms
+    """,
+)
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the month's first and second
+    half — THE production drift alarm for feature/score distributions
+    (PSI > 0.2 ⇒ investigate): shared fixed-width bins from the global
+    range, Laplace-smoothed shares (zero-count bins stay defined), and
+    per-bin (p−q)·ln(p/q) terms floor-quantized to int64 nano-units
+    BEFORE the final sum — order-independent and bit-identical
+    cross-engine despite the uncorrectly-rounded ln (same micro-unit
+    discipline as surprisal and chi-square).
+
+    Scale: one global min/max aggregate, one map-side-combined
+    (period × bin) count, ≤{PSI_BINS} term rows — nothing rescans the
+    facts."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        (F.col("ts") >= F.lit(PSI_SPLIT).cast("timestamp")).cast("int").alias("period"),
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    )
+    rng = qv.agg(
+        F.min("v").alias("lo"),
+        F.ceil((F.max("v") - F.min("v") + 1).cast("double") / PSI_BINS)
+        .cast("bigint")
+        .alias("width"),
+    )
+    binned = qv.crossJoin(rng).select(
+        "period", ((F.col("v") - F.col("lo")) / F.col("width")).cast("bigint").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("bigint").alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    pa = F.col("a").cast("double") + 1
+    pb = F.col("b").cast("double") + 1
+    sa = pa / (F.col("na") + F.col("k"))
+    sb = pb / (F.col("nb") + F.col("k"))
+    term_q = F.floor(((sa - sb) * (F.log(sa) - F.log(sb))) * PSI_SCALE).cast("bigint")
+    terms = counts.crossJoin(tot).select(term_q.alias("term_q"))
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum("term_q").cast("bigint").alias("psi_q"),
+    )

@@ -83,6 +83,7 @@ _FIRST = [
     "stream_dedup_within_watermark",
     "benford_digit_audit",
     "stream_static_enrich",
+    "distribution_drift_psi",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
