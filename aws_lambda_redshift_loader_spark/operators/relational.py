@@ -1809,3 +1809,58 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
         .unionByName(audit("customer->nation", c, "c_nationkey", n, "n_nationkey"))
     )
+
+
+@register(
+    "spend_gini_by_nation",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    ranked AS (
+      SELECT nationkey, cents,
+             row_number() OVER (PARTITION BY nationkey ORDER BY cents ASC) AS i,
+             COUNT(*) OVER (PARTITION BY nationkey) AS n,
+             CAST(SUM(cents) OVER (PARTITION BY nationkey) AS BIGINT) AS total
+      FROM spend
+    )
+    SELECT nationkey,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(SUM((2 * i - n - 1) * cents) AS DOUBLE) / (MAX(n) * MAX(total)) AS gini
+    FROM ranked GROUP BY nationkey
+    """,
+)
+def spend_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order spend per nation — inequality of the
+    revenue distribution by market, via the exact rank formula
+    G = Σ(2i−n−1)·xᵢ / (n·Σx) over cents-quantized integers: the
+    numerator is an exact integer sum (ties don't matter — equal values
+    contribute the same total under any rank assignment), the final
+    ratio one IEEE divide.
+
+    Scale: rank/total ride ONE window partitioned by nation (partition
+    sizes are per-market order counts, sharded across executors), then
+    a map-side-combined fold per nation — no global sort anywhere."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window as W
+
+    spend = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wp = W.partitionBy("nationkey")
+    ranked = spend.select(
+        "nationkey",
+        "cents",
+        F.row_number().over(wp.orderBy(F.col("cents").asc())).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("cents").over(wp).cast("bigint").alias("total"),
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+    return ranked.groupBy("nationkey").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        (num.cast("double") / (F.max("n") * F.max("total"))).alias("gini"),
+    )

@@ -1154,3 +1154,59 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
     )
     return m.select("doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch"))
+
+
+@register(
+    "lexical_entropy",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS token) u
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY doc_id, token
+    ),
+    sized AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM tf GROUP BY doc_id
+    ),
+    terms AS (
+      -- per-term -p*ln(p) quantized to micro-nats BEFORE the doc sum
+      SELECT t.doc_id,
+             CAST(floor((-(CAST(t.cnt AS DOUBLE) / s.n)
+                         * ln(CAST(t.cnt AS DOUBLE) / s.n)) * 1e6) AS BIGINT) AS h_q
+      FROM tf t JOIN sized s ON s.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(h_q) AS BIGINT) AS entropy_q
+    FROM terms GROUP BY doc_id
+    """,
+)
+def lexical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's own token distribution
+    (micro-nats) — the lexical-diversity feature complementing surprisal
+    (which scores against the CORPUS distribution): low entropy flags
+    keyword-stuffed or template text even when its vocabulary is common.
+    Per-term −p·ln p quantizes to int64 before the per-doc sum, so the
+    score is reduction-order-independent despite ln.
+
+    Scale: two map-side-combined groupBys (doc×token, then doc) and a
+    doc-keyed join — no corpus-wide state at all."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("cnt"))
+    sized = tf.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    h_q = F.floor((-p * F.log(p)) * 1e6).cast("bigint")
+    return (
+        tf.join(sized, "doc_id")
+        .select("doc_id", h_q.alias("h_q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.sum("h_q").cast("bigint").alias("entropy_q"),
+        )
+    )

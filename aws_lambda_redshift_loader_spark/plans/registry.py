@@ -84,6 +84,8 @@ _FIRST = [
     "benford_digit_audit",
     "stream_static_enrich",
     "distribution_drift_psi",
+    "lexical_entropy",
+    "spend_gini_by_nation",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
