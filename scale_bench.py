@@ -57,6 +57,12 @@ QUERIES = [
     "embedding_ann_lsh",          # hyperplane LSH probe
     "session_window_events",      # session windows over events
     "pricing_summary",            # scan + groupBy anchor (lineitem)
+    # round-5 additions worth a scale point
+    "dedup_cluster_keep_best",    # CC + per-cluster survivor argmax
+    "line_dedup_fraction",        # line-hash partial-agg + join-back
+    "unigram_logprob_quality",    # token-vocab join, no hints
+    "triangle_count_token_graph", # degree-ordered two-join enumeration
+    "embedding_ivfpq_topk",       # IVF cells + residual PQ codes
 ]
 
 
