@@ -298,3 +298,48 @@ def test_delete_batches_open_status_rotates_current(spark, tmp_path, sample_file
     assert len(victims) == len(open_batches)
     # Deletion rotated to a fresh, EMPTY open batch; nothing crashed.
     assert all(not b.entries for b in pipe.query_batches("open"))
+
+
+def test_avro_through_full_pipeline(spark, tmp_path):
+    """AVRO end-to-end: engine-authored container files → the full
+    ingestion path (config routing, ledger, batcher, sink) — proving the
+    pure-Python decoder plugs into the data plane, not just read_files.
+    batchSize=2 over 2 files ⇒ one complete batch, 4 rows landed."""
+    from aws_lambda_redshift_loader_spark.sources.avro_io import encode_container
+
+    schema = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+        ],
+    }
+    prefix = str(tmp_path / "avro_in")
+    os.makedirs(prefix, exist_ok=True)
+    files = []
+    for i in range(2):
+        p = os.path.join(prefix, f"part-{i}.avro")
+        with open(p, "wb") as fh:
+            fh.write(encode_container(schema, [(i * 10, f"x{i}"), (i * 10 + 1, f"y{i}")]))
+        files.append(p)
+
+    sink_dir = str(tmp_path / "avro_wh")
+    cfg = LoadConfig(
+        s3_prefix=prefix,
+        data_format="AVRO",
+        batch_size=2,
+        sinks=[ClusterSink(target_table="avro_target", path=sink_dir)],
+    )
+    pipe = IngestPipeline(spark, [cfg], manifest_dir=str(tmp_path / "manifests"))
+    outcomes = []
+    for i, f in enumerate(files):
+        out = pipe.on_file_event(FileEvent(key=f, size=os.path.getsize(f), ts=T0 + i))
+        if out:
+            outcomes.append(out)
+
+    assert len(outcomes) == 1 and outcomes[0].ok
+    loaded = spark.read.parquet(os.path.join(sink_dir, "avro_target"))
+    assert sorted((r.a, r.b) for r in loaded.collect()) == [
+        (0, "x0"), (1, "y0"), (10, "x1"), (11, "y1")
+    ]
