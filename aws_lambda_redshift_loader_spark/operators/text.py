@@ -1210,3 +1210,75 @@ def lexical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h_q").cast("bigint").alias("entropy_q"),
         )
     )
+
+
+PACK_SHARDS = 8  # parallel packing shards (hash-assigned)
+PACK_SEQ_LEN = 512  # tokens per training sequence
+
+
+@register(
+    "sequence_packing",
+    rf"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('pack:', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) % {PACK_SHARDS} AS shard,
+             CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    offsets AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS start_tok
+      FROM sized
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(start_tok // {PACK_SEQ_LEN} AS BIGINT) AS start_seq,
+           CAST((start_tok + n_tokens - 1) // {PACK_SEQ_LEN}
+                - start_tok // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_spans
+    FROM offsets
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing plan (the GPT-style concatenate-and-cut
+    final stage of a data pipeline): documents hash-assign to
+    {PACK_SHARDS} parallel shards, concatenate in doc_id order within
+    each shard, and the {PACK_SEQ_LEN}-token grid cuts the stream — each
+    document learns which sequence it starts in and how many sequences
+    it spans (spans > 1 = crosses a boundary; the attention-mask /
+    document-boundary bookkeeping the training loader needs).
+
+    Deterministic: the shard gate is the cross-engine md5 hash, offsets
+    are an exclusive running sum over (shard, doc_id) — integers end to
+    end.
+
+    Scale: THE point of sharding — packing is inherently sequential, so
+    make it sequential per shard, parallel across shards (at 100 TB,
+    thousands of shards = thousands of independent cumsum partitions;
+    one window shuffle, no global order anywhere)."""
+    from ..functions.scalar import hex_hash64
+
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        (hex_hash64(F.col("doc_id").cast("string"), salt="pack:") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(norm_text("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sized.select(
+        "doc_id", "shard", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint").alias("start_tok"),
+    )
+    start_seq = F.floor(F.col("start_tok") / PACK_SEQ_LEN).cast("bigint")
+    end_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_SEQ_LEN).cast("bigint")
+    return offsets.select(
+        "doc_id", "shard", "n_tokens",
+        start_seq.alias("start_seq"),
+        (end_seq - start_seq + 1).alias("n_spans"),
+    )

@@ -86,6 +86,7 @@ _FIRST = [
     "distribution_drift_psi",
     "lexical_entropy",
     "spend_gini_by_nation",
+    "sequence_packing",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
