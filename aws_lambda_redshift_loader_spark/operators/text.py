@@ -1282,3 +1282,51 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_seq.alias("start_seq"),
         (end_seq - start_seq + 1).alias("n_spans"),
     )
+
+
+VOCAB_CUTOFFS = (50, 100, 200, 300, 400, 500, 1000, 2000, 5000)
+
+
+@register(
+    "vocab_growth_curve",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS token) u
+    ),
+    first_seen AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY token
+    ),
+    cutoffs AS (SELECT unnest([{", ".join(str(c) for c in VOCAB_CUTOFFS)}]) AS cutoff)
+    SELECT CAST(c.cutoff AS BIGINT) AS cutoff,
+           CAST(COUNT(f.token) AS BIGINT) AS vocab_size
+    FROM cutoffs c LEFT JOIN first_seen f ON f.first_doc < c.cutoff
+    GROUP BY CAST(c.cutoff AS BIGINT)
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct-token count after the first
+    k documents (ingestion order), for a fixed cutoff ladder — the
+    corpus-stats curve that tells you whether more crawl keeps buying
+    new vocabulary (V ∝ N^β, β≈0.5 for natural text; a flattening curve
+    means the source is exhausted, a linear one means boilerplate IDs or
+    noise).
+
+    Scale: token first-occurrence is ONE map-side-combined MIN groupBy
+    (shared shape with ngram_novelty); the ladder join touches only the
+    per-token first_doc rows, and the {len(VOCAB_CUTOFFS)}-row cutoff
+    side broadcasts trivially. No per-prefix rescans."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    cutoffs = d.sparkSession.createDataFrame(
+        [(c,) for c in VOCAB_CUTOFFS], "cutoff BIGINT"
+    )
+    return (
+        cutoffs.join(first_seen, first_seen.first_doc < cutoffs.cutoff, "left")
+        .groupBy("cutoff")
+        .agg(F.count("token").cast("bigint").alias("vocab_size"))
+    )

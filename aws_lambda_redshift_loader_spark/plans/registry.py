@@ -87,6 +87,7 @@ _FIRST = [
     "lexical_entropy",
     "spend_gini_by_nation",
     "sequence_packing",
+    "vocab_growth_curve",
     # round-5 repaired queries (errored in r4 on NTZ timestamps)
     "sessionize_gaps_islands",
     "stream_tumbling_counts",
