@@ -36,13 +36,49 @@ QUANT = 10000
 N_TABLES = 8  # LSH hash tables (bands)
 # Signature bits per table: an index-geometry BUILD parameter, not a
 # constant of the algorithm. Per-bucket occupancy is ~N/2^bits, so bits
-# must grow ~log2(N) to keep the bucket self-join linear in N (the
-# BENCH_SCALE.json embedding entries measure exactly this). Both the
-# engine AND the DuckDB oracles derive from this one value at import
-# time, so any setting stays hash-verifiable; 4 suits the driver's
-# sf0.001-0.1 fixtures (N=200-2000).
-PLANES_PER_TABLE = int(_os.environ.get("ALRS_LSH_BITS", "4"))
+# must grow ~log2(N) to keep the bucket self-join linear in N — a fixed
+# bit count turns LSH quadratic-trending at scale (BENCH_SCALE.json
+# measured exponent 1.55 at fixed 4 bits vs 0.44 at 7 on the 10x step).
+# Bits are therefore DERIVED from the corpus count at plan-build time:
+# the smallest b with 2^b * TARGET_OCCUPANCY >= N, floored at MIN_BITS.
+# The formula is integer-only (shift/compare — no float log2) so the
+# DuckDB oracles compute the identical b from COUNT(*) in SQL and every
+# setting stays hash-verifiable. ALRS_LSH_BITS pins b for geometry
+# experiments (scale_bench's @bits=… runs); engine and oracle both honor
+# the pin.
+MIN_BITS = 4
+MAX_BITS = 24  # bucket = (t << b) + sig stays well inside int32/int64
+TARGET_OCCUPANCY = 128  # expected vectors per bucket at the derived b
+_LSH_BITS_OVERRIDE = _os.environ.get("ALRS_LSH_BITS")
 DIM = 64
+
+
+def _lsh_bits(n: int) -> int:
+    """Adaptive signature width: smallest b (>= MIN_BITS) such that
+    2^b * TARGET_OCCUPANCY >= n. Integer shift/compare only — the DuckDB
+    oracle CTE (_NB_CTE) evaluates the same recurrence, so both engines
+    agree exactly even at power-of-two boundaries where float log2 could
+    round either way. n may be an approximate count at real scale: being
+    off by <2x moves b by at most 1, which changes candidate volume ~2x
+    but never correctness."""
+    if _LSH_BITS_OVERRIDE:
+        return int(_LSH_BITS_OVERRIDE)
+    k = 0
+    while (1 << k) * TARGET_OCCUPANCY < n and k < MAX_BITS:
+        k += 1
+    return max(MIN_BITS, k)
+
+
+# The same bit derivation in DuckDB SQL (or the pinned override).
+_NB_CTE = (
+    f"nb AS (SELECT {int(_LSH_BITS_OVERRIDE)} AS b)"
+    if _LSH_BITS_OVERRIDE
+    else f"""nb AS (
+  SELECT GREATEST({MIN_BITS}, MIN(k)) AS b
+  FROM generate_series(0, {MAX_BITS}) g(k)
+  WHERE (CAST(1 AS BIGINT) << k) * {TARGET_OCCUPANCY} >= (SELECT COUNT(*) FROM embeddings)
+)"""
+)
 
 
 def _quantize(col: Column) -> Column:
@@ -122,12 +158,13 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_signatures(emb: DataFrame) -> DataFrame:
+def _lsh_signatures(emb: DataFrame, bits: int) -> DataFrame:
     """(vec_id, e) → (vec_id, e, buckets array<int>): multi-table
-    random-hyperplane LSH signatures. Signs derive from the md5 parity of
+    random-hyperplane LSH signatures, ``bits`` planes per table (derive it
+    with _lsh_bits(corpus_count)). Signs derive from the md5 parity of
     ``"{table}:{plane}:{dim}"`` so the buckets reproduce bit-identically in
     any engine (the DuckDB oracles rebuild the same planes in SQL). All
-    N_TABLES*PLANES_PER_TABLE hyperplanes form one (planes x DIM) matrix so
+    N_TABLES*bits hyperplanes form one (planes x DIM) matrix so
     every signature bit of a block of vectors is a single BLAS matmul in
     the pandas worker (the per-element Catalyst fold costs ~100x more for
     this shape). Map-only: no shuffle, corpus never leaves the executors.
@@ -146,11 +183,11 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
         [
             [sign(t, p, d) for d in range(DIM)]
             for t in range(N_TABLES)
-            for p in range(PLANES_PER_TABLE)
+            for p in range(bits)
         ],
         dtype=np.float64,  # exact: entries ±1, dots are integers << 2^53
     )
-    n_tables, planes_per_table = N_TABLES, PLANES_PER_TABLE
+    n_tables, planes_per_table = N_TABLES, bits
     sig_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -183,15 +220,19 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
 
 # The same LSH planes/buckets rebuilt in pure DuckDB SQL: md5 parity of the
 # 15-hex-digit prefix == parity of its last hex digit (substr position 15).
+# Plane count is the adaptive b from _NB_CTE — the series spans MAX_BITS
+# and a plain `p < b` filter trims it (no lateral table functions needed).
 _LSH_BUCKETS_CTE = f"""
+{_NB_CTE},
 planes AS (
   SELECT t, p, d,
          CASE WHEN substr(md5(t || ':' || p || ':' || d), 15, 1)
                    IN ('1','3','5','7','9','b','d','f')
               THEN 1 ELSE -1 END AS s
   FROM generate_series(0, {N_TABLES - 1}) g1(t),
-       generate_series(0, {PLANES_PER_TABLE - 1}) g2(p),
+       generate_series(0, {MAX_BITS - 1}) g2(p),
        generate_series(0, {DIM - 1}) g3(d)
+  WHERE p < (SELECT b FROM nb)
 ),
 proj AS (
   SELECT q.vec_id, pl.t, pl.p, SUM(pl.s * q.e[pl.d + 1]) AS proj
@@ -200,8 +241,8 @@ proj AS (
 ),
 buckets AS (
   SELECT vec_id,
-         t * {1 << PLANES_PER_TABLE} +
-         SUM(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bucket
+         t * (CAST(1 AS BIGINT) << (SELECT b FROM nb)) +
+         SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
   FROM proj GROUP BY vec_id, t
 )
 """
@@ -236,7 +277,8 @@ _ANN_LSH_ORACLE = f"""
 @register("embedding_ann_lsh", _ANN_LSH_ORACLE)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: {N_TABLES} independent
-    signatures of {PLANES_PER_TABLE} ±1-hyperplanes each (signs derived
+    signatures of b ±1-hyperplanes each, b derived from the corpus count
+    (_lsh_bits — smallest b with 2^b*{TARGET_OCCUPANCY} >= N; signs derive
     from the cross-engine md5 hash of (plane, dim), so buckets reproduce
     everywhere). A candidate pair is any (query, doc) sharing ANY table's
     bucket — the classic banding trick: short bands give per-band match
@@ -245,16 +287,22 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{TOP_K} scoring.
 
     Hash-verified end to end: the DuckDB oracle rebuilds the identical
-    md5-parity hyperplanes in SQL, so bucket generation, candidate
-    pairing, AND the exact re-rank all gate on the driver's value hash;
-    tests/test_similarity.py additionally measures recall against
-    embedding_topk_bruteforce. Scale: corpus side explodes to
-    T rows/vector, shuffles on (table, bucket) — each bucket holds
-    ~N/2^b vectors, so candidate generation is O(T·N²/2^b) pair work
-    instead of O(N²); queries are broadcast, never shuffled.
+    md5-parity hyperplanes AND the identical integer bit derivation in
+    SQL, so bucket generation, candidate pairing, AND the exact re-rank
+    all gate on the driver's value hash; tests/test_similarity.py
+    additionally measures recall against embedding_topk_bruteforce.
+    Scale: corpus side explodes to T rows/vector, shuffles on
+    (table, bucket) — per-bucket occupancy is pinned at
+    ~{TARGET_OCCUPANCY} by the adaptive b, so candidate generation stays
+    O(T·N·occupancy) = linear in N at any corpus size; queries are
+    broadcast, never shuffled. The plan-build count() is one
+    column-pruned metadata-cheap pass; an approximate count would do
+    (±2x moves b by at most 1).
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
-    sigs = _lsh_signatures(emb)
+    raw = table(spark, sf_dir, "embeddings")
+    bits = _lsh_bits(raw.count())
+    emb = raw.select("vec_id", _quantize("embedding").alias("e"))
+    sigs = _lsh_signatures(emb, bits)
     corpus = sigs.select("vec_id", "e", F.explode("buckets").alias("bucket"))
     queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -327,18 +375,21 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Physical strategy (the 100 TB shape — no driver collect, no all-pairs):
     1. map-only GEMM pass stamps each vector with its {N_TABLES} bucket ids
-       (`_lsh_signatures`);
+       (`_lsh_signatures`), signature width b = _lsh_bits(N) so per-bucket
+       occupancy is pinned at ~{TARGET_OCCUPANCY} regardless of corpus
+       size (the fixed-bits variant measured 10x exponent 1.55 — the
+       adaptive width is what keeps this linear);
     2. slim (vec_id, bucket) rows self-join on bucket — pair work is
-       O(T·N²/2^b) with per-bucket occupancy ~N/2^b, not O(N²); at real
-       corpus sizes PLANES_PER_TABLE scales as ~log2(N) to hold per-bucket
-       occupancy constant (4 bits here suits the fixture's N=500-2000);
+       O(T·N·occupancy), not O(N²);
     3. exact integer-dot cosine verifies only the deduped candidate pairs.
     Integer dots (quantized) keep the threshold comparison deterministic
     cross-engine (float64 GEMM over ints < 2^53 is exact; cosine is one
     IEEE sqrt/divide per pair in both engines); boundary pairs cannot flap.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
-    slim = _lsh_signatures(emb).select("vec_id", F.explode("buckets").alias("bucket"))
+    raw = table(spark, sf_dir, "embeddings")
+    bits = _lsh_bits(raw.count())
+    emb = raw.select("vec_id", _quantize("embedding").alias("e"))
+    slim = _lsh_signatures(emb, bits).select("vec_id", F.explode("buckets").alias("bucket"))
     cand = (
         slim.alias("a")
         .join(
