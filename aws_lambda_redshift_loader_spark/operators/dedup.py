@@ -573,7 +573,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Min-label propagation to fixpoint. Driver loop, distributed body;
     # each round: neighbor-min join + grouped min. Bounded by component
-    # diameter (checked, not assumed).
+    # diameter (checked, not assumed). Convergence probe: labels are
+    # MONOTONICALLY non-increasing, so the fixpoint is reached exactly
+    # when sum(cluster_id) stops decreasing — one map-side aggregate on
+    # the already-checkpointed frame (decimal(38,0): exact at any node
+    # count/id magnitude), replacing the old per-round join+count probe.
+    prev_sum = None
     for _ in range(30):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -594,16 +599,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # counts); the checkpoint also materializes once for both the
         # convergence probe and the next round.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
