@@ -1275,8 +1275,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shard", "n_tokens",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint").alias("start_tok"),
     )
-    start_seq = F.floor(F.col("start_tok") / PACK_SEQ_LEN).cast("bigint")
-    end_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_SEQ_LEN).cast("bigint")
+    # integer `div`, not double `/` + floor: token offsets at corpus scale
+    # can exceed 2^53, where double division stops being integer-exact.
+    start_seq = F.expr(f"start_tok div {PACK_SEQ_LEN}")
+    end_seq = F.expr(f"(start_tok + n_tokens - 1) div {PACK_SEQ_LEN}")
     return offsets.select(
         "doc_id", "shard", "n_tokens",
         start_seq.alias("start_seq"),

@@ -601,7 +601,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = qv.join(rng, "event_type").select(
         "event_type",
-        ((F.col("v") - F.col("lo")) / F.col("width")).cast("bigint").alias("binq"),
+        # `div` = bigint integer division: exact at any magnitude, unlike
+        # double `/` + cast which loses integer-exactness past 2^53.
+        F.expr("(v - lo) div width").alias("binq"),
         "lo",
         "width",
     )
@@ -991,7 +993,8 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("width"),
     )
     binned = qv.crossJoin(rng).select(
-        "period", ((F.col("v") - F.col("lo")) / F.col("width")).cast("bigint").alias("bin")
+        # integer-exact bin assignment (see value_histogram)
+        "period", F.expr("(v - lo) div width").alias("bin")
     )
     counts = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("bigint").alias("a"),

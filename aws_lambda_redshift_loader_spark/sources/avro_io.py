@@ -189,7 +189,17 @@ class _Writer:
 
 
 def _encode_value(w: _Writer, schema, v) -> None:
-    if isinstance(schema, list):  # union: pick the branch matching None-ness
+    if isinstance(schema, list):
+        # Union: branch selection here is by None-ness ONLY, which is
+        # well-defined solely for the 2-branch nullable form
+        # ["null", T] / [T, "null"] — the same restriction the decoder
+        # side (avro_schema_to_spark) enforces. A multi-branch union
+        # like ["int", "string"] would silently encode a string on the
+        # int branch whenever int(v) succeeds; refuse instead.
+        if len(schema) != 2 or "null" not in schema:
+            raise NotImplementedError(
+                f"avro encode supports only 2-branch null unions, got {schema!r}"
+            )
         idx = next(
             i
             for i, s in enumerate(schema)

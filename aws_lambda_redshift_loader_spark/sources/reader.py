@@ -37,9 +37,52 @@ class UnsupportedFormatError(ValueError):
 
 
 class MaxErrorExceeded(ValueError):
-    """Load aborted: malformed-row count exceeded the MAXERROR budget
+    """Load aborted: malformed-row count reached the MAXERROR budget
     (the Redshift COPY error-ceiling semantic, copyOptions passthrough
     index.js:1202-1204)."""
+
+
+class CompressionMismatch(ValueError):
+    """Load aborted: a file's extension contradicts the configured
+    compression directive (index.js:1196-1199 — the reference passes
+    GZIP/BZIP2/LZOP to COPY, which fails on mismatched payloads; here
+    the mismatch is caught before any bytes are read)."""
+
+
+# Compression directive → accepted file extensions (reference set,
+# setup.js compression choices + Spark's auto-detected codecs).
+_COMPRESSION_EXTS = {
+    "GZIP": (".gz", ".gzip"),
+    "BZIP2": (".bz2",),
+    "LZOP": (".lzo",),
+    "NONE": (),
+}
+
+
+def _check_compression(paths: list[str], directive: str) -> None:
+    """Error-on-mismatch for an explicit compression directive. Only
+    explicit file paths are checkable (globs/directories resolve at scan
+    time); a directory entry passes through to Spark's own codec
+    detection. NONE asserts that no path carries a known codec
+    extension."""
+    directive = directive.upper()
+    if directive not in _COMPRESSION_EXTS:
+        raise CompressionMismatch(f"unknown compression directive {directive}")
+    all_exts = tuple(e for exts in _COMPRESSION_EXTS.values() for e in exts)
+    for p in paths:
+        low = p.lower()
+        if directive == "NONE":
+            if low.endswith(all_exts):
+                raise CompressionMismatch(
+                    f"compression NONE configured but {p} has a compressed extension"
+                )
+        elif "." in low.rsplit("/", 1)[-1] and not low.endswith(
+            _COMPRESSION_EXTS[directive]
+        ):
+            raise CompressionMismatch(
+                f"compression {directive} configured but {p} does not match "
+                f"{_COMPRESSION_EXTS[directive]}"
+            )
 
 
 def read_files(
@@ -61,6 +104,8 @@ def read_files(
         )
 
     paths = files if isinstance(files, list) else [files]
+    if config.compression:
+        _check_compression(paths, config.compression)
     if fmt == "AVRO":
         # JVM spark-avro datasource when deployed; otherwise the engine's
         # own container-file decoder (sources/avro_io.py) over a
@@ -106,20 +151,36 @@ def read_files(
     else:
         reader = reader.format(fmt.lower())
 
+    # copyOptions passthrough (index.js:1202-1204): user-supplied reader
+    # options apply LAST so they win over the structured defaults above
+    # (e.g. a custom quote/escape/dateFormat/nullValue for CSV).
+    for k, v in (config.reader_options or {}).items():
+        reader = reader.option(k, v)
+
     df = reader.load(paths)
 
     if max_error is not None and fmt in ("CSV", "JSON"):
         from pyspark.sql import functions as F
 
-        # Cache before splitting: Spark refuses to filter on the corrupt
-        # column of an un-materialized permissive scan.
+        # Cache before splitting: Spark refuses queries that reference
+        # ONLY the corrupt column of an un-materialized permissive scan.
         df = df.cache()
         n_bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
-        if n_bad > max_error:
+        # Redshift MAXERROR fails when the error count REACHES the
+        # budget, and MAXERROR 0 fails on the first error — i.e. fail
+        # when n_bad >= max(budget, 1).
+        if n_bad >= max(max_error, 1):
+            df.unpersist()
             raise MaxErrorExceeded(
-                f"{n_bad} malformed rows exceed MAXERROR {max_error}"
+                f"{n_bad} malformed rows reach MAXERROR {max_error}"
             )
-        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        # Materialize the clean rows and release the permissive-parse
+        # cache — otherwise the full raw load (bad rows included) stays
+        # pinned in executor storage for the life of the session.
+        clean = clean.localCheckpoint(eager=True)
+        df.unpersist()
+        df = clean
 
     if fmt == "JSON" and config.json_path:
         # JSONPaths list like ["$.a.b", "$.c"] → ordered column projection.

@@ -106,6 +106,11 @@ class ClusterSink:
     presql: str | None = None
     postsql: str | None = None
     truncate_target: bool = False
+    # Free-form DataFrameWriter options (the sink half of the reference's
+    # copyOptions passthrough, index.js:1202-1204): JDBC tuning such as
+    # batchsize/isolationLevel, or parquet codec for path sinks. Applied
+    # verbatim to every write this sink performs.
+    writer_options: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -132,8 +137,22 @@ class LoadConfig:
     sinks: list[ClusterSink] = field(default_factory=list)  # S5 fan-out
     current_batch: str | None = None  # rotated by the batcher (T5)
     # COPY `MAXERROR N` analog (copyOptions passthrough, index.js:1202-1204;
-    # Redshift aborts the load once more than N rows are malformed). None =
-    # Spark's default permissive parse; an int = count malformed CSV/JSON
-    # rows against the budget — within it they are dropped (and available
-    # for audit), beyond it the load fails atomically. Requires `schema`.
+    # Redshift fails the load once the malformed-row count REACHES N, with
+    # N=0 meaning any error fails). None = Spark's default permissive
+    # parse; an int = count malformed CSV/JSON rows against the budget —
+    # under it they are dropped (and available for audit), at or over it
+    # the load fails atomically. Requires `schema`.
     max_error: int | None = None
+    # Free-form Spark reader options — the general copyOptions passthrough
+    # (index.js:1202-1204). Redshift COPY options map onto Spark reader
+    # options the user supplies verbatim, e.g. DATEFORMAT → dateFormat,
+    # NULL AS → nullValue, QUOTE → quote, ESCAPE → escape, ENCODING →
+    # encoding, TRIMBLANKS → ignoreTrailingWhiteSpace. Applied after the
+    # structured fields above, so an explicit option wins over defaults.
+    reader_options: dict[str, str] = field(default_factory=dict)
+    # Explicit compression directive (index.js:1196-1199: GZIP | BZIP2 |
+    # LZOP | NONE appended to COPY). Spark auto-detects codecs by
+    # extension, so the directive's contract here is the reference's
+    # error-on-mismatch: declared codec must match every file's extension
+    # or the load fails before any bytes are read. None = auto-detect.
+    compression: str | None = None

@@ -53,6 +53,54 @@ class SinkResult:
     error: str | None = None
 
 
+def build_jdbc_url(
+    host: str,
+    port: int,
+    database: str,
+    user: str | None = None,
+    password_env: str | None = None,
+    ssl: bool = True,
+    statement_timeout_ms: int | None = None,
+    override_env: str = "ALRS_OVERRIDE_DBSTRING",
+) -> str:
+    """Warehouse connection-string assembly, the JDBC mirror of the
+    reference's Postgres conninfo builder (index.js:1233-1252):
+
+    - ``override_env`` (reference `_OVERRIDE_DBSTRING`, index.js:1246-1252):
+      when set, the env value IS the connection string — the debug/test
+      hook that lets a deployment redirect loads wholesale.
+    - ``ssl`` (index.js:1242-1244): the reference appends
+      `?ssl=true&sslfactory=<non-validating>`; same options here in
+      PostgreSQL-JDBC form.
+    - ``statement_timeout_ms`` (index.js:1081-1096): the reference SETs
+      statement_timeout per session before COPY; JDBC carries it in the
+      `options` startup parameter so every statement on the connection
+      inherits it.
+    - ``password_env`` is the secrets-indirection analog of kmsCrypto.js:
+      configs hold the NAME of an environment variable, never the secret;
+      the value is read here, at connect-string build time. A missing
+      variable is a hard error (silently connecting unauthenticated is
+      how test configs leak into production).
+    """
+    override = os.environ.get(override_env)
+    if override:
+        return override
+    params: list[str] = []
+    if user:
+        params.append(f"user={user}")
+    if password_env:
+        if password_env not in os.environ:
+            raise KeyError(f"password env var {password_env} is not set")
+        params.append(f"password={os.environ[password_env]}")
+    if ssl:
+        params.append("ssl=true")
+        params.append("sslfactory=org.postgresql.ssl.NonValidatingFactory")
+    if statement_timeout_ms is not None:
+        params.append(f"options=-c statement_timeout={int(statement_timeout_ms)}")
+    url = f"jdbc:postgresql://{host}:{int(port)}/{database}"
+    return url + ("?" + "&".join(params) if params else "")
+
+
 def write_to_sink(df: DataFrame, sink: ClusterSink, epoch_id: int | None = None) -> SinkResult:
     """One transactional load (reference loadCluster, index.js:1077-1321):
     begin; [presql;] [truncate;] COPY [(cols)]; [postsql;] commit.
@@ -74,12 +122,15 @@ def write_to_sink(df: DataFrame, sink: ClusterSink, epoch_id: int | None = None)
             _write_jdbc(out, sink, epoch_id)
         elif sink.path:
             target = os.path.join(sink.path, sink.target_table)
+            # writer_options passthrough (copyOptions analog): e.g.
+            # {"compression": "zstd"} for parquet path sinks.
+            w = out.write.options(**(sink.writer_options or {}))
             if sink.truncate_target:
-                out.write.mode("overwrite").parquet(target)  # idempotent as-is
+                w.mode("overwrite").parquet(target)  # idempotent as-is
             elif epoch_id is not None:
-                out.write.mode("overwrite").parquet(os.path.join(target, f"epoch={int(epoch_id)}"))
+                w.mode("overwrite").parquet(os.path.join(target, f"epoch={int(epoch_id)}"))
             else:
-                out.write.mode("append").parquet(target)
+                w.mode("append").parquet(target)
         else:
             raise ValueError(f"sink {sink.target_table} has neither jdbc_url nor path")
         return SinkResult(sink=sink.target_table, status="loaded")
@@ -129,12 +180,16 @@ def _write_jdbc(df: DataFrame, sink: ClusterSink, epoch_id: int | None = None) -
     stage = f"{sink.target_table}_stage_{uuid.uuid4().hex[:8]}"
     # Ensure the target exists with df's schema before staging (Spark
     # creates-on-append); a 0-row append is a no-op on an existing table.
+    # writer_options passthrough (copyOptions analog): JDBC write tuning
+    # such as batchsize / isolationLevel / createTableOptions, applied to
+    # both the target-create probe and the parallel stage append.
+    extra = sink.writer_options or {}
     df.limit(0).write.format("jdbc").options(
-        url=sink.jdbc_url, dbtable=sink.target_table
+        url=sink.jdbc_url, dbtable=sink.target_table, **extra
     ).mode("append").save()
-    df.write.format("jdbc").options(url=sink.jdbc_url, dbtable=stage).mode(
-        "overwrite"
-    ).save()
+    df.write.format("jdbc").options(
+        url=sink.jdbc_url, dbtable=stage, **extra
+    ).mode("overwrite").save()
     cols = ", ".join(f'"{c}"' for c in df.columns)
     swap: list[str] = []
     if sink.presql:

@@ -120,3 +120,61 @@ def test_jdbc_sink_no_stage_tables_left(spark, derby_url):
     finally:
         conn.close()
     assert leftovers == []
+
+
+def test_sink_writer_options_passthrough(spark, derby_url, tmp_path):
+    """copyOptions sink half: writer_options reach both the JDBC writer
+    (batchsize) and the parquet path writer (compression codec)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+
+    jsink = ClusterSink(
+        target_table="target_wopts",
+        jdbc_url=derby_url,
+        writer_options={"batchsize": "1"},
+    )
+    assert write_to_sink(df, jsink).status == "loaded"
+    got = sorted(tuple(r) for r in _read_table(spark, derby_url, "target_wopts").collect())
+    assert got == [(1, "a"), (2, "b")]
+
+    import glob
+    import os
+
+    psink = ClusterSink(
+        target_table="t_codec",
+        path=str(tmp_path),
+        writer_options={"compression": "gzip"},
+    )
+    assert write_to_sink(df, psink).status == "loaded"
+    parts = glob.glob(os.path.join(str(tmp_path), "t_codec", "*.parquet"))
+    assert parts and all(".gz.parquet" in p for p in parts)
+
+
+def test_build_jdbc_url_assembly(monkeypatch):
+    """Connection-string assembly mirrors the reference conninfo builder:
+    SSL options, statement_timeout, env-name password indirection, and
+    the _OVERRIDE_DBSTRING wholesale override."""
+    from aws_lambda_redshift_loader_spark.streaming.sinks import build_jdbc_url
+
+    monkeypatch.delenv("ALRS_OVERRIDE_DBSTRING", raising=False)
+    url = build_jdbc_url("wh.example", 5439, "analytics", user="loader",
+                         statement_timeout_ms=30000)
+    assert url.startswith("jdbc:postgresql://wh.example:5439/analytics?")
+    assert "user=loader" in url
+    assert "ssl=true" in url and "sslfactory=" in url
+    assert "statement_timeout=30000" in url
+
+    plain = build_jdbc_url("h", 5439, "db", ssl=False)
+    assert plain == "jdbc:postgresql://h:5439/db"
+
+    # Secrets indirection: config names the env var, never the secret.
+    monkeypatch.setenv("WH_PW", "s3cret")
+    with_pw = build_jdbc_url("h", 5439, "db", user="u", password_env="WH_PW", ssl=False)
+    assert "password=s3cret" in with_pw
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        build_jdbc_url("h", 5439, "db", password_env="MISSING_PW_VAR")
+
+    # _OVERRIDE_DBSTRING hook (index.js:1246-1252) wins over everything.
+    monkeypatch.setenv("ALRS_OVERRIDE_DBSTRING", "jdbc:derby:memory:test")
+    assert build_jdbc_url("h", 1, "x") == "jdbc:derby:memory:test"

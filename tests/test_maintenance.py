@@ -29,3 +29,28 @@ def test_compact_noop_when_already_compact(spark, tmp_path):
     spark.range(0, 10).coalesce(1).write.parquet(path)
     stats = compact(spark, path)
     assert stats.files_before == stats.files_after == 1
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a partitioned layout (fan_out's epoch=<id> dirs) must
+    keep partition columns as directories, not flatten them into data."""
+    import os
+
+    path = str(tmp_path / "ptable")
+    df = spark.range(0, 20000).withColumn("epoch", (F.col("id") % 3).cast("bigint"))
+    # Many small files per partition: one per (epoch, repartition slice).
+    df.repartition(8).write.partitionBy("epoch").parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = sorted((r.id, r.epoch) for r in before.collect())
+
+    stats = compact(spark, path, target_file_bytes=64 * 1024)
+    assert stats.files_after < stats.files_before
+
+    # Layout still hive-partitioned: epoch=* dirs exist, pruning works.
+    subdirs = sorted(d for d in os.listdir(path) if d.startswith("epoch="))
+    assert subdirs == ["epoch=0", "epoch=1", "epoch=2"]
+    after = spark.read.parquet(path)
+    assert sorted((r.id, r.epoch) for r in after.collect()) == before_rows
+    # Partition pruning: a filter on epoch reads only that directory.
+    plan = after.filter(F.col("epoch") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "epoch=1" in plan or "PartitionFilters" in plan

@@ -151,22 +151,79 @@ def test_compressed_csv_and_json_autodetect(spark, tmp_path):
 
 
 def test_max_error_budget_and_abort(spark, tmp_path):
-    """COPY MAXERROR analog: within budget, malformed rows drop and the
-    load succeeds; over budget, the load fails atomically."""
+    """COPY MAXERROR analog with Redshift's reach-the-budget semantics:
+    under budget, malformed rows drop and the load succeeds; AT or over
+    budget, the load fails atomically (MAXERROR 0 = any error fails)."""
     from aws_lambda_redshift_loader_spark.sources.reader import MaxErrorExceeded
 
     p = tmp_path / "mixed.csv"
-    p.write_text("1|2|3\nbad|row|here|too|many|fields\n4|5|6\nx|y\n")
+    p.write_text("1|2|3\nbad|row|here|too|many|fields\n4|5|6\nx|y\n")  # 2 bad rows
     base = dict(s3_prefix="x", data_format="CSV", schema="a INT, b INT, c INT")
 
-    ok = read_files(spark, LoadConfig(**base, max_error=2), str(p))
+    ok = read_files(spark, LoadConfig(**base, max_error=3), str(p))
     assert sorted(r.a for r in ok.collect()) == [1, 4]
+    # The permissive-parse cache must not stay pinned after the load.
+    assert not ok.storageLevel.useMemory
 
-    with pytest.raises(MaxErrorExceeded):
-        read_files(spark, LoadConfig(**base, max_error=1), str(p)).collect()
+    with pytest.raises(MaxErrorExceeded):  # 2 errors REACH a budget of 2
+        read_files(spark, LoadConfig(**base, max_error=2), str(p)).collect()
+
+    clean = tmp_path / "clean.csv"
+    clean.write_text("1|2|3\n4|5|6\n")
+    zero_ok = read_files(spark, LoadConfig(**base, max_error=0), str(clean))
+    assert sorted(r.a for r in zero_ok.collect()) == [1, 4]
+    with pytest.raises(MaxErrorExceeded):  # MAXERROR 0: first error fails
+        read_files(spark, LoadConfig(**base, max_error=0), str(p)).collect()
 
     with pytest.raises(ValueError):  # budget requires a declared schema
         read_files(spark, LoadConfig(s3_prefix="x", data_format="CSV", max_error=1), str(p))
+
+
+def test_reader_options_passthrough(spark, tmp_path):
+    """copyOptions free-form passthrough: QUOTE/NULL AS/DATEFORMAT-style
+    COPY options reach the CSV reader verbatim and win over defaults."""
+    p = tmp_path / "quoted.csv"
+    p.write_text("'a val'|NULLMARK|2024~01~15\n'b|val'|7|2024~02~20\n")
+    cfg = LoadConfig(
+        s3_prefix="x",
+        data_format="CSV",
+        schema="name STRING, n INT, d DATE",
+        reader_options={
+            "quote": "'",          # COPY QUOTE AS
+            "nullValue": "NULLMARK",  # COPY NULL AS
+            "dateFormat": "yyyy~MM~dd",  # COPY DATEFORMAT
+        },
+    )
+    rows = {r.name: r for r in read_files(spark, cfg, str(p)).collect()}
+    assert rows["a val"].n is None
+    assert rows["b|val"].n == 7  # quoted delimiter stays in the value
+    assert str(rows["a val"].d) == "2024-01-15"
+
+
+def test_compression_directive_mismatch(spark, tmp_path):
+    """Explicit compression directive errors on extension mismatch before
+    reading (index.js:1196-1199 contract); matching directives load."""
+    import gzip
+
+    from aws_lambda_redshift_loader_spark.sources.reader import CompressionMismatch
+
+    gz = tmp_path / "data.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("1|2|3\n")
+    plain = tmp_path / "data.csv"
+    plain.write_text("1|2|3\n")
+    base = dict(s3_prefix="x", data_format="CSV", schema="a INT, b INT, c INT")
+
+    ok = read_files(spark, LoadConfig(**base, compression="GZIP"), str(gz))
+    assert ok.count() == 1
+    with pytest.raises(CompressionMismatch):
+        read_files(spark, LoadConfig(**base, compression="GZIP"), str(plain))
+    with pytest.raises(CompressionMismatch):
+        read_files(spark, LoadConfig(**base, compression="NONE"), str(gz))
+    ok2 = read_files(spark, LoadConfig(**base, compression="NONE"), str(plain))
+    assert ok2.count() == 1
+    with pytest.raises(CompressionMismatch):
+        read_files(spark, LoadConfig(**base, compression="ZSTDX"), str(plain))
 
 
 def test_avro_codec_property_roundtrip():
