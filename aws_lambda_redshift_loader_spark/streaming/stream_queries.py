@@ -12,6 +12,7 @@ replay) lives in streaming.batcher / .ledger / .replay.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +23,30 @@ from ..plans.registry import register
 from ..session import normalize_nanos, tune
 
 _COUNTER = itertools.count()
+
+# Stateful streaming operators allocate one state-store instance (plus,
+# for applyInPandasWithState, one Python worker exchange) PER SHUFFLE
+# PARTITION per operator — at the fixture's data volume that init cost
+# dwarfs the data. State partition count is captured at query start, so
+# a scoped override at start() time is enough; results are partition-
+# count-independent (aggregation/dedup/join semantics don't change, and
+# the stateful batcher sorts within each group). At cluster scale this
+# knob should instead match executor parallelism — it is the number of
+# state shards, the same sizing decision as spark.sql.shuffle.partitions
+# for any other shuffle.
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions down for streaming query
+    planning/start, restoring the session value afterwards."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, agg_builder) -> DataFrame:
@@ -41,13 +66,14 @@ def _run_stream(spark: SparkSession, sf_dir: str, agg_builder) -> DataFrame:
         .parquet(sf_dir)
     )
     name = f"stream_result_{next(_COUNTER)}"
-    q = (
-        agg_builder(stream)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        q = (
+            agg_builder(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -282,16 +308,17 @@ def stream_stateful_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame(closed, columns=["s3Prefix", "batch_seq", "n_files", "batch_bytes"])
 
     name = f"stream_result_{next(_COUNTER)}"
-    q = (
-        files.groupBy("s3Prefix")
-        .applyInPandasWithState(
-            fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    with _stream_shuffle(spark):
+        q = (
+            files.groupBy("s3Prefix")
+            .applyInPandasWithState(
+                fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     try:
         q.processAllAvailable()
     finally:
@@ -405,13 +432,14 @@ def _run_stream_append(spark: SparkSession, sf_dir: str, builder) -> DataFrame:
         .parquet(sf_dir)
     )
     name = f"stream_result_{next(_COUNTER)}"
-    q = (
-        builder(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        q = (
+            builder(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

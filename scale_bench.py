@@ -66,9 +66,14 @@ QUERIES = [
 ]
 
 
-def build_fixture() -> None:
+def build_fixture(src_dir: str | None = None, dst_dir: str | None = None) -> None:
+    """Build the replica-disjoint 10x fixture from ``src_dir`` into
+    ``dst_dir`` (defaults: the module-level SRC/DST env settings).
+    Parameterized so tests/test_scale_exponents.py can derive a small
+    step from sf0.01 instead of the bench's sf0.1."""
     import duckdb
 
+    SRC, DST = src_dir or globals()["SRC"], dst_dir or globals()["DST"]
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")

@@ -1,0 +1,67 @@
+"""Scale-exponent regression gate for the dedup/ANN family.
+
+BENCH_SCALE.json measures the 10x step at bench scale; this test is the
+CI form of the same instrument (the plan-shape idea applied to scaling):
+replay a replica-disjoint 10x step from sf0.01 for the top scale-risk
+queries and FAIL if the observed time ratio implies super-linear growth.
+This is what caught (and now guards) the fixed-bits LSH regression —
+exponent 1.55 at 10x data, a genuine 100 TB killer that no correctness
+test can see.
+
+Budgets are deliberately loose (linear + generous fixed-overhead head
+room, CI timing wobbles 2-3x): the gate exists to catch quadratic-
+trending candidate explosions (ratio 30-100x), not to police constants.
+Each query gets a warm-up run at 1x before timing so JIT/Python-worker
+spin-up does not inflate the 1x denominator and mask a blowup.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from aws_lambda_redshift_loader_spark.plans.registry import load_all
+
+SRC = "/root/testdata/sf0.01"
+DST = "/tmp/scale_ci_sf01"
+
+# (query, max allowed t10x/t1x ratio). Linear work at a clean 10x step is
+# ratio ~10; fixed overhead pulls it down, noise pushes it up. 20 ≈
+# exponent 1.3 — any quadratic-trending mechanism lands far above it.
+BUDGETS = [
+    ("minhash_lsh_pairs", 20.0),        # LSH band join + verify
+    ("simhash_neardup_pairs", 20.0),    # banded 60-bit signatures
+    ("ngram_jaccard_pairs", 20.0),      # capped inverted-index self-join
+    ("embedding_cosine_neardup", 20.0), # adaptive-bits LSH buckets
+    ("fuzzy_match_names", 20.0),        # deletion-neighborhood blocking
+]
+
+
+@pytest.fixture(scope="module")
+def scale_fixture():
+    from scale_bench import build_fixture
+
+    build_fixture(src_dir=SRC, dst_dir=DST)
+    return DST
+
+
+def _run(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+@pytest.mark.parametrize("name,max_ratio", BUDGETS, ids=[b[0] for b in BUDGETS])
+def test_scale_exponent_budget(spark, scale_fixture, name, max_ratio):
+    specs = load_all()
+    fn = specs[name].fn
+    _run(spark, fn, SRC)  # warm-up: JIT, Python workers, file listing
+    t1 = _run(spark, fn, SRC)
+    t10 = _run(spark, fn, scale_fixture)
+    ratio = t10 / max(t1, 1e-3)
+    assert ratio <= max_ratio, (
+        f"{name}: 10x data took {ratio:.1f}x time ({t1:.2f}s -> {t10:.2f}s); "
+        f"budget {max_ratio}x — super-linear scaling regression"
+    )
