@@ -1332,3 +1332,78 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cutoff")
         .agg(F.count("token").cast("bigint").alias("vocab_size"))
     )
+
+
+CHUNK_TOKENS = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # chunk start spacing (overlap = CHUNK_TOKENS - this)
+MAX_CHUNK_IDX = 256  # shared engine/oracle bound on chunks per document
+
+
+@register(
+    "document_chunking",
+    rf"""
+    WITH sized AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws,
+             len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_idx,
+             CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+             ws[i * {CHUNK_STRIDE} + 1 :
+                i * {CHUNK_STRIDE} + LEAST({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE})] AS chunk
+      FROM sized, generate_series(0, {MAX_CHUNK_IDX}) g(i)
+      WHERE i <= LEAST((n - 1) // {CHUNK_STRIDE}, {MAX_CHUNK_IDX})
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           CAST('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15) AS BIGINT)
+             AS chunk_fp
+    FROM chunks
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window document chunking: each document splits
+    into {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens
+    ({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap so no sentence straddles
+    a hard boundary), the unit-of-retrieval transform that precedes
+    embedding in a retrieval pipeline. Chunk identity is (doc_id,
+    chunk_idx) plus a 60-bit md5 fingerprint of the chunk text — the
+    stable key an embedding table joins back on (and the dedup handle
+    for boilerplate chunks repeated across documents).
+
+    Scale: map-only — tokenize, explode a per-document chunk-index
+    sequence, slice; no shuffle at all (the parquet scan's partitioning
+    is the output partitioning). Output rows ≈ docs x n_tokens/stride.
+    MAX_CHUNK_IDX bounds chunks per document identically in both engines
+    (DuckDB's generate_series takes only constant bounds), so a document
+    longer than {MAX_CHUNK_IDX * CHUNK_STRIDE} tokens truncates — raise
+    the constant for long-document corpora."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.split(norm_text("text"), " ").alias("ws"),
+        F.size(F.split(norm_text("text"), " ")).alias("n"),
+    )
+    max_idx = F.least(
+        F.expr(f"(n - 1) div {CHUNK_STRIDE}"), F.lit(MAX_CHUNK_IDX)
+    ).cast("int")
+    chunks = sized.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(F.sequence(F.lit(0), max_idx)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    chunk = F.slice(
+        F.col("ws"), start + 1, F.least(F.lit(CHUNK_TOKENS), F.col("n") - start)
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        hex_hash64(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )

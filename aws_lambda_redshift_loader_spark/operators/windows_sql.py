@@ -1015,3 +1015,195 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bins"),
         F.sum("term_q").cast("bigint").alias("psi_q"),
     )
+
+
+APPROX_PCT_ACC = 100  # percentile_approx accuracy => rank error <= n/100
+
+
+@register(
+    "approx_quantile_check",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+               THEN o_totalprice END) AS exact_p50,
+           TRUE AS approx_rank_ok
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`percentile_approx` — the at-scale quantile (KLL-family sketch,
+    bounded memory, one pass) — made hash-verifiable the same way as
+    approx_distinct: assert the sketch's RANK-ERROR contract instead of
+    its engine-specific output. Output carries the exact rank-method p50
+    (hash-verified value) plus a boolean stating the approx answer's
+    rank sits within n/{APPROX_PCT_ACC} + 1 of the true median rank —
+    the documented guarantee at accuracy={APPROX_PCT_ACC}. The DuckDB
+    oracle emits the same groups with literal TRUE, so a sketch
+    regression beyond its bound flips the boolean and fails the hash.
+
+    Scale note: the exact rank window exists only to audit the sketch at
+    test scale; the production form is percentile_approx alone (map-side
+    mergeable sketch, no sort, no window)."""
+    o = table(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, APPROX_PCT_ACC).alias("va")
+    )
+    w_rank = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w_all = W.partitionBy("o_orderpriority")
+    ranked = (
+        o.join(F.broadcast(approx), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            "va",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_all).alias("n"),
+        )
+    )
+    # rank of the approx answer = #rows <= va (upper rank); the sketch
+    # guarantee is |rank - ceil(0.5 n)| <= n/accuracy (+1 for ties/edge).
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                    F.col("o_totalprice"),
+                )
+            ).alias("exact_p50"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("va"), 1).otherwise(0)).alias(
+                "rank_va"
+            ),
+            F.max("n").alias("_n"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "exact_p50",
+            (
+                F.abs(F.col("rank_va") - F.ceil(0.5 * F.col("_n")))
+                <= F.col("_n") / APPROX_PCT_ACC + 1
+            ).alias("approx_rank_ok"),
+        )
+    )
+
+
+MAD_K = 3  # robust outlier threshold: |v - median| > MAD_K * MAD
+
+
+@register(
+    "mad_outliers",
+    f"""
+    WITH qv AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS med
+      FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v ASC, event_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM qv
+      ) GROUP BY event_type
+    ),
+    dev AS (
+      SELECT q.event_type, q.event_id, q.v, m.med, abs(q.v - m.med) AS d
+      FROM qv q JOIN med m ON m.event_type = q.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS mad
+      FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY d ASC, event_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(d.med) AS median_q,
+           MAX(a.mad) AS mad_q,
+           CAST(SUM(CASE WHEN d.d > {MAD_K} * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation: flag values
+    with |v - median| > {MAD_K}*MAD per event_type — the heavy-tail-safe
+    alternative to value_outliers_zscore (mean/stddev are themselves
+    dragged by the outliers they hunt; the median/MAD breakdown point is
+    50%). Values quantize to int64 so every median, deviation, and
+    threshold comparison is integer-exact cross-engine; medians use the
+    rank method under a total order (no interpolation).
+
+    Scale: two rank-window passes partitioned on the SAME key (group
+    shuffles reuse partitioning), each group's median join-back is a
+    broadcast of |groups| rows, and the final aggregate is map-side
+    combined. No all-row sort — ordering is per-group within the window.
+    """
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    )
+
+    def rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w_rank = W.partitionBy("event_type").orderBy(
+            F.col(col).asc(), F.col("event_id").asc()
+        )
+        w_all = W.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                col,
+                F.row_number().over(w_rank).alias("rn"),
+                F.count("*").over(w_all).alias("n"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                        F.col(col),
+                    )
+                ).alias(out)
+            )
+        )
+
+    med = rank_median(qv, "v", "med")
+    dev = qv.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "v", "med", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = rank_median(dev, "d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("med").alias("median_q"),
+            F.max("mad").alias("mad_q"),
+            F.sum(F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -55,6 +55,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # re-verified in rounds 3-5 follows. The local tests/test_oracle.py sweep
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
+    # round-6 NEW queries (no prior correctness row)
+    "document_chunking",
+    "approx_quantile_check",
+    "mad_outliers",
     # round-6 changed queries (adaptive LSH bits; approx_distinct bound-check
     # oracle; deletion-neighborhood fuzzy match; CC early-exit)
     "approx_distinct",

@@ -166,3 +166,20 @@ def test_round5_dedup_queries_never_hint_broadcast(spark, name):
     # Same invariant as the other dedup paths: per-doc/per-line aggregate
     # tables are unbounded — no forced broadcasts anywhere.
     assert "ResolvedHint" not in _analyzed(spark, name)
+
+
+def test_document_chunking_is_map_only(spark):
+    # The chunking transform must stay embarrassingly parallel: tokenize,
+    # explode a per-doc index sequence, slice — any Exchange here means a
+    # needless full-corpus shuffle at the widest point of the pipeline.
+    df = SPECS["document_chunking"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "document_chunking grew a shuffle"
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    # The per-group median/MAD join-backs are |groups|-row frames: they
+    # must broadcast, never shuffle the event stream a third time.
+    plan = _formatted(spark, "mad_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
