@@ -869,3 +869,102 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+SPAN_K = 8  # tokens per span shingle: minimum reportable duplicate length
+
+
+@register(
+    "duplicated_spans",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS p,
+             CAST('0x' || substr(md5(array_to_string(ws[u.i : u.i + {SPAN_K - 1}], ' ')),
+                  1, 15) AS BIGINT) AS fp
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - {SPAN_K - 1})) AS i) u
+      WHERE len(ws) >= {SPAN_K}
+    ),
+    dup AS (
+      SELECT fp FROM sh GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT s.doc_id, s.p FROM sh s JOIN dup d ON d.fp = s.fp
+    ),
+    runs AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p ASC) AS grp
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) - MIN(p) + {SPAN_K} AS BIGINT) AS span_len
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document duplicated-substring spans — the span-grain
+    dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): report every maximal token span of length
+    ≥ {SPAN_K} whose content also appears in at least one OTHER
+    document. Whole-doc dedup (exact_dedup_docs) misses boilerplate
+    embedded in otherwise-unique pages; this finds the embedded copies
+    themselves, at token granularity, so a pipeline can cut the span
+    rather than drop the document.
+
+    Spark-first shape of the suffix-array algorithm: a length-{SPAN_K}
+    rolling shingle fingerprint per token position (map-only explode),
+    one groupBy on the fingerprint to find cross-doc content
+    (COUNT(DISTINCT doc) ≥ 2 — map-side combined), a semi-join to mark
+    duplicated positions, then gaps-and-islands per document (positions
+    minus their rank collapse consecutive runs) to merge overlapping
+    shingles into MAXIMAL spans: a run of R consecutive duplicated
+    positions is one span of R + {SPAN_K} - 1 tokens. Two shuffles
+    total (fingerprint, then doc_id for the islands window) — no suffix
+    array, no sort of the whole corpus, same output contract.
+
+    Scale: shingle rows = corpus token count; the fingerprint groupBy
+    sees ~uniform md5 keys (no skew); only duplicated positions (the
+    interesting minority) reach the window stage."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text("text"), " ").alias("ws")
+    )
+    docs = d.filter(F.size("ws") >= SPAN_K)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (SPAN_K - 1)),
+                lambda i: F.struct(
+                    (i - 1).cast("bigint").alias("p"),
+                    hex_hash64(F.array_join(F.slice("ws", i, SPAN_K), " ")).alias("fp"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.p", "s.fp")
+    dup_fps = (
+        sh.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    marked = sh.join(dup_fps, "fp", "left_semi")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("p").asc())
+    runs = marked.select(
+        "doc_id", "p", (F.col("p") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            (F.max("p") - F.min("p") + SPAN_K).cast("bigint").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )

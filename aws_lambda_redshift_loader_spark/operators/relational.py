@@ -142,27 +142,31 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the exact countDistinct audit side exists only to bound
     the sketch here; the production form at 100 TB is the sketch alone
     (one pass, constant memory/group — same shape as heavy_hitters_cms
-    vs heavy_hitters_cms_only)."""
+    vs heavy_hitters_cms_only). The exact and approx aggregates run as
+    SEPARATE groupBys joined on the (tiny) group key: mixing DISTINCT
+    aggregates with HLL buffers in one agg makes Catalyst route every
+    Expand replica through the sketch update (measured 74s vs 1.5s at
+    sf0.1); rsd=0.02 keeps HLL register count ~4x smaller than 0.01
+    while staying well inside the asserted ±5% bound."""
+    li = table(spark, sf_dir, "lineitem")
     within = lambda approx, exact: (  # noqa: E731
         (F.col(approx).cast("double") >= 0.95 * F.col(exact))
         & (F.col(approx).cast("double") <= 1.05 * F.col(exact))
     )
-    return (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
-            F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
-        )
-        .select(
-            "l_returnflag",
-            "exact_parts",
-            "exact_orders",
-            within("_ap", "exact_parts").alias("parts_within_5pct"),
-            within("_ao", "exact_orders").alias("orders_within_5pct"),
-        )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("_ap", "exact_parts").alias("parts_within_5pct"),
+        within("_ao", "exact_orders").alias("orders_within_5pct"),
     )
 
 

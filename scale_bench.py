@@ -63,6 +63,10 @@ QUERIES = [
     "unigram_logprob_quality",    # token-vocab join, no hints
     "triangle_count_token_graph", # degree-ordered two-join enumeration
     "embedding_ivfpq_topk",       # IVF cells + residual PQ codes
+    # round-6 additions
+    "fuzzy_match_names",          # deletion-neighborhood variant join
+    "document_chunking",          # map-only sliding-window chunker
+    "duplicated_spans",           # span-grain substring dedup
 ]
 
 
@@ -154,9 +158,28 @@ def build_fixture(src_dir: str | None = None, dst_dir: str | None = None) -> Non
             f"FROM {src('lineitem')}"
         ),
     )
+    # Customer replicates with shifted keys and a TWO-char replica tag
+    # spliced into the name ('Customer#RR000000001'): within a replica
+    # every pairwise distance is unchanged (common insertion), while any
+    # cross-replica pair differs in BOTH tag chars — edit distance 2, so
+    # it shares no single-deletion variant and the fuzzy-match structure
+    # stays exactly 10 disjoint copies of sf0.1 (a 1-char tag would
+    # manufacture dist-1 pairs across replicas and fake super-linearity).
+    write(
+        "customer",
+        lambda r: (
+            f"SELECT * REPLACE (c_custkey + {r * 10_000_000} AS c_custkey"
+            + (
+                f", regexp_replace(c_name, '#', '#' || repeat(chr({65 + r}), 2)) AS c_name"
+                if r
+                else ""
+            )
+            + f") FROM {src('customer')}"
+        ),
+    )
     # Small dimensions pass through unchanged (queries above touch only
     # lineitem of the TPC-H side; orders etc. copied for completeness).
-    for t in ["orders", "customer", "supplier", "part", "nation", "region"]:
+    for t in ["orders", "supplier", "part", "nation", "region"]:
         out = f"{DST}/{t}.parquet"
         if not os.path.exists(out):
             con.execute(f"COPY (SELECT * FROM {src(t)}) TO '{out}' (FORMAT PARQUET)")
