@@ -524,3 +524,68 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_stream(spark, sf_dir, agg)
+
+
+@register(
+    "stream_ingest_e2e",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE main path (§3.1) as one hash-gated query:
+    readStream file source (replaces S3 events) → foreachBatch →
+    `write_to_sink` transactional path sink with per-epoch idempotent
+    partitions (replaces manifest+COPY, reference loadCluster
+    index.js:1077-1321) → read the warehouse table back → aggregate.
+    The oracle is the plain batch aggregation over the source, so the
+    hash check proves END-TO-END exactly-once delivery through the real
+    sink code path: a lost file, a double-loaded epoch, or a corrupted
+    row would all change the loaded counts/sums and fail the gate.
+    The pipeline test suite drives the same machinery with golden
+    outcomes; this registers it where the driver's correctness harness
+    exercises it every round.
+
+    Scale: this IS the production ingest shape — the file source scales
+    by split planning, foreachBatch writes epoch partitions in parallel
+    (executors write; the driver only coordinates), and replay
+    idempotence comes from epoch-partition overwrite, not a ledger scan.
+    """
+    import tempfile
+
+    from .sinks import write_to_sink
+    from ..sources.routing import ClusterSink
+
+    tune(spark)
+    sink_dir = tempfile.mkdtemp(prefix="alrs_e2e_sink_")
+    sink = ClusterSink(target_table="events_loaded", path=sink_dir)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_nanos(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+
+    def load(df: DataFrame, epoch_id: int) -> None:
+        res = write_to_sink(df, sink, epoch_id=epoch_id)
+        if res.status != "loaded":  # surface the sink error to the stream
+            raise RuntimeError(f"sink failed: {res.error}")
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(load)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="alrs_e2e_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    loaded = spark.read.parquet(f"{sink_dir}/events_loaded")
+    return loaded.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
