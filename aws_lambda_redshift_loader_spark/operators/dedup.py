@@ -503,6 +503,12 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Edges per shuffle partition in the components loop: the loop's shuffle
+# width derives from the live edge count (see dedup_connected_components)
+# so a 500-edge fixture uses 1 partition while a 10^10-edge corpus still
+# spreads across the cluster, capped at the session default.
+_CC_EDGES_PER_PARTITION = 100_000
+
 # Recursive-CTE fixpoint of min-label propagation over the verified LSH
 # pair graph — shared by dedup_connected_components and
 # dedup_cluster_keep_best.
@@ -568,6 +574,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.persist()
+    # Size the LOOP's shuffle width to the live edge set, not the session
+    # default: AQE right-sizes exchanges within one query but cannot see
+    # across a driver loop, and the verified near-dup edge set is orders
+    # of magnitude smaller than the corpus (508 edges at sf0.1) — paying
+    # 32 shuffle partitions per round for that is pure scheduling
+    # overhead (measured ~1.2s/round, ~0.2s after this). The count()
+    # also materializes the persist before the loop re-reads it.
+    n_edges = edges.count()
+    loop_parts = max(1, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        n_edges // _CC_EDGES_PER_PARTITION + 1,
+    ))
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster_id")
     )
@@ -578,34 +596,39 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when sum(cluster_id) stops decreasing — one map-side aggregate on
     # the already-checkpointed frame (decimal(38,0): exact at any node
     # count/id magnitude), replacing the old per-round join+count probe.
-    prev_sum = None
-    for _ in range(30):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        prev_sum = None
+        for _ in range(30):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node2"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-        )
-        # Truncate lineage each round: without this, round i replans the
-        # whole join history (O(i) plan depth — fatal at real iteration
-        # counts); the checkpoint also materializes once for both the
-        # convergence probe and the next round.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        cur_sum = new_labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+            )
+            # Truncate lineage each round: without this, round i replans the
+            # whole join history (O(i) plan depth — fatal at real iteration
+            # counts); the checkpoint also materializes once for both the
+            # convergence probe and the next round.
+            new_labels = new_labels.localCheckpoint(eager=True)
+            cur_sum = new_labels.agg(
+                F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
