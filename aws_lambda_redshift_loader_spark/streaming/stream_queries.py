@@ -589,3 +589,82 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
     )
+
+
+E2E_JDBC_MOD = 20  # event_id % this == 0 → the subset loaded to Derby
+
+
+@register(
+    "stream_ingest_jdbc_e2e",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % {E2E_JDBC_MOD} = 0
+    GROUP BY event_type
+    """,
+)
+def stream_ingest_jdbc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1 main path against a REAL JDBC warehouse (embedded Derby
+    — its driver ships inside pyspark): readStream → foreachBatch →
+    `write_to_sink` JDBC path, whose exactly-once mechanism is the
+    EPOCH LEDGER committed in the same transaction as the data
+    (reference batch-status CAS, index.js:693-757) — the second of the
+    two idempotence designs, complementing stream_ingest_e2e's
+    epoch-partition overwrite. The loaded table is read back over the
+    same wire and aggregated; the batch oracle over the source subset
+    hash-gates the whole path, so a double-committed epoch or a lost
+    row fails the driver's value hash.
+
+    The deterministic event_id % {E2E_JDBC_MOD} subset keeps the
+    embedded single-JVM warehouse write proportionate in a bench run;
+    the plumbing (staging append, single-transaction swap, ledger
+    check) is volume-independent. Scale: against a real MPP warehouse
+    the staging append is the parallel COPY analog — every executor
+    writes; the driver runs one transaction."""
+    import tempfile
+
+    from .sinks import write_to_sink
+    from ..sources.routing import ClusterSink
+
+    tune(spark)
+    wh = tempfile.mkdtemp(prefix="alrs_e2e_derby_")
+    spark.sparkContext._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", f"{wh}/derby.log"
+    )
+    sink = ClusterSink(
+        target_table="events_loaded_jdbc", jdbc_url=f"jdbc:derby:{wh}/wh;create=true"
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_nanos(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    ).filter(F.col("event_id") % E2E_JDBC_MOD == 0).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+    def load(df: DataFrame, epoch_id: int) -> None:
+        res = write_to_sink(df, sink, epoch_id=epoch_id)
+        if res.status != "loaded":
+            raise RuntimeError(f"sink failed: {res.error}")
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(load)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="alrs_e2e_jckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    loaded = (
+        spark.read.format("jdbc")
+        .options(url=sink.jdbc_url, dbtable=sink.target_table)
+        .load()
+    )
+    return loaded.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
