@@ -1407,3 +1407,62 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         hex_hash64(F.concat_ws(" ", chunk)).alias("chunk_fp"),
     )
+
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    rf"""
+    WITH toks AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT ws[CAST(u.i AS INT)] AS a, ws[CAST(u.i AS INT) + 1] AS b
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) u
+      WHERE len(ws) >= 2
+    ),
+    counts AS (SELECT a, b, COUNT(*) AS n FROM bg GROUP BY a, b)
+    SELECT a, b, CAST(n AS BIGINT) AS n_occurrences, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, a ASC, b ASC) AS rank
+      FROM counts
+    ) WHERE rank <= {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core step of BPE/WordPiece tokenizer training, at corpus
+    scale: count every ADJACENT token pair and rank the top
+    {BPE_TOP_PAIRS} merge candidates (BPE training repeats exactly this
+    scan after each merge; Sennrich et al. 2016). Distinct from the
+    co-occurrence graph queries (pagerank/triangles build an undirected
+    distinct-pair graph): here pairs are ordered, positional, and
+    counted with multiplicity — the statistic the merge rule needs.
+
+    Scale: adjacency is map-only (in-row transform over the token
+    array, no self-join); one map-side-combined groupBy on the pair;
+    the global top-k is a WindowGroupLimit-able rank over the (already
+    tiny) distinct-pair counts. Deterministic total order:
+    (count desc, a asc, b asc)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(norm_text("text"), " ")
+    bigrams = d.select(ws.alias("ws")).filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("a"),
+                    F.element_at(F.col("ws"), i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    counts = bigrams.groupBy("a", "b").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("a", "b", F.col("n").cast("bigint").alias("n_occurrences"), "rank")
+    )

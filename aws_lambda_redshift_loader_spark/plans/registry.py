@@ -56,6 +56,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-6 NEW queries (no prior correctness row)
+    "bpe_merge_candidates",
     "stream_ingest_jdbc_e2e",
     "stream_ingest_e2e",
     "duplicated_spans",
