@@ -155,8 +155,8 @@ def assign_bytes_batches(files: DataFrame, limit: int) -> DataFrame:
     schema = "s3Prefix string, batch_seq bigint, n_files bigint, batch_bytes bigint"
 
     def assign(pdf):
-        # Defined in-builder: pickled by value so executors never import
-        # this module (see .claude/skills/verify gotchas).
+        # Defined in-builder: pickled by value so executors never need to
+        # import this module on the worker side.
         import numpy as np
         import pandas as pd
 

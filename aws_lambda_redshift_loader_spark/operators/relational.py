@@ -133,7 +133,7 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserting the sketch's contract instead of its registers: HLL
     estimates are engine-specific bit patterns, so the output carries the
     exact per-group distinct counts plus BOOLEAN columns stating the HLL
-    estimate (rsd=0.01) landed within ±5% of exact. The DuckDB oracle
+    estimate (rsd=0.02) landed within ±5% of exact. The DuckDB oracle
     emits the same groups with literal TRUE — any sketch regression
     beyond the bound flips a boolean and fails the value hash, which is
     a strictly stronger check than the old rows-only form (five rounds

@@ -74,7 +74,11 @@ _NB_CTE = (
     f"nb AS (SELECT {int(_LSH_BITS_OVERRIDE)} AS b)"
     if _LSH_BITS_OVERRIDE
     else f"""nb AS (
-  SELECT GREATEST({MIN_BITS}, MIN(k)) AS b
+  -- COALESCE mirrors the Python MAX_BITS cap: when no k in [0,MAX_BITS]
+  -- satisfies 2^k * occupancy >= N (N > 2^MAX_BITS * occupancy), MIN(k)
+  -- over the empty filter is NULL and the cap applies — identical to
+  -- _lsh_bits' `k < MAX_BITS` loop bound.
+  SELECT GREATEST({MIN_BITS}, COALESCE(MIN(k), {MAX_BITS})) AS b
   FROM generate_series(0, {MAX_BITS}) g(k)
   WHERE (CAST(1 AS BIGINT) << k) * {TARGET_OCCUPANCY} >= (SELECT COUNT(*) FROM embeddings)
 )"""

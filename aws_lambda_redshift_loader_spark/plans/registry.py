@@ -48,13 +48,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The driver's correctness harness walks the registry in insertion order and
 # (round 1 evidence: CORRECTNESS_r01.json holds exactly entries 0-49) verifies
 # a bounded prefix of it. Order therefore matters operationally: queries whose
-# CODE CHANGED this round go first (their old verdicts describe code that no
-# longer exists), then the stalest block — the 41 queries whose latest driver
-# verdict is round 1/2, predating heavy refactors (round-5 VERDICT item 4) —
-# so every green row in CORRECTNESS_r06 describes current code. Everything
-# re-verified in rounds 3-5 follows. The local tests/test_oracle.py sweep
+# CODE CHANGED since their own last green driver verdict go first (those
+# verdicts describe code that no longer exists), then everything else
+# stalest-first, so every green row in the next CORRECTNESS file describes
+# current code. Since round 7 the ordering is DERIVED MECHANICALLY
+# (round-6 VERDICT item 2 — a hand-kept list let two-line micro-fixes slip
+# the rotation): `_derive_order` reads the repo's CORRECTNESS_r*.json files
+# for each query's last green round, finds that round's verdict commit in
+# git history, and git-diffs it against the working tree; any overlap
+# between a diff hunk and the query's current source span (or a
+# module-level hunk in the query's file — shared helpers/constants count
+# conservatively as touching every query in the module) marks the query
+# changed. `_FIRST` remains the hand-checked fallback when git or the
+# correctness files are unavailable. The local tests/test_oracle.py sweep
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
+    # round-6 div micro-fix trio (VERDICT r6 item 2: changed code with no
+    # r6 hard verdict — rotate first)
+    "value_histogram",
+    "distribution_drift_psi",
+    "sequence_packing",
     # round-6 NEW queries (no prior correctness row)
     "bpe_merge_candidates",
     "stream_ingest_jdbc_e2e",
@@ -189,6 +202,169 @@ _FIRST = [
 ]
 
 
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _last_green_rounds(root: str) -> dict[str, int]:
+    """query name -> latest driver round with a green (rows+schema+hash)
+    verdict, from the repo's CORRECTNESS_r*.json files."""
+    import glob
+    import json
+    import os
+    import re
+
+    rounds: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for q, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            green = (
+                v.get("rows_match") and v.get("schema_match")
+                and v.get("hash_match") is not False
+            )
+            if green:
+                rounds[q] = max(rounds.get(q, 0), n)
+    return rounds
+
+
+def _verdict_commits(root: str) -> dict[int, str]:
+    """round number -> the commit that recorded that round's verdict +
+    correctness files (subject 'round N: verdict...'). That commit's tree is
+    the newest code the round-N verdicts could describe, so it is the diff
+    base for 'changed since round N'."""
+    import re
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "-C", root, "log", "--format=%H %s"],
+        capture_output=True, text=True, timeout=30,
+    )
+    if out.returncode != 0:
+        return {}
+    commits: dict[int, str] = {}
+    for line in out.stdout.splitlines():
+        m = re.match(r"([0-9a-f]{7,40}) round (\d+): verdict", line)
+        if m:
+            commits.setdefault(int(m.group(2)), m.group(1))
+    return commits
+
+
+def _diff_ranges(root: str, base: str) -> dict[str, list[tuple[int, int]]]:
+    """repo-relative .py path -> new-side changed line ranges of
+    `git diff base` (working tree included, so the derivation is correct
+    both mid-build and after the driver's end-of-round commit)."""
+    import re
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "-C", root, "diff", "--unified=0", "--no-color", base, "--",
+         "*.py"],
+        capture_output=True, text=True, timeout=60,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"git diff failed: {out.stderr[:200]}")
+    ranges: dict[str, list[tuple[int, int]]] = {}
+    current = None
+    for line in out.stdout.splitlines():
+        if line.startswith("+++ b/"):
+            current = line[6:]
+        elif line.startswith("@@") and current:
+            m = re.match(r"@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", line)
+            if m:
+                start = int(m.group(1))
+                count = int(m.group(2)) if m.group(2) is not None else 1
+                # count == 0 is a pure deletion at this position: the
+                # surrounding code changed, so keep a 1-line touch point.
+                ranges.setdefault(current, []).append((start, start + max(count, 1) - 1))
+    return ranges
+
+
+def _query_spans() -> tuple[dict[str, list[tuple[int, int, str]]], dict[str, list[str]]]:
+    """Current-source spans of every registered query (file -> [(start, end,
+    name)]) plus file -> all query names in it. Spans include the @register
+    decorator call, so oracle-SQL edits count as query changes."""
+    import inspect
+    import os
+
+    root = _repo_root()
+    spans: dict[str, list[tuple[int, int, str]]] = {}
+    members: dict[str, list[str]] = {}
+    for name, spec in QUERIES.items():
+        try:
+            f = inspect.getsourcefile(spec.fn)
+            lines, start = inspect.getsourcelines(spec.fn)
+        except (OSError, TypeError):
+            continue
+        rel = os.path.relpath(os.path.abspath(f), root)
+        spans.setdefault(rel, []).append((start, start + len(lines) - 1, name))
+        members.setdefault(rel, []).append(name)
+    return spans, members
+
+
+def _derive_order(reg_index: dict[str, int]) -> list[str]:
+    """Mechanical verification-priority order: (1) queries with no green
+    driver verdict yet, (2) queries whose source changed since their own
+    last green round, (3) the rest, stalest round first; registration order
+    breaks ties within each tier."""
+    root = _repo_root()
+    last = _last_green_rounds(root)
+    if not last:
+        raise RuntimeError("no CORRECTNESS files found")
+    commits = _verdict_commits(root)
+    if not commits:
+        raise RuntimeError("no verdict commits found")
+    spans, members = _query_spans()
+
+    changed: set[str] = set()
+    for rnd in sorted({r for r in last.values()}):
+        base = commits.get(rnd)
+        if base is None:
+            # No verdict commit for this round (shouldn't happen): treat its
+            # queries as changed so they re-verify rather than silently age.
+            changed.update(q for q, r in last.items() if r == rnd)
+            continue
+        for rel, rngs in _diff_ranges(root, base).items():
+            qspans = spans.get(rel)
+            if not qspans:
+                continue
+            module_touched = False
+            for a, b in rngs:
+                hit = False
+                for s, e, qname in qspans:
+                    if a <= e and b >= s:
+                        hit = True
+                        if last.get(qname) == rnd:
+                            changed.add(qname)
+                if not hit:
+                    module_touched = True
+            if module_touched:
+                # Module-level change (shared helper/constant/oracle CTE):
+                # conservatively touches every query in the file.
+                changed.update(q for q in members[rel] if last.get(q) == rnd)
+
+    def key(name: str) -> tuple[int, int, int]:
+        if name not in last:
+            tier = 0
+        elif name in changed:
+            tier = 1
+        else:
+            tier = 2
+        return (tier, last.get(name, 0), reg_index[name])
+
+    return sorted(QUERIES, key=key)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run, then return QUERIES
     in verification-priority order (see ``_FIRST``)."""
@@ -208,8 +384,11 @@ def load_all() -> dict[str, QuerySpec]:
 
     missing = set(_FIRST) - set(QUERIES)
     assert not missing, f"_FIRST names without a registered query: {sorted(missing)}"
-    ordered = {name: QUERIES[name] for name in _FIRST}
-    for name, spec in QUERIES.items():
-        if name not in ordered:
-            ordered[name] = spec
-    return ordered
+    reg_index = {name: i for i, name in enumerate(QUERIES)}
+    try:
+        order = _derive_order(reg_index)
+    except Exception:
+        # No git / no correctness files (fresh checkout, sdist install):
+        # fall back to the hand-checked static priority list.
+        order = list(_FIRST) + [n for n in QUERIES if n not in set(_FIRST)]
+    return {name: QUERIES[name] for name in order}

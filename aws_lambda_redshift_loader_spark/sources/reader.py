@@ -71,6 +71,10 @@ def _check_compression(paths: list[str], directive: str) -> None:
     all_exts = tuple(e for exts in _COMPRESSION_EXTS.values() for e in exts)
     for p in paths:
         low = p.lower()
+        if any(ch in low for ch in "*?["):
+            # Glob patterns resolve at scan time; Spark's codec detection
+            # applies per matched file. Only explicit paths are checkable.
+            continue
         if directive == "NONE":
             if low.endswith(all_exts):
                 raise CompressionMismatch(
@@ -113,6 +117,17 @@ def read_files(
         # either way (Avro is self-describing).
         from .avro_io import read_avro
 
+        if config.reader_options:
+            # The copyOptions passthrough maps to Spark DataFrameReader
+            # options (CSV/JSON/parquet/ORC); the container-file Avro
+            # decoder has no option surface, and Avro is self-describing
+            # so the CSV-style directives have no meaning here. Fail loud
+            # rather than silently ignoring the user's directive.
+            raise ValueError(
+                "reader_options are not supported for AVRO loads "
+                "(Avro is self-describing; copyOptions apply to "
+                "CSV/JSON/PARQUET/ORC only)"
+            )
         df = read_avro(spark, paths)
         if config.column_list:
             df = df.select(*config.column_list)  # P7 ordered projection

@@ -24,6 +24,36 @@ from ..session import normalize_nanos, tune
 
 _COUNTER = itertools.count()
 
+# Temp dirs created by the e2e ingest queries (sink warehouse,
+# checkpoint, Derby DB). The returned DataFrame reads from these
+# LAZILY, so they cannot be removed before the caller collects — a
+# mid-session sweep could yank data a still-pending read needs. An
+# atexit hook removes every dir at interpreter exit, so repeated
+# bench/correctness rounds no longer leak sink data or Derby
+# warehouses for the life of the host; within one process the dirs are
+# bounded (a handful per e2e invocation, fixture-sized).
+_E2E_TMPDIRS: list[str] = []
+_E2E_ATEXIT_ARMED = False
+
+
+def _e2e_tmpdir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    global _E2E_ATEXIT_ARMED
+
+    def _sweep() -> None:
+        while _E2E_TMPDIRS:
+            shutil.rmtree(_E2E_TMPDIRS.pop(), ignore_errors=True)
+
+    if not _E2E_ATEXIT_ARMED:
+        atexit.register(_sweep)
+        _E2E_ATEXIT_ARMED = True
+    d = tempfile.mkdtemp(prefix=prefix)
+    _E2E_TMPDIRS.append(d)
+    return d
+
 # Stateful streaming operators allocate one state-store instance (plus,
 # for applyInPandasWithState, one Python worker exchange) PER SHUFFLE
 # PARTITION per operator — at the fixture's data volume that init cost
@@ -553,13 +583,11 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (executors write; the driver only coordinates), and replay
     idempotence comes from epoch-partition overwrite, not a ledger scan.
     """
-    import tempfile
-
     from .sinks import write_to_sink
     from ..sources.routing import ClusterSink
 
     tune(spark)
-    sink_dir = tempfile.mkdtemp(prefix="alrs_e2e_sink_")
+    sink_dir = _e2e_tmpdir("alrs_e2e_sink_")
     sink = ClusterSink(target_table="events_loaded", path=sink_dir)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = normalize_nanos(
@@ -577,7 +605,7 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark):
         q = (
             stream.writeStream.foreachBatch(load)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="alrs_e2e_ckpt_"))
+            .option("checkpointLocation", _e2e_tmpdir("alrs_e2e_ckpt_"))
             .start()
         )
     try:
@@ -621,13 +649,11 @@ def stream_ingest_jdbc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     check) is volume-independent. Scale: against a real MPP warehouse
     the staging append is the parallel COPY analog — every executor
     writes; the driver runs one transaction."""
-    import tempfile
-
     from .sinks import write_to_sink
     from ..sources.routing import ClusterSink
 
     tune(spark)
-    wh = tempfile.mkdtemp(prefix="alrs_e2e_derby_")
+    wh = _e2e_tmpdir("alrs_e2e_derby_")
     spark.sparkContext._jvm.java.lang.System.setProperty(
         "derby.stream.error.file", f"{wh}/derby.log"
     )
@@ -652,7 +678,7 @@ def stream_ingest_jdbc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark):
         q = (
             stream.writeStream.foreachBatch(load)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="alrs_e2e_jckpt_"))
+            .option("checkpointLocation", _e2e_tmpdir("alrs_e2e_jckpt_"))
             .start()
         )
     try:
