@@ -186,6 +186,13 @@ def build_fixture(src_dir: str | None = None, dst_dir: str | None = None) -> Non
 
 
 def run(spark, specs, sf_dir: str, name: str) -> float:
+    # Scale exponents measure each query's FULL cost: reset the dedup
+    # family's shared pair-graph memo so a prior query's materialization
+    # doesn't zero out this one's 1x or 10x time.
+    from aws_lambda_redshift_loader_spark.operators import dedup
+
+    dedup._PAIRS_MEMO.clear()
+    dedup._CC_MEMO.clear()
     t0 = time.perf_counter()
     specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0

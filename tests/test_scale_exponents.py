@@ -48,6 +48,13 @@ def scale_fixture():
 
 
 def _run(spark, fn, sf_dir: str) -> float:
+    # The dedup family shares one materialized pair-graph per (session,
+    # corpus) — correct architecture for consumers, but this gate measures
+    # each query's FULL cost, so reset the memo before every timed run.
+    from aws_lambda_redshift_loader_spark.operators import dedup
+
+    dedup._PAIRS_MEMO.clear()
+    dedup._CC_MEMO.clear()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
