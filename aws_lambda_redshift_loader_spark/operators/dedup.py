@@ -1000,7 +1000,12 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: shingle rows = corpus token count; the fingerprint groupBy
     sees ~uniform md5 keys (no skew); only duplicated positions (the
-    interesting minority) reach the window stage."""
+    interesting minority) reach the window stage. Doc-LENGTH
+    independence is measured, not assumed: `scale_bench.py --longdoc`
+    replays the same corpus with docs 32x longer (same total tokens) —
+    ratio 0.54 (BENCH_SCALE.json `duplicated_spans@longdoc32`), i.e.
+    the per-token explode and islands window don't degrade as documents
+    grow; work only rebalances across partitions."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split(norm_text("text"), " ").alias("ws")
     )

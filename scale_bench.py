@@ -185,6 +185,82 @@ def build_fixture(src_dir: str | None = None, dst_dir: str | None = None) -> Non
             con.execute(f"COPY (SELECT * FROM {src(t)}) TO '{out}' (FORMAT PARQUET)")
 
 
+LONGDOC_DST = os.environ.get("SPARK_GRAFT_LONGDOC_DIR", "/tmp/scale_longdoc")
+LONGDOC_GROUP = 32
+# Queries whose cost could plausibly depend on DOC LENGTH, not just corpus
+# size: per-token explodes, per-doc window partitions, per-doc arrays.
+LONGDOC_QUERIES = ["duplicated_spans", "winnowing_fingerprints", "document_chunking"]
+
+
+def build_longdoc_fixture(src_dir: str | None = None, dst_dir: str | None = None) -> str:
+    """Same corpus content, documents {LONGDOC_GROUP}x longer: every
+    {LONGDOC_GROUP} consecutive docs concatenate into one. Total token
+    count is unchanged, so a plan that is linear in tokens and
+    independent of doc length (the claim duplicated_spans' docstring
+    makes) should run in ~the same time; a per-doc mechanism that is
+    super-linear in doc length (quadratic window state, whole-doc
+    arrays re-scanned per position) shows up as ratio >> 1. Run with
+    `python scale_bench.py --longdoc`; ratios land in BENCH_SCALE.json
+    under '<query>@longdoc{LONGDOC_GROUP}'."""
+    import duckdb
+
+    sd = src_dir or SRC
+    dd = dst_dir or LONGDOC_DST
+    os.makedirs(dd, exist_ok=True)
+    out = f"{dd}/documents.parquet"
+    if not os.path.exists(out):
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        con.execute(
+            f"""
+            COPY (
+              SELECT MIN(doc_id) AS doc_id,
+                     string_agg(text, ' ' ORDER BY doc_id) AS text,
+                     MIN(lang) AS lang, MIN(source) AS source,
+                     CAST(SUM(n_chars) AS BIGINT) AS n_chars
+              FROM read_parquet('{sd}/documents.parquet')
+              GROUP BY doc_id // {LONGDOC_GROUP}
+            ) TO '{out}' (FORMAT PARQUET)
+            """
+        )
+        print(f"# built {out}", file=sys.stderr, flush=True)
+    return dd
+
+
+def run_longdoc() -> None:
+    """Measure LONGDOC_QUERIES on the base corpus vs the long-doc replica
+    and merge '<q>@longdoc{LONGDOC_GROUP}' entries into BENCH_SCALE.json."""
+    longdir = build_longdoc_fixture()
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    from aws_lambda_redshift_loader_spark.plans.registry import load_all
+    from aws_lambda_redshift_loader_spark.session import get_spark
+
+    spark = get_spark("scale-bench-longdoc")
+    specs = load_all()
+    specs["pricing_summary"].fn(spark, SRC).write.format("noop").mode("overwrite").save()
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json")
+    payload = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            payload = json.load(fh)
+    results = payload.setdefault("queries", {})
+    for name in LONGDOC_QUERIES:
+        t_base = run(spark, specs, SRC, name)
+        t_long = run(spark, specs, longdir, name)
+        ratio = round(t_long / t_base, 2) if t_base > 0 else None
+        results[f"{name}@longdoc{LONGDOC_GROUP}"] = {
+            "sec_base": t_base,
+            "sec_longdoc": t_long,
+            "ratio": ratio,
+            "note": f"same tokens, docs {LONGDOC_GROUP}x longer; ~1 = doc-length-independent",
+        }
+        print(f"# {name} longdoc: {t_base}s -> {t_long}s (ratio {ratio})", file=sys.stderr)
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in results.items() if "@longdoc" in k}))
+
+
 def run(spark, specs, sf_dir: str, name: str) -> float:
     # Scale exponents measure each query's FULL cost: reset the dedup
     # family's shared pair-graph memo so a prior query's materialization
@@ -204,6 +280,9 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
 
 
 def main() -> None:
+    if "--longdoc" in sys.argv:
+        run_longdoc()
+        return
     # Optional query-name args: re-measure a subset (results merge into an
     # existing BENCH_SCALE.json instead of replacing it).
     subset = [a for a in sys.argv[1:] if a in QUERIES]
