@@ -144,6 +144,34 @@ def _strip_semi(sql: str) -> str:
     return sql.strip().rstrip(";")
 
 
+def build_swap_statements(
+    columns: list[str], sink: ClusterSink, stage: str, epoch_id: int | None = None
+) -> list[str]:
+    """The single-transaction swap sequence `_write_jdbc` runs after the
+    parallel stage append: presql; [DELETE target]; INSERT..SELECT with
+    QUOTED (case-preserved) column identifiers — matching how Spark's
+    JDBC writer creates tables — ; postsql; [epoch-ledger INSERT].
+
+    A pure function so tests/test_postgres_dialect.py can execute the
+    IDENTICAL statements over a real Postgres wire (psql) even though
+    the sandbox lacks a pg JDBC jar for the staged-append half."""
+    cols = ", ".join(f'"{c}"' for c in columns)
+    swap: list[str] = []
+    if sink.presql:
+        swap.append(_strip_semi(sink.presql))
+    if sink.truncate_target:
+        swap.append(f"DELETE FROM {sink.target_table}")
+    swap.append(
+        f"INSERT INTO {sink.target_table} ({cols}) SELECT {cols} FROM {stage}"
+    )
+    if sink.postsql:
+        swap.append(_strip_semi(sink.postsql))
+    if epoch_id is not None:
+        ledger = f"{sink.target_table}_epochs"
+        swap.append(f"INSERT INTO {ledger} VALUES ({int(epoch_id)})")
+    return swap
+
+
 def _write_jdbc(df: DataFrame, sink: ClusterSink, epoch_id: int | None = None) -> None:
     """Transactional warehouse load (loadCluster, index.js:1077-1321).
 
@@ -190,19 +218,7 @@ def _write_jdbc(df: DataFrame, sink: ClusterSink, epoch_id: int | None = None) -
     df.write.format("jdbc").options(
         url=sink.jdbc_url, dbtable=stage, **extra
     ).mode("overwrite").save()
-    cols = ", ".join(f'"{c}"' for c in df.columns)
-    swap: list[str] = []
-    if sink.presql:
-        swap.append(_strip_semi(sink.presql))
-    if sink.truncate_target:
-        swap.append(f"DELETE FROM {sink.target_table}")
-    swap.append(
-        f"INSERT INTO {sink.target_table} ({cols}) SELECT {cols} FROM {stage}"
-    )
-    if sink.postsql:
-        swap.append(_strip_semi(sink.postsql))
-    if epoch_id is not None:
-        swap.append(f"INSERT INTO {ledger} VALUES ({int(epoch_id)})")
+    swap = build_swap_statements(df.columns, sink, stage, epoch_id)
     try:
         _run_jdbc_statements(spark, sink, swap)
     finally:
