@@ -1043,3 +1043,133 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_len")
     )
+
+
+# ---- Content-defined chunking (CDC) -----------------------------------
+# Rabin-style chunking: a rolling Karp-Rabin hash over a CDC_W-char
+# window cuts a chunk boundary wherever hash % CDC_DIV == 0, so chunk
+# boundaries are determined by CONTENT, not offset — insert one byte at
+# the front of a document and fixed-size blocks all shift (0% dedup),
+# while CDC boundaries re-synchronize after one chunk. This is the
+# storage-side dedup primitive (backup/dedup filesystems, LLM corpus
+# delta storage) complementing the token-level span dedup above.
+CDC_W = 16  # rolling window (chars)
+CDC_DIV = 64  # boundary when hash % this == 0 → expected chunk ≈ 64 chars
+CDC_B = 1000003  # Karp-Rabin base/modulus — same integer-exact recurrence
+CDC_P = 2147483647  # as winnowing_fingerprints (text.py)
+
+
+@register(
+    "cdc_chunks",
+    f"""
+    WITH codes AS (
+      SELECT doc_id, lower(text) AS t,
+             list_transform(string_split(lower(text), ''),
+                            c -> CAST(unicode(c) AS BIGINT)) AS cs
+      FROM documents WHERE length(text) >= {CDC_W}
+    ),
+    ghs AS (
+      SELECT doc_id, t, cs,
+             list_transform(generate_series(1, len(cs) - {CDC_W} + 1),
+               i -> list_reduce(
+                      list_transform(generate_series(i, i + {CDC_W} - 1),
+                                     j -> cs[CAST(j AS INT)]),
+                      (acc, c) -> (acc * {CDC_B} + c) % {CDC_P})) AS gh
+      FROM codes
+    ),
+    starts AS (
+      SELECT doc_id, t, len(cs) AS n,
+             list_filter(
+               list_concat([CAST(1 AS BIGINT)],
+                 list_transform(
+                   list_filter(generate_series(1, len(gh)),
+                               i -> gh[CAST(i AS INT)] % {CDC_DIV} = 0),
+                   i -> i + {CDC_W})),
+               s -> s <= len(cs)) AS st
+      FROM ghs
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(substr(t, CAST(st[CAST(u.j AS INT)] AS INT),
+                 CAST((CASE WHEN u.j < len(st) THEN st[CAST(u.j AS INT) + 1] - 1
+                       ELSE n END) - st[CAST(u.j AS INT)] + 1 AS INT))) AS chunk_hash,
+             (CASE WHEN u.j < len(st) THEN st[CAST(u.j AS INT) + 1] - 1
+              ELSE n END) - st[CAST(u.j AS INT)] + 1 AS chunk_len
+      FROM starts, LATERAL (SELECT unnest(generate_series(1, len(st))) AS j) u
+    )
+    SELECT chunk_hash, CAST(MIN(chunk_len) AS BIGINT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks GROUP BY chunk_hash HAVING COUNT(*) >= 2
+    """,
+)
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup report: split every document into
+    Rabin chunks (boundary where the {CDC_W}-char rolling hash %
+    {CDC_DIV} == 0, expected chunk ≈ {CDC_DIV} chars) and report every
+    chunk stored more than once (n_copies, n_docs) — the dedup-ratio
+    audit a chunked corpus store runs. Offset-shift robustness is the
+    point: boundaries derive from content, so shared passages chunk
+    identically in every document that contains them regardless of
+    position.
+
+    The rolling hash is the same integer-exact Karp-Rabin recurrence as
+    winnowing_fingerprints (Horner over a once-per-doc codepoint array,
+    base {CDC_B} mod {CDC_P}), so the DuckDB oracle reproduces chunk
+    boundaries bit-for-bit and the whole chunker is hash-gated.
+
+    Scale: chunking is MAP-ONLY per document (transform/filter over
+    in-row arrays — zero shuffle until the final chunk-hash groupBy,
+    which is the report aggregate, map-side combined on ~uniform md5
+    keys). Doc-length independence inherits winnowing's O(1)-per-char
+    array access; the @longdoc audit covers the same mechanism."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= CDC_W)
+    base = d.select(
+        "doc_id",
+        F.lower("text").alias("t"),
+        F.expr("transform(split(lower(text), ''), c -> ascii(c))").alias("cs"),
+    )
+    ghs = base.select(
+        "doc_id", "t", "cs",
+        F.expr(
+            f"transform(sequence(1, size(cs) - {CDC_W} + 1), "
+            f"i -> aggregate(sequence(i, i + {CDC_W} - 1), 0L, "
+            f"(acc, j) -> (acc * {CDC_B} + element_at(cs, j)) % {CDC_P}))"
+        ).alias("gh"),
+    )
+    starts = ghs.select(
+        "doc_id", "t", F.size("cs").alias("n"),
+        F.expr(
+            f"filter(concat(array(CAST(1 AS BIGINT)), "
+            f"transform(filter(sequence(1, size(gh)), "
+            f"i -> element_at(gh, i) % {CDC_DIV} = 0), "
+            f"i -> CAST(i + {CDC_W} AS BIGINT))), s -> s <= size(cs))"
+        ).alias("st"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(st)), j -> named_struct("
+                "'start', element_at(st, j), "
+                "'clen', (CASE WHEN j < size(st) THEN element_at(st, j + 1) - 1 "
+                "ELSE CAST(n AS BIGINT) END) - element_at(st, j) + 1))"
+            )
+        ).alias("c"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.expr("md5(substr(t, CAST(c.start AS INT), CAST(c.clen AS INT)))").alias(
+            "chunk_hash"
+        ),
+        F.col("c.clen").alias("chunk_len"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").cast("bigint").alias("chunk_len"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

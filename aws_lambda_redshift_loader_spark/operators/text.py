@@ -1488,3 +1488,155 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BPE_TOP_PAIRS)
         .select("a", "b", F.col("n").cast("bigint").alias("n_occurrences"), "rank")
     )
+
+
+# ---- BM25 retrieval ---------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 5
+BM25_QUERY_MAX = 20  # doc_id < this = the query set (same stand-in as
+#                      benchmark_contamination's held-out bench docs)
+
+
+@register(
+    "bm25_topk",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS token) u
+    ),
+    corpus AS (SELECT * FROM toks WHERE doc_id >= {BM25_QUERY_MAX}),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, token FROM toks
+      WHERE doc_id < {BM25_QUERY_MAX}
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM corpus
+      WHERE token IN (SELECT token FROM qterms)
+      GROUP BY doc_id, token
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM corpus GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM corpus
+    ),
+    idf AS (
+      SELECT f.token,
+             CAST(floor(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) * 1e6)
+                  AS BIGINT) AS q_idf
+      FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token) f,
+           stats s
+    ),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(floor(i.q_idf * (t.tf * ({BM25_K1} + 1.0))
+                        / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                           + {BM25_B} * (CAST(l.len AS DOUBLE)
+                                         / (CAST(s.n_toks AS DOUBLE) / s.n_docs)))))
+                  AS BIGINT) AS term_q
+      FROM tf t
+      JOIN qterms q ON q.token = t.token
+      JOIN idf i ON i.token = t.token
+      JOIN doclen l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT query_id, doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
+      FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_q, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, doc_id ASC) AS rank
+      FROM agg
+    ) WHERE rank <= {BM25_TOP}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOP} retrieval (Robertson/Spärck Jones Okapi
+    weighting, k1={BM25_K1} b={BM25_B}): for each held-out query doc
+    (doc_id < {BM25_QUERY_MAX}, set-of-words query — the same bench
+    stand-in as benchmark_contamination), rank corpus documents by
+    summed per-term BM25 — the lexical-retrieval side of a RAG stack
+    next to the embedding ANN family, and the classic inverted-index
+    workload.
+
+    Cross-engine determinism: IDF rides the established quantized-ln
+    idiom (floor(ln(·)·1e6) BIGINT); the tf saturation ratio uses only
+    correctly-rounded ops (×, ÷, +) on that exact integer and exact
+    counts, floored per term BEFORE the sum, so scores are int64 and
+    the hash gate is exact.
+
+    Scale: the corpus term-frequency groupBy is restricted to QUERY
+    terms first (a broadcast semi-join — query vocab is tiny by
+    definition), so the inverted index materializes only the postings
+    the queries touch; doc lengths and corpus totals are map-side
+    combined aggregates; the final per-query rank is
+    WindowGroupLimit-prunable. No self-joins, no driver loops; at
+    100 TB this is one scan + bounded-width shuffles."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    corpus = toks.filter(F.col("doc_id") >= BM25_QUERY_MAX)
+    qterms = (
+        toks.filter(F.col("doc_id") < BM25_QUERY_MAX)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    tf = (
+        corpus.join(F.broadcast(qterms.select("token").distinct()), "token", "left_semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    doclen = corpus.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("len"))
+    stats = corpus.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_toks"),
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.floor(
+                F.ln(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("q_idf"),
+        )
+    )
+    avglen = F.col("n_toks").cast("double") / F.col("n_docs")
+    term_q = F.floor(
+        F.col("q_idf")
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("len").cast("double") / avglen))
+        )
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(idf), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", term_q.alias("term_q"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_q").cast("bigint").alias("score_q")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP)
+        .select("query_id", "doc_id", "score_q", "rank")
+    )
