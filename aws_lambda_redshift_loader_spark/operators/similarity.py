@@ -1471,3 +1471,186 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---- MMR diversified retrieval ----------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank a
+# bounded candidate pool so each successive pick maximizes
+# lambda*rel(q,d) - (1-lambda)*max_{s in selected} sim(d,s) — the
+# diversity-aware final stage of a RAG retrieval stack (plain top-k
+# returns 5 near-copies when the corpus has near-dups; MMR returns one
+# representative per cluster). K is a fixed constant, so the greedy
+# iteration UNROLLS into a static plan — the same trick as the k-means
+# and PageRank oracles — and stays hash-verifiable end-to-end.
+MMR_POOL = 20  # candidate pool per query (top-POOL by relevance)
+MMR_K = TOP_K  # picks per query
+MMR_LAMBDA = 0.75  # exactly representable in binary — cross-engine safe
+
+
+def _mmr_oracle() -> str:
+    cos = (
+        "list_dot_product(CAST({a}.e AS DOUBLE[]), CAST({b}.e AS DOUBLE[])) /"
+        " (sqrt(list_dot_product(CAST({a}.e AS DOUBLE[]), CAST({a}.e AS DOUBLE[]))) *"
+        " sqrt(list_dot_product(CAST({b}.e AS DOUBLE[]), CAST({b}.e AS DOUBLE[]))))"
+    )
+    lam, one_m = MMR_LAMBDA, 1 - MMR_LAMBDA
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        prev_union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, r))
+        rounds.append(
+            f"""prev{r} AS ({prev_union}),
+    sel{r} AS (
+      SELECT query_id, neighbor_id, rel, {r} AS mmr_rank FROM (
+        SELECT c.query_id, c.neighbor_id, c.rel,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {lam} * c.rel - {one_m} * ms.maxsim DESC,
+                                           c.neighbor_id ASC) AS rk
+        FROM cand c
+        JOIN (SELECT m.query_id, m.a_id, MAX(m.sim) AS maxsim
+              FROM sims m JOIN prev{r} p
+                ON p.query_id = m.query_id AND p.neighbor_id = m.b_id
+              GROUP BY m.query_id, m.a_id) ms
+          ON ms.query_id = c.query_id AND ms.a_id = c.neighbor_id
+        LEFT JOIN prev{r} x
+          ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+        WHERE x.neighbor_id IS NULL
+      ) WHERE rk = 1
+    )"""
+        )
+    final_union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1))
+    return f"""
+    WITH {_QUANT_CTE},
+    rels AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {cos.format(a='a', b='b')} AS rel
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, neighbor_id ASC) AS rk
+        FROM rels
+      ) WHERE rk <= {MMR_POOL}
+    ),
+    sims AS (
+      SELECT c1.query_id, c1.neighbor_id AS a_id, c2.neighbor_id AS b_id,
+             {cos.format(a='x', b='y')} AS sim
+      FROM cand c1
+      JOIN cand c2 ON c2.query_id = c1.query_id AND c2.neighbor_id <> c1.neighbor_id
+      JOIN q x ON x.vec_id = c1.neighbor_id
+      JOIN q y ON y.vec_id = c2.neighbor_id
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, rel, 1 AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, neighbor_id ASC) AS rk
+        FROM cand
+      ) WHERE rk = 1
+    ),
+    {','.join(rounds)}
+    SELECT query_id, neighbor_id, rel AS relevance, CAST(mmr_rank AS INT) AS mmr_rank
+    FROM ({final_union})
+    """
+
+
+@register("mmr_diverse_topk", _mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{MMR_K} (see the block comment): brute-force
+    relevance builds a top-{MMR_POOL} pool per query, then {MMR_K}
+    unrolled greedy rounds pick lambda-balanced diverse results.
+
+    Determinism: relevance and pairwise sims are the exact-integer-dot
+    cosines every ANN query uses; the MMR score mixes them with only
+    correctly-rounded ops (x, -) on exact constants (0.75/0.25 are
+    binary-exact), so each round's argmax (ties to the lower id)
+    matches the oracle's unrolled CTE chain bit-for-bit.
+
+    Scale: the pool and sims are localCheckpoint-materialized ONCE
+    (queries x {MMR_POOL} and queries x {MMR_POOL}^2 rows — bounded by
+    construction, independent of corpus size) so the {MMR_K} unrolled
+    rounds join tiny cached frames instead of re-deriving the corpus
+    scan; at 100 TB the pool would come from any of the ANN index
+    families (same contract: per-query bounded candidates), making MMR
+    a constant-cost epilogue per query."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cosine = (
+        _dot(F.col("qe"), F.col("e")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+            * F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
+        )
+    )
+    rels = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("rel"), "e")
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("neighbor_id").asc())
+    cand = (
+        rels.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= MMR_POOL)
+        .select("query_id", "neighbor_id", "rel", "e")
+        .localCheckpoint(eager=True)  # bounded: queries x POOL rows
+    )
+    c1 = cand.select("query_id", F.col("neighbor_id").alias("a_id"), F.col("e").alias("ea"))
+    c2 = cand.select("query_id", F.col("neighbor_id").alias("b_id"), F.col("e").alias("eb"))
+    sim = (
+        _dot(F.col("ea"), F.col("eb")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("ea"), F.col("ea")).cast("double"))
+            * F.sqrt(_dot(F.col("eb"), F.col("eb")).cast("double"))
+        )
+    )
+    sims = (
+        c1.join(c2, ["query_id"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", sim.alias("sim"))
+        .localCheckpoint(eager=True)  # bounded: queries x POOL^2 rows
+    )
+    pool = cand.select("query_id", "neighbor_id", "rel")
+    sel1 = (
+        pool.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "neighbor_id", "rel", F.lit(1).alias("mmr_rank"))
+    )
+    sels = [sel1]
+    for r in range(2, MMR_K + 1):
+        prev = sels[0]
+        for s in sels[1:]:
+            prev = prev.unionByName(s)
+        prev_ids = prev.select("query_id", "neighbor_id")
+        ms = (
+            sims.join(
+                prev_ids.select("query_id", F.col("neighbor_id").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        remaining = pool.join(prev_ids, ["query_id", "neighbor_id"], "left_anti")
+        mmr_score = MMR_LAMBDA * F.col("rel") - (1 - MMR_LAMBDA) * F.col("maxsim")
+        wr = W.partitionBy("query_id").orderBy(
+            mmr_score.desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            remaining.join(
+                ms,
+                (F.col("a_id") == F.col("neighbor_id"))
+                & (ms.query_id == remaining.query_id),
+            )
+            .select(remaining.query_id, "neighbor_id", "rel", "maxsim")
+            .withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "neighbor_id", "rel", F.lit(r).alias("mmr_rank"))
+        )
+        sels.append(pick)
+    out = sels[0]
+    for s in sels[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rel").alias("relevance"),
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+    )

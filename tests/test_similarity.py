@@ -193,3 +193,34 @@ def test_opq_recall_not_worse_than_pq(spark):
         f"OPQ recall {opq_recall:.3f} fell below plain PQ {pq_recall:.3f}"
     )
     assert len(rows) == N_QUERIES * TOP_K
+
+
+def test_mmr_structure_and_diversity(spark):
+    """MMR invariants: K picks per query, no repeats, pick 1 == the
+    relevance argmax, and the selection is diversity-aware — across the
+    query set it must diverge from plain top-k somewhere (the fixture
+    has near-dup embeddings, so pure-relevance top-5 contains redundant
+    members MMR swaps out)."""
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        MMR_K,
+        mmr_diverse_topk,
+    )
+
+    rows = mmr_diverse_topk(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == N_QUERIES
+    exact_top = {}
+    for r in embedding_topk_bruteforce(spark, SF_ORACLE).collect():
+        exact_top.setdefault(r.query_id, {})[r.rank] = r.neighbor_id
+    for q, picks in by_q.items():
+        assert len(picks) == MMR_K
+        ids = [p.neighbor_id for p in picks]
+        assert len(set(ids)) == MMR_K  # no repeats
+        first = min(picks, key=lambda p: p.mmr_rank)
+        assert first.neighbor_id == exact_top[q][1]  # pick 1 = argmax rel
+    diverged = any(
+        {p.neighbor_id for p in by_q[q]} != set(exact_top[q].values()) for q in by_q
+    )
+    assert diverged, "MMR never diverged from pure top-k — diversity term inert?"
