@@ -1936,3 +1936,115 @@ def spend_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_orders"),
         (num.cast("double") / (F.max("n") * F.max("total"))).alias("gini"),
     )
+
+
+# ---- Z-order layout audit ---------------------------------------------
+# Multi-dimensional clustering (Morton order) — the layout optimization
+# behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleave the bits of two
+# sort dimensions so physically-adjacent rows are close in BOTH, giving
+# min/max zone maps pruning power on either predicate column. Linear
+# sort by one column makes the other's per-file ranges span everything;
+# z-order bounds both. The query computes the Morton key and audits the
+# layout it would produce: bucket rows into ZORDER_BUCKETS contiguous
+# key ranges ("files") and report each bucket's min/max on both dims —
+# the exact statistics a scan planner prunes with.
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 64
+
+
+def _interleave_expr(x: str, y: str, shift_fn) -> str:
+    """Bit-interleave expression for 2x ZORDER_BITS-bit ints; shift_fn
+    renders a left-shift (engines differ: Spark `shiftleft(a,n)`,
+    DuckDB `a << n`)."""
+    terms = []
+    for b in range(ZORDER_BITS):
+        terms.append(shift_fn(f"(({x} >> {b}) & 1)", 2 * b))
+        terms.append(shift_fn(f"(({y} >> {b}) & 1)", 2 * b + 1))
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_audit",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM orders
+    ),
+    ext AS (
+      SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+             MIN(d) AS dmin, MAX(d) AS dmax
+      FROM base
+    ),
+    scaled AS (
+      SELECT o_orderkey, o_custkey, d,
+             ((o_custkey - e.cmin) * {(1 << ZORDER_BITS) - 1}) // greatest(e.cmax - e.cmin, 1) AS xs,
+             ((d - e.dmin) * {(1 << ZORDER_BITS) - 1}) // greatest(e.dmax - e.dmin, 1) AS ys
+      FROM base, ext e
+    ),
+    keyed AS (
+      SELECT o_orderkey, o_custkey, d,
+             {_interleave_expr('xs', 'ys', lambda e, n: f'({e} << {n})')} AS zkey
+      FROM scaled
+    ),
+    bucketed AS (
+      SELECT o_custkey, d,
+             ntile({ZORDER_BUCKETS}) OVER (ORDER BY zkey ASC, o_orderkey ASC) AS bucket
+      FROM keyed
+    )
+    SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_custkey) AS custkey_min, MAX(o_custkey) AS custkey_max,
+           MIN(d) AS date_min, MAX(d) AS date_max
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit over orders(o_custkey, o_orderdate)
+    — see the block comment. Both dims min-max-scale to {ZORDER_BITS}
+    bits with INTEGER division (exact past 2^53 in both engines), the
+    Morton key is pure bit arithmetic, and the {ZORDER_BUCKETS}-way
+    bucketing is an ntile over the key — so the whole layout decision
+    is hash-verifiable. The output is each would-be file's zone map
+    (min/max per dim): the judge of clustering quality, and exactly
+    what a reader prunes on.
+
+    Scale: extents are a 1-row broadcast aggregate; key computation is
+    map-only codegen; the global ntile is the one genuinely serial
+    shape here — in production you'd range-partition by zkey sample
+    quantiles (repartitionByRange) instead, which is the same layout
+    minus the single-window; the audit keeps ntile for exact
+    cross-engine bucket parity."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).cast(
+            "bigint"
+        ).alias("d"),
+    )
+    ext = base.agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax"),
+        F.min("d").alias("dmin"), F.max("d").alias("dmax"),
+    )
+    top = (1 << ZORDER_BITS) - 1
+    scaled = base.crossJoin(F.broadcast(ext)).select(
+        "o_orderkey", "o_custkey", "d",
+        F.expr(f"((o_custkey - cmin) * {top}) div greatest(cmax - cmin, 1)").alias("xs"),
+        F.expr(f"((d - dmin) * {top}) div greatest(dmax - dmin, 1)").alias("ys"),
+    )
+    zkey = F.expr(_interleave_expr("xs", "ys", lambda e, n: f"shiftleft({e}, {n})"))
+    keyed = scaled.select("o_orderkey", "o_custkey", "d", zkey.alias("zkey"))
+    wz = W.orderBy(F.col("zkey").asc(), F.col("o_orderkey").asc())
+    bucketed = keyed.select(
+        "o_custkey", "d", F.ntile(ZORDER_BUCKETS).over(wz).alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_custkey").alias("custkey_min"),
+        F.max("o_custkey").alias("custkey_max"),
+        F.min("d").alias("date_min"),
+        F.max("d").alias("date_max"),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"), "n_rows",
+        "custkey_min", "custkey_max", "date_min", "date_max",
+    )
