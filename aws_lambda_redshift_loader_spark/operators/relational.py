@@ -2048,3 +2048,124 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"), "n_rows",
         "custkey_min", "custkey_max", "date_min", "date_max",
     )
+
+
+# ---- Join-skew audit ---------------------------------------------------
+SKEW_HOT_FACTOR = 4  # a key is "hot" above FACTOR x the mean row count
+SKEW_TOP = 10
+
+
+@register(
+    "join_skew_audit",
+    f"""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+             MAX(n) AS max_n
+      FROM per_key
+    )
+    SELECT p.user_id, p.n,
+           CAST(p.n AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio,
+           p.n * s.n_keys >= s.n_rows * {SKEW_HOT_FACTOR} AS is_hot,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+          FROM per_key) p,
+         stats s
+    WHERE rank <= {SKEW_TOP}
+    """,
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for a join/groupBy key: per-key row counts for
+    the top {SKEW_TOP} heaviest keys, each with its skew ratio (count ÷
+    mean count) and a hot-key flag at {SKEW_HOT_FACTOR}x the mean — the
+    diagnostic you run BEFORE deciding between a plain shuffle join,
+    AQE skew splitting, or the salted-join rewrite this repo ships
+    (salted_skew_join). The hot flag compares n * n_keys >= n_rows *
+    FACTOR in pure integers (no float threshold boundary to disagree
+    on); the reported ratio is a single correctly-rounded multiply/
+    divide on exact ints.
+
+    Scale: one map-side-combined groupBy on the key (the thing being
+    audited — if THIS aggregate is too skewed to run, partial
+    aggregation has already absorbed the hot key), a 1-row stats
+    aggregate, and a top-{SKEW_TOP} rank over per-key counts."""
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+    stats = per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    wr = W.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    ranked = per_key.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= SKEW_TOP
+    )
+    out = ranked.crossJoin(F.broadcast(stats))
+    is_hot = F.col("n") * F.col("n_keys") >= F.col("n_rows") * SKEW_HOT_FACTOR
+    return out.select(
+        "user_id", "n",
+        (F.col("n").cast("double") * F.col("n_keys") / F.col("n_rows")).alias("skew_ratio"),
+        is_hot.alias("is_hot"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---- Column profiling ---------------------------------------------------
+@register(
+    "column_profile_orders",
+    """
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit (the first query every pipeline runs against
+    a new table): per column — row count, non-null count, distinct
+    count, min/max (stringified for a uniform schema across types).
+    Floats are deliberately excluded from min/max stringification
+    (cross-engine repr differs); the integer/varchar columns cover the
+    profiling contract.
+
+    Scale: ONE pass — Spark compiles the union of per-column aggregates
+    over the same scan into a shared-scan multi-aggregate (the CTE/scan
+    reuse is visible in the plan); distinct counts shuffle per column
+    but each is map-side partially aggregated."""
+    o = table(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(col).cast("bigint").alias("n_nonnull"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    out = profile(cols[0])
+    for c in cols[1:]:
+        out = out.unionByName(profile(c))
+    return out

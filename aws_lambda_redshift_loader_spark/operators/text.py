@@ -1640,3 +1640,92 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOP)
         .select("query_id", "doc_id", "score_q", "rank")
     )
+
+
+# ---- Contrastive negative sampling -------------------------------------
+NEG_K = 3  # negatives per anchor document
+
+
+@register(
+    "contrastive_negatives",
+    f"""
+    WITH idx AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) - 1 AS i
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM idx),
+    draws AS (
+      SELECT a.doc_id AS anchor_doc_id, u.j AS neg_rank,
+             CAST(concat('0x', substr(md5(concat('neg:', CAST(a.doc_id AS VARCHAR),
+                                                ':', CAST(u.j AS VARCHAR))), 1, 15))
+                  AS BIGINT) % n.n_docs AS draw_i,
+             a.i AS self_i, n.n_docs AS n_docs
+      FROM idx a, n,
+           LATERAL (SELECT unnest(generate_series(1, {NEG_K})) AS j) u
+    ),
+    resolved AS (
+      SELECT anchor_doc_id, CAST(neg_rank AS INT) AS neg_rank,
+             CASE WHEN draw_i = self_i THEN (draw_i + 1) % n_docs
+                  ELSE draw_i END AS neg_i
+      FROM draws
+    )
+    SELECT r.anchor_doc_id, r.neg_rank, b.doc_id AS negative_doc_id
+    FROM resolved r JOIN idx b ON b.i = r.neg_i
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training
+    (embedding/retrieval model data prep): each document draws {NEG_K}
+    pseudo-random negatives from the corpus via an md5 hash ring —
+    draw = hash('neg:' || doc_id || ':' || j) mod n over a dense
+    doc-rank index, stepping one slot on self-collision. Deterministic
+    (reproducible epochs, and the DuckDB oracle replays the identical
+    draws) and uniform-ish without any RNG state.
+
+    Scale: the dense rank is one global row_number — at 100 TB replace
+    it with a range-partitioned rank (repartitionByRange + per-partition
+    offsets, the standard zipWithIndex shape) exactly as the z-order
+    audit's ntile note; the draws themselves are map-only and the
+    resolve is a single equi-join on the ring index, shuffling only
+    anchor×{NEG_K} rows."""
+    d = table(spark, sf_dir, "documents")
+    widx = W.orderBy(F.col("doc_id").asc())
+    idx = d.select("doc_id").withColumn("i", F.row_number().over(widx) - 1)
+    n = idx.agg(F.count("*").cast("bigint").alias("n_docs"))
+    draws = (
+        idx.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_doc_id"),
+            F.col("i").alias("self_i"),
+            "n_docs",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("neg_rank"),
+        )
+        .select(
+            "anchor_doc_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "n_docs",
+            "self_i",
+            (
+                hex_hash64(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("anchor_doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("neg_rank").cast("string"),
+                    )
+                )
+                % F.col("n_docs")
+            ).alias("draw_i"),
+        )
+    )
+    resolved = draws.select(
+        "anchor_doc_id",
+        "neg_rank",
+        F.when(F.col("draw_i") == F.col("self_i"), (F.col("draw_i") + 1) % F.col("n_docs"))
+        .otherwise(F.col("draw_i"))
+        .alias("neg_i"),
+    )
+    return resolved.join(
+        idx.select(F.col("i").alias("neg_i"), F.col("doc_id").alias("negative_doc_id")),
+        "neg_i",
+    ).select("anchor_doc_id", "neg_rank", "negative_doc_id")
