@@ -240,10 +240,10 @@ bands AS (
 """
 
 
-@register(
-    "minhash_lsh_pairs",
-    f"""
-    WITH {_SHINGLES_CTE},
+# The full verified-pairs oracle chain, ending in a `pairs` CTE — shared
+# by minhash_lsh_pairs and the split-leakage audit (the SQL mirror of the
+# engine-side _verified_pairs memoization).
+_PAIRS_ORACLE_CTES = f"""{_SHINGLES_CTE},
     {_MINHASH_CTE},
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -260,15 +260,24 @@ bands AS (
       JOIN shingles a ON a.doc_id = c.doc_a
       JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
       GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_common AS DOUBLE) /
-             (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
-          >= {JACCARD_THRESHOLD}
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE) /
+               (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+            >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_PAIRS_ORACLE_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,4 +1181,67 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         )
         .filter(F.col("n_copies") >= 2)
+    )
+
+
+# ---- Split-leakage audit ------------------------------------------------
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder (100 - train - val) is test
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH {_PAIRS_ORACLE_CTES},
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN h < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN h < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))),
+                                        1, 15)) AS BIGINT) % 100 AS h
+        FROM documents
+      )
+    )
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split LEAKAGE audit: assign every document a
+    deterministic {SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/
+    {100 - SPLIT_TRAIN_PCT - SPLIT_VAL_PCT} split via an md5 hash gate
+    (reproducible — no RNG state), then report every verified NEAR-DUP
+    pair that straddles two splits. Random splitting leaks: a near-copy
+    of a training document sitting in test silently inflates eval — the
+    fix is splitting by near-dup CLUSTER, and this audit measures
+    exactly how much leakage the naive split carries.
+
+    Composes the shared materialized pair graph (`_verified_pairs` —
+    computed once per session/corpus, reused by four queries now); the
+    oracle mirrors with the shared `pairs` CTE chain. Scale: the audit
+    adds two broadcast-size hash-gate joins on top of the pair graph —
+    negligible next to pair generation, and the same shape at 100 TB."""
+    pairs = _verified_pairs(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    h = hex_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    splits = d.select(
+        "doc_id",
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
