@@ -67,6 +67,10 @@ QUERIES = [
     "fuzzy_match_names",          # deletion-neighborhood variant join
     "document_chunking",          # map-only sliding-window chunker
     "duplicated_spans",           # span-grain substring dedup
+    # round-7 additions
+    "cdc_chunks",                 # map-only Rabin chunker + dedup report
+    "bm25_topk",                  # query-restricted inverted index
+    "embedding_opq_topk",         # rotation + trained PQ chain
 ]
 
 
