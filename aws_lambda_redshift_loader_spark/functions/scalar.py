@@ -65,3 +65,47 @@ def wildcard_hive(path: Column) -> Column:
     hive-style dirs are partition columns and discovery subsumes this;
     kept as the routing-parity scalar."""
     return F.regexp_replace(path, r"=[^/]+", "=*")
+
+
+# Karp-Rabin rolling-hash machinery shared by winnowing_fingerprints
+# (text.py) and cdc_chunks (dedup.py). Every Horner step is exact in
+# int64 (acc < 2^31 = ROLL_P, acc*ROLL_B + c < 2^51), so the DuckDB
+# oracle's list_reduce computes bit-identical hashes; the codepoint
+# array makes char access O(1) (substring-per-char is an O(pos) UTF-8
+# scan that turns long docs quadratic).
+ROLL_B = 1000003
+ROLL_P = 2147483647
+
+
+def codes_expr(text_sql: str = "lower(text)") -> str:
+    """Spark SQL: text → codepoint array (once per row)."""
+    return f"transform(split({text_sql}, ''), c -> ascii(c))"
+
+
+def rolling_hash_expr(k: int, codes: str = "codes") -> str:
+    """Spark SQL: codepoint array → array of k-gram Karp-Rabin hashes
+    (one per position 1..n-k+1)."""
+    return (
+        f"transform(sequence(1, size({codes}) - {k} + 1), "
+        f"i -> aggregate(sequence(i, i + {k} - 1), 0L, "
+        f"(acc, j) -> (acc * {ROLL_B} + element_at({codes}, j)) % {ROLL_P}))"
+    )
+
+
+def codes_sql(text_sql: str = "lower(text)") -> str:
+    """DuckDB: the same codepoint array."""
+    return (
+        f"list_transform(string_split({text_sql}, ''),"
+        f" c -> CAST(unicode(c) AS BIGINT))"
+    )
+
+
+def rolling_hash_sql(k: int, codes: str = "cs") -> str:
+    """DuckDB: the same k-gram hash list (bit-identical to
+    rolling_hash_expr)."""
+    return (
+        f"list_transform(generate_series(1, len({codes}) - {k} + 1), "
+        f"i -> list_reduce(list_transform(generate_series(i, i + {k} - 1), "
+        f"j -> {codes}[CAST(j AS INT)]), "
+        f"(acc, c) -> (acc * {ROLL_B} + c) % {ROLL_P}))"
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import hex_hash64, norm_text
+from ..functions.scalar import codes_expr, codes_sql, hex_hash64, norm_text, rolling_hash_expr, rolling_hash_sql
 from ..plans.registry import register
 from ..session import table
 
@@ -1064,26 +1064,17 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # delta storage) complementing the token-level span dedup above.
 CDC_W = 16  # rolling window (chars)
 CDC_DIV = 64  # boundary when hash % this == 0 → expected chunk ≈ 64 chars
-CDC_B = 1000003  # Karp-Rabin base/modulus — same integer-exact recurrence
-CDC_P = 2147483647  # as winnowing_fingerprints (text.py)
 
 
 @register(
     "cdc_chunks",
     f"""
     WITH codes AS (
-      SELECT doc_id, lower(text) AS t,
-             list_transform(string_split(lower(text), ''),
-                            c -> CAST(unicode(c) AS BIGINT)) AS cs
+      SELECT doc_id, lower(text) AS t, {codes_sql()} AS cs
       FROM documents WHERE length(text) >= {CDC_W}
     ),
     ghs AS (
-      SELECT doc_id, t, cs,
-             list_transform(generate_series(1, len(cs) - {CDC_W} + 1),
-               i -> list_reduce(
-                      list_transform(generate_series(i, i + {CDC_W} - 1),
-                                     j -> cs[CAST(j AS INT)]),
-                      (acc, c) -> (acc * {CDC_B} + c) % {CDC_P})) AS gh
+      SELECT doc_id, t, cs, {rolling_hash_sql(CDC_W)} AS gh
       FROM codes
     ),
     starts AS (
@@ -1122,10 +1113,10 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in every document that contains them regardless of
     position.
 
-    The rolling hash is the same integer-exact Karp-Rabin recurrence as
-    winnowing_fingerprints (Horner over a once-per-doc codepoint array,
-    base {CDC_B} mod {CDC_P}), so the DuckDB oracle reproduces chunk
-    boundaries bit-for-bit and the whole chunker is hash-gated.
+    The rolling hash is functions.scalar's shared Karp-Rabin machinery
+    (the same integer-exact recurrence as winnowing_fingerprints), so
+    the DuckDB oracle reproduces chunk boundaries bit-for-bit and the
+    whole chunker is hash-gated.
 
     Scale: chunking is MAP-ONLY per document (transform/filter over
     in-row arrays — zero shuffle until the final chunk-hash groupBy,
@@ -1136,15 +1127,10 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id",
         F.lower("text").alias("t"),
-        F.expr("transform(split(lower(text), ''), c -> ascii(c))").alias("cs"),
+        F.expr(codes_expr()).alias("cs"),
     )
     ghs = base.select(
-        "doc_id", "t", "cs",
-        F.expr(
-            f"transform(sequence(1, size(cs) - {CDC_W} + 1), "
-            f"i -> aggregate(sequence(i, i + {CDC_W} - 1), 0L, "
-            f"(acc, j) -> (acc * {CDC_B} + element_at(cs, j)) % {CDC_P}))"
-        ).alias("gh"),
+        "doc_id", "t", "cs", F.expr(rolling_hash_expr(CDC_W, "cs")).alias("gh")
     )
     starts = ghs.select(
         "doc_id", "t", F.size("cs").alias("n"),

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.scalar import hex_hash64, norm_text
+from ..functions.scalar import codes_expr, codes_sql, hex_hash64, norm_text, rolling_hash_expr, rolling_hash_sql
 from ..plans.registry import register
 from ..session import table
 
@@ -197,27 +197,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_K = 8  # rolling k-gram length (chars)
 WINNOW_W = 16  # winnowing window (hashes per window)
-WINNOW_B = 1000003  # Karp-Rabin base
-WINNOW_P = 2147483647  # 2^31-1: acc < 2^31, acc*B + c < 2^51 — exact int64
 
 
 @register(
     "winnowing_fingerprints",
     f"""
     WITH codes AS (
-      SELECT doc_id,
-             list_transform(string_split(lower(text), ''),
-                            c -> CAST(unicode(c) AS BIGINT)) AS cs
+      SELECT doc_id, {codes_sql()} AS cs
       FROM documents WHERE length(text) >= {WINNOW_K}
     ),
+    hashed AS (
+      SELECT doc_id, {rolling_hash_sql(WINNOW_K)} AS gh FROM codes
+    ),
     grams AS (
-      SELECT doc_id, u.i AS pos,
-             list_reduce(
-               list_transform(generate_series(u.i, u.i + {WINNOW_K} - 1),
-                              j -> cs[CAST(j AS INT)]),
-               (acc, c) -> (acc * {WINNOW_B} + c) % {WINNOW_P}) AS gram_hash
-      FROM codes,
-           LATERAL (SELECT unnest(generate_series(1, len(cs) - {WINNOW_K} + 1)) AS i) u
+      SELECT doc_id, u.i AS pos, gh[CAST(u.i AS INT)] AS gram_hash
+      FROM hashed,
+           LATERAL (SELECT unnest(generate_series(1, len(gh))) AS i) u
     ),
     windowed AS (
       SELECT doc_id,
@@ -238,8 +233,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields at least one shared fingerprint, so copied passages are
     detectable from a small sketch instead of full text comparison.
 
-    Gram hashes are a Karp-Rabin polynomial (Horner over codepoints,
-    base {WINNOW_B} mod {WINNOW_P}) over a ONCE-per-doc codepoint array:
+    Gram hashes are a Karp-Rabin polynomial (functions.scalar's shared
+    rolling-hash machinery, base ROLL_B mod ROLL_P) over a ONCE-per-doc
+    codepoint array:
     ~{WINNOW_K} integer multiply-adds per gram instead of an md5 block +
     hex + base conversion (the round-6 bench's heaviest constant — this
     swap measured 2.5-4x faster at sf0.1), with every step exact in
@@ -255,19 +251,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_K)
     grams = (
-        d.select(
-            "doc_id",
-            F.expr("transform(split(lower(text), ''), c -> ascii(c))").alias("codes"),
-        )
+        d.select("doc_id", F.expr(codes_expr()).alias("codes"))
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(codes) - {WINNOW_K} + 1), "
-                    f"i -> aggregate(sequence(i, i + {WINNOW_K} - 1), 0L, "
-                    f"(acc, j) -> (acc * {WINNOW_B} + element_at(codes, j)) % {WINNOW_P}))"
-                )
-            ).alias("pos0", "gram_hash"),
+            F.posexplode(F.expr(rolling_hash_expr(WINNOW_K, "codes"))).alias(
+                "pos0", "gram_hash"
+            ),
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash")
     )
