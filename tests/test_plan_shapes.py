@@ -183,3 +183,40 @@ def test_mad_outliers_broadcasts_group_stats(spark):
     plan = _formatted(spark, "mad_outliers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cdc_chunking_shuffles_only_the_report(spark):
+    # Rabin chunking is map-only per document; the only exchanges allowed
+    # are the report aggregate's two-phase COUNT(DISTINCT doc_id) pair
+    # (partial on (chunk_hash, doc_id), final on chunk_hash) — both at
+    # chunk-report grain. A third exchange means chunking itself grew a
+    # corpus shuffle.
+    df = SPECS["cdc_chunks"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"cdc_chunks grew extra shuffles ({n_exchanges})"
+
+
+def test_bm25_broadcasts_query_side(spark):
+    # Query terms / IDF / corpus stats are broadcast by definition-of-
+    # tiny; the corpus postings stream must never sort-merge against them.
+    plan = _formatted(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "bm25 query side fell off broadcast"
+
+
+def test_zorder_key_is_pure_codegen(spark):
+    # The Morton key must be whole-stage-codegen integer arithmetic —
+    # no Python, no UDF — and the extents join a 1-row broadcast.
+    plan = _formatted(spark, "zorder_layout_audit")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mmr_single_shuffle_epilogue(spark):
+    # Pool construction (broadcast queries + per-query window) plus ONE
+    # groupBy-query exchange into the Arrow greedy; a second corpus-wide
+    # exchange means the pool stopped bounding the epilogue.
+    plan = _formatted(spark, "mmr_diverse_topk")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert plan.count("SortMergeJoin") == 0
