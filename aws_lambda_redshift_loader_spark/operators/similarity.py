@@ -803,6 +803,20 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines, argmax ties broken toward the lower centroid id, candidate
     re-rank ordered by (cosine DESC, neighbor_id ASC).
     """
+    scored = _ivf_scored(spark, sf_dir).drop("e")
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every probed-cell IVF candidate with its exact cosine and vector:
+    (query_id, neighbor_id, cosine, e) — the shared index front-end of
+    embedding_ivf_topk (exact top-k rerank) and mmr_ann_topk (diversity
+    epilogue)."""
     import numpy as np
     import pandas as pd  # noqa: F811 — worker-side
     from pyspark.sql import types as T
@@ -860,12 +874,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
         )
     )
-    scored = cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"), "e"
     )
 
 
@@ -1508,7 +1518,11 @@ MMR_K = TOP_K  # picks per query
 MMR_LAMBDA = 0.75  # exactly representable in binary — cross-engine safe
 
 
-def _mmr_oracle() -> str:
+def _mmr_oracle(pool_ctes: str | None = None) -> str:
+    """The unrolled-greedy MMR oracle over a pool CTE chain. ``pool_ctes``
+    must define `cand(query_id, neighbor_id, rel)` (and may reference the
+    quantized `q`); the default pool is brute-force top-{MMR_POOL} by
+    relevance, the IVF variant plugs the probed-cell candidates in."""
     cos = (
         "list_dot_product(CAST({a}.e AS DOUBLE[]), CAST({b}.e AS DOUBLE[])) /"
         " (sqrt(list_dot_product(CAST({a}.e AS DOUBLE[]), CAST({a}.e AS DOUBLE[]))) *"
@@ -1539,9 +1553,8 @@ def _mmr_oracle() -> str:
     )"""
         )
     final_union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1))
-    return f"""
-    WITH {_QUANT_CTE},
-    rels AS (
+    if pool_ctes is None:
+        pool_ctes = f"""rels AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              {cos.format(a='a', b='b')} AS rel
       FROM q a JOIN q b ON b.vec_id <> a.vec_id
@@ -1553,7 +1566,10 @@ def _mmr_oracle() -> str:
                                      ORDER BY rel DESC, neighbor_id ASC) AS rk
         FROM rels
       ) WHERE rk <= {MMR_POOL}
-    ),
+    )"""
+    return f"""
+    WITH {_QUANT_CTE},
+    {pool_ctes},
     sims AS (
       SELECT c1.query_id, c1.neighbor_id AS a_id, c2.neighbor_id AS b_id,
              {cos.format(a='x', b='y')} AS sim
@@ -1621,6 +1637,16 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= MMR_POOL)
         .select("query_id", "neighbor_id", "rel", "e")
     )
+    return _mmr_epilogue(pool)
+
+
+def _mmr_epilogue(pool: DataFrame) -> DataFrame:
+    """The greedy MMR selection over a (query_id, neighbor_id, rel, e)
+    pool — one applyInPandas per query group (see mmr_diverse_topk's
+    docstring for the determinism and cost argument); shared by the
+    brute-force and IVF-pooled variants."""
+    from pyspark.sql import types as T
+
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -1665,3 +1691,63 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "relevance", "mmr_rank"])
 
     return pool.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def _ivf_mmr_pool_ctes() -> str:
+    """IVF-probe pool for the MMR oracle: the kmeans CTE chain + probe +
+    exact candidate cosines (same text as _ivf_oracle up to `rescored`),
+    topped to MMR_POOL per query as `cand(query_id, neighbor_id, rel)`."""
+    u = IVF_TRAIN_ITERS
+    chained = ",\n    ".join(_kmeans_ctes(u + 1))
+    return f"""{chained},
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rk
+        FROM score{u} WHERE vec_id < {N_QUERIES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    pcands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign{u} a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    prescored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS rel
+      FROM pcands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, neighbor_id ASC) AS rk
+        FROM prescored
+      ) WHERE rk <= {MMR_POOL}
+    )"""
+
+
+@register("mmr_ann_topk", _mmr_oracle(_ivf_mmr_pool_ctes()))
+def mmr_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval composition: IVF index front-end
+    (trained coarse quantizer, {IVF_NPROBE}-of-{IVF_CELLS} cell probe,
+    exact candidate cosines — `_ivf_scored`, shared with
+    embedding_ivf_topk) feeding the MMR diversity epilogue
+    (`_mmr_epilogue`, shared with mmr_diverse_topk) — index recall and
+    result diversity in one hash-gated plan, exactly the "pool from any
+    ANN family" composition both components' docstrings promise.
+
+    Scale: inherits IVF's map-only assignment + cell-sharded probe and
+    MMR's bounded per-query epilogue; the only new work is the
+    top-{MMR_POOL} pool window over probed candidates."""
+    scored = _ivf_scored(spark, sf_dir).withColumnRenamed("cosine", "rel")
+    wp = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("neighbor_id").asc())
+    pool = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= MMR_POOL)
+        .select("query_id", "neighbor_id", "rel", "e")
+    )
+    return _mmr_epilogue(pool)
