@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Recall@TOP_K sweep for every ANN index family against the exact
+brute-force ground truth, recorded to ANN_RECALL.json. Run at sf0.01
+(default $SPARK_GRAFT_RECALL_SF_DIR) — the same corpus the driver's
+correctness gate uses, so the numbers describe the verified queries.
+
+Recall here = |approx ∩ exact| / |exact| over the (query, neighbor)
+pair sets of the first N_QUERIES queries. MMR rows are judged on
+DIVERSITY-ADJUSTED recall too (its objective intentionally trades tail
+relevance for spread): mmr_recall counts picks inside the exact top-K,
+pool_recall counts picks inside the exact top-POOL (the honest bound —
+MMR can only pick what its pool contains).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_RECALL_SF_DIR", "/root/testdata/sf0.01")
+    from aws_lambda_redshift_loader_spark.plans.registry import load_all
+    from aws_lambda_redshift_loader_spark.session import get_spark
+
+    spark = get_spark("ann-recall")
+    specs = load_all()
+
+    def pairs(name):
+        return {
+            (r.query_id, r.neighbor_id) for r in specs[name].fn(spark, sf_dir).collect()
+        }
+
+    exact = pairs("embedding_topk_bruteforce")
+    results: dict[str, float] = {}
+    for name in (
+        "embedding_ann_lsh",
+        "embedding_ivf_topk",
+        "embedding_pq_topk",
+        "embedding_opq_topk",
+        "embedding_ivfpq_topk",
+    ):
+        results[name] = round(len(exact & pairs(name)) / len(exact), 4)
+
+    # MMR variants: top-K recall plus the pool-membership rate.
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        MMR_POOL,
+        TOP_K,
+    )
+
+    # Exact top-POOL pairs (the widest pool either MMR variant could use).
+    import duckdb  # noqa: F401 — only to document the oracle parity path
+
+    wide = {}
+    rows = specs["embedding_topk_bruteforce"].fn(spark, sf_dir)
+    # Re-rank brute force wider: reuse the registered query's scored set
+    # is top-K only, so recompute top-POOL directly.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        N_QUERIES,
+        _dot,
+        _quantize,
+    )
+    from aws_lambda_redshift_loader_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cosine = _dot(F.col("qe"), F.col("e")).cast("double") / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+        * F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cos")
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    exact_pool = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= MMR_POOL)
+        .collect()
+    }
+    for name in ("mmr_diverse_topk", "mmr_ann_topk"):
+        got = pairs(name)
+        results[f"{name}.topk_recall"] = round(len(exact & got) / len(exact), 4)
+        results[f"{name}.pool_membership"] = round(
+            len(exact_pool & got) / len(got), 4
+        )
+
+    out = {
+        "sf_dir": sf_dir,
+        "top_k": TOP_K,
+        "n_exact_pairs": len(exact),
+        "recall": results,
+        "note": (
+            "recall@top_k vs exact brute force; MMR rows also report the "
+            "fraction of picks inside the exact top-POOL (diversity trades "
+            "tail relevance by design)"
+        ),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ANN_RECALL.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps(out["recall"], sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
