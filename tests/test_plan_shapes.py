@@ -220,3 +220,15 @@ def test_mmr_single_shuffle_epilogue(spark):
     plan = _formatted(spark, "mmr_diverse_topk")
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_cosine_neardup_verifies_in_bucket_groups(spark):
+    # The verify stage must be the per-(table,bucket) Arrow GEMM — one
+    # grouped exchange — not the old id-pair self-join + per-pair fold
+    # (which moved the O(T*N*occupancy) candidate set through three
+    # shuffles). A SortMergeJoin or a zip_with in this plan means the
+    # slow shape crept back.
+    plan = _formatted(spark, "embedding_cosine_neardup")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert "SortMergeJoin" not in plan
+    assert "zip_with" not in plan, "per-pair fold verify reappeared"
