@@ -1231,3 +1231,80 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
+
+
+# ---- Shingle containment ------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8  # |A ∩ B| / |A| — A mostly inside B
+
+
+@register(
+    "shingle_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s
+      JOIN (SELECT shingle FROM shingles
+            GROUP BY shingle HAVING COUNT(*) <= {HOT_SHINGLE_DF_CAP}) k
+        ON k.shingle = s.shingle
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM capped GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a AS inner_doc, doc_b AS outer_doc, n_common,
+           CAST(n_common AS DOUBLE) / sa.n_shingles AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE CAST(n_common AS DOUBLE) / sa.n_shingles >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CONTAINMENT pairs (Broder's containment next to the
+    Jaccard resemblance): |A∩B| / |A| ≥ {CONTAINMENT_THRESHOLD} flags
+    documents mostly EMBEDDED in another — quotes, excerpts, page
+    wrappers — which symmetric Jaccard misses whenever the outer doc is
+    much larger (|A∩B|/|A∪B| stays small however fully A is quoted).
+    Pairs are ORDERED (inner_doc, outer_doc): a small doc inside a big
+    one fires one direction only.
+
+    Same inverted-index + hot-shingle-cap machinery as
+    ngram_jaccard_pairs (the cap applies to sizes AND index in both
+    engines, so containment is computed over the capped sets
+    identically); only the final normalization differs — by |A| instead
+    of |A∪B|. Scale: identical to the Jaccard path — per-shingle pair
+    work bounded by C(cap, 2), sizes joined after aggregation."""
+    sh = _shingles(spark, sf_dir)
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(keep, "shingle")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("inner_doc"), F.col("b.doc_id").alias("outer_doc"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("inner_doc"), F.col("n_shingles").alias("na"))
+    containment = F.col("n_common").cast("double") / F.col("na")
+    return (
+        inter.join(sa, "inner_doc")
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select(
+            "inner_doc", "outer_doc", "n_common", containment.alias("containment")
+        )
+    )
