@@ -150,3 +150,52 @@ def test_cdc_boundaries_resync_after_prefix_insert(spark):
 
     expected = {hashlib.md5(c.encode()).hexdigest() for c in shared}
     assert expected <= reported, "distributed chunker missed re-synced chunks"
+
+
+def test_rolling_hash_unicode_parity(spark, tmp_path):
+    """The rolling-hash family (winnowing, CDC) must agree with the
+    DuckDB oracle on NON-ASCII text too: Spark's split('')+ascii() and
+    DuckDB's string_split('')+unicode() both decode full codepoints
+    (incl. non-BMP emoji — no UTF-16 surrogate splitting), so the
+    codepoint arrays and every downstream hash are identical. Guarded
+    here because the committed fixtures are ASCII and would never catch
+    a regression in this."""
+    import duckdb
+    from aws_lambda_redshift_loader_spark.operators.dedup import cdc_chunks
+    from aws_lambda_redshift_loader_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+    from aws_lambda_redshift_loader_spark.plans.registry import QUERIES
+
+    docs = [
+        (1, "héllo wörld ünïcode tést crème brûlée façade naïve " * 8, "fr", "t", 0),
+        (2, "日本語のテキストと绝对中文内容が混ざった文書です。" * 12, "ja", "t", 0),
+        (3, "emoji 🎉 inside 🚀 the 🌍 stream " * 10, "en", "t", 0),
+        (4, "héllo wörld ünïcode tést crème brûlée façade naïve " * 8, "fr", "t", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s, _ in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "uni")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+    for name, fn in (
+        ("winnowing_fingerprints", winnowing_fingerprints),
+        ("cdc_chunks", cdc_chunks),
+    ):
+        sdf = fn(spark, d)
+        res = con.execute(QUERIES[name].oracle)
+        a = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+        b = norm(res.fetchall(), [x[0] for x in res.description])
+        assert a == b, f"{name} diverged on unicode text"
+        assert len(a) > 0
