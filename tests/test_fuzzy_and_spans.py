@@ -189,9 +189,15 @@ def test_rolling_hash_unicode_parity(spark, tmp_path):
         order = sorted(range(len(cols)), key=lambda i: cols[i])
         return sorted(tuple(repr(r[i]) for i in order) for r in rows)
 
+    from aws_lambda_redshift_loader_spark.operators import dedup as D
+
     for name, fn in (
         ("winnowing_fingerprints", winnowing_fingerprints),
         ("cdc_chunks", cdc_chunks),
+        # token-grain hashing: md5 over UTF-8 token bytes + \s+ norm —
+        # docs 1 and 4 are identical, so minhash must emit their pair
+        ("simhash_docs", D.simhash_docs),
+        ("minhash_lsh_pairs", D._minhash_pairs_plan),
     ):
         sdf = fn(spark, d)
         res = con.execute(QUERIES[name].oracle)
@@ -199,3 +205,4 @@ def test_rolling_hash_unicode_parity(spark, tmp_path):
         b = norm(res.fetchall(), [x[0] for x in res.description])
         assert a == b, f"{name} diverged on unicode text"
         assert len(a) > 0
+    D._PAIRS_MEMO.clear()  # don't leak the tiny test corpus's pair memo
