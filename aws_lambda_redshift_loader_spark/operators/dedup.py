@@ -760,10 +760,11 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_keep_best",
-    f"""
-    WITH RECURSIVE {_CC_CTES},
+# Cluster→survivor CTE chain (recursive CC + quality argmax), shared by
+# dedup_cluster_keep_best and the corpus-curation e2e: ends in
+# `ranked(cluster_id, doc_id, quality_score, rn, n_members)` where rn=1
+# is the kept member.
+_KEEP_BEST_CTES = f"""{_CC_CTES},
     clusters AS (
       SELECT node AS doc_id, MIN(reached) AS cluster_id
       FROM reach GROUP BY node
@@ -791,7 +792,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY quality_score DESC, doc_id ASC) AS rn,
              COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
       FROM membership
-    )
+    )"""
+
+
+@register(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE {_KEEP_BEST_CTES}
     SELECT cluster_id, doc_id AS kept_doc_id, CAST(n_members AS BIGINT) AS n_members
     FROM ranked WHERE rn = 1
     """,
@@ -1306,5 +1313,125 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= CONTAINMENT_THRESHOLD)
         .select(
             "inner_doc", "outer_doc", "n_common", containment.alias("containment")
+        )
+    )
+
+
+# ---- Corpus-curation capstone ------------------------------------------
+CURATION_QUALITY_MIN = 0.5  # survivor must clear this heuristic score
+
+
+@register(
+    "corpus_curation_e2e",
+    f"""
+    WITH RECURSIVE {{KB}},
+    kept AS (
+      SELECT doc_id, quality_score FROM ranked WHERE rn = 1
+    ),
+    gated AS (
+      SELECT doc_id, quality_score FROM kept
+      WHERE quality_score >= {CURATION_QUALITY_MIN}
+    ),
+    split_of AS (
+      SELECT doc_id,
+             CASE WHEN h < {{TR}} THEN 'train'
+                  WHEN h < {{TV}} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))),
+                                        1, 15)) AS BIGINT) % 100 AS h
+        FROM documents
+      )
+    ),
+    tokens_of AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                   ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    corpus_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents)
+    SELECT s.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(floor(g.quality_score * 1e6) AS BIGINT)) AS BIGINT) AS sum_quality_q,
+           CAST(MAX(n.n_corpus) AS BIGINT) AS n_corpus_docs
+    FROM gated g
+    JOIN split_of s ON s.doc_id = g.doc_id
+    JOIN tokens_of t ON t.doc_id = g.doc_id
+    CROSS JOIN corpus_n n
+    GROUP BY s.split
+    """.replace("{KB}", _KEEP_BEST_CTES)
+    .replace("{TR}", str(SPLIT_TRAIN_PCT))
+    .replace("{TV}", str(SPLIT_TRAIN_PCT + SPLIT_VAL_PCT)),
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one hash-gated query — the
+    LLM-data capstone mirroring what stream_ingest_e2e is for the
+    reference's ingest path: near-dup clusters keep their best member
+    (MinHash-LSH pairs → connected components → quality argmax, all via
+    the shared memoized graph), survivors pass the quality gate
+    (≥ {CURATION_QUALITY_MIN}), split deterministically
+    {SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/{100 - SPLIT_TRAIN_PCT - SPLIT_VAL_PCT},
+    and the output is the per-split training-set report: docs, token
+    budget, and summed (micro-quantized) quality. A wrong pair, a
+    mis-clustered doc, a flipped survivor, a leaked gate, or a drifted
+    token count all change the report and fail the value hash.
+
+    Scale: composes only scale-audited pieces — the pair graph and CC
+    labels come from the per-(session, corpus) memo; the gate, split,
+    token count and report are one scan plus one survivor-grain join
+    each. The quality mean stays exact under parallelism because the
+    per-doc score quantizes to int64 micro-units BEFORE the sum."""
+    clusters = dedup_connected_components(spark, sf_dir)
+    from ..operators import text as _text
+
+    d = table(spark, sf_dir, "documents")
+    quality = _text.quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    from pyspark.sql.window import Window as W
+
+    membership = (
+        d.select("doc_id")
+        .join(clusters.withColumnRenamed("cluster_id", "cc_id"), "doc_id", "left")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cc_id"), F.col("doc_id")).alias("cluster_id"),
+            "quality_score",
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        membership.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality_score")
+    )
+    gated = kept.filter(F.col("quality_score") >= CURATION_QUALITY_MIN)
+    h = hex_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split_of = d.select(
+        "doc_id",
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tokens_of = d.select(
+        "doc_id", F.size(F.split(norm_text("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    n_corpus = d.agg(F.count("*").cast("bigint").alias("n_corpus"))
+    return (
+        gated.join(split_of, "doc_id")
+        .join(tokens_of, "doc_id")
+        .crossJoin(F.broadcast(n_corpus))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.floor(F.col("quality_score") * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_quality_q"),
+            F.max("n_corpus").cast("bigint").alias("n_corpus_docs"),
         )
     )
