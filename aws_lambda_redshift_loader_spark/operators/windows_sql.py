@@ -1207,3 +1207,96 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---- Kolmogorov-Smirnov two-sample drift --------------------------------
+KS_GROUP_A = "click"
+KS_GROUP_B = "view"
+KS_SCALE = 1_000_000_000  # nano-unit quantization of the per-point gap
+
+
+@register(
+    "ks_two_sample",
+    f"""
+    WITH qv AS (
+      SELECT event_type, CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+    ),
+    per_v AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN event_type = '{KS_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = '{KS_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM qv GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM per_v
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM per_v
+    )
+    SELECT t.na, t.nb,
+           MAX(CAST(floor(abs(CAST(c.cum_a AS DOUBLE) / t.na
+                              - CAST(c.cum_b AS DOUBLE) / t.nb) * {KS_SCALE})
+                    AS BIGINT)) AS ks_q
+    FROM cum c, tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample statistic between the
+    '{KS_GROUP_A}' and '{KS_GROUP_B}' value distributions — the
+    nonparametric drift test next to PSI (binned, assumes a binning)
+    and the z-score/MAD outlier family (pointwise): D = max |ECDF_a -
+    ECDF_b| over the observed support, sensitive to ANY distributional
+    difference, not just mean/scale shifts.
+
+    Exactness: values quantize to int ({ZSCORE_Q} units) so the
+    grouped counts are exact; ECDF gaps are two correctly-rounded
+    divisions and a subtraction on exact ints, floored to nano-units
+    per point BEFORE the max — so D is reduction-order-independent and
+    hash-gated, not approximately compared.
+
+    Scale: the per-value aggregate is one map-side-combined shuffle;
+    the cumulative window orders the DISTINCT quantized values (support
+    size, not row count). A truly global ECDF at 100 TB would instead
+    range-partition the support and carry per-partition offsets (the
+    standard distributed prefix-sum shape) or reuse PSI's binned form;
+    the exact small-support window here is the audit-grade variant."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
+    )
+    qv = ev.select(
+        "event_type", F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v")
+    )
+    per_v = qv.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == KS_GROUP_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == KS_GROUP_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    wcum = W.orderBy(F.col("v").asc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_v.select(
+        F.sum("ca").over(wcum).alias("cum_a"), F.sum("cb").over(wcum).alias("cum_b")
+    )
+    gap_q = F.floor(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        )
+        * KS_SCALE
+    ).cast("bigint")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select("na", "nb", gap_q.alias("gap_q"))
+        .groupBy("na", "nb")
+        .agg(F.max("gap_q").alias("ks_q"))
+    )
