@@ -1751,3 +1751,84 @@ def mmr_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rel", "e")
     )
     return _mmr_epilogue(pool)
+
+
+# ---- Embedding health audit --------------------------------------------
+NORM_MAD_K = 4  # |norm - median| > K * MAD → anomalous vector
+
+
+@register(
+    "embedding_norm_outliers",
+    f"""
+    WITH {_QUANT_CTE},
+    norms AS (
+      SELECT vec_id,
+             CAST(list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])) AS BIGINT) AS nsq
+      FROM q
+    ),
+    med AS (
+      SELECT nsq AS median_nsq FROM (
+        SELECT nsq, row_number() OVER (ORDER BY nsq ASC, 1) AS rn, COUNT(*) OVER () AS n
+        FROM norms
+      ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT n.vec_id, n.nsq, abs(n.nsq - m.median_nsq) AS ad, m.median_nsq
+      FROM norms n, med m
+    ),
+    mad AS (
+      SELECT ad AS mad_nsq FROM (
+        SELECT ad, row_number() OVER (ORDER BY ad ASC, 1) AS rn, COUNT(*) OVER () AS n
+        FROM dev
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.vec_id, d.nsq, d.median_nsq, m.mad_nsq
+    FROM dev d, mad m
+    WHERE d.ad > {NORM_MAD_K} * m.mad_nsq
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit: vectors whose squared norm sits
+    more than {NORM_MAD_K} MADs from the median — the cheap detector
+    for broken embeddings (zero vectors, double-scaled rows, truncated
+    writes) that silently poison every cosine downstream. Squared norms
+    are exact int64 (quantized dot with itself), and median/MAD use the
+    rank method (lower median) so the flags are integer-exact and
+    hash-gated — the mad_outliers idiom applied to the embeddings
+    table.
+
+    Scale: one map-only norm pass; the two medians are rank windows
+    over a SINGLE global order — at 100 TB swap in percentile_approx
+    for the center (approx_quantile_check documents that contract) and
+    keep the exact deviation filter; the audit form stays exact."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    norms = emb.select(
+        "vec_id", _dot(F.col("e"), F.col("e")).cast("bigint").alias("nsq")
+    )
+    wn = W.orderBy(F.col("nsq").asc())
+    ranked = norms.select(
+        "vec_id", "nsq", F.row_number().over(wn).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        F.col("nsq").alias("median_nsq")
+    )
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "vec_id", "nsq", "median_nsq",
+        F.abs(F.col("nsq") - F.col("median_nsq")).alias("ad"),
+    )
+    wd = W.orderBy(F.col("ad").asc())
+    dranked = dev.select(
+        "ad", F.row_number().over(wd).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    mad = dranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        F.col("ad").alias("mad_nsq")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("ad") > NORM_MAD_K * F.col("mad_nsq"))
+        .select("vec_id", "nsq", "median_nsq", "mad_nsq")
+    )

@@ -1300,3 +1300,51 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("na", "nb")
         .agg(F.max("gap_q").alias("ks_q"))
     )
+
+
+# ---- Equi-depth histogram ----------------------------------------------
+EQD_BINS = 10
+
+
+@register(
+    "value_histogram_equidepth",
+    f"""
+    WITH qv AS (
+      SELECT event_type, event_id, CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type, v,
+             ntile({EQD_BINS}) OVER (PARTITION BY event_type
+                                     ORDER BY v ASC, event_id ASC) AS bin
+      FROM qv
+    )
+    SELECT event_type, CAST(bin AS INT) AS bin,
+           MIN(v) AS v_lo, MAX(v) AS v_hi, CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram per group — the optimizer-statistics twin of
+    value_histogram's equi-width form: {EQD_BINS} buckets of ~equal ROW
+    COUNT whose [v_lo, v_hi] boundaries are the observed deciles, which
+    is what selectivity estimators and range-partitioners actually want
+    (equi-width buckets collapse under skew; equi-depth boundaries
+    adapt). ntile ties break on event_id so both engines cut identical
+    buckets.
+
+    Scale: the per-group window sorts within event_type partitions —
+    bounded group count, each sortable in parallel; a truly huge single
+    group would use sampled range boundaries (repartitionByRange's own
+    technique) at the cost of approximate depths — the exact form here
+    is the audit-grade one, same note as the z-order ntile."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "event_type", "event_id", F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v")
+    )
+    wn = W.partitionBy("event_type").orderBy(F.col("v").asc(), F.col("event_id").asc())
+    binned = qv.select("event_type", "v", F.ntile(EQD_BINS).over(wn).alias("bin"))
+    return binned.groupBy("event_type", "bin").agg(
+        F.min("v").alias("v_lo"), F.max("v").alias("v_hi"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select("event_type", F.col("bin").cast("int").alias("bin"), "v_lo", "v_hi", "n")
