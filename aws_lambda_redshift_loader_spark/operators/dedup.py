@@ -1435,3 +1435,56 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_corpus").cast("bigint").alias("n_corpus_docs"),
         )
     )
+
+
+@register(
+    "cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    clusters AS (
+      SELECT node AS doc_id, MIN(reached) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    corpus_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    csizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM clusters GROUP BY cluster_id
+    ),
+    chist AS (
+      SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM csizes GROUP BY size
+    )
+    SELECT h.size, h.n_clusters,
+           CAST(h.size * h.n_clusters AS BIGINT) AS n_docs_in,
+           n.n_docs - (SELECT CAST(SUM(size * n_clusters) AS BIGINT) FROM chist)
+             AS n_singletons
+    FROM chist h, corpus_n n
+    """,
+)
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution — the shape report that tells
+    you whether dedup is facing long-tail paraphrase pairs (sizes 2-3)
+    or template farms (few huge clusters), which decides survivor
+    policy and salting strategy before anything is deleted. Rows: one
+    per observed multi-doc cluster size with the cluster count, docs
+    covered, and (constant across rows) how many corpus docs sit in no
+    cluster at all.
+
+    Reuses the memoized CC labels — at this point five queries share
+    one pair-graph materialization; the histogram adds two bounded
+    aggregates on top."""
+    clusters = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").cast("bigint").alias("size"))
+    hist = sizes.groupBy("size").agg(F.count("*").cast("bigint").alias("n_clusters"))
+    covered = hist.agg(
+        F.sum(F.col("size") * F.col("n_clusters")).cast("bigint").alias("n_covered")
+    )
+    return (
+        hist.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(covered))
+        .select(
+            "size", "n_clusters",
+            (F.col("size") * F.col("n_clusters")).cast("bigint").alias("n_docs_in"),
+            (F.col("n_docs") - F.col("n_covered")).cast("bigint").alias("n_singletons"),
+        )
+    )

@@ -1718,3 +1718,86 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.select(F.col("i").alias("neg_i"), F.col("doc_id").alias("negative_doc_id")),
         "neg_i",
     ).select("anchor_doc_id", "neg_rank", "negative_doc_id")
+
+
+# ---- Bigram LM quality --------------------------------------------------
+@register(
+    "bigram_logprob_quality",
+    r"""
+    WITH seqs AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM seqs,
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+      WHERE len(ws) >= 2
+    ),
+    uni AS (
+      SELECT w1, CAST(floor(ln(COUNT(*)) * 1e6) AS BIGINT) AS q_ln_c1
+      FROM bigrams GROUP BY w1
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(floor(ln(COUNT(*)) * 1e6) AS BIGINT) AS q_ln_c12
+      FROM bigrams GROUP BY w1, w2
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(u.q_ln_c1 - b.q_ln_c12) AS BIGINT) AS surprisal_q,
+           CAST(SUM(u.q_ln_c1 - b.q_ln_c12) AS DOUBLE) / COUNT(*) AS mean_surprisal_q
+    FROM bigrams g
+    JOIN uni u ON u.w1 = g.w1
+    JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean BIGRAM surprisal per document (micro-nats): -ln p(w2|w1) =
+    ln c(w1·) - ln c(w1,w2) summed over a doc's adjacent pairs — the
+    2-gram upgrade of unigram_logprob_quality, sensitive to word-ORDER
+    degradation (shuffled or templated text scores fluent under a
+    unigram LM but lights up here). Counts are corpus-trained in the
+    same pass; both logs ride the established quantized-ln-of-integer-
+    count idiom so every term and sum is int64-exact.
+
+    Scale: bigram extraction is the map-only in-row adjacency transform
+    (bpe_merge_candidates' shape); the conditional-count model is two
+    token-keyed groupBys with map-side combine; the per-doc reduce
+    joins occurrences against the (unbounded, hint-free) model tables
+    on their natural keys — the exact plan shape of the unigram form,
+    one extra join deep."""
+    d = table(spark, sf_dir, "documents")
+    seqs = d.select("doc_id", F.split(norm_text("text"), " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bigrams = seqs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w1"),
+                    F.element_at(F.col("ws"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = bigrams.groupBy("w1").agg(
+        F.floor(F.ln(F.count("*")) * 1e6).cast("bigint").alias("q_ln_c1")
+    )
+    bi = bigrams.groupBy("w1", "w2").agg(
+        F.floor(F.ln(F.count("*")) * 1e6).cast("bigint").alias("q_ln_c12")
+    )
+    joined = bigrams.join(uni, "w1").join(bi, ["w1", "w2"])
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("q_ln_c1") - F.col("q_ln_c12")).cast("bigint").alias("surprisal_q"),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "surprisal_q",
+        (F.col("surprisal_q").cast("double") / F.col("n_bigrams")).alias(
+            "mean_surprisal_q"
+        ),
+    )
