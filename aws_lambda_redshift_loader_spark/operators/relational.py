@@ -2169,3 +2169,53 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols[1:]:
         out = out.unionByName(profile(c))
     return out
+
+
+# ---- TPC-H Q14-style promo revenue --------------------------------------
+PROMO_MONTH = "1998-06-01"  # [month, month+1) shipdate window (fixtures ship 1995-2001)
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END)
+           / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '{PROMO_MONTH}'
+      AND l.l_shipdate < DATE '{PROMO_MONTH}' + INTERVAL 1 MONTH
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share for one ship month:
+    conditional revenue over a fact⋈dimension equi-join with a
+    pushed-down date-range scan filter. The classic "what fraction of
+    business came from X" template, exercising part⋈lineitem (the one
+    TPC-H edge the inventory didn't touch yet).
+
+    Determinism: both revenue sums ride DECIMAL(18,4) (exact under any
+    reduction order); the single final division/×100 is one correctly-
+    rounded double op. Scale: the shipdate predicate prunes at the
+    parquet scan; the part join is hint-free (part is NOT broadcast-
+    safe by assumption at 100 TB — AQE picks broadcast when stats
+    allow, exactly the decision the planner should own)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    month = F.lit(PROMO_MONTH).cast("date")
+    j = (
+        l.filter(
+            (F.col("l_shipdate").cast("date") >= month)
+            & (F.col("l_shipdate").cast("date") < F.add_months(month, 1))
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+    total = F.sum(rev)
+    return j.agg(
+        (F.lit(100.0) * promo / total).cast("double").alias("promo_revenue_pct"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
