@@ -2219,3 +2219,59 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100.0) * promo / total).cast("double").alias("promo_revenue_pct"),
         F.count("*").cast("bigint").alias("n_lineitems"),
     )
+
+
+# ---- TPC-H Q15-style top supplier ---------------------------------------
+TOPSUPP_START = "1998-01-01"  # one-quarter revenue window
+TOPSUPP_END = "1998-04-01"
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{TOPSUPP_START}' AND l_shipdate < DATE '{TOPSUPP_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) with maximum quarter revenue:
+    per-supplier DECIMAL revenue view, a scalar-subquery max, and the
+    supplier⋈revenue join-back (the second previously-unexercised
+    TPC-H edge after promo_revenue_share's part join). Returns ALL
+    suppliers tied at the max, exactly like the spec query.
+
+    Scale: the revenue view is one map-side-combined groupBy over a
+    date-pruned scan; the max is a 1-row aggregate (the only
+    broadcast-safe shape by definition); the final join touches only
+    max-revenue suppliers. DECIMAL keeps the max comparison exact
+    under any reduction order — a double SUM here could crown a
+    different supplier per run."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit(TOPSUPP_START).cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit(TOPSUPP_END).cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        s.join(revenue, F.col("supplier_no") == F.col("s_suppkey"))
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+    )
