@@ -71,6 +71,8 @@ QUERIES = [
     "cdc_chunks",                 # map-only Rabin chunker + dedup report
     "bm25_topk",                  # query-restricted inverted index
     "embedding_opq_topk",         # rotation + trained PQ chain
+    "shingle_containment_pairs",  # capped inverted index, one-sided norm
+    "corpus_curation_e2e",        # pair graph + CC + gate + split report
 ]
 
 
