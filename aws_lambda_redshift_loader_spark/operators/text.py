@@ -1801,3 +1801,76 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_surprisal_q"
         ),
     )
+
+
+# ---- Hybrid retrieval fusion (RRF) --------------------------------------
+# Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009): combine a
+# lexical ranking (BM25) and a dense ranking (embedding cosine) by
+# summing 1/(K + rank) per system — THE standard hybrid-retrieval
+# combiner because it needs no score calibration, only ranks. The two
+# systems share the query/item id space here (vec_id == doc_id in the
+# fixtures); items missing from one system contribute only the other's
+# term, exactly the spec behavior.
+RRF_K = 60
+RRF_TOP = 5
+RRF_QUERIES = 10  # intersection of bm25's (<20) and dense (<N_QUERIES=10)
+
+
+def _rrf_oracle() -> str:
+    from ..plans.registry import QUERIES as _REG
+
+    bm = _REG["bm25_topk"].oracle
+    dn = _REG["embedding_topk_bruteforce"].oracle
+    return f"""
+    WITH bm AS ({bm}),
+    dn AS ({dn}),
+    fused AS (
+      SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+             COALESCE(b.doc_id, d.neighbor_id) AS item_id,
+             COALESCE(1.0 / ({RRF_K} + b.rank), 0)
+               + COALESCE(1.0 / ({RRF_K} + d.rank), 0) AS rrf_score
+      FROM (SELECT * FROM bm WHERE query_id < {RRF_QUERIES}) b
+      FULL JOIN dn d
+        ON d.query_id = b.query_id AND d.neighbor_id = b.doc_id
+    )
+    SELECT query_id, item_id, rrf_score, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, item_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {RRF_TOP}
+    """
+
+
+@register("hybrid_rrf_topk", _rrf_oracle())
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF-fuse the registered BM25 lexical ranking
+    with the dense cosine ranking (see the block comment). Score =
+    Σ 1/({RRF_K} + rank) over the systems that returned the item — two
+    correctly-rounded divisions and one fixed-order add, so the fused
+    ranking hash-gates exactly; the oracle nests both systems' full
+    oracle chains and fuses identically.
+
+    Scale: both inputs are already per-query top-k lists (queries × k
+    rows); the fusion is a full outer join + window over that bounded
+    set — a constant-cost epilogue like MMR, composable behind any of
+    the ANN index families."""
+    from ..operators.similarity import embedding_topk_bruteforce
+
+    bm = bm25_topk(spark, sf_dir).filter(F.col("query_id") < RRF_QUERIES)
+    dn = embedding_topk_bruteforce(spark, sf_dir)
+    b = bm.select("query_id", F.col("doc_id").alias("item_id"), F.col("rank").alias("brank"))
+    d = dn.select("query_id", F.col("neighbor_id").alias("item_id"), F.col("rank").alias("drank"))
+    fused = b.join(d, ["query_id", "item_id"], "full_outer").select(
+        "query_id", "item_id",
+        (
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("brank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("drank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("item_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RRF_TOP)
+        .select("query_id", "item_id", "rrf_score", "rank")
+    )
