@@ -28,6 +28,7 @@ from pyspark.sql.window import Window as W
 from ..plans.registry import register
 from ..session import table
 
+import math as _math
 import os as _os
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -1831,4 +1832,74 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.crossJoin(F.broadcast(mad))
         .filter(F.col("ad") > NORM_MAD_K * F.col("mad_nsq"))
         .select("vec_id", "nsq", "median_nsq", "mad_nsq")
+    )
+
+
+# ---- Ranking-quality metric: NDCG ---------------------------------------
+# Eval-pipeline operator: NDCG@K of the LSH index's ranking against the
+# exact ideal ranking, graded by true cosine relevance. The discount
+# weights 1/log2(i+1) are PYTHON-computed constants inlined as literals
+# into BOTH engines (no runtime log — the one ln() idiom risk removed
+# entirely); each discounted gain quantizes to nano-units BEFORE the
+# per-query sum, so DCG/IDCG are exact ints and NDCG one exact division.
+NDCG_SCALE = 1_000_000_000
+_NDCG_W = [1.0 / _math.log2(i + 1) for i in range(1, TOP_K + 1)]
+
+
+def _ndcg_oracle() -> str:
+    from ..plans.registry import QUERIES as _REG
+
+    wcase = " ".join(
+        f"WHEN {i + 1} THEN {w!r}" for i, w in enumerate(_NDCG_W)
+    )
+    term = f"CAST(floor(cosine * (CASE rank {wcase} END) * {NDCG_SCALE}) AS BIGINT)"
+    return f"""
+    WITH lsh AS ({_REG['embedding_ann_lsh'].oracle}),
+    ideal AS ({_REG['embedding_topk_bruteforce'].oracle}),
+    dcg AS (
+      SELECT query_id, CAST(SUM({term}) AS BIGINT) AS dcg_q FROM lsh GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT query_id, CAST(SUM({term}) AS BIGINT) AS idcg_q FROM ideal GROUP BY query_id
+    )
+    SELECT i.query_id, COALESCE(d.dcg_q, 0) AS dcg_q, i.idcg_q,
+           CAST(COALESCE(d.dcg_q, 0) AS DOUBLE) / i.idcg_q AS ndcg
+    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+    """
+
+
+@register("ndcg_eval_lsh", _ndcg_oracle())
+def ndcg_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{TOP_K} of the LSH index per query (see the block comment) —
+    the metric layer an eval pipeline runs over its retrieval stack,
+    here hash-gated like everything else: recall (tests) says how many
+    right items come back, NDCG says whether they come back in the
+    right ORDER with the right graded weight.
+
+    Scale: both inputs are per-query top-k lists; the metric is two
+    bounded aggregates and a join on query_id — constant cost per
+    query, composable over any registered ranking pair."""
+    lsh = embedding_ann_lsh(spark, sf_dir)
+    ideal = embedding_topk_bruteforce(spark, sf_dir)
+    wcol = None
+    for i, w in enumerate(_NDCG_W):
+        c = F.when(F.col("rank") == i + 1, F.lit(w))
+        wcol = c if wcol is None else wcol.when(F.col("rank") == i + 1, F.lit(w))
+    term = F.floor(F.col("cosine") * wcol * NDCG_SCALE).cast("bigint")
+
+    def _agg(df, out):
+        return df.groupBy("query_id").agg(F.sum(term).cast("bigint").alias(out))
+
+    dcg = _agg(lsh, "dcg_q")
+    idcg = _agg(ideal, "idcg_q")
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg_q"), F.lit(0)).cast("bigint").alias("dcg_q"),
+            "idcg_q",
+            (
+                F.coalesce(F.col("dcg_q"), F.lit(0)).cast("double") / F.col("idcg_q")
+            ).alias("ndcg"),
+        )
     )
