@@ -51,13 +51,9 @@ def main() -> None:
         TOP_K,
     )
 
-    # Exact top-POOL pairs (the widest pool either MMR variant could use).
-    import duckdb  # noqa: F401 — only to document the oracle parity path
-
-    wide = {}
-    rows = specs["embedding_topk_bruteforce"].fn(spark, sf_dir)
-    # Re-rank brute force wider: reuse the registered query's scored set
-    # is top-K only, so recompute top-POOL directly.
+    # Exact top-POOL pairs (the widest pool either MMR variant could
+    # use); the registered brute-force query is top-K only, so compute
+    # the wider ranking directly.
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 

@@ -232,3 +232,13 @@ def test_cosine_neardup_verifies_in_bucket_groups(spark):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert "SortMergeJoin" not in plan
     assert "zip_with" not in plan, "per-pair fold verify reappeared"
+
+
+def test_mmr_ann_and_rrf_are_bounded_epilogues(spark):
+    # The IVF-pooled MMR must end in the same Arrow greedy group-map as
+    # the brute-force variant; the RRF fusion must stay a join+window
+    # over two top-k lists (no corpus-wide sort-merge anywhere).
+    plan = _formatted(spark, "mmr_ann_topk")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    plan = _formatted(spark, "hybrid_rrf_topk")
+    assert "CartesianProduct" not in plan
