@@ -322,3 +322,107 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, schema=enc_schema)
     return encoded.mapInPandas(decode, schema=_WAV_SCHEMA)
+
+
+# ---- REAL image codec: PPM (P6) -----------------------------------------
+# The image half of the same idea: binary PPM (P6) is a real image
+# container (header + raw RGB) parseable with zero external libs, so
+# the image-decode slot also runs a REAL codec end-to-end. Deterministic
+# RGB synthesis → P6 encode → binary column through Arrow → header parse
+# + pixel decode → per-channel sums; oracle from the pixel formula.
+PPM_BASE_W = 8
+PPM_BASE_H = 6
+
+_PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_red", T.LongType()),
+        T.StructField("sum_green", T.LongType()),
+        T.StructField("sum_blue", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_ppm_decode",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST({PPM_BASE_W} + doc_id % {PPM_BASE_W} AS INT) AS w,
+             CAST({PPM_BASE_H} + doc_id % {PPM_BASE_H} AS INT) AS h
+      FROM documents
+    )
+    SELECT d.doc_id, d.w AS width, d.h AS height,
+           CAST(SUM((d.doc_id * 31 + (u.p * 3 + 0) * 97) % 256) AS BIGINT) AS sum_red,
+           CAST(SUM((d.doc_id * 31 + (u.p * 3 + 1) * 97) % 256) AS BIGINT) AS sum_green,
+           CAST(SUM((d.doc_id * 31 + (u.p * 3 + 2) * 97) % 256) AS BIGINT) AS sum_blue
+    FROM dims d,
+         LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS p) u
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL P6/PPM image codec through the media plumbing (see the WAV
+    twin above): synthesize a deterministic RGB image per doc, encode a
+    real binary PPM (ASCII header + raw pixel bytes), ship it through
+    Arrow as a binary column, then parse the header and decode pixels
+    in a second stage — per-channel sums verified against the pixel
+    formula by the oracle. With WAV, this narrows the media env-block
+    strictly to compressed codecs (JPEG/PNG/MP4 need PIL/ffmpeg).
+
+    Scale: map-only Arrow stages; the decoded features are fixed-width
+    regardless of image size."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    bw, bh = PPM_BASE_W, PPM_BASE_H
+
+    enc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Defined in-builder (pickled by value).
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = bw + did % bw, bh + did % bh
+                pixels = bytes(
+                    (did * 31 + i * 97) % 256 for i in range(w * h * 3)
+                )
+                payloads.append(f"P6\n{w} {h}\n255\n".encode("ascii") + pixels)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, rs, gs, bs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                # P6 header: magic, whitespace-separated w h, maxval, one
+                # whitespace byte, then w*h*3 raw bytes.
+                parts = raw.split(b"\n", 3)
+                assert parts[0] == b"P6", "not a P6 PPM"
+                w, h = (int(x) for x in parts[1].split())
+                maxval = int(parts[2])
+                assert maxval == 255
+                pix = parts[3]
+                assert len(pix) == w * h * 3
+                ws.append(w)
+                hs.append(h)
+                rs.append(sum(pix[0::3]))
+                gs.append(sum(pix[1::3]))
+                bs.append(sum(pix[2::3]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "sum_red": pd.Series(rs, dtype="int64"),
+                    "sum_green": pd.Series(gs, dtype="int64"),
+                    "sum_blue": pd.Series(bs, dtype="int64"),
+                }
+            )
+
+    encoded = d.mapInPandas(encode, schema=enc_schema)
+    return encoded.mapInPandas(decode, schema=_PPM_SCHEMA)
