@@ -426,3 +426,117 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = d.mapInPandas(encode, schema=enc_schema)
     return encoded.mapInPandas(decode, schema=_PPM_SCHEMA)
+
+
+# ---- REAL video container: YUV4MPEG2 (Y4M) ------------------------------
+# Completing the audio/image/VIDEO trio: Y4M is a real video container
+# (plain-text stream header, then per-frame FRAME markers + raw YUV
+# planes) that needs no codec library. Frame-SAMPLING from a real
+# container is the exact slot a production video pipeline gives ffmpeg;
+# here the full parse — stream header, frame iteration, plane offsets —
+# is real, and the oracle recomputes the per-frame luma sums from the
+# signal formula, so a mis-parsed header or a one-byte frame-offset bug
+# fails the hash.
+Y4M_W = 8
+Y4M_H = 6
+Y4M_BASE_FRAMES = 2
+Y4M_EXTRA_FRAMES = 3
+
+_Y4M_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_luma", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_y4m_frames",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST({Y4M_BASE_FRAMES} + doc_id % {Y4M_EXTRA_FRAMES} AS INT) AS nf
+      FROM documents
+    )
+    SELECT d.doc_id, {Y4M_W} AS width, {Y4M_H} AS height, d.nf AS n_frames,
+           CAST(SUM((d.doc_id * 13 + u.f * 101 + u.i * 57) % 256) AS BIGINT) AS sum_luma
+    FROM dims d,
+         LATERAL (SELECT a.f, b.i
+                  FROM (SELECT unnest(generate_series(0, d.nf - 1)) AS f) a,
+                       (SELECT unnest(generate_series(0, {Y4M_W * Y4M_H - 1})) AS i) b) u
+    GROUP BY d.doc_id, d.nf
+    """,
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Y4M video-container frame extraction (see block comment):
+    synthesize deterministic YUV444 frames, write an actual YUV4MPEG2
+    stream, ship it as a binary column, then parse the stream header +
+    FRAME markers and sum each frame's luma plane. Oracle from the
+    signal formula — the container parse is what's under test.
+
+    Scale: map-only Arrow stages, one row per clip out; at 100 TB this
+    is the binaryFile → mapInPandas frame-sampler shape with ffmpeg in
+    the decode slot instead of the stdlib parser."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    w, h, basef, extraf = Y4M_W, Y4M_H, Y4M_BASE_FRAMES, Y4M_EXTRA_FRAMES
+
+    enc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Defined in-builder (pickled by value).
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = basef + did % extraf
+                out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
+                plane = w * h
+                for f in range(nf):
+                    out += b"FRAME\n"
+                    # Y plane is formula-driven (what the oracle checks);
+                    # U/V planes are flat 128s (decoded but not summed).
+                    out += bytes((did * 13 + f * 101 + i * 57) % 256 for i in range(plane))
+                    out += bytes([128]) * (2 * plane)
+                payloads.append(bytes(out))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, nfs, sums = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                nl = raw.index(b"\n")
+                header = raw[:nl].decode("ascii").split()
+                assert header[0] == "YUV4MPEG2"
+                pw = int(next(t[1:] for t in header if t.startswith("W")))
+                ph = int(next(t[1:] for t in header if t.startswith("H")))
+                assert any(t == "C444" for t in header), "expected YUV444"
+                plane = pw * ph
+                pos, nf, luma = nl + 1, 0, 0
+                while pos < len(raw):
+                    assert raw[pos : pos + 6] == b"FRAME\n", "bad frame marker"
+                    pos += 6
+                    luma += sum(raw[pos : pos + plane])
+                    pos += 3 * plane  # Y + U + V
+                    nf += 1
+                ws.append(pw)
+                hs.append(ph)
+                nfs.append(nf)
+                sums.append(luma)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "sum_luma": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    encoded = d.mapInPandas(encode, schema=enc_schema)
+    return encoded.mapInPandas(decode, schema=_Y4M_SCHEMA)
