@@ -2275,3 +2275,77 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
         )
     )
+
+
+# ---- TPC-H Q3-style shipping priority -----------------------------------
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"  # orders before, shipments after
+Q3_TOP = 10
+
+
+@register(
+    "shipping_priority_top",
+    f"""
+    SELECT o_orderkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT o_orderkey, o_orderdate, o_orderpriority, revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rank
+      FROM (
+        SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+          AND o.o_orderdate < DATE '{Q3_DATE}'
+          AND l.l_shipdate > DATE '{Q3_DATE}'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+      )
+    ) WHERE rank <= {Q3_TOP}
+    """,
+)
+def shipping_priority_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — unshipped-revenue shipping priority: orders
+    placed before {Q3_DATE} in the {Q3_SEGMENT} segment with lineitems
+    shipping after it, ranked by outstanding DECIMAL revenue, top
+    {Q3_TOP}. The plan SHAPE is the point: a FACT-FACT equi-join
+    (orders⋈lineitem — both unbounded, shuffles on the join key; no
+    broadcast is legal) under a dimension semi-filter, then a global
+    top-k — the canonical mid-query shuffle join every warehouse
+    benchmark leans on, which the 5-way broadcast star
+    (revenue_by_nation) deliberately avoids exercising.
+
+    Scale: both scans prune on pushed date predicates; AQE owns the
+    orders⋈lineitem strategy; the customer segment filter reduces the
+    orders side BEFORE the fact-fact shuffle (filter-through-join
+    ordering Catalyst does for free)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == Q3_SEGMENT)
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit(Q3_DATE).cast("date")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit(Q3_DATE).cast("date")
+    )
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= Q3_TOP)
+        .select(
+            "o_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "rank",
+        )
+    )
