@@ -2349,3 +2349,126 @@ def shipping_priority_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---- TPC-H Q6-style forecast revenue change -----------------------------
+Q6_YEAR = 1998
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24
+
+
+@register(
+    "forecast_revenue_change",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue_change,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= DATE '{Q6_YEAR}-01-01'
+      AND l_shipdate < DATE '{Q6_YEAR + 1}-01-01'
+      AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY_MAX}
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the revenue that would have been gained by
+    eliminating mid-band discounts on small orders in one year: a pure
+    scan-filter-aggregate with THREE pushable predicates and no join at
+    all — the query whose entire cost at 100 TB is how much data the
+    scan can skip (date partition pruning + parquet min/max on
+    l_discount/l_quantity do all the work; zone-map quality — see
+    zorder_layout_audit — decides the bill).
+
+    DECIMAL sum keeps the answer bit-stable under any parallelism;
+    the discount band compares doubles both engines parse from the
+    same literals."""
+    l = table(spark, sf_dir, "lineitem")
+    y0, y1 = f"{Q6_YEAR}-01-01", f"{Q6_YEAR + 1}-01-01"
+    return (
+        l.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit(y0).cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit(y1).cast("date"))
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY_MAX)
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue_change"),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+# ---- RFM customer segmentation ------------------------------------------
+RFM_TILES = 4
+
+
+@register(
+    "rfm_segmentation",
+    f"""
+    WITH metrics AS (
+      SELECT c.c_custkey,
+             MAX(o.o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    scored AS (
+      SELECT c_custkey,
+             ntile({RFM_TILES}) OVER (ORDER BY last_order DESC, c_custkey ASC) AS r,
+             ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, c_custkey ASC) AS f,
+             ntile({RFM_TILES}) OVER (ORDER BY monetary DESC, c_custkey ASC) AS m
+      FROM metrics
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_custkey) AS example_custkey
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse customer analysis:
+    quartile each customer on Recency (latest order date), Frequency
+    (order count), and Monetary (DECIMAL total spend), then report the
+    segment grid (r,f,m) → customer count. Quartiles are ntile with
+    custkey tiebreaks so both engines cut identical segments; monetary
+    rides DECIMAL so the ordering itself is reduction-order-stable.
+
+    Scale: one orders groupBy; three global ntiles over one-row-per-
+    customer metrics (same exact-vs-sampled-boundary note as the
+    equi-depth histogram); the grid aggregate is at most
+    {RFM_TILES}^3 rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    metrics = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(dec("o_totalprice")).alias("monetary"),
+        )
+    )
+    scored = metrics.select(
+        "c_custkey",
+        F.ntile(RFM_TILES).over(
+            W.orderBy(F.col("last_order").desc(), F.col("c_custkey").asc())
+        ).alias("r"),
+        F.ntile(RFM_TILES).over(
+            W.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
+        ).alias("f"),
+        F.ntile(RFM_TILES).over(
+            W.orderBy(F.col("monetary").desc(), F.col("c_custkey").asc())
+        ).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.min("c_custkey").alias("example_custkey"),
+    ).select(
+        F.col("r").cast("int").alias("r"), F.col("f").cast("int").alias("f"),
+        F.col("m").cast("int").alias("m"), "n_customers", "example_custkey",
+    )

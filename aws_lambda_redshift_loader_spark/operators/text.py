@@ -1874,3 +1874,49 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RRF_TOP)
         .select("query_id", "item_id", "rrf_score", "rank")
     )
+
+
+# ---- Language-cap mixture balancer --------------------------------------
+LANG_CAP = 150  # max docs kept per language
+
+
+@register(
+    "language_cap_balance",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(concat('0x', substr(md5(concat('cap:', CAST(doc_id AS VARCHAR))),
+                                                 1, 15)) AS BIGINT) ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {LANG_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > {LANG_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY lang
+    """,
+)
+def language_cap_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-language cap — the mixture balancer next to
+    temperature_resample's soft alpha-reweighting: keep at most
+    {LANG_CAP} documents per language, chosen by a deterministic md5
+    shuffle order (an unbiased sample that is reproducible across
+    epochs and engines — ORDER BY a content hash IS a seeded shuffle),
+    and report kept/dropped per language. The head-chopping guard
+    against one dominant language drowning the mixture.
+
+    Scale: one window per language partition (bounded partitions, each
+    parallel) + a per-language aggregate; the md5 rank order means no
+    RNG state and no skew beyond the language distribution itself."""
+    d = table(spark, sf_dir, "documents")
+    h = hex_hash64(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    wl = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "lang", F.row_number().over(wl).alias("rn"))
+    return ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= LANG_CAP, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > LANG_CAP, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+    )
