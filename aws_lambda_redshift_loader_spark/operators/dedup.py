@@ -1488,3 +1488,89 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_covered")).cast("bigint").alias("n_singletons"),
         )
     )
+
+
+@register(
+    "neardup_method_agreement",
+    f"""
+    WITH {_SHINGLES_CTE},
+    capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s
+      JOIN (SELECT shingle FROM shingles
+            GROUP BY shingle HAVING COUNT(*) <= {HOT_SHINGLE_DF_CAP}) k
+        ON k.shingle = s.shingle
+    ),
+    jsizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM capped GROUP BY doc_id
+    ),
+    jinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact_pairs AS (
+      SELECT doc_a, doc_b
+      FROM jinter
+      JOIN jsizes sa ON sa.doc_id = doc_a
+      JOIN jsizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    {_MINHASH_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    minter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    msizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    lsh_pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM minter i
+      JOIN msizes sa ON sa.doc_id = i.doc_a
+      JOIN msizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_pairs) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh_pairs) AS n_lsh,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM exact_pairs e JOIN lsh_pairs l
+              ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b) AS n_common
+    """,
+)
+def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit as a QUERY: how many verified near-dup
+    pairs the exact capped-inverted-index path (ngram_jaccard_pairs)
+    and the MinHash-LSH path (minhash_lsh_pairs, via the shared
+    materialized graph) each find, and how many they share — the
+    recall instrument tests/test_dedup* run, promoted to a hash-gated
+    production health check (run it per corpus snapshot; a falling
+    n_common/n_exact means the LSH geometry no longer fits the data).
+
+    Note the two paths measure Jaccard over slightly different
+    representations BY DESIGN (the exact path caps hot shingles, LSH
+    signatures see all shingles), so n_exact and n_lsh legitimately
+    differ; the audit quantifies exactly that operational gap.
+
+    Scale: composes two audited sub-quadratic pipelines plus three
+    COUNT aggregates over their (tiny) pair outputs."""
+    exact = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = exact.join(lsh, ["doc_a", "doc_b"]).count()
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, n_common)], "n_exact long, n_lsh long, n_common long"
+    )
