@@ -2472,3 +2472,63 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("int").alias("r"), F.col("f").cast("int").alias("f"),
         F.col("m").cast("int").alias("m"), "n_customers", "example_custkey",
     )
+
+
+# ---- Inter-order gap analysis -------------------------------------------
+@register(
+    "customer_order_gap_median",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE)
+                  - CAST(lag(o_orderdate) OVER w AS DATE) AS BIGINT) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ),
+    ranked AS (
+      SELECT o_custkey, gap_days,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY gap_days ASC, 1) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM gaps WHERE gap_days IS NOT NULL
+    )
+    SELECT o_custkey AS custkey,
+           CAST(n AS BIGINT) AS n_gaps,
+           gap_days AS median_gap_days
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def customer_order_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: the (lower-)median number of days between
+    a customer's consecutive orders — the purchase-cadence signal
+    behind churn scoring and replenishment forecasting, and the
+    repeated-event twin of the RFM recency quartile. Gaps come from a
+    per-customer lag window with a total order (date, then orderkey);
+    the median uses the exact rank method (value at rank (n+1) div 2 in
+    the gap multiset — well-defined under ties regardless of
+    tie-ordering, the same argument as the MAD/norm medians).
+
+    Scale: one window + one rank window, both partitioned by customer
+    (bounded, parallel); rows out = customers with 2+ orders."""
+    o = table(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(wo),
+        ).cast("bigint").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    wr = W.partitionBy("o_custkey").orderBy(F.col("gap_days").asc())
+    ranked = gaps.select(
+        "o_custkey", "gap_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(W.partitionBy("o_custkey")).alias("n"),
+    )
+    return ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.col("gap_days").alias("median_gap_days"),
+    )
