@@ -1348,3 +1348,70 @@ def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("v_lo"), F.max("v").alias("v_hi"),
         F.count("*").cast("bigint").alias("n"),
     ).select("event_type", F.col("bin").cast("int").alias("bin"), "v_lo", "v_hi", "n")
+
+
+# ---- Rolling 7-day active users -----------------------------------------
+WAU_WINDOW = 7  # days
+
+
+@register(
+    "rolling_active_users",
+    f"""
+    WITH day_user AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    expanded AS (
+      SELECT DISTINCT d + CAST(u.k AS INT) AS report_day, user_id
+      FROM day_user,
+           LATERAL (SELECT unnest(generate_series(0, {WAU_WINDOW - 1})) AS k) u
+    ),
+    bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+    )
+    SELECT strftime(e.report_day, '%Y-%m-%d') AS report_day,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM expanded e, bounds b
+    WHERE e.report_day >= b.lo AND e.report_day <= b.hi
+    GROUP BY e.report_day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {WAU_WINDOW}-day active users per day (the WAU family):
+    for each report day, how many distinct users had at least one event
+    in the preceding {WAU_WINDOW}-day window. SQL's RANGE frames can't
+    do windowed COUNT(DISTINCT); the scalable rewrite is the EXPANSION
+    trick — each (day, user) activity row contributes the user to the
+    {WAU_WINDOW} report days it keeps them active for, then one
+    distinct + count per day. Bounded {WAU_WINDOW}x fan-out, no
+    per-day sort, no window state — the same Expand shape Spark itself
+    uses for sliding event-time windows (stream_sliding_counts).
+
+    Report days clamp to the observed [min, max] event-date range so
+    no partial-window tail days are emitted."""
+    ev = table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    expanded = (
+        day_user.select(
+            F.explode(F.sequence(F.lit(0), F.lit(WAU_WINDOW - 1))).alias("k"),
+            "d",
+            "user_id",
+        )
+        .select(F.date_add(F.col("d"), F.col("k")).alias("report_day"), "user_id")
+        .distinct()
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    return (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter((F.col("report_day") >= F.col("lo")) & (F.col("report_day") <= F.col("hi")))
+        .groupBy("report_day")
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("report_day"),
+            "active_users",
+        )
+    )
