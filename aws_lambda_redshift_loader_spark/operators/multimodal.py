@@ -190,11 +190,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         real decoder would be required."""
         import hashlib
 
+        import numpy as np
+
         if payload is None:
             raise NotImplementedError("real media decode requires PIL/ffmpeg (not in container)")
+        byte_sum = int(np.frombuffer(payload, np.uint8).astype(np.int64).sum())
         return {
             "n_bytes": len(payload),
-            "mean_byte": float(sum(payload)) / max(len(payload), 1),
+            "mean_byte": float(byte_sum) / max(len(payload), 1),
             "head_md5": hashlib.md5(payload[:64]).hexdigest(),
         }
 
@@ -275,30 +278,34 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Defined in-builder (pickled by value).
         import io
-        import struct
         import wave
+
+        import numpy as np
 
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 n = base + int(doc_id) % extra
-                samples = [
-                    ((int(doc_id) * 7919 + i * 104729) % 65536) - 32768
-                    for i in range(n)
-                ]
+                # Vectorized synthesis: exact in int64 (doc_id*7919 and
+                # i*104729 are far below 2^63), then wrap to int16 range.
+                samples = (
+                    (int(doc_id) * 7919 + np.arange(n, dtype=np.int64) * 104729)
+                    % 65536
+                ) - 32768
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
                     w.setnchannels(1)
                     w.setsampwidth(2)
                     w.setframerate(rate)
-                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                    w.writeframes(samples.astype("<i2").tobytes())
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        import struct
         import wave
+
+        import numpy as np
 
         for pdf in batches:
             rates, counts, sums = [], [], []
@@ -307,10 +314,12 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sr = w.getframerate()
                     nf = w.getnframes()
                     raw = w.readframes(nf)
-                samples = struct.unpack(f"<{nf}h", raw)
+                # Vectorized decode: frombuffer is zero-copy; cast to
+                # int64 BEFORE abs (|INT16_MIN| overflows int16).
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 rates.append(sr)
                 counts.append(nf)
-                sums.append(sum(abs(s) for s in samples))
+                sums.append(int(np.abs(samples).sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -383,18 +392,22 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Defined in-builder (pickled by value).
+        import numpy as np
+
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 w, h = bw + did % bw, bh + did % bh
-                pixels = bytes(
-                    (did * 31 + i * 97) % 256 for i in range(w * h * 3)
-                )
+                pixels = (
+                    (did * 31 + np.arange(w * h * 3, dtype=np.int64) * 97) % 256
+                ).astype(np.uint8).tobytes()
                 payloads.append(f"P6\n{w} {h}\n255\n".encode("ascii") + pixels)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ws, hs, rs, gs, bs = [], [], [], [], []
             for payload in pdf["payload"]:
@@ -406,13 +419,13 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = (int(x) for x in parts[1].split())
                 maxval = int(parts[2])
                 assert maxval == 255
-                pix = parts[3]
+                pix = np.frombuffer(parts[3], dtype=np.uint8).astype(np.int64)
                 assert len(pix) == w * h * 3
                 ws.append(w)
                 hs.append(h)
-                rs.append(sum(pix[0::3]))
-                gs.append(sum(pix[1::3]))
-                bs.append(sum(pix[2::3]))
+                rs.append(int(pix[0::3].sum()))
+                gs.append(int(pix[1::3].sum()))
+                bs.append(int(pix[2::3].sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -489,6 +502,8 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Defined in-builder (pickled by value).
+        import numpy as np
+
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -496,16 +511,19 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nf = basef + did % extraf
                 out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
                 plane = w * h
+                idx = np.arange(plane, dtype=np.int64) * 57
                 for f in range(nf):
                     out += b"FRAME\n"
                     # Y plane is formula-driven (what the oracle checks);
                     # U/V planes are flat 128s (decoded but not summed).
-                    out += bytes((did * 13 + f * 101 + i * 57) % 256 for i in range(plane))
+                    out += ((did * 13 + f * 101 + idx) % 256).astype(np.uint8).tobytes()
                     out += bytes([128]) * (2 * plane)
                 payloads.append(bytes(out))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ws, hs, nfs, sums = [], [], [], []
             for payload in pdf["payload"]:
@@ -521,7 +539,11 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 while pos < len(raw):
                     assert raw[pos : pos + 6] == b"FRAME\n", "bad frame marker"
                     pos += 6
-                    luma += sum(raw[pos : pos + plane])
+                    luma += int(
+                        np.frombuffer(raw, np.uint8, count=plane, offset=pos)
+                        .astype(np.int64)
+                        .sum()
+                    )
                     pos += 3 * plane  # Y + U + V
                     nf += 1
                 ws.append(pw)

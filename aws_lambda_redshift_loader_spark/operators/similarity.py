@@ -1681,7 +1681,12 @@ def _mmr_epilogue(pool: DataFrame) -> DataFrame:
             for i in range(n):
                 if i in selected:
                     continue
-                score = lam * rel[i] if r == 1 else lam * rel[i] - one_m * maxsim[i]
+                # Round 1 compares RAW rel (the oracle's sel1 orders by
+                # rel): multiplying by lambda is only non-strictly
+                # monotone in IEEE doubles, so two adjacent distinct
+                # relevances could collapse to equal keys and let the id
+                # tie-break diverge from the oracle.
+                score = rel[i] if r == 1 else lam * rel[i] - one_m * maxsim[i]
                 key = (score, -ids[i])
                 if best is None or key > best[0]:
                     best = (key, i)
@@ -1868,7 +1873,7 @@ def _ndcg_oracle() -> str:
     """
 
 
-@register("ndcg_eval_lsh", _ndcg_oracle())
+@register("ndcg_eval_lsh", _ndcg_oracle)
 def ndcg_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@{TOP_K} of the LSH index per query (see the block comment) —
     the metric layer an eval pipeline runs over its retrieval stack,

@@ -1842,7 +1842,7 @@ def _rrf_oracle() -> str:
     """
 
 
-@register("hybrid_rrf_topk", _rrf_oracle())
+@register("hybrid_rrf_topk", _rrf_oracle)
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: RRF-fuse the registered BM25 lexical ranking
     with the dense cosine ranking (see the block comment). Score =

@@ -32,17 +32,46 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Oracles whose SQL embeds ANOTHER query's oracle (e.g. hybrid RRF nests
+# bm25_topk + embedding_topk_bruteforce) register a zero-arg CALLABLE here
+# instead of a string, so building the SQL is deferred until load_all() has
+# imported every module. Evaluating such an oracle at decoration time made
+# `import operators.text` order-dependent (it crashed unless
+# operators.similarity happened to be imported first).
+_LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query builder under ``name`` with an optional oracle."""
+
+def register(
+    name: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query builder under ``name`` with an optional oracle.
+
+    ``oracle`` may be a DuckDB SQL string or a zero-arg callable returning
+    one; callables are resolved by :func:`load_all` after every operator
+    module has been imported (cross-module oracle composition)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        sql: str | None
+        if callable(oracle):
+            _LAZY_ORACLES[name] = oracle
+            sql = None  # placeholder until load_all resolves it
+        else:
+            sql = oracle
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=sql, doc=fn.__doc__ or "")
         return fn
 
     return deco
+
+
+def _resolve_lazy_oracles() -> None:
+    """Materialize deferred oracle SQL once all modules are registered."""
+    import dataclasses
+
+    while _LAZY_ORACLES:
+        name, thunk = _LAZY_ORACLES.popitem()
+        QUERIES[name] = dataclasses.replace(QUERIES[name], oracle=thunk())
 
 
 # The driver's correctness harness walks the registry in insertion order and
@@ -382,6 +411,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from ..streaming import stream_queries  # noqa: F401
 
+    _resolve_lazy_oracles()
     missing = set(_FIRST) - set(QUERIES)
     assert not missing, f"_FIRST names without a registered query: {sorted(missing)}"
     reg_index = {name: i for i, name in enumerate(QUERIES)}
@@ -389,6 +419,16 @@ def load_all() -> dict[str, QuerySpec]:
         order = _derive_order(reg_index)
     except Exception:
         # No git / no correctness files (fresh checkout, sdist install):
-        # fall back to the hand-checked static priority list.
+        # fall back to the hand-checked static priority list. Warn loudly —
+        # a silently-broken derivation would disable the verification
+        # rotation without any signal (round-7 ADVICE).
+        import logging
+        import traceback
+
+        logging.getLogger(__name__).warning(
+            "registry._derive_order failed; falling back to the static "
+            "_FIRST priority list (verification rotation DISABLED):\n%s",
+            traceback.format_exc(),
+        )
         order = list(_FIRST) + [n for n in QUERIES if n not in set(_FIRST)]
     return {name: QUERIES[name] for name in order}

@@ -73,8 +73,16 @@ def _check_compression(paths: list[str], directive: str) -> None:
         low = p.lower()
         if any(ch in low for ch in "*?["):
             # Glob patterns resolve at scan time; Spark's codec detection
-            # applies per matched file. Only explicit paths are checkable.
-            continue
+            # applies per matched file. But a glob with a LITERAL suffix
+            # ('data/*.gz') still pins every match's extension, so the
+            # directive check applies to it; only skip when the suffix
+            # itself is non-literal ('data/part-*', 'x.[gb]z').
+            suffix = low.rsplit("/", 1)[-1].rsplit(".", 1)[-1]
+            if "." not in low.rsplit("/", 1)[-1] or any(
+                ch in suffix for ch in "*?["
+            ):
+                continue
+            low = "literal." + suffix  # check by the pinned extension only
         if directive == "NONE":
             if low.endswith(all_exts):
                 raise CompressionMismatch(
@@ -118,15 +126,19 @@ def read_files(
         from .avro_io import read_avro
 
         if config.reader_options:
-            # The copyOptions passthrough maps to Spark DataFrameReader
-            # options (CSV/JSON/parquet/ORC); the container-file Avro
-            # decoder has no option surface, and Avro is self-describing
-            # so the CSV-style directives have no meaning here. Fail loud
-            # rather than silently ignoring the user's directive.
-            raise ValueError(
-                "reader_options are not supported for AVRO loads "
-                "(Avro is self-describing; copyOptions apply to "
-                "CSV/JSON/PARQUET/ORC only)"
+            # The reference appends copyOptions to the COPY unconditionally
+            # for AVRO too (index.js:1202-1206), so configs like
+            # AVRO + GZIP/REGION copyOptions are accepted upstream. Match
+            # that: accept and log-warn (Avro is self-describing and the
+            # container-file decoder has no option surface, so the options
+            # cannot change parse semantics here — they are inert, not
+            # silently semantics-altering).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "reader_options %r ignored for AVRO load (Avro is "
+                "self-describing; options apply to CSV/JSON/PARQUET/ORC)",
+                config.reader_options,
             )
         df = read_avro(spark, paths)
         if config.column_list:

@@ -226,6 +226,51 @@ def test_compression_directive_mismatch(spark, tmp_path):
         read_files(spark, LoadConfig(**base, compression="ZSTDX"), str(plain))
 
 
+def test_compression_directive_glob_literal_suffix(spark, tmp_path):
+    """A glob whose suffix is LITERAL ('dir/*.gz') still pins every match's
+    extension, so the directive check applies; only a non-literal suffix
+    ('dir/part-*') defers to Spark's per-file codec detection."""
+    import gzip
+
+    from aws_lambda_redshift_loader_spark.sources.reader import CompressionMismatch
+
+    gz = tmp_path / "data.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("1|2|3\n")
+    base = dict(s3_prefix="x", data_format="CSV", schema="a INT, b INT, c INT")
+
+    # NONE + '*.gz' glob: the literal .gz suffix contradicts the directive.
+    with pytest.raises(CompressionMismatch):
+        read_files(spark, LoadConfig(**base, compression="NONE"), str(tmp_path / "*.gz"))
+    # GZIP + '*.csv' glob: literal .csv suffix contradicts GZIP.
+    with pytest.raises(CompressionMismatch):
+        read_files(spark, LoadConfig(**base, compression="GZIP"), str(tmp_path / "*.csv"))
+    # GZIP + '*.gz' glob: consistent — loads.
+    ok = read_files(spark, LoadConfig(**base, compression="GZIP"), str(tmp_path / "*.gz"))
+    assert ok.count() == 1
+    # Non-literal suffix: not checkable, passes through to codec detection.
+    ok2 = read_files(spark, LoadConfig(**base, compression="NONE"), str(tmp_path / "data*"))
+    assert ok2.count() >= 1
+
+
+def test_avro_reader_options_accepted_with_warning(spark, caplog):
+    """The reference appends copyOptions to AVRO COPYs unconditionally
+    (index.js:1202-1206), so AVRO + reader_options must load, not fail;
+    the engine logs a warning that the options are inert."""
+    import logging
+    import os
+
+    if not os.path.exists(GOLDEN_AVRO):
+        pytest.skip("golden avro file not present")
+    cfg = LoadConfig(
+        s3_prefix="x", data_format="AVRO", reader_options={"compression": "gzip"}
+    )
+    with caplog.at_level(logging.WARNING):
+        df = read_files(spark, cfg, GOLDEN_AVRO)
+    assert df.count() == 2
+    assert any("ignored for AVRO" in r.message for r in caplog.records)
+
+
 def test_avro_codec_property_roundtrip():
     """Property: encode→decode is identity for arbitrary flat records
     (strings incl. non-ASCII, int64 range, bools, nullable strings,
