@@ -338,12 +338,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it. Keyed by applicationId so a dead session's entries are never reused.
 _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+# Append-only event log ("pairs_hit"/"pairs_build"/"cc_hit"/"cc_build"),
+# read by bench.py to label memo-consumer rows in BENCH_DETAIL: a 0.05 s
+# "pairs_hit" row is a cache hit, not the query's standalone cost — the
+# ~5 s graph build lands in whichever consumer ran first (round-7 verdict
+# asked for the artifact to make that distinction legible).
+MEMO_EVENTS: list[str] = []
+
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIRS_MEMO.get(key)
     if cached is not None:
+        MEMO_EVENTS.append("pairs_hit")
         return cached
+    MEMO_EVENTS.append("pairs_build")
     pairs = _minhash_pairs_plan(spark, sf_dir).localCheckpoint(eager=True)
     _PAIRS_MEMO[key] = pairs
     return pairs
@@ -642,7 +651,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CC_MEMO.get(key)
     if cached is not None:
+        MEMO_EVENTS.append("cc_hit")
         return cached
+    MEMO_EVENTS.append("cc_build")
     pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -76,14 +76,18 @@ QUERIES = [
 ]
 
 
-def build_fixture(src_dir: str | None = None, dst_dir: str | None = None) -> None:
-    """Build the replica-disjoint 10x fixture from ``src_dir`` into
-    ``dst_dir`` (defaults: the module-level SRC/DST env settings).
-    Parameterized so tests/test_scale_exponents.py can derive a small
-    step from sf0.01 instead of the bench's sf0.1."""
+def build_fixture(
+    src_dir: str | None = None, dst_dir: str | None = None, replicas: int | None = None
+) -> None:
+    """Build the replica-disjoint Nx fixture from ``src_dir`` into
+    ``dst_dir`` (defaults: the module-level SRC/DST env settings,
+    REPLICAS copies). Parameterized so tests/test_scale_exponents.py can
+    derive a small step from sf0.01, and so the --mid mode can build an
+    intermediate 3x point for trend-vs-constant exponent analysis."""
     import duckdb
 
     SRC, DST = src_dir or globals()["SRC"], dst_dir or globals()["DST"]
+    REPLICAS = replicas or globals()["REPLICAS"]
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -267,6 +271,70 @@ def run_longdoc() -> None:
     print(json.dumps({k: v for k, v in results.items() if "@longdoc" in k}))
 
 
+MID_DST = os.environ.get("SPARK_GRAFT_MID_DIR", "/tmp/scale_sf03")
+MID_REPLICAS = 3
+# Queries whose 1x->10x exponent sits near the top of the board
+# (cdc_chunks 0.81, heavy_hitters_cms 0.80 in round 7): a 3x midpoint
+# splits the decade into two segments. The expected shape for map-only
+# work + a linear map-side-combined groupBy is a LOW early segment
+# (fixed session/listing cost amortizing) converging to ~1.0 (linear) in
+# the later segment; a genuinely super-linear mechanism (bucket
+# occupancy, skew, quadratic state) would push the later segment WELL
+# above 1. Measured (round 8): cdc_chunks 0.44 -> 1.07, heavy_hitters_cms
+# 0.30 -> 0.82, heavy_hitters_cms_only 0.42 -> 0.75 — all converge to
+# ~linear, none accelerate past it.
+MID_QUERIES = ["cdc_chunks", "heavy_hitters_cms", "heavy_hitters_cms_only"]
+
+
+def run_midpoint() -> None:
+    """Measure MID_QUERIES at 1x / 3x / 10x and merge '<q>@segments'
+    entries (per-segment exponents) into BENCH_SCALE.json."""
+    build_fixture()  # 10x
+    build_fixture(dst_dir=MID_DST, replicas=MID_REPLICAS)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    from aws_lambda_redshift_loader_spark.plans.registry import load_all
+    from aws_lambda_redshift_loader_spark.session import get_spark
+
+    spark = get_spark("scale-bench-mid")
+    specs = load_all()
+    specs["pricing_summary"].fn(spark, SRC).write.format("noop").mode("overwrite").save()
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json")
+    payload = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            payload = json.load(fh)
+    results = payload.setdefault("queries", {})
+    for name in MID_QUERIES:
+        t1 = run(spark, specs, SRC, name)
+        t3 = run(spark, specs, MID_DST, name)
+        t10 = run(spark, specs, DST, name)
+        e_lo = round(math.log(t3 / t1) / math.log(MID_REPLICAS), 2) if t1 > 0 else None
+        e_hi = (
+            round(math.log(t10 / t3) / math.log(REPLICAS / MID_REPLICAS), 2)
+            if t3 > 0
+            else None
+        )
+        results[f"{name}@segments"] = {
+            "sec_1x": t1,
+            "sec_3x": t3,
+            "sec_10x": t10,
+            "exponent_1x_3x": e_lo,
+            "exponent_3x_10x": e_hi,
+            "note": "expected shape: early segment low (fixed-cost "
+            "amortization), later segment ~1.0 (linear groupBy); later "
+            "segment >> 1 would mean genuine super-linear acceleration",
+        }
+        print(
+            f"# {name}: {t1}s -> {t3}s -> {t10}s (e 1x->3x {e_lo}, 3x->10x {e_hi})",
+            file=sys.stderr,
+            flush=True,
+        )
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in results.items() if "@segments" in k}))
+
+
 def run(spark, specs, sf_dir: str, name: str) -> float:
     # Scale exponents measure each query's FULL cost: reset the dedup
     # family's shared pair-graph memo so a prior query's materialization
@@ -288,6 +356,9 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
 def main() -> None:
     if "--longdoc" in sys.argv:
         run_longdoc()
+        return
+    if "--mid" in sys.argv:
+        run_midpoint()
         return
     # Optional query-name args: re-measure a subset (results merge into an
     # existing BENCH_SCALE.json instead of replacing it).

@@ -36,6 +36,10 @@ BUDGETS = [
     ("ngram_jaccard_pairs", 20.0),      # capped inverted-index self-join
     ("embedding_cosine_neardup", 20.0), # adaptive-bits LSH buckets
     ("fuzzy_match_names", 20.0),        # deletion-neighborhood blocking
+    # round-8 additions (the two top-of-board exponents from r7, settled
+    # by the 3x midpoint as linear-asymptote, now gated so they stay so)
+    ("cdc_chunks", 20.0),               # Rabin chunker + chunk-hash groupBy
+    ("heavy_hitters_cms_only", 20.0),   # production sketch-only CMS plan
 ]
 
 
