@@ -76,10 +76,11 @@ def exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("doc_id")
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → distinct (doc_id, shingle) word-k-gram pairs."""
-    d = table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.split(norm_text("text"), " ").alias("ws"))
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → distinct (doc_id, shingle) word-k-gram
+    pairs. DataFrame-parameterized so the incremental streaming form can
+    shingle a micro-batch / candidate subset with the identical plan."""
+    words = docs.select("doc_id", F.split(norm_text("text"), " ").alias("ws"))
     return words.select(
         "doc_id",
         F.explode(
@@ -89,6 +90,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).distinct()
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distinct (doc_id, shingle) word-k-gram pairs."""
+    return _shingles_of(table(spark, sf_dir, "documents"))
 
 
 _SHINGLES_CTE = rf"""
@@ -358,14 +364,18 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actual minhash-LSH plan (see minhash_lsh_pairs docstring)."""
-    from pyspark.sql.window import Window as W
+def _band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → LSH band rows (doc_id, band, band_key).
 
-    sh = _shingles(spark, sf_dir)
-    # One md5 per distinct (doc, shingle); 16 affine permutations as
-    # sixteen MIN aggregate columns over it — a single shuffle on doc_id,
-    # no explode, all JVM codegen arithmetic.
+    One md5 per distinct (doc, shingle); {N_HASHES} affine permutations
+    as {N_HASHES} MIN aggregate columns over it — a single shuffle on
+    doc_id, no explode, all JVM codegen arithmetic. DataFrame-
+    parameterized: the batch plan bands the whole corpus; the streaming
+    incremental form bands each micro-batch and appends the rows to a
+    persistent signature store (the same construction, so a new doc's
+    band keys collide with an old doc's iff the batch plan would have
+    paired them)."""
+    sh = _shingles_of(docs)
     base = sh.select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint").alias("h"),
@@ -385,21 +395,19 @@ def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_HASHES // BAND_SIZE)
     ]
-    bands = hashed.select(
+    return hashed.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
-    cands = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.band_key") == F.col("bb.band_key"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
-        .distinct()
-    )
+
+
+def _verify_candidates(cands: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification: (doc_a, doc_b) candidates × the
+    (doc_id, text) docs they reference → (doc_a, doc_b, jaccard) kept at
+    >= {JACCARD_THRESHOLD}. The per-doc set size rides on the shingle
+    rows as a window count, so no separate sizes-table join."""
+    from pyspark.sql.window import Window as W
+
+    sh = _shingles_of(docs)
     sh_n = sh.withColumn("n_shingles", F.count("*").over(W.partitionBy("doc_id")))
     sha = sh_n.alias("sha")
     shb = sh_n.alias("shb")
@@ -425,6 +433,25 @@ def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual minhash-LSH plan (see minhash_lsh_pairs docstring)."""
+    docs = table(spark, sf_dir, "documents")
+    bands = _band_rows(docs)
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidates(cands, docs)
 
 
 # Production-width SimHash: 60-bit signatures (15 md5 hex chars — the

@@ -694,3 +694,131 @@ def stream_ingest_jdbc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
     )
+
+
+# ---- Incremental near-dup pair-graph maintenance ------------------------
+# The marriage of the reference's micro-batch heart (§2.9: S3 arrivals →
+# batches → transactional loads) and the dedup surface: instead of
+# re-running the whole MinHash-LSH pipeline when documents arrive, each
+# micro-batch (1) bands only the NEW documents, (2) appends their band
+# rows to a persistent signature store, (3) joins new-vs-store for
+# candidates (new-new pairs included — the store already holds this
+# epoch's rows), and (4) exact-verifies and appends the new pairs. Pair
+# disjointness across epochs is structural: every candidate involves at
+# least one doc from the current batch, so a pair is discovered exactly
+# once — in the epoch its LATER doc arrives. The final pair set therefore
+# EQUALS the batch recompute, which is the oracle (the same
+# _PAIRS_ORACLE_CTES that hash-gates minhash_lsh_pairs).
+INC_NEARDUP_EPOCHS = 4
+
+
+def _register_incremental_neardup() -> None:
+    from ..operators.dedup import _PAIRS_ORACLE_CTES
+
+    @register(
+        "stream_incremental_neardup",
+        f"""
+        WITH {_PAIRS_ORACLE_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        """,
+    )
+    def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming maintenance of the near-dup pair graph (see block
+        comment): documents split into {INC_NEARDUP_EPOCHS} range files →
+        readStream one file per trigger → foreachBatch bands the batch,
+        appends to the signature store, joins new-vs-store for candidates,
+        exact-verifies, and appends verified pairs — all epoch-partitioned
+        overwrites, so a replayed epoch is idempotent. The returned frame
+        is the union of per-epoch pair deltas; the oracle is the full
+        batch recompute, so the driver's hash gate proves
+        incremental == batch.
+
+        Scale: per epoch the work is O(batch) banding + a candidate join
+        against the store (shuffle on band_key — in production the store
+        is a table bucketed by band_key, making this a co-located probe)
+        + verification that touches ONLY candidate docs (the shingle
+        join is restricted to candidate doc_ids before exploding). The
+        full corpus is never re-shingled after its arrival epoch — the
+        delta cost a 100 TB corpus needs when 0.1% arrives daily."""
+        from ..operators.dedup import _band_rows, _verify_candidates
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_inc_src_")
+        store = _e2e_tmpdir("alrs_inc_store_")
+        docs_wh = _e2e_tmpdir("alrs_inc_docs_")
+        pairs_dir = _e2e_tmpdir("alrs_inc_pairs_")
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        docs.repartitionByRange(INC_NEARDUP_EPOCHS, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = docs.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            # (1) arrived-docs warehouse (verification source of truth).
+            batch_df.write.mode("overwrite").parquet(f"{docs_wh}/epoch={epoch_id}")
+            batch = spark.read.parquet(f"{docs_wh}/epoch={epoch_id}")
+            # (2) band the new docs; append to the signature store.
+            _band_rows(batch).write.mode("overwrite").parquet(
+                f"{store}/epoch={epoch_id}"
+            )
+            new_bands = spark.read.parquet(f"{store}/epoch={epoch_id}")
+            all_bands = spark.read.parquet(store)
+            # (3) candidates: new-vs-store (unordered pair, at least one
+            # side new; new-new found once via the doc_id ordering).
+            cands = (
+                new_bands.alias("nb")
+                .join(
+                    all_bands.alias("ab"),
+                    (F.col("nb.band") == F.col("ab.band"))
+                    & (F.col("nb.band_key") == F.col("ab.band_key"))
+                    & (F.col("nb.doc_id") != F.col("ab.doc_id")),
+                )
+                .select(
+                    F.least("nb.doc_id", "ab.doc_id").alias("doc_a"),
+                    F.greatest("nb.doc_id", "ab.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            # Drop pairs where BOTH docs predate this epoch (possible only
+            # via replay; structural disjointness otherwise) by requiring
+            # one side in the current batch.
+            batch_ids = batch.select(F.col("doc_id").alias("bid"))
+            cands = (
+                cands.join(
+                    batch_ids.hint("broadcast"),
+                    (F.col("doc_a") == F.col("bid")) | (F.col("doc_b") == F.col("bid")),
+                    "left_semi",
+                )
+            )
+            # (4) verify on candidate docs only, from the arrived store.
+            arrived = spark.read.parquet(docs_wh).select("doc_id", "text")
+            cand_ids = (
+                cands.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            needed = arrived.join(cand_ids.hint("broadcast"), "doc_id", "left_semi")
+            verified = _verify_candidates(cands, needed)
+            verified.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_inc_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard")
+
+
+_register_incremental_neardup()
