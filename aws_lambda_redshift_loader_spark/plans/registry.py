@@ -305,20 +305,38 @@ def _diff_ranges(root: str, base: str) -> dict[str, list[tuple[int, int]]]:
     )
     if out.returncode != 0:
         raise RuntimeError(f"git diff failed: {out.stderr[:200]}")
-    ranges: dict[str, list[tuple[int, int]]] = {}
+    ranges: dict[str, list[tuple[int, int, bool, tuple[str, ...]]]] = {}
     current = None
+    removed: list[str] | None = None
     for line in out.stdout.splitlines():
         if line.startswith("+++ b/"):
             current = line[6:]
+            removed = None
         elif line.startswith("@@") and current:
-            m = re.match(r"@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", line)
+            m = re.match(r"@@ -\d+(?:,(\d+))? \+(\d+)(?:,(\d+))? @@", line)
             if m:
-                start = int(m.group(1))
-                count = int(m.group(2)) if m.group(2) is not None else 1
+                old_count = int(m.group(1)) if m.group(1) is not None else 1
+                start = int(m.group(2))
+                count = int(m.group(3)) if m.group(3) is not None else 1
                 # count == 0 is a pure deletion at this position: the
                 # surrounding code changed, so keep a 1-line touch point.
-                ranges.setdefault(current, []).append((start, start + max(count, 1) - 1))
-    return ranges
+                # old_count == 0 marks a PURE ADDITION — no existing line
+                # modified or removed — which _derive_order can prove
+                # harmless to existing queries when the added lines form
+                # only complete new top-level definitions. The removed
+                # lines ride along so deletions landing BETWEEN current
+                # statements (whole-statement removals) can be attributed
+                # to the names they deleted.
+                removed = []
+                ranges.setdefault(current, []).append(
+                    (start, start + max(count, 1) - 1, old_count == 0, removed)  # type: ignore[arg-type]
+                )
+        elif removed is not None and line.startswith("-") and not line.startswith("---"):
+            removed.append(line[1:])
+    return {
+        rel: [(a, b, p, tuple(rm)) for a, b, p, rm in rngs]
+        for rel, rngs in ranges.items()
+    }
 
 
 def _query_spans() -> tuple[dict[str, list[tuple[int, int, str]]], dict[str, list[str]]]:
@@ -341,6 +359,150 @@ def _query_spans() -> tuple[dict[str, list[tuple[int, int, str]]], dict[str, lis
         spans.setdefault(rel, []).append((start, start + len(lines) - 1, name))
         members.setdefault(rel, []).append(name)
     return spans, members
+
+
+_TOPLEVEL_SPAN_CACHE: dict[tuple[str, str], list[tuple[int, int]]] = {}
+
+
+def _toplevel_spans(root: str, rel: str) -> list[tuple[int, int]]:
+    """Line spans of every top-level statement in the CURRENT file
+    (decorators included), for the pure-addition harmlessness proof."""
+    key = (root, rel)
+    if key in _TOPLEVEL_SPAN_CACHE:
+        return _TOPLEVEL_SPAN_CACHE[key]
+    import ast
+    import os
+
+    with open(os.path.join(root, rel)) as fh:
+        tree = ast.parse(fh.read())
+    spans = []
+    for node in tree.body:
+        start = min(
+            [node.lineno] + [d.lineno for d in getattr(node, "decorator_list", [])]
+        )
+        spans.append((start, node.end_lineno or start))
+    _TOPLEVEL_SPAN_CACHE[key] = spans
+    return spans
+
+
+def _removed_toplevel_names(removed: tuple[str, ...]) -> tuple[set[str], bool]:
+    """Names defined by removed column-0 lines (def/class/assignment
+    heads), plus an `opaque` flag for removed code we cannot attribute
+    (continuation lines are fine — their statement head names them; a
+    col-0 code line with no extractable name is opaque)."""
+    import re
+
+    names: set[str] = set()
+    opaque = False
+    for ln in removed:
+        if not ln or ln[0] in " \t" or ln.lstrip().startswith("#"):
+            continue  # indented (body of a named stmt) / comment / blank
+        m = re.match(r"(?:def|class)\s+(\w+)|(\w+)\s*[:=][^=]", ln)
+        if m:
+            names.add(m.group(1) or m.group(2))
+        elif ln.startswith(("@", ")", "]", "}", '"', "'", "import ", "from ")):
+            continue  # decorator/closer/docstring/import fragments
+        else:
+            opaque = True
+    return names, opaque
+
+
+def _is_new_toplevel_only(root: str, rel: str, a: int, b: int) -> bool:
+    """True iff the purely-added hunk [a, b] (new-file coordinates) lies
+    entirely inside top-level statements that are THEMSELVES fully inside
+    the hunk — i.e. it adds only complete new module-level definitions
+    (a new registered query, a new helper, a new constant). Such an
+    addition cannot change any existing query's execution: no existing
+    line was modified, and no pre-existing function body contains the
+    new lines. An addition INSIDE an existing def (its span extends past
+    the hunk) fails this test and keeps the conservative whole-module
+    marking."""
+    try:
+        spans = _toplevel_spans(root, rel)
+    except (OSError, SyntaxError):
+        return False
+    for s, e in spans:
+        if a <= e and b >= s:  # hunk intersects this top-level statement
+            if s < a or e > b:  # statement pre-exists beyond the hunk
+                return False
+    return True
+
+
+_NAME_GRAPH_CACHE: dict[tuple[str, str], list[tuple[int, int, frozenset, frozenset, bool]]] = {}
+
+
+def _name_graph(
+    root: str, rel: str
+) -> list[tuple[int, int, frozenset, frozenset, bool]]:
+    """Per top-level statement of the CURRENT file: (start, end,
+    names-it-defines, names-it-references, is-import). The reference set
+    is an AST over-approximation (locals shadowing globals only ADD
+    references), which is the safe direction for change tracking.
+    Imports are marked so import-line churn (new names appended for new
+    queries) does not flag whole modules: cross-module FUNCTION BODIES
+    are outside this tracker's scope either way — the local oracle sweep
+    is the backstop for those — so an import line carries no in-scope
+    behavior signal."""
+    key = (root, rel)
+    if key in _NAME_GRAPH_CACHE:
+        return _NAME_GRAPH_CACHE[key]
+    import ast
+    import os
+
+    with open(os.path.join(root, rel)) as fh:
+        tree = ast.parse(fh.read())
+    out: list[tuple[int, int, frozenset, frozenset, bool]] = []
+    for node in tree.body:
+        start = min(
+            [node.lineno] + [d.lineno for d in getattr(node, "decorator_list", [])]
+        )
+        end = node.end_lineno or start
+        defined: set[str] = set()
+        is_import = isinstance(node, (ast.Import, ast.ImportFrom))
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            defined.add(node.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    defined.add(t.id)
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            defined.add(node.target.id)
+        elif is_import:
+            for alias in node.names:
+                defined.add(alias.asname or alias.name.split(".")[0])
+        referenced = frozenset(
+            n.id for n in ast.walk(node) if isinstance(n, ast.Name)
+        )
+        out.append((start, end, frozenset(defined), referenced, is_import))
+    _NAME_GRAPH_CACHE[key] = out
+    return out
+
+
+def _reachable_names(
+    graph: list[tuple[int, int, frozenset, frozenset]], qstart: int, qend: int
+) -> set[str] | None:
+    """Transitive closure of module-level names a query (span [qstart,
+    qend]) can reach: seed with the references of the top-level
+    statement(s) containing the span, then follow name -> defining
+    statement -> its references. None => span not locatable (caller must
+    fall back to conservative whole-module marking)."""
+    seeds = [g for g in graph if g[0] <= qstart and qend <= g[1]]
+    if not seeds:
+        return None
+    defs_by_name: dict[str, list[tuple[int, int, frozenset, frozenset]]] = {}
+    for g in graph:
+        for d in g[2]:
+            defs_by_name.setdefault(d, []).append(g)
+    seen: set[str] = set()
+    frontier: set[str] = set().union(*[set(g[3]) for g in seeds])
+    while frontier:
+        n = frontier.pop()
+        if n in seen:
+            continue
+        seen.add(n)
+        for g in defs_by_name.get(n, []):
+            frontier |= set(g[3]) - seen
+    return seen
 
 
 def _derive_order(reg_index: dict[str, int]) -> list[str]:
@@ -370,19 +532,68 @@ def _derive_order(reg_index: dict[str, int]) -> list[str]:
             if not qspans:
                 continue
             module_touched = False
-            for a, b in rngs:
+            touched_names: set[str] = set()
+            for a, b, pure_add, removed in rngs:
                 hit = False
                 for s, e, qname in qspans:
                     if a <= e and b >= s:
                         hit = True
                         if last.get(qname) == rnd:
                             changed.add(qname)
-                if not hit:
+                if hit:
+                    continue
+                if pure_add and _is_new_toplevel_only(root, rel, a, b):
+                    # Appending complete new top-level definitions cannot
+                    # alter an existing query's execution (round-7 lesson:
+                    # 31 appended registrations flooding tier 1 starved
+                    # genuinely-changed queries out of the verification
+                    # window).
+                    continue
+                # Module-level change outside every query span (a shared
+                # helper body, a constant, an oracle CTE): attribute it to
+                # the top-level names the hunk's statements define, and
+                # flag only queries whose reference closure reaches one of
+                # them. A hunk not attributable to any named statement
+                # keeps the conservative whole-module marking.
+                try:
+                    graph = _name_graph(root, rel)
+                except (OSError, SyntaxError):
+                    module_touched = True
+                    continue
+                stmts = [g for g in graph if a <= g[1] and b >= g[0]]
+                if stmts and all(g[4] for g in stmts):
+                    # Import-only hunk: no in-scope behavior signal (see
+                    # _name_graph docstring).
+                    continue
+                hunk_names = set().union(
+                    *[set(g[2]) for g in stmts if not g[4]], set()
+                )
+                if not stmts:
+                    # Hunk lands BETWEEN current statements: a deleted
+                    # whole top-level statement (or comment churn).
+                    # Attribute the removed col-0 definitions by name;
+                    # unparseable non-trivial removals stay conservative.
+                    names, opaque = _removed_toplevel_names(removed)
+                    hunk_names |= names
+                    if opaque:
+                        module_touched = True
+                        continue
+                    if not names:
+                        continue  # comment/blank-only churn
+                if hunk_names:
+                    touched_names |= hunk_names
+                else:
                     module_touched = True
             if module_touched:
-                # Module-level change (shared helper/constant/oracle CTE):
-                # conservatively touches every query in the file.
                 changed.update(q for q in members[rel] if last.get(q) == rnd)
+            elif touched_names:
+                graph = _name_graph(root, rel)
+                for s, e, qname in qspans:
+                    if last.get(qname) != rnd or qname in changed:
+                        continue
+                    reach = _reachable_names(graph, s, e)
+                    if reach is None or reach & touched_names:
+                        changed.add(qname)
 
     def key(name: str) -> tuple[int, int, int]:
         if name not in last:
