@@ -682,10 +682,32 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     MEMO_EVENTS.append("cc_build")
     pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.persist()
+    out = connected_components(spark, pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    _CC_MEMO[key] = out
+    return out
+
+
+def connected_components(
+    spark: SparkSession, pairs: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation → (node, cluster_id) at fixpoint, cluster_id =
+    smallest reachable node id. Edge-set-agnostic: the MinHash verified
+    pair graph and the embedding-cosine near-dup graph (SemDeDup) both
+    cluster through this one loop.
+
+    Pregel-style 100 TB shape — per iteration one join + grouped min,
+    state strictly shrinking; converges in O(component diameter) rounds
+    (near-dup clusters are shallow). See the call sites' oracles: the
+    same fixpoint as a recursive CTE, hash-verified."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     # Size the LOOP's shuffle width to the live edge set, not the session
     # default: AQE right-sizes exchanges within one query but cannot see
     # across a driver loop, and the verified near-dup edge set is orders
@@ -742,9 +764,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     edges.unpersist()
-    out = labels.select(F.col("node").alias("doc_id"), "cluster_id")
-    _CC_MEMO[key] = out
-    return out
+    return labels
 
 
 BENCH_DOC_MAX = 20  # doc_id < 20 stand in for the held-out benchmark set

@@ -1908,3 +1908,75 @@ def ndcg_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+# ---- Semantic dedup: clusters over the cosine near-dup graph ------------
+# SemDeDup (Abbas et al. 2023) shape: embedding-level near-duplicate
+# detection groups paraphrase families that lexical (MinHash) dedup
+# misses; keeping ONE representative per semantic cluster is the
+# curation decision. Clusters = connected components over the
+# embedding_cosine_neardup pair graph, via the same min-label
+# propagation loop the MinHash clusters use (operators.dedup.
+# connected_components); survivor = the cluster's smallest vec_id,
+# which under min-label CC is exactly the cluster_id.
+
+
+def _semantic_dedup_oracle() -> str:
+    from ..plans.registry import QUERIES as _REG
+
+    cp = _REG["embedding_cosine_neardup"].oracle
+    return f"""
+    WITH RECURSIVE cp AS ({cp}),
+    edges AS (
+      SELECT keep_id AS src, dup_id AS dst FROM cp
+      UNION ALL SELECT dup_id, keep_id FROM cp
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS reached FROM nodes
+      UNION
+      SELECT e.dst, r.reached FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (
+      SELECT node AS vec_id, MIN(reached) AS cluster_id FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT l.vec_id, l.cluster_id, s.n_members,
+           (l.vec_id = l.cluster_id) AS is_survivor
+    FROM labels l JOIN sizes s ON s.cluster_id = l.cluster_id
+    """
+
+
+@register("semantic_dedup_clusters", _semantic_dedup_oracle)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters (see block comment): cosine near-dup
+    pairs → connected components → per-vector row (vec_id, cluster_id,
+    n_members, is_survivor). The survivor flag marks the one vector per
+    paraphrase family a curation pass would keep; everything else is a
+    semantic duplicate of it.
+
+    Scale: the pair graph is the LSH-bucketed embedding_cosine_neardup
+    plan (adaptive bits — linear in corpus); the CC loop shuffles only
+    the near-dup edge list (orders of magnitude smaller than the
+    corpus) with loop-sized partitions; the membership/size epilogue is
+    one groupBy + join on the label frame. The oracle nests the full
+    cosine-pair oracle chain inside a recursive CTE, so candidates,
+    verification, clustering, and survivor choice are all hash-gated."""
+    from .dedup import connected_components
+
+    pairs = embedding_cosine_neardup(spark, sf_dir).select("keep_id", "dup_id")
+    labels = connected_components(spark, pairs, "keep_id", "dup_id").select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "n_members",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
