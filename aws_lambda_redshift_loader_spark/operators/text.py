@@ -1920,3 +1920,142 @@ def language_cap_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") <= LANG_CAP, 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("rn") > LANG_CAP, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
     )
+
+
+# ---- DSIR-style importance resampling -----------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# source document by how much its hashed-n-gram distribution looks like a
+# TARGET corpus vs the source at large, then keep the top scorers. The
+# feature space is hashed unigrams+bigrams folded into DSIR_BUCKETS
+# buckets (the paper's "hashed n-gram features"); the per-bucket log
+# importance weight ln p_target(b) - ln p_source(b) uses add-one
+# smoothing, each logarithm quantized to micro-nats (floor(ln(x)*1e6)
+# int64 — the house rule for the 1-ulp ln divergence) so document scores
+# are exact int64 sums in both engines. Target = lang='en' documents
+# (standing in for the paper's high-quality target corpus).
+DSIR_BUCKETS = 512
+DSIR_KEEP = 200
+
+
+@register(
+    "dsir_importance_select",
+    rf"""
+    WITH words AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, t.g
+      FROM words, LATERAL (SELECT unnest(ws) AS g) t
+      UNION ALL
+      SELECT doc_id, lang, ws[u.i] || ' ' || ws[u.i + 1] AS g
+      FROM words,
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) u
+      WHERE len(ws) >= 2
+    ),
+    bucketed AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+      FROM grams
+    ),
+    srcc AS (SELECT b, COUNT(*) AS s_b FROM bucketed GROUP BY b),
+    tgtc AS (SELECT b, COUNT(*) AS t_b FROM bucketed WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM bucketed) AS s_n,
+             (SELECT COUNT(*) FROM bucketed WHERE lang = 'en') AS t_n
+    ),
+    wts AS (
+      SELECT s.b,
+             CAST(floor(ln(CAST(COALESCE(t.t_b, 0) + 1 AS DOUBLE)
+                           / (tot.t_n + {DSIR_BUCKETS})) * 1e6) AS BIGINT)
+           - CAST(floor(ln(CAST(s.s_b + 1 AS DOUBLE)
+                           / (tot.s_n + {DSIR_BUCKETS})) * 1e6) AS BIGINT) AS q_w
+      FROM srcc s LEFT JOIN tgtc t ON t.b = s.b, tot
+    ),
+    scored AS (
+      SELECT bu.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(w.q_w) AS BIGINT) AS score_q
+      FROM bucketed bu JOIN wts w ON w.b = bu.b
+      GROUP BY bu.doc_id
+    )
+    SELECT doc_id, n_grams, score_q, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {DSIR_KEEP}
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (see block comment): hashed-n-gram importance
+    weights target-vs-source, exact int64 micro-nat scores, top
+    {DSIR_KEEP} documents by (score_q DESC, doc_id ASC).
+
+    Scale: two map-side-combined groupBys build the bucket histograms
+    ({DSIR_BUCKETS} rows each — broadcastable weight table no matter the
+    corpus size); scoring is one join grams⋈weights (shuffle on the
+    bucket key, uniform by construction of the hash) + one per-doc
+    groupBy. The global top-K window is the only single-partition stage
+    and sees one row per document; at 100 TB replace it with an
+    approximate threshold + exact tail sort, or orderBy().limit() which
+    Spark executes as per-partition top-K + merge."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(norm_text("text"), " ").alias("ws")
+    )
+    uni = d.select("doc_id", "lang", F.explode("ws").alias("g"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> ws[i - 1] || ' ' || ws[i])")
+        ).alias("g"),
+    )
+    grams = uni.unionByName(bi)
+    bucketed = grams.select(
+        "doc_id",
+        "lang",
+        (hex_hash64(F.col("g"), salt="dsir:") % DSIR_BUCKETS).alias("b"),
+    )
+    srcc = bucketed.groupBy("b").agg(F.count("*").alias("s_b"))
+    tgtc = (
+        bucketed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("t_b"))
+    )
+    tot = bucketed.agg(
+        F.count("*").alias("s_n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_n"),
+    )
+    qln = lambda num, den: F.floor(F.log(num / den) * 1e6).cast("bigint")
+    wts = (
+        srcc.join(tgtc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                qln(
+                    (F.coalesce(F.col("t_b"), F.lit(0)) + 1).cast("double"),
+                    (F.col("t_n") + DSIR_BUCKETS).cast("double"),
+                )
+                - qln(
+                    (F.col("s_b") + 1).cast("double"),
+                    (F.col("s_n") + DSIR_BUCKETS).cast("double"),
+                )
+            ).alias("q_w"),
+        )
+    )
+    scored = (
+        bucketed.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("q_w").cast("bigint").alias("score_q"),
+        )
+    )
+    w = W.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DSIR_KEEP)
+        .select("doc_id", "n_grams", "score_q", "rank")
+    )
