@@ -1664,3 +1664,75 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_exact, n_lsh, n_common)], "n_exact long, n_lsh long, n_common long"
     )
+
+
+# ---- Dedup token-savings accounting -------------------------------------
+# The report a curation run actually publishes: per source, how many
+# documents and TOKENS survive near-dup dedup (keep the cluster's
+# smallest doc_id, keep all unclustered docs) and the fraction saved.
+# Token cost is what an LLM training budget is denominated in, so the
+# savings ledger is per-token, not per-doc. Eighth consumer of the
+# shared verified-pair graph (_verified_pairs/_CC_MEMO).
+
+
+@register(
+    "dedup_token_savings",
+    rf"""
+    WITH RECURSIVE {_CC_CTES},
+    labels AS (
+      SELECT node AS doc_id, MIN(reached) AS cluster_id FROM reach GROUP BY node
+    ),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                                   ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    j AS (
+      SELECT t.source, t.n_tokens,
+             (l.cluster_id IS NULL OR l.cluster_id = t.doc_id) AS kept
+      FROM toks t LEFT JOIN labels l ON l.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(SUM(n_tokens) - SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS DOUBLE)
+             / SUM(n_tokens) AS savings_frac
+    FROM j GROUP BY source
+    """,
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings ledger (see block comment): doc and
+    token counts before/after keep-smallest-per-cluster near-dup dedup,
+    plus the saved-token fraction (exact-integer ratio, one correctly-
+    rounded division).
+
+    Scale: cluster labels come from the shared pair-graph memo (edge-
+    list-sized); tokenization is map-only; the labels join is a
+    broadcast in practice (labels ≪ corpus) and the report groupBy has
+    source-count cardinality. Nothing rescans the corpus twice."""
+    labels = dedup_connected_components(spark, sf_dir)
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm_text("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    j = toks.join(F.broadcast(labels), "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))).alias(
+            "kept"
+        ),
+    )
+    kept_tokens = F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        kept_tokens.cast("bigint").alias("tokens_kept"),
+        ((F.sum("n_tokens") - kept_tokens).cast("double") / F.sum("n_tokens")).alias(
+            "savings_frac"
+        ),
+    )
