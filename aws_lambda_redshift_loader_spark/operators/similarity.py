@@ -818,16 +818,29 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query_id, neighbor_id, cosine, e) — the shared index front-end of
     embedding_ivf_topk (exact top-k rerank) and mmr_ann_topk (diversity
     epilogue)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    assigned = _assign_cells(emb, ids, cent)
+    return _probe_postings(
+        spark, assigned, emb.filter(F.col("vec_id") < N_QUERIES), ids, cent
+    )
+
+
+def _probe_postings(
+    spark: SparkSession, assigned: DataFrame, queries_emb: DataFrame, ids, cent
+) -> DataFrame:
+    """IVF probe + exact scoring over a postings frame (vec_id, e, cell):
+    each query row of `queries_emb` picks its top-{IVF_NPROBE} cells by
+    centroid cosine (deterministic tie-break toward the lower cell id),
+    joins the matching postings, and scores exactly. Factored out of
+    _ivf_scored so the streaming incremental-index form can probe a
+    postings STORE maintained per micro-batch with the identical code."""
     import numpy as np
     import pandas as pd  # noqa: F811 — worker-side
     from pyspark.sql import types as T
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quantize("embedding").alias("e"))
-    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
     cent_norms = np.sqrt((cent * cent).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, cent, cent_norms))
-
-    assigned = _assign_cells(emb, ids, cent)
 
     probe_schema = T.StructType(
         [
@@ -861,9 +874,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES).mapInPandas(probe, schema=probe_schema)
-    )
+    probes = queries_emb.mapInPandas(probe, schema=probe_schema)
     cands = assigned.join(
         F.broadcast(probes),
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),

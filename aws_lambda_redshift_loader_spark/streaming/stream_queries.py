@@ -822,3 +822,101 @@ def _register_incremental_neardup() -> None:
 
 
 _register_incremental_neardup()
+
+
+# ---- Incremental ANN index maintenance ----------------------------------
+# The retrieval-side sibling of stream_incremental_neardup: the IVF
+# coarse quantizer is trained OFFLINE (on the static corpus — exactly
+# how production vector stores deploy a quantizer), then the inverted
+# file (postings) is maintained per micro-batch: each arriving vector
+# block is centroid-assigned with the same map-only GEMM the batch index
+# uses and appended to an epoch-partitioned postings store. A probe over
+# the fully-ingested store must equal the batch IVF query — which is the
+# oracle (the same trained-quantizer CTE chain that gates
+# embedding_ivf_topk).
+INC_IVF_EPOCHS = 4
+
+
+def _register_incremental_ivf() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_ivf",
+        lambda: _REG["embedding_ivf_topk"].oracle,
+    )
+    def stream_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming IVF index maintenance (see block comment): train the
+        coarse quantizer offline, split the corpus into
+        {INC_IVF_EPOCHS} range files, stream one per trigger, per batch
+        assign cells (map-only GEMM) and append to the postings store
+        (epoch-partitioned overwrite — replay-idempotent), then probe the
+        store with the standing query set. Hash-gated equal to the batch
+        embedding_ivf_topk plan.
+
+        Scale: per epoch the work is O(batch) assignment — the store is
+        append-only and never rescanned during ingest. The probe is the
+        batch plan's own probe (factored shared code), reading only the
+        probed cells' postings. This is the production pattern: offline-
+        trained quantizer, online postings, queries see every ingested
+        vector immediately after its epoch commits."""
+        from ..operators.similarity import (
+            IVF_TRAIN_ITERS,
+            N_QUERIES,
+            TOP_K,
+            _assign_cells,
+            _kmeans_centroids,
+            _probe_postings,
+            _quantize,
+        )
+        from pyspark.sql.window import Window as W
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_ivf_src_")
+        postings_dir = _e2e_tmpdir("alrs_ivf_postings_")
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", _quantize("embedding").alias("e")
+        )
+        ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+
+        emb.repartitionByRange(INC_IVF_EPOCHS, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = emb.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            _assign_cells(batch_df, ids, cent).write.mode("overwrite").parquet(
+                f"{postings_dir}/epoch={epoch_id}"
+            )
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_ivf_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        postings = spark.read.parquet(postings_dir).select("vec_id", "e", "cell")
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        scored = _probe_postings(spark, postings, queries, ids, cent).drop("e")
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
+_register_incremental_ivf()
