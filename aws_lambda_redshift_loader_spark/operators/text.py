@@ -1588,6 +1588,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_toks"),
     )
+    return _bm25_rank(tf, qterms, doclen, stats)
+
+
+def _bm25_rank(
+    tf: DataFrame, qterms: DataFrame, doclen: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """BM25 IDF/saturation/rank over prepared frames — tf(doc_id, token,
+    tf) already restricted to query vocabulary, doclen(doc_id, len),
+    stats(n_docs, n_toks) 1-row, qterms(query_id, token) — factored out
+    of bm25_topk so the streaming incremental-postings form ranks its
+    maintained store with the identical arithmetic."""
     idf = (
         tf.groupBy("token")
         .agg(F.count("*").cast("bigint").alias("df"))

@@ -920,3 +920,102 @@ def _register_incremental_ivf() -> None:
 
 
 _register_incremental_ivf()
+
+
+# ---- Incremental lexical (BM25) index maintenance -----------------------
+# Third member of the incremental-index family (near-dup pair graph,
+# IVF postings, now the lexical inverted file): per micro-batch the
+# arriving documents are tokenized once and their COMPLETE postings
+# (doc_id, token, tf) plus doc lengths land in an epoch-partitioned
+# store — the classic search-engine segment write. Query-time BM25 over
+# the fully-ingested store (df/idf/avgdl derived from the store, query
+# vocabulary restriction applied at query time exactly like the batch
+# plan) must equal batch bm25_topk — which is the oracle.
+INC_BM25_EPOCHS = 4
+
+
+def _register_incremental_bm25() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_bm25",
+        lambda: _REG["bm25_topk"].oracle,
+    )
+    def stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming BM25 segment maintenance (see block comment):
+        documents split into {INC_BM25_EPOCHS} range files → one file per
+        trigger → per batch tokenize + per-doc tf groupBy (batch-local —
+        every document arrives whole) → epoch-partitioned postings/query-
+        token stores (replay-idempotent overwrites). The final ranking
+        runs the batch plan's own _bm25_rank over store-derived frames;
+        the driver's hash gate proves incremental == batch.
+
+        Scale: ingest work is O(batch tokens) with one batch-local
+        groupBy — the store is never rescanned during ingest (doc
+        lengths and corpus totals derive from postings at query time via
+        map-side-combined aggregates; production would fold them into
+        segment metadata). Query-time vocabulary restriction keeps the
+        scoring join bounded by query terms, same as batch."""
+        from ..operators.text import BM25_QUERY_MAX, _bm25_rank
+        from ..functions.scalar import norm_text
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_bm25_src_")
+        post_dir = _e2e_tmpdir("alrs_bm25_postings_")
+        qtok_dir = _e2e_tmpdir("alrs_bm25_qtoks_")
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        docs.repartitionByRange(INC_BM25_EPOCHS, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            toks = batch_df.select(
+                "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token")
+            )
+            toks.filter(F.col("doc_id") >= BM25_QUERY_MAX).groupBy(
+                "doc_id", "token"
+            ).agg(F.count("*").cast("bigint").alias("tf")).write.mode(
+                "overwrite"
+            ).parquet(f"{post_dir}/epoch={epoch_id}")
+            toks.filter(F.col("doc_id") < BM25_QUERY_MAX).select(
+                F.col("doc_id").alias("query_id"), "token"
+            ).distinct().write.mode("overwrite").parquet(
+                f"{qtok_dir}/epoch={epoch_id}"
+            )
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_bm25_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        postings = spark.read.parquet(post_dir).select("doc_id", "token", "tf")
+        qterms = spark.read.parquet(qtok_dir).select("query_id", "token")
+        tf = postings.join(
+            F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+        )
+        doclen = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("len")
+        )
+        stats = postings.agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("tf").cast("bigint").alias("n_toks"),
+        )
+        return _bm25_rank(tf, qterms, doclen, stats)
+
+
+_register_incremental_bm25()
