@@ -73,6 +73,10 @@ QUERIES = [
     "embedding_opq_topk",         # rotation + trained PQ chain
     "shingle_containment_pairs",  # capped inverted index, one-sided norm
     "corpus_curation_e2e",        # pair graph + CC + gate + split report
+    # round-8 additions
+    "dsir_importance_select",     # hashed-n-gram histograms + bucket join
+    "semantic_dedup_clusters",    # cosine LSH pairs + edge-list CC
+    "dedup_token_savings",        # pair-graph labels + per-source ledger
 ]
 
 
@@ -413,7 +417,7 @@ def main() -> None:
     }
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps({k: v["ratio"] for k, v in results.items()}))
+    print(json.dumps({k: v.get("ratio") for k, v in results.items()}))
 
 
 if __name__ == "__main__":
