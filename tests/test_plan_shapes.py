@@ -242,3 +242,25 @@ def test_mmr_ann_and_rrf_are_bounded_epilogues(spark):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     plan = _formatted(spark, "hybrid_rrf_topk")
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    # The 512-row bucket weight table must join the gram stream as a
+    # broadcast; a shuffled join would move the whole gram set twice.
+    plan = _formatted(spark, "dsir_importance_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_has_no_cartesian(spark):
+    # Cosine pair generation must stay LSH-bucketed (the group-local GEMM
+    # path) — no cartesian/nested-loop pair enumeration anywhere.
+    plan = _formatted(spark, "semantic_dedup_clusters")
+    assert "CartesianProduct" not in plan
+
+
+def test_token_savings_broadcasts_labels(spark):
+    # Cluster labels are edge-list-sized; the corpus-side join must
+    # broadcast them, never shuffle the tokenized corpus.
+    plan = _formatted(spark, "dedup_token_savings")
+    assert "BroadcastHashJoin" in plan
