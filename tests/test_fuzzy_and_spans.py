@@ -206,3 +206,32 @@ def test_rolling_hash_unicode_parity(spark, tmp_path):
         assert a == b, f"{name} diverged on unicode text"
         assert len(a) > 0
     D._PAIRS_MEMO.clear()  # don't leak the tiny test corpus's pair memo
+
+
+def test_cc_local_and_distributed_paths_agree(spark):
+    """connected_components' size-gated union-find fast path and the
+    Pregel min-label loop must compute the identical fixpoint; the gate
+    would otherwise hide loop regressions at fixture scale."""
+    from aws_lambda_redshift_loader_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        # two components {1,2,3,9} and {5,7}, plus a self-contained chain
+        [(1, 2), (2, 3), (3, 9), (5, 7), (10, 11), (11, 12)],
+        "doc_a bigint, doc_b bigint",
+    )
+    local = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(spark, pairs, "doc_a", "doc_b").collect()
+    }
+    old = dedup.CC_LOCAL_EDGE_MAX
+    dedup.CC_LOCAL_EDGE_MAX = -1  # force the distributed loop
+    try:
+        dist = {
+            (r["node"], r["cluster_id"])
+            for r in dedup.connected_components(spark, pairs, "doc_a", "doc_b").collect()
+        }
+    finally:
+        dedup.CC_LOCAL_EDGE_MAX = old
+    expected = {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5), (10, 10), (11, 10), (12, 10)}
+    assert local == expected
+    assert dist == expected
