@@ -2070,3 +2070,89 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= DSIR_KEEP)
         .select("doc_id", "n_grams", "score_q", "rank")
     )
+
+
+# ---- Quality-scorer calibration curve -----------------------------------
+# The eval-layer check every production quality filter needs (DataComp /
+# CCNet practice): bucket the continuous quality score into deciles and
+# measure agreement with an independent hard gate per bucket — a
+# monotone pass-rate curve means the scorer ranks documents the way the
+# gate filters them; a flat curve means the score is noise for this
+# corpus. Scorer = mean unigram surprisal (micro-nats, lower = more
+# typical text); reference label = the Gopher rule conjunction.
+CALIB_BUCKETS = 10
+
+
+@register(
+    "quality_calibration_curve",
+    rf"""
+    WITH {_SURPRISAL_CTES},
+    scored AS (
+      SELECT doc_id,
+             CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens AS score
+      FROM per_doc, tot
+    ),
+    labels AS (
+      SELECT doc_id,
+             (CAST(greatest(length(regexp_extract_all(text, '\S+')), 1) AS BIGINT)
+                BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                  / greatest(length(regexp_extract_all(text, '\S+')), 1)
+                  BETWEEN {GOPHER_MIN_AWL} AND {GOPHER_MAX_AWL})
+             AND (CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                  / greatest(length(regexp_extract_all(text, '\S+')), 1)
+                  <= {GOPHER_MAX_SYMBOL_RATIO})
+             AND (CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b'))
+                       AS BIGINT) >= {GOPHER_MIN_STOPWORD_HITS}) AS passes
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT s.doc_id, s.score, l.passes,
+             ntile({CALIB_BUCKETS}) OVER (ORDER BY s.score ASC, s.doc_id ASC) AS bucket
+      FROM scored s JOIN labels l ON l.doc_id = s.doc_id
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_frac,
+           MIN(score) AS score_lo, MAX(score) AS score_hi
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the surprisal quality scorer against the
+    Gopher rule gate (see block comment): {CALIB_BUCKETS} ntile buckets
+    by (score ASC, doc_id ASC), per bucket the doc count, gate-pass
+    count and fraction, and the score range.
+
+    Cross-engine determinism: the score is the established micro-nat
+    integer ratio; ntile over a TOTAL order is engine-agnostic (first
+    n%k buckets get the extra row — SQL standard, both engines); the
+    pass fraction is one correctly-rounded division of exact ints.
+
+    Scale: scorer and gate are both scan-shaped (one token join + one
+    projection); the global ntile is the only single-partition stage
+    and sees one row per doc — at 100 TB replace with pre-computed
+    score quantiles (approx_percentile) + a map-side bucket assignment,
+    the same rewrite zorder_layout_audit documents."""
+    surp = _doc_surprisal(spark, sf_dir).select(
+        "doc_id",
+        (F.col("surprisal_q").cast("double") / F.col("n_tokens")).alias("score"),
+    )
+    labels = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_all").alias("passes")
+    )
+    w = W.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    bucketed = (
+        surp.join(labels, "doc_id")
+        .withColumn("bucket", F.ntile(CALIB_BUCKETS).over(w).cast("int"))
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        (
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("double") / F.count("*")
+        ).alias("pass_frac"),
+        F.min("score").alias("score_lo"),
+        F.max("score").alias("score_hi"),
+    )
