@@ -80,3 +80,59 @@ def test_load_all_order_puts_unverified_first():
     assert len(q) >= 163
     # every oracle is a resolved string (lazy callables materialized)
     assert all(s.oracle is None or isinstance(s.oracle, str) for s in q.values())
+
+
+def test_operator_modules_import_standalone():
+    """Round-7 ADVICE: importing operators.text without operators.similarity
+    crashed on the cross-module RRF oracle. Each operator module must
+    import in a FRESH interpreter on its own (lazy oracles defer)."""
+    import subprocess
+    import sys
+
+    for mod in ["text", "similarity", "dedup", "multimodal"]:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             f"import aws_lambda_redshift_loader_spark.operators.{mod}"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=60,
+        )
+        assert r.returncode == 0, f"operators.{mod} standalone import failed:\n{r.stderr[-800:]}"
+
+
+def test_union_find_matches_networkx_free_reference(spark):
+    """Property: the union-find fast path's components equal a brute
+    reachability closure on random small graphs."""
+    import random
+
+    from aws_lambda_redshift_loader_spark.operators import dedup
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(2, 25)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(rng.randint(1, 40))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in dedup.connected_components(spark, pairs, "doc_a", "doc_b").collect()
+        }
+        # reference: transitive closure by repeated expansion
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected = set()
+        for start in adj:
+            seen = {start}
+            frontier = [start]
+            while frontier:
+                x = frontier.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        frontier.append(y)
+            expected.add((start, min(seen)))
+        assert got == expected, f"trial {trial}: {sorted(got)} != {sorted(expected)}"
