@@ -1985,7 +1985,9 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
-    return labels.join(sizes, "cluster_id").select(
+    # labels/sizes are edge-list-sized (hundreds of rows); without stats
+    # Catalyst picks SMJ — hint the aggregate side broadcast.
+    return labels.join(F.broadcast(sizes), "cluster_id").select(
         "vec_id",
         "cluster_id",
         "n_members",
