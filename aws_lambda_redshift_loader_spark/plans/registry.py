@@ -92,8 +92,14 @@ def _resolve_lazy_oracles() -> None:
 # correctness files are unavailable. The local tests/test_oracle.py sweep
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
-    # round-8 new query (no prior correctness row)
+    # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
+    "stream_incremental_ivf",
+    "stream_incremental_bm25",
+    "semantic_dedup_clusters",
+    "dsir_importance_select",
+    "dedup_token_savings",
+    "quality_calibration_curve",
     # round-6 div micro-fix trio (VERDICT r6 item 2: changed code with no
     # r6 hard verdict — rotate first)
     "value_histogram",
