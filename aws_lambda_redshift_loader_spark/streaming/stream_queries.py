@@ -712,6 +712,78 @@ def stream_ingest_jdbc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 INC_NEARDUP_EPOCHS = 4
 
 
+def ingest_neardup_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    docs_wh: str,
+    store: str,
+    pairs_dir: str,
+) -> None:
+    """One near-dup ingest epoch (the foreachBatch body, module-level so
+    the replay-idempotence contract is directly testable): every write is
+    an OVERWRITE of this epoch's partition, so replaying an epoch —
+    including after later epochs have committed — reproduces exactly its
+    original outputs. foreachBatch runs driver-side, so there is no
+    pickling constraint here (unlike mapInPandas closures)."""
+    from ..operators.dedup import _band_rows, _verify_candidates
+
+    # (1) arrived-docs warehouse (verification source of truth).
+    batch_df.write.mode("overwrite").parquet(f"{docs_wh}/epoch={epoch_id}")
+    batch = spark.read.parquet(f"{docs_wh}/epoch={epoch_id}")
+    # (2) band the new docs; append to the signature store.
+    _band_rows(batch).write.mode("overwrite").parquet(f"{store}/epoch={epoch_id}")
+    new_bands = spark.read.parquet(f"{store}/epoch={epoch_id}")
+    # Epochs STRICTLY AFTER this one are excluded (partition-pruned on
+    # the epoch dir column): on a replay after later epochs committed,
+    # their bands are in the store, and a (this-batch, later-doc) pair
+    # found here would duplicate the one the later doc's own epoch
+    # already wrote. Normal flow never sees future epochs; this makes
+    # replay correct under ANY ordering, not just tail-replay.
+    all_bands = spark.read.parquet(store).filter(F.col("epoch") <= epoch_id)
+    # (3) candidates: new-vs-store (unordered pair, at least one side
+    # new; new-new found once via the doc_id ordering).
+    cands = (
+        new_bands.alias("nb")
+        .join(
+            all_bands.alias("ab"),
+            (F.col("nb.band") == F.col("ab.band"))
+            & (F.col("nb.band_key") == F.col("ab.band_key"))
+            & (F.col("nb.doc_id") != F.col("ab.doc_id")),
+        )
+        .select(
+            F.least("nb.doc_id", "ab.doc_id").alias("doc_a"),
+            F.greatest("nb.doc_id", "ab.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # Drop pairs where BOTH docs predate this epoch (possible only via
+    # replay after later epochs committed — their bands are in the store;
+    # structural disjointness otherwise) by requiring one side in the
+    # current batch.
+    batch_ids = batch.select(F.col("doc_id").alias("bid"))
+    cands = cands.join(
+        batch_ids.hint("broadcast"),
+        (F.col("doc_a") == F.col("bid")) | (F.col("doc_b") == F.col("bid")),
+        "left_semi",
+    )
+    # (4) verify on candidate docs only, from the arrived store (same
+    # epoch bound as the band store, for the same replay reason).
+    arrived = (
+        spark.read.parquet(docs_wh)
+        .filter(F.col("epoch") <= epoch_id)
+        .select("doc_id", "text")
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    needed = arrived.join(cand_ids.hint("broadcast"), "doc_id", "left_semi")
+    verified = _verify_candidates(cands, needed)
+    verified.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+
+
 def _register_incremental_neardup() -> None:
     from ..operators.dedup import _PAIRS_ORACLE_CTES
 
@@ -761,52 +833,7 @@ def _register_incremental_neardup() -> None:
         )
 
         def update(batch_df: DataFrame, epoch_id: int) -> None:
-            # (1) arrived-docs warehouse (verification source of truth).
-            batch_df.write.mode("overwrite").parquet(f"{docs_wh}/epoch={epoch_id}")
-            batch = spark.read.parquet(f"{docs_wh}/epoch={epoch_id}")
-            # (2) band the new docs; append to the signature store.
-            _band_rows(batch).write.mode("overwrite").parquet(
-                f"{store}/epoch={epoch_id}"
-            )
-            new_bands = spark.read.parquet(f"{store}/epoch={epoch_id}")
-            all_bands = spark.read.parquet(store)
-            # (3) candidates: new-vs-store (unordered pair, at least one
-            # side new; new-new found once via the doc_id ordering).
-            cands = (
-                new_bands.alias("nb")
-                .join(
-                    all_bands.alias("ab"),
-                    (F.col("nb.band") == F.col("ab.band"))
-                    & (F.col("nb.band_key") == F.col("ab.band_key"))
-                    & (F.col("nb.doc_id") != F.col("ab.doc_id")),
-                )
-                .select(
-                    F.least("nb.doc_id", "ab.doc_id").alias("doc_a"),
-                    F.greatest("nb.doc_id", "ab.doc_id").alias("doc_b"),
-                )
-                .distinct()
-            )
-            # Drop pairs where BOTH docs predate this epoch (possible only
-            # via replay; structural disjointness otherwise) by requiring
-            # one side in the current batch.
-            batch_ids = batch.select(F.col("doc_id").alias("bid"))
-            cands = (
-                cands.join(
-                    batch_ids.hint("broadcast"),
-                    (F.col("doc_a") == F.col("bid")) | (F.col("doc_b") == F.col("bid")),
-                    "left_semi",
-                )
-            )
-            # (4) verify on candidate docs only, from the arrived store.
-            arrived = spark.read.parquet(docs_wh).select("doc_id", "text")
-            cand_ids = (
-                cands.select(F.col("doc_a").alias("doc_id"))
-                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-                .distinct()
-            )
-            needed = arrived.join(cand_ids.hint("broadcast"), "doc_id", "left_semi")
-            verified = _verify_candidates(cands, needed)
-            verified.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+            ingest_neardup_epoch(spark, batch_df, epoch_id, docs_wh, store, pairs_dir)
 
         with _stream_shuffle(spark):
             q = (

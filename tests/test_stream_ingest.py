@@ -159,3 +159,49 @@ def test_glob_pushdown_and_regex_post_filter(spark, tmp_path):
     ).run_available()
     rows = spark.read.parquet(os.path.join(str(tmp_path / "wh"), "t")).collect()
     assert [(r.a, r.b, r.c) for r in rows] == [(4, 5, 6)]
+
+
+def test_incremental_neardup_replay_idempotent(spark, tmp_path):
+    """The incremental near-dup ingest's exactly-once contract: replaying
+    ANY committed epoch — including after later epochs committed —
+    reproduces its original outputs bit-for-bit, and the final pair set
+    still equals the batch recompute."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.operators.dedup import _minhash_pairs_plan
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_neardup_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    wh, store, pairs = (str(tmp_path / d) for d in ("wh", "store", "pairs"))
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        ingest_neardup_epoch(spark, spark.read.parquet(f), i, wh, store, pairs)
+
+    def pair_set():
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in spark.read.parquet(pairs).select("doc_a", "doc_b", "jaccard").collect()
+        }
+
+    before = pair_set()
+    # replay epoch 0 AFTER epochs 1-2 committed (the out-of-order case)
+    ingest_neardup_epoch(spark, spark.read.parquet(files[0]), 0, wh, store, pairs)
+    assert pair_set() == before, "replayed epoch changed the pair set"
+    # and the tail-replay (the case Spark's checkpoint recovery produces)
+    last = len(files) - 1
+    ingest_neardup_epoch(spark, spark.read.parquet(files[last]), last, wh, store, pairs)
+    assert pair_set() == before
+
+    batch = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in _minhash_pairs_plan(spark, sf).collect()
+    }
+    assert before == batch, "incremental != batch recompute"
