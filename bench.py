@@ -100,17 +100,24 @@ def main() -> None:
             prev = json.load(fh).get("queries", {})
     except Exception:
         pass
-    reruns: dict[str, dict[str, float]] = {}
+    reruns: dict[str, dict] = {}
     for name, t in sorted(timings.items()):
         p = prev.get(name, -1.0)
         if t > 1.0 and p > 0 and t > 2 * p:
             print(f"# bench rerunning flagged {name} ({t}s vs prev {p}s)", file=sys.stderr)
+            n_events = len(_dedup.MEMO_EVENTS)
             t0 = time.perf_counter()
             try:
                 specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 reruns[name] = {"bench": t, "prev": p, "rerun": round(time.perf_counter() - t0, 4)}
             except Exception:
                 reruns[name] = {"bench": t, "prev": p, "rerun": -1.0}
+            if len(_dedup.MEMO_EVENTS) > n_events:
+                # A rerun of a memo-BUILDING query hits the now-warm memo:
+                # its rerun time is a cache hit, not comparable to the
+                # flagged in-run time. Label it so the artifact can't
+                # mislead.
+                reruns[name]["rerun_memo_events"] = _dedup.MEMO_EVENTS[n_events:]
             spark.catalog.clearCache()
 
     with open(detail_path, "w") as fh:
