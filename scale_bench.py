@@ -77,6 +77,12 @@ QUERIES = [
     "dsir_importance_select",     # hashed-n-gram histograms + bucket join
     "semantic_dedup_clusters",    # cosine LSH pairs + edge-list CC
     "dedup_token_savings",        # pair-graph labels + per-source ledger
+    # incremental-index trilogy: per-epoch work should be O(batch), so
+    # the 10x step should scale like the batch plans plus fixed
+    # streaming overhead (4 trigger cycles either way)
+    "stream_incremental_neardup",
+    "stream_incremental_ivf",
+    "stream_incremental_bm25",
 ]
 
 
