@@ -689,7 +689,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-CC_LOCAL_EDGE_MAX = 1_000_000  # ≤ ~16 MB of id pairs → driver union-find
+import os as _os
+
+# ≤ ~16 MB of id pairs → driver union-find; above → the Pregel loop.
+# ALRS_CC_LOCAL_MAX overrides (set 0/-1 to force the distributed loop —
+# the scale instruments measure both paths so the 100 TB path stays
+# exercised even though fixture-scale edge lists always fit the gate).
+CC_LOCAL_EDGE_MAX = int(_os.environ.get("ALRS_CC_LOCAL_MAX", 1_000_000))
 
 
 def connected_components(

@@ -410,6 +410,32 @@ def main() -> None:
         }
         print(f"# {name}: {t1}s -> {t10}s (ratio {ratio})", file=sys.stderr, flush=True)
 
+    # The union-find fast path absorbs every fixture-scale edge list, so
+    # ALSO measure connected components with the gate disabled — the
+    # Pregel loop is the 100 TB path and must keep a scale datapoint.
+    if "dedup_connected_components" in (subset or QUERIES):
+        from aws_lambda_redshift_loader_spark.operators import dedup as _dd
+
+        old_gate = _dd.CC_LOCAL_EDGE_MAX
+        _dd.CC_LOCAL_EDGE_MAX = -1
+        try:
+            t1 = run(spark, specs, SRC, "dedup_connected_components")
+            t10 = run(spark, specs, DST, "dedup_connected_components")
+        finally:
+            _dd.CC_LOCAL_EDGE_MAX = old_gate
+        ratio = round(t10 / t1, 2) if t1 > 0 else None
+        results["dedup_connected_components@loop"] = {
+            "sec_1x": t1,
+            "sec_10x": t10,
+            "ratio": ratio,
+            "exponent": round(math.log10(ratio), 2) if ratio and ratio > 0 else None,
+            "note": "gate disabled: distributed min-label loop (the 100 TB path)",
+        }
+        print(
+            f"# dedup_connected_components@loop: {t1}s -> {t10}s (ratio {ratio})",
+            file=sys.stderr, flush=True,
+        )
+
     out = {
         "src": SRC,
         "scale_dir": DST,
