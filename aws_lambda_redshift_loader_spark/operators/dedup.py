@@ -1512,16 +1512,42 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     each. The quality mean stays exact under parallelism because the
     per-doc score quantizes to int64 micro-units BEFORE the sum."""
     clusters = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    return _curation_report(clusters, _doc_features(d))
+
+
+def _doc_features(d: DataFrame) -> DataFrame:
+    """Per-document curation features (doc_id, quality_score, n_tokens,
+    split) — every expression is per-doc/map-only, so the streaming
+    incremental form computes the identical frame batch-locally per
+    epoch and the union over epochs equals the one-shot corpus pass."""
     from ..operators import text as _text
 
-    d = table(spark, sf_dir, "documents")
-    quality = _text.quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    quality = _text._quality_of(d).select("doc_id", "quality_score")
+    h = hex_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split_of = d.select(
+        "doc_id",
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tokens_of = d.select(
+        "doc_id", F.size(F.split(norm_text("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return quality.join(split_of, "doc_id").join(tokens_of, "doc_id")
+
+
+def _curation_report(clusters: DataFrame, features: DataFrame) -> DataFrame:
+    """The curation epilogue over (doc_id→cluster_id) labels and per-doc
+    features: keep-best-per-cluster survivor argmax, quality gate,
+    deterministic split, per-split report — shared by the batch capstone
+    and the streaming incremental form (identical plan, two sources)."""
     from pyspark.sql.window import Window as W
 
     membership = (
-        d.select("doc_id")
+        features.select("doc_id", "quality_score")
         .join(clusters.withColumnRenamed("cluster_id", "cc_id"), "doc_id", "left")
-        .join(quality, "doc_id")
         .select(
             "doc_id",
             F.coalesce(F.col("cc_id"), F.col("doc_id")).alias("cluster_id"),
@@ -1534,25 +1560,14 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         membership.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "quality_score")
+        .select("doc_id")
     )
-    gated = kept.filter(F.col("quality_score") >= CURATION_QUALITY_MIN)
-    h = hex_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
-    split_of = d.select(
-        "doc_id",
-        F.when(h < SPLIT_TRAIN_PCT, "train")
-        .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
+    gated = features.join(kept, "doc_id", "left_semi").filter(
+        F.col("quality_score") >= CURATION_QUALITY_MIN
     )
-    tokens_of = d.select(
-        "doc_id", F.size(F.split(norm_text("text"), " ")).cast("bigint").alias("n_tokens")
-    )
-    n_corpus = d.agg(F.count("*").cast("bigint").alias("n_corpus"))
+    n_corpus = features.agg(F.count("*").cast("bigint").alias("n_corpus"))
     return (
-        gated.join(split_of, "doc_id")
-        .join(tokens_of, "doc_id")
-        .crossJoin(F.broadcast(n_corpus))
+        gated.crossJoin(F.broadcast(n_corpus))
         .groupBy("split")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

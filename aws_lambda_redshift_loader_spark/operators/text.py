@@ -110,7 +110,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Double arithmetic is written in one fixed expression order on both
     sides so the results are bit-identical (single divisions and a 3-term
     sum — no reduction-order ambiguity)."""
-    d = table(spark, sf_dir, "documents")
+    return _quality_of(table(spark, sf_dir, "documents"))
+
+
+def _quality_of(d: DataFrame) -> DataFrame:
+    """quality_score's map-only plan over any (doc_id, text) frame — the
+    streaming curation form scores each micro-batch with the identical
+    expressions (per-doc, so batch-local == corpus-global)."""
     m = d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("text_chars"),

@@ -1046,3 +1046,91 @@ def _register_incremental_bm25() -> None:
 
 
 _register_incremental_bm25()
+
+
+# ---- Incremental corpus curation ----------------------------------------
+# The capstone composition of the incremental-index family: per
+# micro-batch the arriving documents flow through the SAME near-dup
+# ingest epoch the pair-graph query uses (band + store join + verify,
+# epoch-idempotent) AND a batch-local feature pass (quality score, token
+# count, deterministic split — all per-doc expressions, so batch-local
+# equals corpus-global). A periodic compaction then clusters the
+# accumulated pair store and runs the batch capstone's own report
+# epilogue over the accumulated features. Equality with the one-shot
+# corpus_curation_e2e is the oracle — per-batch curation decisions with
+# the batch pipeline's exact semantics.
+INC_CURATION_EPOCHS = 4
+
+
+def _register_incremental_curation() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_curation",
+        lambda: _REG["corpus_curation_e2e"].oracle,
+    )
+    def stream_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming curation (see block comment): documents split into
+        {INC_CURATION_EPOCHS} range files → one per trigger → per batch
+        `ingest_neardup_epoch` (pair graph delta) + `_doc_features`
+        (quality/tokens/split, map-only) into epoch-partitioned stores →
+        final compaction: connected components over the pair store +
+        `_curation_report` over the feature store. Hash-gated equal to
+        the batch corpus_curation_e2e.
+
+        Scale: ingest is O(batch) (near-dup delta + map-only features);
+        the compaction reads the edge-list-sized pair store and the
+        one-row-per-doc feature store — the nightly-report shape over a
+        continuously-ingested corpus. Nothing rescans document text
+        after its arrival epoch."""
+        from ..operators.dedup import _curation_report, _doc_features, connected_components
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_cur_src_")
+        docs_wh = _e2e_tmpdir("alrs_cur_docs_")
+        store = _e2e_tmpdir("alrs_cur_store_")
+        pairs_dir = _e2e_tmpdir("alrs_cur_pairs_")
+        feat_dir = _e2e_tmpdir("alrs_cur_feat_")
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        docs.repartitionByRange(INC_CURATION_EPOCHS, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_neardup_epoch(spark, batch_df, epoch_id, docs_wh, store, pairs_dir)
+            batch = spark.read.parquet(f"{docs_wh}/epoch={epoch_id}")
+            _doc_features(batch).write.mode("overwrite").parquet(
+                f"{feat_dir}/epoch={epoch_id}"
+            )
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_cur_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        pairs = spark.read.parquet(pairs_dir).select("doc_a", "doc_b")
+        clusters = connected_components(spark, pairs, "doc_a", "doc_b").select(
+            F.col("node").alias("doc_id"), "cluster_id"
+        )
+        features = spark.read.parquet(feat_dir).select(
+            "doc_id", "quality_score", "n_tokens", "split"
+        )
+        return _curation_report(clusters, features)
+
+
+_register_incremental_curation()
