@@ -66,12 +66,22 @@ def register(
 
 
 def _resolve_lazy_oracles() -> None:
-    """Materialize deferred oracle SQL once all modules are registered."""
+    """Materialize deferred oracle SQL once all modules are registered.
+
+    Constraint: a callable oracle may nest only STRING-oracle queries —
+    nesting another deferred oracle would read its ``None`` placeholder
+    (resolution order is arbitrary). The tripwire below catches that
+    mistake loudly instead of shipping ``... AS (None) ...`` to DuckDB."""
     import dataclasses
 
     while _LAZY_ORACLES:
         name, thunk = _LAZY_ORACLES.popitem()
-        QUERIES[name] = dataclasses.replace(QUERIES[name], oracle=thunk())
+        sql = thunk()
+        assert sql is not None and "None" not in sql, (
+            f"lazy oracle for {name!r} embedded an unresolved oracle "
+            "(callable oracles may nest only string-oracle queries)"
+        )
+        QUERIES[name] = dataclasses.replace(QUERIES[name], oracle=sql)
 
 
 # The driver's correctness harness walks the registry in insertion order and
