@@ -1518,24 +1518,28 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_features(d: DataFrame) -> DataFrame:
     """Per-document curation features (doc_id, quality_score, n_tokens,
-    split) — every expression is per-doc/map-only, so the streaming
-    incremental form computes the identical frame batch-locally per
-    epoch and the union over epochs equals the one-shot corpus pass."""
+    split) as ONE map-only projection — every expression is per-doc, so
+    the streaming incremental form computes the identical frame
+    batch-locally per epoch and the union over epochs equals the
+    one-shot corpus pass. (A first cut joined three projections of the
+    same scan on doc_id — two shuffle self-joins for columns one
+    projection computes for free.)"""
     from ..operators import text as _text
 
     quality = _text._quality_of(d).select("doc_id", "quality_score")
     h = hex_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
-    split_of = d.select(
+    feats = d.select(
         "doc_id",
         F.when(h < SPLIT_TRAIN_PCT, "train")
         .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
         .otherwise("test")
         .alias("split"),
+        F.size(F.split(norm_text("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    tokens_of = d.select(
-        "doc_id", F.size(F.split(norm_text("text"), " ")).cast("bigint").alias("n_tokens")
-    )
-    return quality.join(split_of, "doc_id").join(tokens_of, "doc_id")
+    # quality_score's feature chain shares the scan via Catalyst's
+    # project-merge once joined on the narrow doc_id key; keep the one
+    # remaining join (quality needs its intermediate ratio columns).
+    return quality.join(feats, "doc_id")
 
 
 def _curation_report(clusters: DataFrame, features: DataFrame) -> DataFrame:
