@@ -235,3 +235,23 @@ def test_cc_local_and_distributed_paths_agree(spark):
     expected = {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5), (10, 10), (11, 10), (12, 10)}
     assert local == expected
     assert dist == expected
+
+
+def test_pair_graph_memo_builds_once(spark):
+    """The shared pair-graph memo must build on the FIRST consumer and
+    cache-hit on every later one within a (session, corpus) — the
+    architecture bench.py's memo_events labels rely on."""
+    from aws_lambda_redshift_loader_spark.operators import dedup
+    from aws_lambda_redshift_loader_spark.plans.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    specs = load_all()
+    dedup._PAIRS_MEMO.clear()
+    dedup._CC_MEMO.clear()
+    del dedup.MEMO_EVENTS[:]
+    specs["minhash_lsh_pairs"].fn(spark, sf).count()
+    specs["dedup_connected_components"].fn(spark, sf).count()
+    specs["dedup_cluster_keep_best"].fn(spark, sf).count()
+    assert dedup.MEMO_EVENTS.count("pairs_build") == 1
+    assert dedup.MEMO_EVENTS.count("cc_build") == 1
+    assert "pairs_hit" in dedup.MEMO_EVENTS or "cc_hit" in dedup.MEMO_EVENTS

@@ -264,3 +264,10 @@ def test_token_savings_broadcasts_labels(spark):
     # broadcast them, never shuffle the tokenized corpus.
     plan = _formatted(spark, "dedup_token_savings")
     assert "BroadcastHashJoin" in plan
+
+
+def test_calibration_curve_no_cartesian(spark):
+    # Scorer and gate join on doc_id; the only single-partition stage is
+    # the documented global ntile (one row per doc).
+    plan = _formatted(spark, "quality_calibration_curve")
+    assert "CartesianProduct" not in plan
