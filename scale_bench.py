@@ -83,6 +83,7 @@ QUERIES = [
     "stream_incremental_neardup",
     "stream_incremental_ivf",
     "stream_incremental_bm25",
+    "stream_incremental_curation",  # neardup epochs + feature pass + compaction
 ]
 
 
