@@ -724,8 +724,12 @@ def ingest_neardup_epoch(
     the replay-idempotence contract is directly testable): every write is
     an OVERWRITE of this epoch's partition, so replaying an epoch —
     including after later epochs have committed — reproduces exactly its
-    original outputs. foreachBatch runs driver-side, so there is no
-    pickling constraint here (unlike mapInPandas closures)."""
+    original outputs. This is the dedup-side analog of the reference's
+    per-batch load transaction (loadCluster, index.js:1077-1321) with
+    epoch-partition overwrite standing in for the batch-status CAS
+    (index.js:693-757) as the exactly-once mechanism. foreachBatch runs
+    driver-side, so there is no pickling constraint here (unlike
+    mapInPandas closures)."""
     from ..operators.dedup import _band_rows, _verify_candidates
 
     # (1) arrived-docs warehouse (verification source of truth).
