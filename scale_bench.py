@@ -210,7 +210,7 @@ LONGDOC_DST = os.environ.get("SPARK_GRAFT_LONGDOC_DIR", "/tmp/scale_longdoc")
 LONGDOC_GROUP = 32
 # Queries whose cost could plausibly depend on DOC LENGTH, not just corpus
 # size: per-token explodes, per-doc window partitions, per-doc arrays.
-LONGDOC_QUERIES = ["duplicated_spans", "winnowing_fingerprints", "document_chunking"]
+LONGDOC_QUERIES = ["duplicated_spans", "winnowing_fingerprints", "document_chunking", "cdc_chunks"]
 
 
 def build_longdoc_fixture(src_dir: str | None = None, dst_dir: str | None = None) -> str:
