@@ -71,13 +71,17 @@ def _resolve_lazy_oracles() -> None:
     Constraint: a callable oracle may nest only STRING-oracle queries —
     nesting another deferred oracle would read its ``None`` placeholder
     (resolution order is arbitrary). The tripwire below catches that
-    mistake loudly instead of shipping ``... AS (None) ...`` to DuckDB."""
+    mistake loudly instead of shipping ``... AS (None) ...`` to DuckDB.
+    It matches the exact f-string artifact of formatting a ``None``
+    oracle — ``(None)`` — rather than the bare substring ``None``, so a
+    legitimate future oracle containing a string literal or identifier
+    spelling ``None`` does not assert-fail ``load_all()``."""
     import dataclasses
 
     while _LAZY_ORACLES:
         name, thunk = _LAZY_ORACLES.popitem()
         sql = thunk()
-        assert sql is not None and "None" not in sql, (
+        assert sql is not None and "(None)" not in sql, (
             f"lazy oracle for {name!r} embedded an unresolved oracle "
             "(callable oracles may nest only string-oracle queries)"
         )
@@ -106,6 +110,7 @@ _FIRST = [
     "stream_incremental_neardup",
     "stream_incremental_ivf",
     "stream_incremental_bm25",
+    "stream_incremental_curation",
     "semantic_dedup_clusters",
     "dsir_importance_select",
     "dedup_token_savings",
@@ -521,18 +526,69 @@ def _reachable_names(
     return seen
 
 
-def _derive_order(reg_index: dict[str, int]) -> list[str]:
-    """Mechanical verification-priority order: (1) queries with no green
-    driver verdict yet, (2) queries whose source changed since their own
-    last green round, (3) the rest, stalest round first; registration order
-    breaks ties within each tier."""
-    root = _repo_root()
-    last = _last_green_rounds(root)
-    if not last:
-        raise RuntimeError("no CORRECTNESS files found")
+def _import_bindings_of(nodes) -> dict[str, tuple[str, str]]:
+    """asname -> (source module, original name) over Import/ImportFrom
+    nodes; Import binds the top package name to itself."""
+    import ast
+
+    out: dict[str, tuple[str, str]] = {}
+    for node in nodes:
+        if isinstance(node, ast.ImportFrom):
+            mod = "." * node.level + (node.module or "")
+            for alias in node.names:
+                out[alias.asname or alias.name] = (mod, alias.name)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                out[alias.asname or alias.name.split(".")[0]] = (alias.name, "")
+    return out
+
+
+def _rebound_import_names(root: str, rel: str, removed: tuple[str, ...]) -> set[str]:
+    """Names whose import binding CHANGED: bound by a removed import line
+    and now either absent from the module's top-level imports or bound
+    from a different source (``from .a import f`` -> ``from .b import
+    f``). Such a rewire changes which object ``f`` is, so queries whose
+    closure references ``f`` must re-verify even though the hunk's
+    CURRENT statements are import-only. Pure append churn (``import a``
+    -> ``import a, b`` rewriting the line) re-binds identically and is
+    NOT flagged. Best-effort: parenthesized continuations are joined
+    before parsing; fragments that still fail to parse yield no names
+    (the local oracle sweep remains the backstop, as for all
+    cross-module bodies)."""
+    import ast
+    import os
+    import re
+
+    text = "\n".join(removed)
+    # Collapse parenthesized import lists onto one logical line.
+    text = re.sub(r"\(([^()]*)\)", lambda m: m.group(1).replace("\n", " "), text)
+    nodes = []
+    for ln in text.splitlines():
+        ln = ln.strip().rstrip(",\\")
+        if not ln.startswith(("import ", "from ")):
+            continue
+        try:
+            nodes.append(ast.parse(ln).body[0])
+        except SyntaxError:
+            continue
+    old = _import_bindings_of(nodes)
+    if not old:
+        return set()
+    try:
+        with open(os.path.join(root, rel)) as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return set(old)
+    cur = _import_bindings_of(tree.body)
+    return {name for name, src in old.items() if cur.get(name) != src}
+
+
+def _changed_queries(root: str, last: dict[str, int]) -> set[str]:
+    """Queries whose source changed since their own last green driver
+    verdict — the tier-1 membership shared by `_derive_order` and the
+    pre-registration report `window_status.py` (extracted so the margin
+    report cannot drift from the order the driver actually uses)."""
     commits = _verdict_commits(root)
-    if not commits:
-        raise RuntimeError("no verdict commits found")
     spans, members = _query_spans()
 
     changed: set[str] = set()
@@ -578,8 +634,12 @@ def _derive_order(reg_index: dict[str, int]) -> list[str]:
                     continue
                 stmts = [g for g in graph if a <= g[1] and b >= g[0]]
                 if stmts and all(g[4] for g in stmts):
-                    # Import-only hunk: no in-scope behavior signal (see
-                    # _name_graph docstring).
+                    # Import-only hunk: the CURRENT statements carry no
+                    # in-scope behavior signal (see _name_graph docstring)
+                    # — but a REMOVED import line may have rebound a name
+                    # queries reference ('from .a import f' -> 'from .b
+                    # import f'), so attribute those names before skipping.
+                    touched_names |= _rebound_import_names(root, rel, removed)
                     continue
                 hunk_names = set().union(
                     *[set(g[2]) for g in stmts if not g[4]], set()
@@ -610,6 +670,21 @@ def _derive_order(reg_index: dict[str, int]) -> list[str]:
                     reach = _reachable_names(graph, s, e)
                     if reach is None or reach & touched_names:
                         changed.add(qname)
+    return changed
+
+
+def _derive_order(reg_index: dict[str, int]) -> list[str]:
+    """Mechanical verification-priority order: (1) queries with no green
+    driver verdict yet, (2) queries whose source changed since their own
+    last green round, (3) the rest, stalest round first; registration order
+    breaks ties within each tier."""
+    root = _repo_root()
+    last = _last_green_rounds(root)
+    if not last:
+        raise RuntimeError("no CORRECTNESS files found")
+    if not _verdict_commits(root):
+        raise RuntimeError("no verdict commits found")
+    changed = _changed_queries(root, last)
 
     def key(name: str) -> tuple[int, int, int]:
         if name not in last:

@@ -71,15 +71,18 @@ def _check_compression(paths: list[str], directive: str) -> None:
     all_exts = tuple(e for exts in _COMPRESSION_EXTS.values() for e in exts)
     for p in paths:
         low = p.lower()
-        if any(ch in low for ch in "*?["):
+        if any(ch in low for ch in "*?[{"):
             # Glob patterns resolve at scan time; Spark's codec detection
             # applies per matched file. But a glob with a LITERAL suffix
             # ('data/*.gz') still pins every match's extension, so the
             # directive check applies to it; only skip when the suffix
-            # itself is non-literal ('data/part-*', 'x.[gb]z').
+            # itself is non-literal ('data/part-*', 'x.[gb]z', and Hadoop
+            # brace alternations 'dir/*.{gz,gzip}' — '{' is a glob
+            # metacharacter too, so such a suffix defers to per-file
+            # codec detection instead of being read as a literal ext).
             suffix = low.rsplit("/", 1)[-1].rsplit(".", 1)[-1]
             if "." not in low.rsplit("/", 1)[-1] or any(
-                ch in suffix for ch in "*?["
+                ch in suffix for ch in "*?[{"
             ):
                 continue
             low = "literal." + suffix  # check by the pinned extension only

@@ -251,6 +251,13 @@ def test_compression_directive_glob_literal_suffix(spark, tmp_path):
     # Non-literal suffix: not checkable, passes through to codec detection.
     ok2 = read_files(spark, LoadConfig(**base, compression="NONE"), str(tmp_path / "data*"))
     assert ok2.count() >= 1
+    # Hadoop brace alternation '*.{gz,gzip}': '{' is a glob metacharacter,
+    # so the suffix is NOT the literal extension '{gz,gzip}' — must defer
+    # to per-file codec detection, not raise (ADVICE r8).
+    ok3 = read_files(
+        spark, LoadConfig(**base, compression="GZIP"), str(tmp_path / "*.{gz,gzip}")
+    )
+    assert ok3.count() == 1
 
 
 def test_avro_reader_options_accepted_with_warning(spark, caplog):

@@ -36,6 +36,45 @@ def test_removed_toplevel_names_opaque_on_unparseable_code():
     assert opaque  # bare col-0 call: cannot attribute -> conservative
 
 
+def test_rebound_import_names_flags_rewires_not_append_churn(tmp_path):
+    """ADVICE r8: 'from .a import f' -> 'from .b import f' alters query
+    behavior and must flag f; rewriting 'import x' to 'import x, y'
+    re-binds x identically and must NOT flood tier 1 (round-7 lesson)."""
+    p = tmp_path / "m.py"
+    p.write_text(
+        "from .b import f\nimport numpy as np\nfrom .mod import alpha, beta\n"
+    )
+    root = str(tmp_path)
+    # rewired source -> flagged
+    assert R._rebound_import_names(root, "m.py", ("from .a import f",)) == {"f"}
+    # identical re-bind (append churn) -> clean
+    assert R._rebound_import_names(root, "m.py", ("import numpy as np",)) == set()
+    assert (
+        R._rebound_import_names(root, "m.py", ("from .mod import alpha,",)) == set()
+    )
+    # deleted binding -> flagged; parenthesized continuation joined
+    assert R._rebound_import_names(
+        root, "m.py", ("from .c import (", "    gone,", ")")
+    ) == {"gone"}
+    # as-rename changes the bound object for the OLD asname
+    assert R._rebound_import_names(
+        root, "m.py", ("from .mod import alpha as a",)
+    ) == {"a"}
+    assert R._rebound_import_names(root, "m.py", ()) == set()
+
+
+def test_changed_queries_shared_by_window_status():
+    """window_status.py must consume registry._changed_queries rather than
+    keeping a drift-prone private copy of the tier-1 loop (ADVICE r8)."""
+    import re
+
+    src = open(
+        __file__.rsplit("/", 2)[0] + "/window_status.py"
+    ).read()
+    assert "R._changed_queries(" in src
+    assert not re.search(r"def _changed_set\(", src)
+
+
 def test_name_graph_marks_imports_and_definitions(tmp_path):
     p = tmp_path / "mod.py"
     p.write_text(

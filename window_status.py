@@ -24,75 +24,13 @@ from aws_lambda_redshift_loader_spark.plans import registry as R  # noqa: E402
 WINDOW = 50
 
 
-def _changed_set(root: str, last: dict[str, int]) -> set[str]:
-    """Recompute _derive_order's tier-1 membership (queries whose source
-    changed since their own last green verdict) with the same machinery."""
-    commits = R._verdict_commits(root)
-    spans, members = R._query_spans()
-    changed: set[str] = set()
-    for rnd in sorted({r for r in last.values()}):
-        base = commits.get(rnd)
-        if base is None:
-            changed.update(q for q, r in last.items() if r == rnd)
-            continue
-        for rel, rngs in R._diff_ranges(root, base).items():
-            qspans = spans.get(rel)
-            if not qspans:
-                continue
-            module_touched = False
-            touched: set[str] = set()
-            for a, b, pure, removed in rngs:
-                hit = False
-                for s, e, qn in qspans:
-                    if a <= e and b >= s:
-                        hit = True
-                        if last.get(qn) == rnd:
-                            changed.add(qn)
-                if hit:
-                    continue
-                if pure and R._is_new_toplevel_only(root, rel, a, b):
-                    continue
-                try:
-                    graph = R._name_graph(root, rel)
-                except (OSError, SyntaxError):
-                    module_touched = True
-                    continue
-                stmts = [g for g in graph if a <= g[1] and b >= g[0]]
-                if stmts and all(g[4] for g in stmts):
-                    continue
-                names = set().union(*[set(g[2]) for g in stmts if not g[4]], set())
-                if not stmts:
-                    extra, opaque = R._removed_toplevel_names(removed)
-                    names |= extra
-                    if opaque:
-                        module_touched = True
-                        continue
-                    if not extra:
-                        continue
-                if names:
-                    touched |= names
-                else:
-                    module_touched = True
-            if module_touched:
-                changed.update(q for q in members[rel] if last.get(q) == rnd)
-            elif touched:
-                graph = R._name_graph(root, rel)
-                for s, e, qn in qspans:
-                    if last.get(qn) != rnd or qn in changed:
-                        continue
-                    reach = R._reachable_names(graph, s, e)
-                    if reach is None or reach & touched:
-                        changed.add(qn)
-    return changed
-
-
 def main() -> None:
     q = R.load_all()
     order = list(q)
     root = R._repo_root()
     last = R._last_green_rounds(root)
     tier0 = [n for n in order if n not in last]
-    changed = _changed_set(root, last)
+    changed = R._changed_queries(root, last)
     tier1 = [n for n in order if n in last and n in changed]
     obligated = tier0 + tier1
     last_ob = max((order.index(n) for n in obligated), default=-1)
