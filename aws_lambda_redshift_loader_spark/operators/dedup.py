@@ -510,8 +510,15 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-vote is codegen integer arithmetic (shift/mask/sum), no Python.
     bitsum_i = 2*ones_i - n_tokens, so the sign test is 2*s_i > n.
     """
-    d = table(spark, sf_dir, "documents")
-    tokens = d.select(
+    return _simhash_sigs(table(spark, sf_dir, "documents"))
+
+
+def _simhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → (doc_id, simhash). DataFrame-parameterized
+    (same pattern as _band_rows): the signature depends only on the
+    doc's own tokens, so the streaming incremental form signs each
+    micro-batch with bit-identical results to the batch plan."""
+    tokens = docs.select(
         "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token")
     ).distinct()
     hashed = tokens.select("doc_id", hex_hash64(F.col("token")).alias("h"))
@@ -526,6 +533,26 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         fold = term if fold is None else fold + term
     return votes.select("doc_id", fold.cast("bigint").alias("simhash"))
+
+
+def _simhash_band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → pigeonhole band rows (doc_id, simhash, band,
+    band_val). Each row carries the full signature, so a band-collision
+    candidate pair can be Hamming-verified from the joined rows alone —
+    no second fetch. Shared by the batch pair query and the streaming
+    incremental signature store."""
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {b * _BAND_BITS}) & {_BAND_MASK}")
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
 
 
 _SIMHASH_BAND_SELECTS = "\n      UNION ALL\n".join(
@@ -567,19 +594,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the band join buckets on ({_SIMHASH_BANDS} bands × 2^{_BAND_BITS}
     values) — an equi-join Catalyst hashes, never an OR-of-bands nested
     loop. XOR+popcount is a codegen integer op, no Python."""
-    sigs = simhash_docs(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"(simhash >> {b * _BAND_BITS}) & {_BAND_MASK}")
-                    for b in range(_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
+    bands = _simhash_band_rows(simhash_docs(spark, sf_dir))
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -106,6 +106,8 @@ def _resolve_lazy_oracles() -> None:
 # correctness files are unavailable. The local tests/test_oracle.py sweep
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
+    # round-9 new queries (no prior correctness row)
+    "stream_incremental_simhash",
     # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
     "stream_incremental_ivf",

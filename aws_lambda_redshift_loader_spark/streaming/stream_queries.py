@@ -1211,3 +1211,138 @@ def _register_incremental_curation() -> None:
 
 
 _register_incremental_curation()
+
+# ---- Incremental SimHash index maintenance ------------------------------
+# Fifth member of the incremental-index family, and the cheapest to
+# maintain: the SimHash signature is a pure per-doc function, so each
+# micro-batch signs ONLY its own documents and appends pigeonhole band
+# rows to an epoch-partitioned signature store (same bkt-sorted zone-map
+# layout as the near-dup band store). Because every band row carries the
+# full 60-bit signature, the Hamming verification happens INSIDE the
+# band-collision probe join — no second text/signature fetch at all, the
+# property that makes SimHash the classic streaming near-dup index
+# (a Hamming-band probe, incrementally). Pair disjointness across epochs
+# is structural exactly as for MinHash: the probe side is this epoch's
+# own segment, so a pair is found once, in its later doc's epoch; the
+# union of per-epoch deltas equals the batch recompute, which is the
+# oracle (simhash_neardup_pairs' own SQL).
+INC_SIMHASH_EPOCHS = 4
+
+
+def _sim_bkt() -> "F.Column":
+    return F.pmod(F.xxhash64("band", "band_val"), F.lit(INC_STORE_BKTS)).cast("int")
+
+
+def ingest_simhash_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    store: str,
+    pairs_dir: str,
+) -> None:
+    """One SimHash ingest epoch (module-level so replay idempotence is
+    directly testable, like ingest_neardup_epoch): sign the batch, write
+    the epoch's band segment (bkt-sorted, small row groups), probe the
+    accumulated store pruned to the batch's own buckets, and write the
+    Hamming-verified pair delta — every write an epoch-partition
+    overwrite, so any replay reproduces its original outputs. Per-epoch
+    cost is O(batch) signing + O(batch keys x bucket size) probe I/O;
+    both-docs-old pairs are structurally impossible (the probe side is
+    this epoch's segment alone), so no batch-membership filter is
+    needed."""
+    from pyspark.sql import Observation
+
+    from ..operators.dedup import HAMMING_MAX, _simhash_band_rows, _simhash_sigs
+
+    obs = Observation()
+    _simhash_band_rows(_simhash_sigs(batch_df)).withColumn("bkt", _sim_bkt()).observe(
+        obs, F.collect_set("bkt").alias("bkts")
+    ).sortWithinPartitions("bkt").write.option(
+        "parquet.block.size", INC_STORE_BLOCK
+    ).mode("overwrite").parquet(f"{store}/epoch={epoch_id}")
+    batch_bkts = obs.get["bkts"]
+    new_bands = spark.read.parquet(f"{store}/epoch={epoch_id}")
+    # Same replay bound and source pruning as the MinHash store: epochs
+    # after this one excluded; scan pruned to the batch's buckets.
+    all_bands = spark.read.parquet(store).filter(
+        (F.col("epoch") <= epoch_id) & F.col("bkt").isin(batch_bkts)
+    )
+    hamming = F.bit_count(
+        F.col("nb.simhash").bitwiseXOR(F.col("ab.simhash"))
+    ).cast("int")
+    pairs = (
+        all_bands.alias("ab")
+        .join(
+            F.broadcast(new_bands.alias("nb")),
+            (F.col("nb.band") == F.col("ab.band"))
+            & (F.col("nb.band_val") == F.col("ab.band_val"))
+            & (F.col("nb.doc_id") != F.col("ab.doc_id")),
+        )
+        .select(
+            F.least("nb.doc_id", "ab.doc_id").alias("doc_a"),
+            F.greatest("nb.doc_id", "ab.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+    pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+
+
+def _register_incremental_simhash() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_simhash",
+        lambda: _REG["simhash_neardup_pairs"].oracle,
+    )
+    def stream_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming SimHash near-dup maintenance (see block comment):
+        documents split into {INC_SIMHASH_EPOCHS} range files -> one per
+        trigger -> per batch `ingest_simhash_epoch` (sign, append band
+        segment, Hamming-probe the pruned store, write the pair delta).
+        The returned frame is the union of per-epoch deltas; the oracle
+        is the batch simhash_neardup_pairs SQL, so the driver's hash
+        gate proves incremental == batch.
+
+        Scale: the per-doc signature needs no corpus state, the store is
+        append-only, and the probe prunes to the batch's band buckets —
+        the full corpus is never re-signed or re-scanned after its
+        arrival epoch. This is the Hamming-band analog of the MinHash
+        store, with verification fused into the probe join."""
+        tune(spark)
+        src = _e2e_tmpdir("alrs_sim_src_")
+        store = _e2e_tmpdir("alrs_sim_store_")
+        pairs_dir = _e2e_tmpdir("alrs_sim_pairs_")
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        docs.repartitionByRange(INC_SIMHASH_EPOCHS, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_simhash_epoch(spark, batch_df, epoch_id, store, pairs_dir)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_sim_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "hamming")
+
+
+_register_incremental_simhash()
+

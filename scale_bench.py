@@ -84,6 +84,8 @@ QUERIES = [
     "stream_incremental_ivf",
     "stream_incremental_bm25",
     "stream_incremental_curation",  # neardup epochs + feature pass + compaction
+    # round-9 addition
+    "stream_incremental_simhash",  # per-doc signing + Hamming-band store probe
 ]
 
 

@@ -205,3 +205,46 @@ def test_incremental_neardup_replay_idempotent(spark, tmp_path):
         for r in _minhash_pairs_plan(spark, sf).collect()
     }
     assert before == batch, "incremental != batch recompute"
+
+
+def test_incremental_simhash_replay_idempotent(spark, tmp_path):
+    """The SimHash store's exactly-once contract, mirroring the near-dup
+    test: replaying ANY committed epoch reproduces its outputs, and the
+    final pair set equals the batch simhash_neardup_pairs recompute."""
+    from aws_lambda_redshift_loader_spark.operators.dedup import simhash_neardup_pairs
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_simhash_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        ingest_simhash_epoch(spark, spark.read.parquet(f), i, store, pairs)
+
+    def pair_set():
+        return {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in spark.read.parquet(pairs).select("doc_a", "doc_b", "hamming").collect()
+        }
+
+    before = pair_set()
+    # out-of-order replay (epoch 0 after epochs 1-2 committed)
+    ingest_simhash_epoch(spark, spark.read.parquet(files[0]), 0, store, pairs)
+    assert pair_set() == before
+    # tail replay (the checkpoint-recovery case)
+    last = len(files) - 1
+    ingest_simhash_epoch(spark, spark.read.parquet(files[last]), last, store, pairs)
+    assert pair_set() == before
+
+    batch = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(spark, sf).collect()
+    }
+    assert before == batch, "incremental != batch recompute"
