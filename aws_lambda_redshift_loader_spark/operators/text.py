@@ -2088,17 +2088,9 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # typical text); reference label = the Gopher rule conjunction.
 CALIB_BUCKETS = 10
 
-
-@register(
-    "quality_calibration_curve",
-    rf"""
-    WITH {_SURPRISAL_CTES},
-    scored AS (
-      SELECT doc_id,
-             CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens AS score
-      FROM per_doc, tot
-    ),
-    labels AS (
+# Gopher-gate labels as a reusable oracle CTE (shared by the surprisal
+# calibration curve and the two-scorer comparison query).
+_GOPHER_LABELS_CTE = rf"""labels AS (
       SELECT doc_id,
              (CAST(greatest(length(regexp_extract_all(text, '\S+')), 1) AS BIGINT)
                 BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
@@ -2111,7 +2103,19 @@ CALIB_BUCKETS = 10
              AND (CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b'))
                        AS BIGINT) >= {GOPHER_MIN_STOPWORD_HITS}) AS passes
       FROM documents
+    )"""
+
+
+@register(
+    "quality_calibration_curve",
+    rf"""
+    WITH {_SURPRISAL_CTES},
+    scored AS (
+      SELECT doc_id,
+             CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens AS score
+      FROM per_doc, tot
     ),
+    {_GOPHER_LABELS_CTE},
     bucketed AS (
       SELECT s.doc_id, s.score, l.passes,
              ntile({CALIB_BUCKETS}) OVER (ORDER BY s.score ASC, s.doc_id ASC) AS bucket
@@ -2162,3 +2166,157 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("score_lo"),
         F.max("score").alias("score_hi"),
     )
+
+@register(
+    "quality_calibration_scorers",
+    rf"""
+    WITH {_SURPRISAL_CTES},
+    {_GOPHER_LABELS_CTE},
+    s_scored AS (
+      SELECT doc_id,
+             CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens AS score
+      FROM per_doc, tot
+    ),
+    words AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t.g FROM words, LATERAL (SELECT unnest(ws) AS g) t
+      UNION ALL
+      SELECT doc_id, ws[u.i] || ' ' || ws[u.i + 1] AS g
+      FROM words,
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) u
+      WHERE len(ws) >= 2
+    ),
+    gbuck AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('nbq:' || g), 1, 15)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+      FROM grams
+    ),
+    counts AS (
+      SELECT b,
+             SUM(CASE WHEN l.passes THEN 1 ELSE 0 END) AS p_b,
+             SUM(CASE WHEN l.passes THEN 0 ELSE 1 END) AS f_b
+      FROM gbuck g JOIN labels l ON l.doc_id = g.doc_id
+      GROUP BY b
+    ),
+    tots AS (SELECT SUM(p_b) AS p_n, SUM(f_b) AS f_n FROM counts),
+    wts AS (
+      SELECT c.b,
+             CAST(floor(ln(CAST(c.p_b + 1 AS DOUBLE) / (t.p_n + {DSIR_BUCKETS})) * 1e6) AS BIGINT)
+           - CAST(floor(ln(CAST(c.f_b + 1 AS DOUBLE) / (t.f_n + {DSIR_BUCKETS})) * 1e6) AS BIGINT) AS w
+      FROM counts c, tots t
+    ),
+    l_scored AS (
+      SELECT g.doc_id, CAST(SUM(w.w) AS DOUBLE) / COUNT(*) AS score
+      FROM gbuck g JOIN wts w ON w.b = g.b
+      GROUP BY g.doc_id
+    ),
+    curves AS (
+      SELECT 'surprisal' AS scorer, s.doc_id, s.score, l.passes,
+             ntile({CALIB_BUCKETS}) OVER (ORDER BY s.score ASC, s.doc_id ASC) AS bucket
+      FROM s_scored s JOIN labels l ON l.doc_id = s.doc_id
+      UNION ALL
+      SELECT 'nb_linear' AS scorer, s.doc_id, s.score, l.passes,
+             ntile({CALIB_BUCKETS}) OVER (ORDER BY s.score ASC, s.doc_id ASC) AS bucket
+      FROM l_scored s JOIN labels l ON l.doc_id = s.doc_id
+    )
+    SELECT scorer, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_frac,
+           MIN(score) AS score_lo, MAX(score) AS score_hi
+    FROM curves GROUP BY scorer, bucket
+    """,
+)
+def quality_calibration_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-scorer calibration comparison (round-8 verdict item 6): the
+    surprisal scorer side by side with a LEARNED linear scorer — a
+    closed-form naive-Bayes weighting of the DSIR hashed uni+bigram
+    bucket features, trained on the Gopher-gate labels (per bucket b:
+    w_b = qln((pass_b+1)/(pass_n+B)) - qln((fail_b+1)/(fail_n+B)),
+    micro-nat int64s; a document scores the MEAN weight of its grams).
+    Naive Bayes is the closed-form member of the logistic family over
+    the same hashed features — linear in the features with
+    log-count-ratio weights — so it is deterministic across engines
+    where iteratively-fit logistic weights would not be. Output: one
+    ntile-decile pass-rate curve per scorer, labeled by the `scorer`
+    column; the learned curve should rise monotonically (it was fit on
+    these labels — an IN-SAMPLE calibration, the standard training-fit
+    diagnostic), while the surprisal curve shows how an UNSUPERVISED
+    scorer tracks the same gate.
+
+    Cross-engine determinism: hashed buckets via the shared 60-bit md5
+    machinery; weights are differences of floor(ln(x)*1e6) int64s (the
+    DSIR pattern, hash-verified there); per-doc scores are exact-int
+    sums divided once (correctly rounded); both ntiles order by
+    (score ASC, doc_id ASC).
+
+    Scale: label join shuffles on doc_id; bucket histogram is a
+    512-row map-side-combined groupBy; the weight table broadcasts;
+    the global ntile is one row per doc with the same approx-quantile
+    rewrite documented on quality_calibration_curve."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text("text"), " ").alias("ws")
+    )
+    uni = d.select("doc_id", F.explode("ws").alias("g"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> ws[i - 1] || ' ' || ws[i])")
+        ).alias("g"),
+    )
+    gbuck = uni.unionByName(bi).select(
+        "doc_id", (hex_hash64(F.col("g"), salt="nbq:") % DSIR_BUCKETS).alias("b")
+    )
+    labels = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_all").alias("passes")
+    )
+    counts = (
+        gbuck.join(labels, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("p_b"),
+            F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("f_b"),
+        )
+    )
+    tots = counts.agg(F.sum("p_b").alias("p_n"), F.sum("f_b").alias("f_n"))
+    qln = lambda num, den: F.floor(F.log(num / den) * 1e6).cast("bigint")
+    wts = counts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            qln((F.col("p_b") + 1).cast("double"), (F.col("p_n") + DSIR_BUCKETS).cast("double"))
+            - qln((F.col("f_b") + 1).cast("double"), (F.col("f_n") + DSIR_BUCKETS).cast("double"))
+        ).alias("w"),
+    )
+    l_scored = (
+        gbuck.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg((F.sum("w").cast("double") / F.count("*")).alias("score"))
+    )
+    s_scored = _doc_surprisal(spark, sf_dir).select(
+        "doc_id",
+        (F.col("surprisal_q").cast("double") / F.col("n_tokens")).alias("score"),
+    )
+
+    def curve(scored: DataFrame, name: str) -> DataFrame:
+        w = W.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+        return (
+            scored.join(labels, "doc_id")
+            .withColumn("bucket", F.ntile(CALIB_BUCKETS).over(w).cast("int"))
+            .withColumn("scorer", F.lit(name))
+        )
+    both = curve(s_scored, "surprisal").unionByName(curve(l_scored, "nb_linear"))
+    return both.groupBy("scorer", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        (
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("double") / F.count("*")
+        ).alias("pass_frac"),
+        F.min("score").alias("score_lo"),
+        F.max("score").alias("score_hi"),
+    )
+

@@ -108,6 +108,7 @@ def _resolve_lazy_oracles() -> None:
 _FIRST = [
     # round-9 new queries (no prior correctness row)
     "stream_incremental_simhash",
+    "quality_calibration_scorers",
     # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
     "stream_incremental_ivf",

@@ -252,6 +252,14 @@ def test_dsir_weight_table_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_calibration_scorers_weight_table_broadcasts(spark):
+    # The learned scorer's 512-row NB weight table must broadcast into
+    # the gram-scoring join, same contract as the DSIR weight table.
+    plan = _formatted(spark, "quality_calibration_scorers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semantic_dedup_has_no_cartesian(spark):
     # Cosine pair generation must stay LSH-bucketed (the group-local GEMM
     # path) — no cartesian/nested-loop pair enumeration anywhere.
