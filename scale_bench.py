@@ -468,6 +468,9 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
 
     dedup._PAIRS_MEMO.clear()
     dedup._CC_MEMO.clear()
+    from aws_lambda_redshift_loader_spark.streaming import stream_queries as _sq
+
+    _sq._INGEST_MEMO.clear()
     t0 = time.perf_counter()
     specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
