@@ -1271,7 +1271,25 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the report aggregate, map-side combined on ~uniform md5
     keys). Doc-length independence inherits winnowing's O(1)-per-char
     array access; the @longdoc audit covers the same mechanism."""
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= CDC_W)
+    chunks = _cdc_chunk_rows(table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").cast("bigint").alias("chunk_len"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+def _cdc_chunk_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → Rabin chunk rows (doc_id, chunk_hash,
+    chunk_len). DataFrame-parameterized (same pattern as _band_rows /
+    _simhash_sigs): chunk boundaries depend only on the doc's own
+    content, so the streaming incremental form chunks each micro-batch
+    bit-identically to the batch plan."""
+    d = docs.filter(F.length("text") >= CDC_W)
     base = d.select(
         "doc_id",
         F.lower("text").alias("t"),
@@ -1289,7 +1307,7 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"i -> CAST(i + {CDC_W} AS BIGINT))), s -> s <= size(cs))"
         ).alias("st"),
     )
-    chunks = starts.select(
+    return starts.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -1306,15 +1324,6 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_hash"
         ),
         F.col("c.clen").alias("chunk_len"),
-    )
-    return (
-        chunks.groupBy("chunk_hash")
-        .agg(
-            F.min("chunk_len").cast("bigint").alias("chunk_len"),
-            F.count("*").cast("bigint").alias("n_copies"),
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        )
-        .filter(F.col("n_copies") >= 2)
     )
 
 

@@ -109,6 +109,7 @@ _FIRST = [
     # round-9 new queries (no prior correctness row)
     "stream_incremental_simhash",
     "quality_calibration_scorers",
+    "stream_incremental_cdc",
     # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
     "stream_incremental_ivf",

@@ -84,8 +84,9 @@ QUERIES = [
     "stream_incremental_ivf",
     "stream_incremental_bm25",
     "stream_incremental_curation",  # neardup epochs + feature pass + compaction
-    # round-9 addition
+    # round-9 additions
     "stream_incremental_simhash",  # per-doc signing + Hamming-band store probe
+    "stream_incremental_cdc",  # map-only chunking, append-only store
 ]
 
 

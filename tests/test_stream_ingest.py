@@ -248,3 +248,48 @@ def test_incremental_simhash_replay_idempotent(spark, tmp_path):
         for r in simhash_neardup_pairs(spark, sf).collect()
     }
     assert before == batch, "incremental != batch recompute"
+
+
+def test_incremental_cdc_replay_idempotent(spark, tmp_path):
+    """The CDC chunk store's exactly-once contract: replaying any epoch
+    reproduces its outputs, and the compaction report over the store
+    equals the batch cdc_chunks recompute."""
+    from aws_lambda_redshift_loader_spark.operators.dedup import cdc_chunks
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_cdc_epoch,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    store = str(tmp_path / "store")
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        ingest_cdc_epoch(spark, spark.read.parquet(f), i, store)
+
+    def report():
+        chunks = spark.read.parquet(store)
+        return {
+            tuple(r)
+            for r in chunks.groupBy("chunk_hash")
+            .agg(
+                F.min("chunk_len").cast("bigint").alias("chunk_len"),
+                F.count("*").cast("bigint").alias("n_copies"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            )
+            .filter(F.col("n_copies") >= 2)
+            .collect()
+        }
+
+    before = report()
+    ingest_cdc_epoch(spark, spark.read.parquet(files[0]), 0, store)  # out-of-order
+    assert report() == before
+    ingest_cdc_epoch(spark, spark.read.parquet(files[-1]), len(files) - 1, store)
+    assert report() == before
+    batch = {tuple(r) for r in cdc_chunks(spark, sf).collect()}
+    assert before == batch, "incremental != batch recompute"
