@@ -1378,9 +1378,20 @@ def ingest_cdc_epoch(
     """One CDC ingest epoch (module-level so replay idempotence is
     directly testable): chunk the batch and overwrite this epoch's
     partition of the chunk store. Chunking is per-doc map-only work —
-    O(batch) with no state read whatsoever."""
+    O(batch) with no state read whatsoever.
+
+    Because the chunker has NO shuffle anywhere, its parallelism is
+    whatever the source hands it — and a micro-batch arriving as one
+    file is one task (the other ingest families spread at their first
+    groupBy; this one never would). Spread under-partitioned batches
+    across the executors before chunking: one round-robin exchange of
+    the batch text, the standard fix for a map-only stage behind a
+    coarse-grained source."""
     from ..operators.dedup import _cdc_chunk_rows
 
+    target = spark.sparkContext.defaultParallelism
+    if batch_df.rdd.getNumPartitions() < target:
+        batch_df = batch_df.repartition(target)
     _cdc_chunk_rows(batch_df).write.mode("overwrite").parquet(
         f"{store}/epoch={epoch_id}"
     )
