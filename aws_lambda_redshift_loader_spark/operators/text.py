@@ -2017,6 +2017,25 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sees one row per document; at 100 TB replace it with an
     approximate threshold + exact tail sort, or orderBy().limit() which
     Spark executes as per-partition top-K + merge."""
+    scored = _dsir_scored(spark, sf_dir)
+    w = W.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= DSIR_KEEP)
+        .select("doc_id", "n_grams", "score_q", "rank")
+    )
+
+
+def _registry_queries():
+    from ..plans.registry import QUERIES
+
+    return QUERIES
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, score_q) — the DSIR importance scores before
+    the top-K selection; shared by the exact window form and the
+    approximate-threshold scalable form."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split(norm_text("text"), " ").alias("ws")
     )
@@ -2062,7 +2081,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_w"),
         )
     )
-    scored = (
+    return (
         bucketed.join(F.broadcast(wts), "b")
         .groupBy("doc_id")
         .agg(
@@ -2070,12 +2089,60 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q_w").cast("bigint").alias("score_q"),
         )
     )
+
+
+@register(
+    "dsir_topk_scalable",
+    lambda: _registry_queries()["dsir_importance_select"].oracle,
+)
+def dsir_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of dsir_importance_select's global top-K: instead
+    of a single-partition row_number window over one row per document,
+    (1) estimate the K-th score with percentile_approx, (2) filter to
+    scores >= the estimate (distributed, map-side), (3) run the exact
+    (score DESC, doc_id ASC) window on the SURVIVORS only. Correctness
+    does not depend on the estimate's accuracy: if at least K rows pass
+    the filter, the true top K all have score >= the K-th value >= the
+    threshold, so they all survive and the exact window over survivors
+    returns exactly the global answer — the estimate only sizes the
+    tail. If the sketch overshoots (fewer than K survivors), the
+    threshold steps down by the observed score range and retries; the
+    loop is driver-side with one scalar collect per step and terminates
+    at the global minimum. Hash-gated equal to dsir_importance_select
+    (same oracle), so the rewrite IS the proof.
+
+    Scale: the window input shrinks from N rows to O(K) survivors; the
+    min/max/count stats and the percentile sketch are two map-side-
+    combined scalar aggregates over the scored frame (production fuses
+    them or caches `scored`; at 100 TB both are one-row-per-doc scans).
+    This is the rewrite the exact query's docstring promises — kept as
+    a separate registered query so both forms stay measured, and the
+    driver-side threshold loop does bounded scalar collects only."""
+    scored = _dsir_scored(spark, sf_dir)
+    stats = scored.agg(
+        F.min("score_q").alias("lo"),
+        F.max("score_q").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    if n <= DSIR_KEEP:
+        thr = lo
+    else:
+        frac = max(0.0, 1.0 - DSIR_KEEP / n)
+        thr = scored.agg(
+            F.expr(f"percentile_approx(score_q, {frac}, 10000)")
+        ).collect()[0][0]
+        step = max((hi - lo) // 8, 1)
+        while thr > lo and scored.filter(F.col("score_q") >= thr).count() < DSIR_KEEP:
+            thr = max(lo, thr - step)
+    survivors = scored.filter(F.col("score_q") >= thr)
     w = W.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        survivors.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= DSIR_KEEP)
         .select("doc_id", "n_grams", "score_q", "rank")
     )
+
 
 
 # ---- Quality-scorer calibration curve -----------------------------------

@@ -110,6 +110,7 @@ _FIRST = [
     "stream_incremental_simhash",
     "quality_calibration_scorers",
     "stream_incremental_cdc",
+    "dsir_topk_scalable",
     # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
     "stream_incremental_ivf",

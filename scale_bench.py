@@ -355,20 +355,21 @@ PROBE_BKTS_10X = 2560  # rows/bucket — the production compaction policy)
 
 
 def run_probe() -> None:
-    """Round-8 verdict item 1's 'Done' evidence: per-epoch probe cost of
-    the incremental near-dup ingest grows with the BATCH, not the store.
+    """Per-epoch probe cost of the incremental signature stores grows
+    with the BATCH, not the store (round-8 verdict item 1's 'Done'
+    evidence for the MinHash band store; the SimHash Hamming store
+    shares the layout and gets the same measurement).
 
-    Protocol: bulk-load the whole corpus band store as epoch 0, then
-    ingest one fixed SMALL batch (PROBE_BATCH_DOCS docs) as epoch 1, at
-    1x and 10x store scale with the bucket count scaled alongside
-    (constant rows-per-bucket, the policy a production compaction
-    holds). Records, per scale: the store row count, the rows the
-    pruned probe scan actually considers (the `bkt isin` filter the
-    ingest pushes into the store read), and the epoch-1 wall time.
-    O(batch) ingest means scanned rows stay ~flat across the 10x store
-    step while unpruned rows grow 10x; results merge into
-    BENCH_SCALE.json as 'stream_incremental_neardup@probe'."""
-    import glob as _glob
+    Protocol, per store family: bulk-load the whole corpus store as
+    epoch 0, then ingest one fixed SMALL batch (PROBE_BATCH_DOCS docs)
+    as epoch 1, at 1x and 10x store scale with the bucket count scaled
+    alongside (constant rows-per-bucket, the policy a production
+    compaction holds). Records, per scale: the store row count, the
+    rows the pruned probe scan actually considers (the `bkt isin`
+    filter the ingest pushes into the store read), and the epoch-1 wall
+    time. O(batch) ingest means scanned rows stay ~flat across the 10x
+    store step while unpruned rows grow 10x; results merge into
+    BENCH_SCALE.json as '<query>@probe'."""
     import shutil
     import tempfile
 
@@ -376,89 +377,113 @@ def run_probe() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     from pyspark.sql import functions as F
 
-    from aws_lambda_redshift_loader_spark.operators.dedup import _band_rows
+    from aws_lambda_redshift_loader_spark.operators.dedup import (
+        _band_rows,
+        _simhash_band_rows,
+        _simhash_sigs,
+    )
     from aws_lambda_redshift_loader_spark.session import get_spark
     from aws_lambda_redshift_loader_spark.streaming import stream_queries as SQ
 
     spark = get_spark("scale-bench-probe")
-    entry: dict[str, dict] = {}
-    old_bkts = SQ.INC_STORE_BKTS
-    try:
-        for label, sf_dir, n_bkt in (
-            ("1x", SRC, PROBE_BKTS_1X),
-            ("10x", DST, PROBE_BKTS_10X),
-        ):
-            SQ.INC_STORE_BKTS = n_bkt
-            base = tempfile.mkdtemp(prefix=f"alrs_probe_{label}_")
-            wh, store, pairs = (os.path.join(base, d) for d in ("wh", "store", "pairs"))
-            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-                "doc_id", "text"
-            )
-            # epoch 0: the accumulated corpus (bulk ingest, untimed)
-            SQ.ingest_neardup_epoch(spark, docs, 0, wh, store, pairs)
-            # epoch 1: one small arriving batch (ids shifted clear of the
-            # corpus; text unchanged, so candidates genuinely exist)
-            batch = (
-                docs.orderBy("doc_id")
-                .limit(PROBE_BATCH_DOCS)
-                .select((F.col("doc_id") + 10**9).alias("doc_id"), "text")
-            )
-            t0 = time.perf_counter()
-            SQ.ingest_neardup_epoch(spark, batch, 1, wh, store, pairs)
-            dt = round(time.perf_counter() - t0, 3)
-            # Probe-scan accounting: rows the pruned store read considers
-            # vs the full accumulated store (epoch bound included).
-            bkts = [
-                r[0]
-                for r in _band_rows(batch)
-                .select(SQ._store_bkt().alias("bkt"))
-                .distinct()
-                .collect()
-            ]
-            scanned = (
-                spark.read.parquet(store)
-                .filter((F.col("epoch") <= 1) & F.col("bkt").isin(bkts))
-                .count()
-            )
-            total = spark.read.parquet(store).filter(F.col("epoch") <= 1).count()
-            entry[label] = {
-                "sec_epoch": dt,
-                "store_rows": total,
-                "scanned_rows": scanned,
-                "scan_frac": round(scanned / total, 4) if total else None,
-                "buckets": n_bkt,
-            }
-            print(f"# probe {label}: {entry[label]}", file=sys.stderr, flush=True)
-            shutil.rmtree(base, ignore_errors=True)
-    finally:
-        SQ.INC_STORE_BKTS = old_bkts
 
+    def neardup_ingest(batch, epoch, base):
+        SQ.ingest_neardup_epoch(
+            spark, batch, epoch, f"{base}/wh", f"{base}/store", f"{base}/pairs"
+        )
+
+    def neardup_bkts(batch):
+        return _band_rows(batch).select(SQ._store_bkt().alias("bkt"))
+
+    def simhash_ingest(batch, epoch, base):
+        SQ.ingest_simhash_epoch(spark, batch, epoch, f"{base}/store", f"{base}/pairs")
+
+    def simhash_bkts(batch):
+        return _simhash_band_rows(_simhash_sigs(batch)).select(
+            SQ._sim_bkt().alias("bkt")
+        )
+
+    families = (
+        ("stream_incremental_neardup", neardup_ingest, neardup_bkts),
+        ("stream_incremental_simhash", simhash_ingest, simhash_bkts),
+    )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json")
     payload = {}
     if os.path.exists(path):
         with open(path) as fh:
             payload = json.load(fh)
     results = payload.setdefault("queries", {})
-    r1, r10 = entry["1x"], entry["10x"]
-    results["stream_incremental_neardup@probe"] = {
-        **{f"{k}_1x": v for k, v in r1.items()},
-        **{f"{k}_10x": v for k, v in r10.items()},
-        "scanned_ratio": (
-            round(r10["scanned_rows"] / r1["scanned_rows"], 2)
-            if r1["scanned_rows"]
-            else None
-        ),
-        "store_ratio": (
-            round(r10["store_rows"] / r1["store_rows"], 2) if r1["store_rows"] else None
-        ),
-        "note": f"fixed {PROBE_BATCH_DOCS}-doc batch vs 1x/10x store, "
-        "buckets scaled with store (constant rows/bucket): scanned_ratio "
-        "~1 = probe I/O O(batch); store_ratio ~10 is what an unpruned "
-        "scan would pay",
-    }
+
+    old_bkts = SQ.INC_STORE_BKTS
+    try:
+        for qname, ingest, bkts_of in families:
+            entry: dict[str, dict] = {}
+            for label, sf_dir, n_bkt in (
+                ("1x", SRC, PROBE_BKTS_1X),
+                ("10x", DST, PROBE_BKTS_10X),
+            ):
+                SQ.INC_STORE_BKTS = n_bkt
+                base = tempfile.mkdtemp(prefix=f"alrs_probe_{label}_")
+                store = f"{base}/store"
+                docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                    "doc_id", "text"
+                )
+                # epoch 0: the accumulated corpus (bulk ingest, untimed)
+                ingest(docs, 0, base)
+                # epoch 1: one small arriving batch (ids shifted clear of
+                # the corpus; text unchanged, so candidates genuinely
+                # exist)
+                batch = (
+                    docs.orderBy("doc_id")
+                    .limit(PROBE_BATCH_DOCS)
+                    .select((F.col("doc_id") + 10**9).alias("doc_id"), "text")
+                )
+                t0 = time.perf_counter()
+                ingest(batch, 1, base)
+                dt = round(time.perf_counter() - t0, 3)
+                # Probe-scan accounting: rows the pruned store read
+                # considers vs the full accumulated store.
+                bkts = [r[0] for r in bkts_of(batch).distinct().collect()]
+                scanned = (
+                    spark.read.parquet(store)
+                    .filter((F.col("epoch") <= 1) & F.col("bkt").isin(bkts))
+                    .count()
+                )
+                total = spark.read.parquet(store).filter(F.col("epoch") <= 1).count()
+                entry[label] = {
+                    "sec_epoch": dt,
+                    "store_rows": total,
+                    "scanned_rows": scanned,
+                    "scan_frac": round(scanned / total, 4) if total else None,
+                    "buckets": n_bkt,
+                }
+                print(f"# probe {qname} {label}: {entry[label]}", file=sys.stderr, flush=True)
+                shutil.rmtree(base, ignore_errors=True)
+            r1, r10 = entry["1x"], entry["10x"]
+            results[f"{qname}@probe"] = {
+                **{f"{k}_1x": v for k, v in r1.items()},
+                **{f"{k}_10x": v for k, v in r10.items()},
+                "scanned_ratio": (
+                    round(r10["scanned_rows"] / r1["scanned_rows"], 2)
+                    if r1["scanned_rows"]
+                    else None
+                ),
+                "store_ratio": (
+                    round(r10["store_rows"] / r1["store_rows"], 2)
+                    if r1["store_rows"]
+                    else None
+                ),
+                "note": f"fixed {PROBE_BATCH_DOCS}-doc batch vs 1x/10x store, "
+                "buckets scaled with store (constant rows/bucket): scanned_ratio "
+                "~1 = probe I/O O(batch); store_ratio ~10 is what an unpruned "
+                "scan would pay",
+            }
+    finally:
+        SQ.INC_STORE_BKTS = old_bkts
+
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
-    print(json.dumps(results["stream_incremental_neardup@probe"]))
+    print(json.dumps({k: v for k, v in results.items() if k.endswith("@probe")}))
 
 
 def run(spark, specs, sf_dir: str, name: str) -> float:
