@@ -741,6 +741,31 @@ def _store_bkt() -> "F.Column":
     return F.pmod(F.xxhash64("band_key"), F.lit(INC_STORE_BKTS)).cast("int")
 
 
+def compact_neardup_store(
+    spark: SparkSession, store: str, out: str, n_bkt: int
+) -> None:
+    """Segment compaction for a band store: merge every epoch segment
+    into ONE re-bucketed, bkt-sorted segment written as ``out/epoch=0``
+    with ``n_bkt`` buckets. This is where the bucket-count growth
+    policy the layout comments promise actually happens — production
+    holds rows-per-bucket ~constant by re-bucketing as the corpus
+    grows, exactly like search-engine segment merges. After compaction
+    the caller must probe with INC_STORE_BKTS = n_bkt (the bucket
+    function is the layout parameter) and must not replay
+    pre-compaction epochs into the compacted store (compaction runs
+    above the ingest checkpoint's committed offset — the standard
+    segment-merge contract; replaying a merged epoch would duplicate
+    its rows). Probe results are unchanged: bucket membership is a
+    pure function of band_key, so candidate pairs survive re-bucketing
+    bit-for-bit (test-locked)."""
+    bands = spark.read.parquet(store).select("doc_id", "band", "band_key")
+    bands.withColumn(
+        "bkt", F.pmod(F.xxhash64("band_key"), F.lit(n_bkt)).cast("int")
+    ).repartition("bkt").sortWithinPartitions("bkt").write.option(
+        "parquet.block.size", INC_STORE_BLOCK
+    ).mode("overwrite").parquet(f"{out}/epoch=0")
+
+
 def ingest_neardup_epoch(
     spark: SparkSession,
     batch_df: DataFrame,

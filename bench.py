@@ -27,6 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from aws_lambda_redshift_loader_spark.plans.registry import load_all
 from aws_lambda_redshift_loader_spark.session import get_spark
 
+# Self-denoising rerun policy (round-8 verdict item 3). Flag when the
+# time exceeds 1.5x the recorded prior AND the absolute excess tops
+# 0.5 s (sub-second wobble must not churn reruns). Pure function so the
+# policy is unit-testable.
+RERUN_RATIO = 1.5
+RERUN_ABS_FLOOR = 0.5
+
+
+def should_rerun(t: float, prior: float) -> bool:
+    return prior > 0 and t > RERUN_RATIO * prior and t - prior > RERUN_ABS_FLOOR
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,7 +120,7 @@ def main() -> None:
     reruns: dict[str, dict] = {}
     for name, t in sorted(timings.items()):
         p = prev.get(name, -1.0)
-        if p > 0 and t > 1.5 * p and t - p > 0.5:
+        if should_rerun(t, p):
             print(f"# bench rerunning flagged {name} ({t}s vs prev {p}s)", file=sys.stderr)
             n_events = len(_dedup.MEMO_EVENTS)
             t0 = time.perf_counter()

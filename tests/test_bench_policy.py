@@ -1,0 +1,20 @@
+"""bench.py's self-denoising rerun policy (round-8 verdict item 3):
+flag only genuinely-slower runs — >1.5x the recorded prior AND more
+than 0.5 s absolute excess, so sub-second host wobble never churns
+reruns while real contention spikes always get a second measurement."""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import should_rerun
+
+
+def test_should_rerun_thresholds():
+    assert should_rerun(2.0, 1.0)  # 2x, 1.0 s excess
+    assert should_rerun(0.9, 0.2)  # 4.5x AND 0.7 s excess
+    assert not should_rerun(0.4, 0.2)  # 2x but only 0.2 s excess
+    assert not should_rerun(1.4, 1.0)  # under the ratio
+    assert not should_rerun(1.6, 1.2)  # 1.33x
+    assert not should_rerun(5.0, -1.0)  # no prior recorded
+    assert not should_rerun(5.0, 0.0)  # degenerate prior

@@ -293,3 +293,58 @@ def test_incremental_cdc_replay_idempotent(spark, tmp_path):
     assert report() == before
     batch = {tuple(r) for r in cdc_chunks(spark, sf).collect()}
     assert before == batch, "incremental != batch recompute"
+
+
+def test_band_store_compaction_rebucket_equivalence(spark, tmp_path):
+    """Compacting the band store (merge all epochs into one segment with
+    a LARGER bucket count — the constant-rows-per-bucket growth policy)
+    must not change what subsequent ingest epochs discover: bucket
+    membership is a pure function of band_key, so the epoch-2 pair
+    delta over the compacted store equals the uncompacted one."""
+    from aws_lambda_redshift_loader_spark.streaming import stream_queries as SQ
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*"))
+    wh = str(tmp_path / "wh")
+    store_a, pairs_a = str(tmp_path / "store_a"), str(tmp_path / "pairs_a")
+    for i in (0, 1):
+        SQ.ingest_neardup_epoch(spark, spark.read.parquet(files[i]), i, wh, store_a, pairs_a)
+
+    # Path A: continue uncompacted.
+    SQ.ingest_neardup_epoch(spark, spark.read.parquet(files[2]), 2, wh, store_a, pairs_a)
+
+    # Path B: rebuild a pristine two-epoch store (path A already added
+    # its epoch 2 to store_a), compact it into a 4x-bucket segment, then
+    # ingest epoch 2 against the compacted store (same docs warehouse).
+    store_b, pairs_b = str(tmp_path / "store_b"), str(tmp_path / "pairs_b")
+    store_pristine = str(tmp_path / "store_p")
+    pairs_p = str(tmp_path / "pairs_p")
+    for i in (0, 1):
+        SQ.ingest_neardup_epoch(spark, spark.read.parquet(files[i]), i, wh, store_pristine, pairs_p)
+    SQ.compact_neardup_store(spark, store_pristine, store_b, SQ.INC_STORE_BKTS * 4)
+    old = SQ.INC_STORE_BKTS
+    SQ.INC_STORE_BKTS = old * 4
+    try:
+        SQ.ingest_neardup_epoch(spark, spark.read.parquet(files[2]), 2, wh, store_b, pairs_b)
+    finally:
+        SQ.INC_STORE_BKTS = old
+
+    delta_a = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(f"{pairs_a}/epoch=2").collect()
+    }
+    delta_b = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(f"{pairs_b}/epoch=2").collect()
+    }
+    assert delta_a == delta_b and delta_a, "compaction changed the pair delta"
+    # and the compacted segment holds exactly the pre-compaction rows
+    n_seg = spark.read.parquet(f"{store_b}/epoch=0").count()
+    n_pre = spark.read.parquet(store_pristine).count()
+    assert n_seg == n_pre
