@@ -2118,7 +2118,11 @@ def dsir_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the rewrite the exact query's docstring promises — kept as
     a separate registered query so both forms stay measured, and the
     driver-side threshold loop does bounded scalar collects only."""
-    scored = _dsir_scored(spark, sf_dir)
+    # One row per document: persist so the stats pass, the percentile
+    # sketch, the threshold-check loop, and the final filtered window
+    # all read the same materialization instead of re-scoring the
+    # corpus per action (the docstring's "production caches scored").
+    scored = _dsir_scored(spark, sf_dir).persist()
     stats = scored.agg(
         F.min("score_q").alias("lo"),
         F.max("score_q").alias("hi"),
