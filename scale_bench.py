@@ -87,6 +87,8 @@ QUERIES = [
     # round-9 additions
     "stream_incremental_simhash",  # per-doc signing + Hamming-band store probe
     "stream_incremental_cdc",  # map-only chunking, append-only store
+    "dsir_topk_scalable",  # sketch-threshold top-K (window sees O(K) rows)
+    "quality_calibration_scorers",  # NB-linear + surprisal decile curves
 ]
 
 
