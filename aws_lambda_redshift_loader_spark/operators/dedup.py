@@ -518,9 +518,13 @@ def _simhash_sigs(docs: DataFrame) -> DataFrame:
     (same pattern as _band_rows): the signature depends only on the
     doc's own tokens, so the streaming incremental form signs each
     micro-batch with bit-identical results to the batch plan."""
+    # Distinct tokens PER DOC via map-only array_distinct before the
+    # explode — one shuffle (the vote groupBy) instead of two (a
+    # row-level distinct would hash-exchange every token row first).
     tokens = docs.select(
-        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(F.split(norm_text("text"), " "))).alias("token"),
+    )
     hashed = tokens.select("doc_id", hex_hash64(F.col("token")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         F.count("*").alias("n"),
