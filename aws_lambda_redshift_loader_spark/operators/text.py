@@ -255,7 +255,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the sketch per doc is ~len/w hashes, an ~94% reduction feeding
     any downstream pair-matching join.
     """
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_K)
+    return _winnow_fps(table(spark, sf_dir, "documents"))
+
+
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → winnowing fingerprints (doc_id,
+    fingerprint). DataFrame-parameterized (same pattern as _band_rows /
+    _cdc_chunk_rows): every step — rolling hash, window MIN, distinct —
+    is within-doc, so the streaming incremental form fingerprints each
+    micro-batch bit-identically to the batch plan."""
+    d = docs.filter(F.length("text") >= WINNOW_K)
     grams = (
         d.select("doc_id", F.expr(codes_expr()).alias("codes"))
         .select(

@@ -111,6 +111,7 @@ _FIRST = [
     "quality_calibration_scorers",
     "stream_incremental_cdc",
     "dsir_topk_scalable",
+    "stream_incremental_winnow",
     # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
     "stream_incremental_ivf",

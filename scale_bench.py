@@ -89,6 +89,7 @@ QUERIES = [
     "stream_incremental_cdc",  # map-only chunking, append-only store
     "dsir_topk_scalable",  # sketch-threshold top-K (window sees O(K) rows)
     "quality_calibration_scorers",  # NB-linear + surprisal decile curves
+    "stream_incremental_winnow",  # within-doc sketching, append-only store
 ]
 
 

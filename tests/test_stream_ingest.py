@@ -348,3 +348,42 @@ def test_band_store_compaction_rebucket_equivalence(spark, tmp_path):
     n_seg = spark.read.parquet(f"{store_b}/epoch=0").count()
     n_pre = spark.read.parquet(store_pristine).count()
     assert n_seg == n_pre
+
+
+def test_incremental_winnow_replay_idempotent(spark, tmp_path):
+    """The winnowing sketch store's exactly-once contract: replaying any
+    epoch reproduces its outputs, and the accumulated store equals the
+    batch winnowing_fingerprints recompute."""
+    from aws_lambda_redshift_loader_spark.operators.text import winnowing_fingerprints
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_winnow_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    store = str(tmp_path / "store")
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        ingest_winnow_epoch(spark, spark.read.parquet(f), i, store)
+
+    def fp_set():
+        return {
+            (r["doc_id"], r["fingerprint"])
+            for r in spark.read.parquet(store).select("doc_id", "fingerprint").collect()
+        }
+
+    before = fp_set()
+    ingest_winnow_epoch(spark, spark.read.parquet(files[0]), 0, store)  # out-of-order
+    assert fp_set() == before
+    ingest_winnow_epoch(spark, spark.read.parquet(files[-1]), len(files) - 1, store)
+    assert fp_set() == before
+    batch = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnowing_fingerprints(spark, sf).collect()
+    }
+    assert before == batch, "incremental != batch recompute"
