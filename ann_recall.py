@@ -42,6 +42,7 @@ def main() -> None:
         "embedding_pq_topk",
         "embedding_opq_topk",
         "embedding_ivfpq_topk",
+        "embedding_sq8_topk",
     ):
         results[name] = round(len(exact & pairs(name)) / len(exact), 4)
 

@@ -163,6 +163,123 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_sq8_topk",
+    f"""
+    WITH {_QUANT_CTE},
+    dims AS (
+      SELECT u.i AS dim, MIN(e[CAST(u.i AS INT)]) AS mn, MAX(e[CAST(u.i AS INT)]) AS mx
+      FROM q, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u
+      GROUP BY u.i
+    ),
+    lim AS (
+      SELECT list(mn ORDER BY dim) AS mns,
+             list(GREATEST(mx - mn, 1) ORDER BY dim) AS rgs
+      FROM dims
+    ),
+    recon AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {DIM}),
+               i -> mns[CAST(i AS INT)] * 255
+                  + (((e[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255)
+                     // rgs[CAST(i AS INT)]) * rgs[CAST(i AS INT)]) AS r
+      FROM q, lim
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.r AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.r AS DOUBLE[]), CAST(b.r AS DOUBLE[])))) AS cosine
+      FROM q a JOIN recon b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS SQ8 family): every dimension is
+    linearly coded into 8 bits against the corpus' per-dimension
+    [min, max] range, and search scores queries against the
+    RECONSTRUCTED codes (asymmetric distance, full-precision query) —
+    the memory-bandwidth index: 8x smaller vectors than float64 with
+    near-brute recall, no codebook training at all.
+
+    Exact-integer construction so the hash gate holds: codes are
+    ((e_d - mn_d) * 255) div rg_d over the QUANT-scaled int64
+    embeddings (non-negative integer division — floor in both engines),
+    reconstruction keeps everything integer by scaling x255
+    (mn_d * 255 + code_d * rg_d), and every dot product is an exact
+    int64 sum (max |term| ~ 2.5e6^2 x {DIM} < 2^53); the one division
+    and sqrt per pair are correctly rounded, so cosines are
+    bit-identical cross-engine. Constant dimensions clamp rg to 1
+    (code 0, reconstruction = mn x 255 — exact).
+
+    Scale: the per-dimension range pass is one map-side-combined
+    aggregate collapsed to a single {DIM}-element broadcast row; coding
+    and reconstruction are map-only transforms; scoring is the brute
+    plan's broadcast-queries shape over 8x-smaller codes. Recall is
+    measured, not asserted (ANN_RECALL.json)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    dims = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    lim = dims.agg(
+        F.sort_array(F.collect_list(F.struct("dim", "mn"))).alias("s_mn"),
+        F.sort_array(
+            F.collect_list(F.struct("dim", F.greatest(F.col("mx") - F.col("mn"), F.lit(1)).alias("rg")))
+        ).alias("s_rg"),
+    ).select(
+        F.transform("s_mn", lambda s: s["mn"]).alias("mns"),
+        F.transform("s_rg", lambda s: s["rg"]).alias("rgs"),
+    )
+    recon = (
+        emb.crossJoin(F.broadcast(lim))
+        .select(
+            "vec_id",
+            F.transform(
+                "e",
+                lambda x, i: F.element_at(F.col("mns"), i + 1) * 255
+                + F.floor(
+                    ((x - F.element_at(F.col("mns"), i + 1)) * 255).cast("double")
+                    / F.element_at(F.col("rgs"), i + 1)
+                ).cast("bigint")
+                * F.element_at(F.col("rgs"), i + 1),
+            ).alias("r"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = recon.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
+    )
+    cosine = (
+        _dot(F.col("qe"), F.col("r")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+            * F.sqrt(_dot(F.col("r"), F.col("r")).cast("double"))
+        )
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _lsh_signatures(emb: DataFrame, bits: int) -> DataFrame:
     """(vec_id, e) → (vec_id, e, buckets array<int>): multi-table
     random-hyperplane LSH signatures, ``bits`` planes per table (derive it

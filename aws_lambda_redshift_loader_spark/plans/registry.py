@@ -112,6 +112,7 @@ _FIRST = [
     "stream_incremental_cdc",
     "dsir_topk_scalable",
     "stream_incremental_winnow",
+    "embedding_sq8_topk",
     # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
     "stream_incremental_ivf",

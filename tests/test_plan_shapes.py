@@ -252,6 +252,14 @@ def test_dsir_weight_table_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_dsir_scalable_weight_table_broadcasts(spark):
+    # The scalable top-K rides the same scored frame as the exact form:
+    # its weight table must broadcast and nothing may go cartesian.
+    plan = _formatted(spark, "dsir_topk_scalable")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_calibration_scorers_weight_table_broadcasts(spark):
     # The learned scorer's 512-row NB weight table must broadcast into
     # the gram-scoring join, same contract as the DSIR weight table.
