@@ -113,6 +113,7 @@ _FIRST = [
     "dsir_topk_scalable",
     "stream_incremental_winnow",
     "embedding_sq8_topk",
+    "stream_incremental_cosine",
     # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
     "stream_incremental_ivf",

@@ -1566,5 +1566,170 @@ def _register_incremental_winnow() -> None:
 
 _register_incremental_winnow()
 
+# ---- Incremental embedding-cosine near-dup store ------------------------
+# Eighth member of the incremental-index family, completing the
+# near-dup trio — lexical (MinHash bands), bitwise (SimHash Hamming),
+# and now SEMANTIC (hyperplane-LSH cosine) — all maintained per
+# micro-batch. The hyperplane signature is stateless (md5-derived
+# planes), so each arriving batch stamps its own bucket ids with the
+# same map-only GEMM the batch plan uses and appends (vec_id, e,
+# bucket) rows to a bkt-hashed zone-map store; index GEOMETRY (the
+# signature width b) is fixed from the corpus count before streaming
+# starts — exactly how production deploys LSH (geometry per segment
+# generation, re-derived at compaction when the corpus outgrows it; see
+# compact_neardup_store for the re-bucket machinery pattern). The
+# candidate probe prunes the store to the batch's buckets and verifies
+# with the batch plan's own bucket-local BLAS GEMM (store rows carry
+# the quantized vectors, like the SimHash store carries signatures), so
+# no per-pair Catalyst folds appear; only pairs involving a batch
+# vector are kept (GEMM scores whole bucket groups), which also makes
+# replay exact under the usual epoch bound. Pair disjointness across
+# epochs is structural as ever, so the union of deltas equals the batch
+# embedding_cosine_neardup — its oracle is the gate.
+INC_COSINE_EPOCHS = 4
+
+
+def ingest_cosine_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    bits: int,
+    store: str,
+    pairs_dir: str,
+) -> None:
+    """One cosine ingest epoch (module-level for replay testing):
+    signature-stamp the batch (map-only GEMM), append the epoch's
+    bucket-row segment, then GEMM-verify the batch's buckets against
+    the pruned accumulated store and write the pair delta — every
+    write an epoch-partition overwrite."""
+    from pyspark.sql import Observation
+    from pyspark.sql import types as T
+
+    from ..operators.similarity import (
+        NEARDUP_COSINE,
+        _lsh_signatures,
+        _quantize,
+    )
+
+    emb = batch_df.select("vec_id", _quantize("embedding").alias("e"))
+    rows = _lsh_signatures(emb, bits).select(
+        "vec_id", "e", F.explode("buckets").alias("bucket")
+    ).withColumn("bkt", F.pmod(F.xxhash64("bucket"), F.lit(INC_STORE_BKTS)).cast("int"))
+    obs = Observation()
+    rows.observe(obs, F.collect_set("bkt").alias("bkts")).sortWithinPartitions(
+        "bkt"
+    ).write.option("parquet.block.size", INC_STORE_BLOCK).mode("overwrite").parquet(
+        f"{store}/epoch={epoch_id}"
+    )
+    batch_bkts = obs.get["bkts"]
+    group_rows = (
+        spark.read.parquet(store)
+        .filter((F.col("epoch") <= epoch_id) & F.col("bkt").isin(batch_bkts))
+        .select("vec_id", "e", "bucket")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("keep_id", T.LongType()),
+            T.StructField("dup_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    thresh = NEARDUP_COSINE
+
+    def score_bucket(pdf):
+        # In-builder def: pickled by value (no executor-side import).
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["e"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= thresh
+        return pd.DataFrame(
+            {
+                "keep_id": ids[iu[keep]],
+                "dup_id": ids[ju[keep]],
+                "cosine": cos[iu[keep], ju[keep]],
+            }
+        )
+
+    batch_ids = emb.select(F.col("vec_id").alias("bid"))
+    delta = (
+        group_rows.groupBy("bucket")
+        .applyInPandas(score_bucket, out_schema)
+        .join(
+            batch_ids.hint("broadcast"),
+            (F.col("keep_id") == F.col("bid")) | (F.col("dup_id") == F.col("bid")),
+            "left_semi",
+        )
+        .dropDuplicates(["keep_id", "dup_id"])
+    )
+    delta.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+
+
+def _register_incremental_cosine() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_cosine",
+        lambda: _REG["embedding_cosine_neardup"].oracle,
+    )
+    def stream_incremental_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming semantic near-dup maintenance (see block comment):
+        embeddings split into {INC_COSINE_EPOCHS} range files -> one per
+        trigger -> per batch `ingest_cosine_epoch` (stateless signature
+        stamp, bkt-pruned store probe, bucket-local GEMM verify, pair
+        delta). Geometry (signature width) derives from the corpus
+        count once, before streaming — production fixes it per segment
+        generation. The union of per-epoch deltas is hash-gated equal
+        to the batch embedding_cosine_neardup.
+
+        Scale: per epoch the work is O(batch) stamping + a probe over
+        the batch's buckets only; verification is the batch plan's own
+        occupancy-bounded BLAS GEMM, never a per-pair fold; the corpus
+        is never re-stamped after its arrival epoch."""
+        from ..operators.similarity import _lsh_bits
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_cos_src_")
+        store = _e2e_tmpdir("alrs_cos_store_")
+        pairs_dir = _e2e_tmpdir("alrs_cos_pairs_")
+
+        raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        bits = _lsh_bits(raw.count())
+        raw.repartitionByRange(INC_COSINE_EPOCHS, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_cosine_epoch(spark, batch_df, epoch_id, bits, store, pairs_dir)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_cos_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(pairs_dir).select("keep_id", "dup_id", "cosine")
+
+
+_register_incremental_cosine()
+
+
 
 

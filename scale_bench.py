@@ -90,6 +90,7 @@ QUERIES = [
     "dsir_topk_scalable",  # sketch-threshold top-K (window sees O(K) rows)
     "quality_calibration_scorers",  # NB-linear + surprisal decile curves
     "stream_incremental_winnow",  # within-doc sketching, append-only store
+    "stream_incremental_cosine",  # stateless signatures + GEMM bucket verify
 ]
 
 

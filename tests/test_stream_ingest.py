@@ -387,3 +387,46 @@ def test_incremental_winnow_replay_idempotent(spark, tmp_path):
         for r in winnowing_fingerprints(spark, sf).collect()
     }
     assert before == batch, "incremental != batch recompute"
+
+
+def test_incremental_cosine_replay_idempotent(spark, tmp_path):
+    """The semantic near-dup store's exactly-once contract: replaying
+    any epoch (out-of-order and tail) reproduces its outputs, and the
+    union of deltas equals the batch embedding_cosine_neardup."""
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        _lsh_bits,
+        embedding_cosine_neardup,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_cosine_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    bits = _lsh_bits(raw.count())
+    src = str(tmp_path / "src")
+    raw.repartitionByRange(3, "vec_id").write.parquet(src)
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        ingest_cosine_epoch(spark, spark.read.parquet(f), i, bits, store, pairs)
+
+    def pair_set():
+        return {
+            (r["keep_id"], r["dup_id"], r["cosine"])
+            for r in spark.read.parquet(pairs).select("keep_id", "dup_id", "cosine").collect()
+        }
+
+    before = pair_set()
+    ingest_cosine_epoch(spark, spark.read.parquet(files[0]), 0, bits, store, pairs)
+    assert pair_set() == before
+    ingest_cosine_epoch(spark, spark.read.parquet(files[-1]), len(files) - 1, bits, store, pairs)
+    assert pair_set() == before
+    batch = {
+        (r["keep_id"], r["dup_id"], r["cosine"])
+        for r in embedding_cosine_neardup(spark, sf).collect()
+    }
+    assert before == batch, "incremental != batch recompute"
