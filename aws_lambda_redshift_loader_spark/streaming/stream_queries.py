@@ -741,29 +741,72 @@ def _store_bkt() -> "F.Column":
     return F.pmod(F.xxhash64("band_key"), F.lit(INC_STORE_BKTS)).cast("int")
 
 
-def compact_neardup_store(
-    spark: SparkSession, store: str, out: str, n_bkt: int
+def _compact_signature_store(
+    spark: SparkSession,
+    store: str,
+    out: str,
+    n_bkt: int,
+    data_cols: list[str],
+    bkt_hash: "F.Column",
 ) -> None:
-    """Segment compaction for a band store: merge every epoch segment
-    into ONE re-bucketed, bkt-sorted segment written as ``out/epoch=0``
-    with ``n_bkt`` buckets. This is where the bucket-count growth
-    policy the layout comments promise actually happens — production
-    holds rows-per-bucket ~constant by re-bucketing as the corpus
-    grows, exactly like search-engine segment merges. After compaction
-    the caller must probe with INC_STORE_BKTS = n_bkt (the bucket
-    function is the layout parameter) and must not replay
-    pre-compaction epochs into the compacted store (compaction runs
-    above the ingest checkpoint's committed offset — the standard
-    segment-merge contract; replaying a merged epoch would duplicate
-    its rows). Probe results are unchanged: bucket membership is a
-    pure function of band_key, so candidate pairs survive re-bucketing
-    bit-for-bit (test-locked)."""
-    bands = spark.read.parquet(store).select("doc_id", "band", "band_key")
-    bands.withColumn(
-        "bkt", F.pmod(F.xxhash64("band_key"), F.lit(n_bkt)).cast("int")
+    """Segment compaction for a signature store: merge every epoch
+    segment into ONE re-bucketed, bkt-sorted segment written as
+    ``out/epoch=0`` with ``n_bkt`` buckets. This is where the
+    bucket-count growth policy the layout comments promise actually
+    happens — production holds rows-per-bucket ~constant by
+    re-bucketing as the corpus grows, exactly like search-engine
+    segment merges. After compaction the caller must probe with
+    INC_STORE_BKTS = n_bkt (the bucket function is the layout
+    parameter) and must not replay pre-compaction epochs into the
+    compacted store (compaction runs above the ingest checkpoint's
+    committed offset — the standard segment-merge contract; replaying a
+    merged epoch would duplicate its rows). Probe results are
+    unchanged: bucket membership is a pure function of the probe key,
+    so candidate pairs survive re-bucketing bit-for-bit (test-locked
+    for all three signature stores)."""
+    rows = spark.read.parquet(store).select(*data_cols)
+    rows.withColumn(
+        "bkt", F.pmod(bkt_hash, F.lit(n_bkt)).cast("int")
     ).repartition("bkt").sortWithinPartitions("bkt").write.option(
         "parquet.block.size", INC_STORE_BLOCK
     ).mode("overwrite").parquet(f"{out}/epoch=0")
+
+
+def compact_neardup_store(
+    spark: SparkSession, store: str, out: str, n_bkt: int
+) -> None:
+    """MinHash band-store compaction (see _compact_signature_store)."""
+    _compact_signature_store(
+        spark, store, out, n_bkt,
+        ["doc_id", "band", "band_key"], F.xxhash64("band_key"),
+    )
+
+
+def compact_simhash_store(
+    spark: SparkSession, store: str, out: str, n_bkt: int
+) -> None:
+    """SimHash Hamming-band store compaction (see
+    _compact_signature_store); rows carry the full signature, so the
+    compacted segment keeps verification probe-fused."""
+    _compact_signature_store(
+        spark, store, out, n_bkt,
+        ["doc_id", "simhash", "band", "band_val"], F.xxhash64("band", "band_val"),
+    )
+
+
+def compact_cosine_store(
+    spark: SparkSession, store: str, out: str, n_bkt: int
+) -> None:
+    """Cosine bucket-row store compaction (see
+    _compact_signature_store); rows carry the quantized vectors, so
+    GEMM verification stays store-local after the merge. LSH geometry
+    (the signature width) is NOT changed here — re-deriving it for a
+    grown corpus means re-stamping signatures, a rebuild rather than a
+    re-bucket, as in any deployed LSH index."""
+    _compact_signature_store(
+        spark, store, out, n_bkt,
+        ["vec_id", "e", "bucket"], F.xxhash64("bucket"),
+    )
 
 
 def ingest_neardup_epoch(

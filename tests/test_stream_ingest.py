@@ -430,3 +430,57 @@ def test_incremental_cosine_replay_idempotent(spark, tmp_path):
         for r in embedding_cosine_neardup(spark, sf).collect()
     }
     assert before == batch, "incremental != batch recompute"
+
+
+def test_simhash_and_cosine_store_compaction_equivalence(spark, tmp_path):
+    """Compacting the SimHash and cosine stores into 4x-bucket segments
+    must leave subsequent epochs' pair deltas bit-identical (same
+    contract as the band-store test; bucket membership is a pure
+    function of each store's probe key)."""
+    from aws_lambda_redshift_loader_spark.operators.similarity import _lsh_bits
+    from aws_lambda_redshift_loader_spark.streaming import stream_queries as SQ
+
+    sf = "/root/testdata/sf0.001"
+    import glob
+
+    # --- SimHash ---
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    dsrc = str(tmp_path / "dsrc")
+    docs.repartitionByRange(3, "doc_id").write.parquet(dsrc)
+    dfiles = sorted(glob.glob(f"{dsrc}/part-*"))
+    s_a, p_a = str(tmp_path / "sstore_a"), str(tmp_path / "spairs_a")
+    for i in (0, 1):
+        SQ.ingest_simhash_epoch(spark, spark.read.parquet(dfiles[i]), i, s_a, p_a)
+    s_c, p_b = str(tmp_path / "sstore_c"), str(tmp_path / "spairs_b")
+    SQ.compact_simhash_store(spark, s_a, s_c, SQ.INC_STORE_BKTS * 4)
+    SQ.ingest_simhash_epoch(spark, spark.read.parquet(dfiles[2]), 2, s_a, p_a)
+    old = SQ.INC_STORE_BKTS
+    SQ.INC_STORE_BKTS = old * 4
+    try:
+        SQ.ingest_simhash_epoch(spark, spark.read.parquet(dfiles[2]), 2, s_c, p_b)
+    finally:
+        SQ.INC_STORE_BKTS = old
+    da = {tuple(r) for r in spark.read.parquet(f"{p_a}/epoch=2").collect()}
+    db = {tuple(r) for r in spark.read.parquet(f"{p_b}/epoch=2").collect()}
+    assert da == db and da, "simhash compaction changed the pair delta"
+
+    # --- Cosine ---
+    raw = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    bits = _lsh_bits(raw.count())
+    esrc = str(tmp_path / "esrc")
+    raw.repartitionByRange(3, "vec_id").write.parquet(esrc)
+    efiles = sorted(glob.glob(f"{esrc}/part-*"))
+    c_a, q_a = str(tmp_path / "cstore_a"), str(tmp_path / "cpairs_a")
+    for i in (0, 1):
+        SQ.ingest_cosine_epoch(spark, spark.read.parquet(efiles[i]), i, bits, c_a, q_a)
+    c_c, q_b = str(tmp_path / "cstore_c"), str(tmp_path / "cpairs_b")
+    SQ.compact_cosine_store(spark, c_a, c_c, SQ.INC_STORE_BKTS * 4)
+    SQ.ingest_cosine_epoch(spark, spark.read.parquet(efiles[2]), 2, bits, c_a, q_a)
+    SQ.INC_STORE_BKTS = old * 4
+    try:
+        SQ.ingest_cosine_epoch(spark, spark.read.parquet(efiles[2]), 2, bits, c_c, q_b)
+    finally:
+        SQ.INC_STORE_BKTS = old
+    da = {tuple(r) for r in spark.read.parquet(f"{q_a}/epoch=2").collect()}
+    db = {tuple(r) for r in spark.read.parquet(f"{q_b}/epoch=2").collect()}
+    assert da == db and da, "cosine compaction changed the pair delta"
