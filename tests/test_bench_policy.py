@@ -18,3 +18,15 @@ def test_should_rerun_thresholds():
     assert not should_rerun(1.6, 1.2)  # 1.33x
     assert not should_rerun(5.0, -1.0)  # no prior recorded
     assert not should_rerun(5.0, 0.0)  # degenerate prior
+
+
+def test_suppressed_by_raw_prior():
+    """A query whose cold first run matches its own LAST raw (cold) time
+    is codegen cost, not contention — suppressed; a genuinely slower run
+    than even the raw prior still reruns."""
+    from bench import suppressed_by_raw
+
+    assert suppressed_by_raw(1.4, 1.3)  # same cold cost as last run
+    assert suppressed_by_raw(1.4, 1.0)  # within ratio of raw
+    assert not suppressed_by_raw(3.0, 1.4)  # slower than even the raw prior
+    assert not suppressed_by_raw(1.4, -1.0)  # never flagged before
