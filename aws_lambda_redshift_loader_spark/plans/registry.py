@@ -114,6 +114,7 @@ _FIRST = [
     "stream_incremental_winnow",
     "embedding_sq8_topk",
     "stream_incremental_cosine",
+    "stream_topk_quality",
     # round-8 new queries (no prior correctness row)
     "stream_incremental_neardup",
     "stream_incremental_ivf",

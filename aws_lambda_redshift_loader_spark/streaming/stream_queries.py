@@ -1773,6 +1773,116 @@ def _register_incremental_cosine() -> None:
 
 _register_incremental_cosine()
 
+# ---- Standing top-K maintenance ------------------------------------------
+# A different state shape from the append-only/probe stores: a STANDING
+# QUERY whose answer is a bounded set (the K best-quality documents seen
+# so far), maintained by a versioned MONOTONE merge — state_K = topK(
+# state_{K-1} UNION scores(batch)). Induction gives state_K = topK of
+# everything ingested (topK(topK(A) UNION B) = topK(A UNION B) under the
+# total (score DESC, doc_id ASC) order), so the final state equals the
+# batch top-K, which is the oracle. Replay is idempotent because each
+# epoch's state is written to its own version directory from its
+# PREDECESSOR's (still on disk) plus the replayed batch — recomputing
+# the same pure function. Per-epoch cost is O(batch + K): the window
+# sees at most K + batch rows. This is the leaderboard/standing-query
+# shape (continuous "best documents so far" dashboards) the
+# dsir_topk_scalable threshold machinery serves in batch form.
+TOPK_QUALITY_K = 100
+INC_TOPK_EPOCHS = 4
+
+
+def merge_topk_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, state_dir: str
+) -> None:
+    """One standing-top-K epoch (module-level for replay testing): score
+    the batch (map-only per-doc expressions), union with the previous
+    epoch's state version, keep the top {TOPK_QUALITY_K} under the total
+    (quality_score DESC, doc_id ASC) order, and overwrite THIS epoch's
+    state version."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.text import _quality_of
+
+    cand = _quality_of(batch_df).select("doc_id", "quality_score")
+    if epoch_id > 0:
+        prev = spark.read.parquet(f"{state_dir}/epoch={epoch_id - 1}").select(
+            "doc_id", "quality_score"
+        )
+        cand = cand.unionByName(prev)
+    w = W.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+    (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK_QUALITY_K)
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def _register_stream_topk_quality() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    def _oracle() -> str:
+        return f"""
+        WITH base AS ({_REG["quality_score"].oracle})
+        SELECT doc_id, quality_score, CAST(rank AS INT) AS rank
+        FROM (
+          SELECT doc_id, quality_score,
+                 row_number() OVER (ORDER BY quality_score DESC, doc_id ASC) AS rank
+          FROM base
+        ) WHERE rank <= {TOPK_QUALITY_K}
+        """
+
+    @register("stream_topk_quality", _oracle)
+    def stream_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Standing top-{TOPK_QUALITY_K} quality documents under
+        streaming ingest (see block comment): documents split into
+        {INC_TOPK_EPOCHS} range files -> one per trigger -> per batch
+        `merge_topk_epoch` (score, monotone merge with the previous
+        state version, keep K). The final state version is hash-gated
+        equal to the batch top-K over the whole corpus.
+
+        Scale: per-epoch work is O(batch) scoring + a window over at
+        most K + batch rows — corpus-size-independent state, the
+        standing-query/leaderboard shape. The global window the batch
+        form needs never materializes here at all."""
+        tune(spark)
+        src = _e2e_tmpdir("alrs_topk_src_")
+        state_dir = _e2e_tmpdir("alrs_topk_state_")
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        docs.repartitionByRange(INC_TOPK_EPOCHS, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            merge_topk_epoch(spark, batch_df, epoch_id, state_dir)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_topk_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(f"{state_dir}/epoch={INC_TOPK_EPOCHS - 1}").select(
+            "doc_id", "quality_score", "rank"
+        )
+
+
+_register_stream_topk_quality()
+
+
 
 
 

@@ -484,3 +484,55 @@ def test_simhash_and_cosine_store_compaction_equivalence(spark, tmp_path):
     da = {tuple(r) for r in spark.read.parquet(f"{q_a}/epoch=2").collect()}
     db = {tuple(r) for r in spark.read.parquet(f"{q_b}/epoch=2").collect()}
     assert da == db and da, "cosine compaction changed the pair delta"
+
+
+def test_standing_topk_replay_and_monotone_merge(spark, tmp_path):
+    """The standing top-K's contracts: (a) replaying any epoch (which
+    recomputes its state version from its predecessor's) reproduces it
+    bit-for-bit; (b) the final state equals the batch top-K — the
+    monotone-merge induction topK(topK(A) u B) = topK(A u B)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from aws_lambda_redshift_loader_spark.operators.text import _quality_of
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        TOPK_QUALITY_K,
+        merge_topk_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    state = str(tmp_path / "state")
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        merge_topk_epoch(spark, spark.read.parquet(f), i, state)
+
+    def state_of(e):
+        return {
+            (r["doc_id"], r["quality_score"], r["rank"])
+            for r in spark.read.parquet(f"{state}/epoch={e}").collect()
+        }
+
+    final = state_of(len(files) - 1)
+    mid = state_of(1)
+    # replay epoch 1 (mid-chain) and the tail epoch
+    merge_topk_epoch(spark, spark.read.parquet(files[1]), 1, state)
+    assert state_of(1) == mid
+    merge_topk_epoch(spark, spark.read.parquet(files[-1]), len(files) - 1, state)
+    assert state_of(len(files) - 1) == final
+
+    w = W.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+    batch = {
+        (r["doc_id"], r["quality_score"], r["rank"])
+        for r in _quality_of(docs)
+        .select("doc_id", "quality_score")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK_QUALITY_K)
+        .collect()
+    }
+    assert final == batch, "standing top-K != batch top-K"
