@@ -91,6 +91,7 @@ QUERIES = [
     "quality_calibration_scorers",  # NB-linear + surprisal decile curves
     "stream_incremental_winnow",  # within-doc sketching, append-only store
     "stream_incremental_cosine",  # stateless signatures + GEMM bucket verify
+    "stream_topk_quality",  # versioned monotone top-K state, O(batch+K)/epoch
 ]
 
 
