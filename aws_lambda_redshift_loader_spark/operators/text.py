@@ -2400,3 +2400,144 @@ def quality_calibration_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").alias("score_hi"),
     )
 
+
+
+# ---- DoReMi-style domain reweighting --------------------------------------
+# Domain-mixture optimization (Xie et al. 2023, "DoReMi: Optimizing Data
+# Mixtures Speeds Up Language Model Pretraining"): multiplicative-weights
+# updates boost domains whose loss EXCEEDS the current mixture-weighted
+# average — the minimax/Group-DRO update that makes no domain's excess
+# loss dominate. The published form uses a proxy model's per-domain excess
+# log-perplexity; here the loss is the corpus's own per-token unigram
+# surprisal (the same proxy the ccnet_bucket/quality pipeline already
+# computes), and the exponentiated-gradient step is replaced by its
+# standard LINEARIZED form w ← w·(1 + η·excess) so every round is exact
+# int64 arithmetic (ppm weights, micro-nat losses) and the T-round
+# trajectory is bit-identical across engines. Unlike a softmax over
+# static per-domain losses, the update is genuinely iterative: the
+# clipped excess is measured against the CURRENT weighted average, which
+# moves every round.
+DOREMI_ROUNDS = 8
+DOREMI_ETA_Q = 1_000_000  # η = 1 (the DoReMi paper's step size), ppm-scaled
+DOREMI_SMOOTH_Q = 50_000  # 5% uniform smoothing per round (DoReMi's s·u term)
+_PPM = 1_000_000
+
+
+def _doremi_mw_rounds(doms: list[tuple[str, int]]) -> dict[str, tuple[int, int]]:
+    """Run the T-round integer multiplicative-weights loop over
+    ``[(source, loss_q)]``; returns ``{source: (weight_ppm, boost_ppm)}``.
+
+    Pure int64 arithmetic on positive operands (floor division == DuckDB
+    ``//`` truncation for positives), mirrored term-for-term by the
+    unrolled oracle CTEs in :func:`_doremi_oracle`."""
+    u = _PPM // len(doms)
+    w = {s: u for s, _ in doms}
+    loss = dict(doms)
+    for _ in range(DOREMI_ROUNDS):
+        avg = sum(w[s] * loss[s] for s in w) // _PPM
+        wp = {
+            s: (w[s] * (_PPM + (DOREMI_ETA_Q * max(loss[s] - avg, 0)) // _PPM)) // _PPM
+            for s in w
+        }
+        tot = sum(wp.values())
+        w = {
+            s: ((_PPM - DOREMI_SMOOTH_Q) * ((wp[s] * _PPM) // tot) + DOREMI_SMOOTH_Q * u)
+            // _PPM
+            for s in w
+        }
+    return {s: (w[s], (w[s] * _PPM) // u) for s in w}
+
+
+def _doremi_oracle() -> str:
+    # CTE-inlining discipline: DuckDB inlines (does not materialize)
+    # non-recursive CTEs, so every round must reference its predecessor
+    # EXACTLY ONCE or the plan doubles per round (2^T scans of
+    # `documents` — observed as an EMFILE blow-up). Per-round scalars
+    # (weighted-average loss, normalization total) therefore come from
+    # unpartitioned window aggregates inside a single chained CTE
+    # instead of separate aggregate CTEs, and every output column rides
+    # the chain so the final SELECT reads only w{T}.
+    parts = [
+        f"""w0 AS (
+      SELECT source, n_docs, n_tokens, L,
+             CAST({_PPM} // (COUNT(*) OVER ()) AS BIGINT) AS u,
+             CAST({_PPM} // (COUNT(*) OVER ()) AS BIGINT) AS w
+      FROM (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(p.n_tokens * t.q_ln_total - p.sum_q)
+                    // SUM(p.n_tokens) AS BIGINT) AS L
+        FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id, tot t
+        GROUP BY d.source
+      )
+    )"""
+    ]
+    for t in range(DOREMI_ROUNDS):
+        parts.append(
+            f"""w{t + 1} AS (
+      SELECT source, n_docs, n_tokens, L, u,
+             CAST((({_PPM} - {DOREMI_SMOOTH_Q}) * ((wp * {_PPM}) // (SUM(wp) OVER ()))
+                   + {DOREMI_SMOOTH_Q} * u) // {_PPM} AS BIGINT) AS w
+      FROM (
+        SELECT source, n_docs, n_tokens, L, u,
+               (w * ({_PPM} + ({DOREMI_ETA_Q} *
+                  GREATEST(L - (SUM(w * L) OVER ()) // {_PPM}, 0)) // {_PPM}))
+                 // {_PPM} AS wp
+        FROM w{t}
+      )
+    )"""
+        )
+    chained = ",\n    ".join(parts)
+    return f"""
+    WITH {_SURPRISAL_CTES},
+    {chained}
+    SELECT source,
+           n_docs,
+           n_tokens,
+           CAST(L AS BIGINT) AS loss_q,
+           CAST(w AS BIGINT) AS weight_ppm,
+           CAST((w * {_PPM}) // u AS BIGINT) AS boost_ppm
+    FROM w{DOREMI_ROUNDS}
+    """
+
+
+@register("doremi_domain_reweight", _doremi_oracle)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (see block comment):
+    per-domain per-token surprisal loss from the corpus unigram model,
+    then {DOREMI_ROUNDS} rounds of the clipped-excess multiplicative-
+    weights update (linearized, ppm-integer exact) with per-round
+    renormalization and {DOREMI_SMOOTH_Q}-ppm uniform smoothing. Output:
+    one row per domain with its doc/token mass, micro-nat loss, final
+    mixture weight (ppm) and boost vs the uniform mixture.
+
+    Scale: the distributed work is the corpus-wide surprisal scoring
+    (token-keyed vocab groupBy + join, per-doc reduce — the shared
+    `_doc_surprisal` plan) and one per-SOURCE aggregation; the MW
+    iteration itself runs on the collected per-domain table, which is
+    bounded by domain cardinality (20 here; O(100) sources at 100 TB —
+    the same bounded-driver-state pattern as kmeans_step's centroids).
+    The weight table broadcasts back for the final projection."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    dom = (
+        _doc_surprisal(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("surprisal_q").cast("bigint").alias("sur_q"),
+        )
+        .withColumn("loss_q", F.expr("sur_q div n_tokens").cast("bigint"))
+    )
+    # Bounded collect: one row per domain (see scale note).
+    rows = [(r["source"], r["loss_q"]) for r in dom.select("source", "loss_q").collect()]
+    final = _doremi_mw_rounds(sorted(rows))
+    wdf = spark.createDataFrame(
+        [(s, int(w), int(b)) for s, (w, b) in final.items()],
+        "source string, weight_ppm bigint, boost_ppm bigint",
+    )
+    return dom.join(F.broadcast(wdf), "source").select(
+        "source", "n_docs", "n_tokens", "loss_q", "weight_ppm", "boost_ppm"
+    )
