@@ -2110,3 +2110,137 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("vec_id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+# ---- Greedy k-center diversity selection ----------------------------------
+# Farthest-point traversal (Gonzalez 1985): pick the point with the
+# largest squared distance to the already-chosen set, K times. The
+# resulting set is a 2-approximate k-center solution — the classic
+# diversity coreset for training-data selection (maximize coverage of
+# embedding space with a fixed exemplar budget), and the selection
+# radii it emits are the coverage-radius curve (how well K exemplars
+# cover the corpus). Deterministic: quantized int64 embeddings, exact
+# integer squared distances, total (dist DESC, vec_id ASC) order at
+# every argmax; seeded at the max-norm vector.
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    # MATERIALIZED CTEs: each round's frontier (m{k}) and chosen center
+    # (c{k}) are referenced more than once downstream; DuckDB inlines
+    # plain CTEs, which doubles the plan per round (see the doremi
+    # oracle's discipline note) — materialization keeps the chain
+    # linear.
+    d2 = (
+        "CAST({n2} "
+        "+ list_dot_product(CAST(c.e AS DOUBLE[]), CAST(c.e AS DOUBLE[])) "
+        "- 2 * list_dot_product(CAST({e} AS DOUBLE[]), CAST(c.e AS DOUBLE[])) AS BIGINT)"
+    )
+    parts = [
+        """n AS MATERIALIZED (
+      SELECT vec_id, e,
+             CAST(list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])) AS BIGINT) AS n2
+      FROM q
+    ),
+    c1 AS MATERIALIZED (
+      SELECT vec_id, e FROM n ORDER BY n2 DESC, vec_id ASC LIMIT 1
+    ),
+    m1 AS MATERIALIZED (
+      SELECT p.vec_id, p.e, p.n2, """
+        + d2.format(n2="p.n2", e="p.e")
+        + """ AS mind
+      FROM n p, c1 c
+    )"""
+    ]
+    for k in range(2, KCENTER_K + 1):
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT vec_id, e, mind FROM m{k - 1} ORDER BY mind DESC, vec_id ASC LIMIT 1
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT p.vec_id, p.e, p.n2,
+             LEAST(p.mind, """
+            + d2.format(n2="p.n2", e="p.e")
+            + f""") AS mind
+      FROM m{k - 1} p, c{k} c
+    )"""
+        )
+    chained = ",\n    ".join(parts)
+    sels = ["SELECT 1 AS sel_k, vec_id, CAST(0 AS BIGINT) AS dist_q FROM c1"] + [
+        f"SELECT {k} AS sel_k, vec_id, CAST(mind AS BIGINT) AS dist_q FROM c{k}"
+        for k in range(2, KCENTER_K + 1)
+    ]
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained}
+    SELECT CAST(sel_k AS INT) AS sel_k, vec_id, dist_q
+    FROM ({" UNION ALL ".join(sels)})
+    """
+
+
+@register("kcenter_diverse_select", _kcenter_oracle)
+def kcenter_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity coreset (see block comment): seed at
+    the max-norm vector, then {KCENTER_K - 1} farthest-point rounds;
+    output (sel_k, vec_id, dist_q) — the chosen exemplars in selection
+    order with the squared-distance coverage radius at each pick.
+
+    Scale: each round is ONE distributed map-only pass (blocked numpy
+    GEMM against the ≤{KCENTER_K}-row broadcast center set — the
+    quantized-int-exact pattern of embedding_cosine_neardup_exact)
+    followed by a 1-row argmax collect; K rounds → K scans, K bounded
+    collects (the same driver-state shape as kmeans_step's centroids).
+    No all-pairs join, no corpus shuffle — the orderBy(...).limit(1)
+    argmax is a per-partition top-1 + driver merge, not a global sort.
+    At 100 TB with K in the hundreds, the identical plan holds; the
+    classic refinement (recompute only rows whose cached mind exceeds
+    the new center's distance) is a filter on this same frame."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    emb = emb.persist()
+    try:
+        seed = (
+            emb.withColumn("n2", _dot(F.col("e"), F.col("e")))
+            .orderBy(F.col("n2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers = [list(seed["e"])]
+        picks = [(1, int(seed["vec_id"]), 0)]
+        for k in range(2, KCENTER_K + 1):
+            cents = [list(c) for c in centers]
+
+            def score(it, _cents=cents):
+                # Defined in-builder: pickled by value (executors never
+                # import this module).
+                import numpy as np
+                import pandas as pd
+
+                C = np.array(_cents, dtype=np.float64)
+                cn = (C * C).sum(axis=1)
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    M = np.array(list(pdf["e"]), dtype=np.float64)
+                    n2 = (M * M).sum(axis=1)
+                    d2 = n2[:, None] + cn[None, :] - 2.0 * (M @ C.T)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "mind": d2.min(axis=1).astype(np.int64),
+                            "e": pdf["e"],
+                        }
+                    )
+
+            top = (
+                emb.mapInPandas(score, "vec_id bigint, mind bigint, e array<bigint>")
+                .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            centers.append(list(top["e"]))
+            picks.append((k, int(top["vec_id"]), int(top["mind"])))
+    finally:
+        emb.unpersist()
+    return spark.createDataFrame(picks, "sel_k int, vec_id bigint, dist_q bigint")
