@@ -1886,3 +1886,168 @@ _register_stream_topk_quality()
 
 
 
+
+# ---- Standing drift monitor -----------------------------------------------
+# The second standing-query member after stream_topk_quality, with a
+# different state shape again: a MERGEABLE SUFFICIENT STATISTIC. Each
+# micro-batch contributes only its own (segment, bin) histogram counts
+# (fixed-width value-keyed bins — no global min/max pass, the 100 TB
+# binning choice); the store is additive across epochs, so per-epoch
+# work is O(batch) and replaying an epoch overwrites its own partition
+# idempotently. Drift is evaluated AT QUERY TIME from the store: PSI of
+# every later corpus segment against segment 0 (the reference window) —
+# the production "distribution drift vs launch week" dashboard, fed by
+# a stream instead of a batch rescan. Segment identity rides IN the
+# rows ((doc_id * SEGS) div (max_doc_id + 1), geometry fixed from the
+# corpus BEFORE streaming like the cosine store's bit count), so the
+# monitor's answer is independent of file→trigger order.
+INC_DRIFT_EPOCHS = 4
+DRIFT_BIN_W = 64  # fixed n_chars bin width (value-keyed; no global range scan)
+
+
+def ingest_drift_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One drift-monitor epoch (module-level for replay testing): bin the
+    batch's documents by length and append the (seg, bin, cnt) histogram
+    under this epoch's partition (idempotent overwrite)."""
+    (
+        batch_df.groupBy(
+            "seg", F.expr(f"n_chars div {DRIFT_BIN_W}").alias("bin")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/epoch={epoch_id}")
+    )
+
+
+def _register_stream_drift_monitor() -> None:
+    from ..operators.windows_sql import PSI_SCALE
+
+    def _oracle_sql() -> str:
+        per_seg = []
+        for s in range(1, INC_DRIFT_EPOCHS):
+            per_seg.append(
+                f"""SELECT {s} AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(term_q) AS BIGINT) AS psi_q
+      FROM (
+        SELECT CAST(floor(
+                 ((CAST(a + 1 AS DOUBLE) / (SUM(a) OVER () + COUNT(*) OVER ()))
+                  - (CAST(b + 1 AS DOUBLE) / (SUM(b) OVER () + COUNT(*) OVER ())))
+                 * (ln(CAST(a + 1 AS DOUBLE) / (SUM(a) OVER () + COUNT(*) OVER ()))
+                  - ln(CAST(b + 1 AS DOUBLE) / (SUM(b) OVER () + COUNT(*) OVER ())))
+                 * {PSI_SCALE}) AS BIGINT) AS term_q
+        FROM (
+          SELECT coalesce(r.c, 0) AS a, coalesce(s.c, 0) AS b
+          FROM (SELECT bin, c FROM counts WHERE seg = 0) r
+          FULL OUTER JOIN (SELECT bin, c FROM counts WHERE seg = {s}) s
+            ON s.bin = r.bin
+        )
+      )"""
+            )
+        return f"""
+        WITH counts AS MATERIALIZED (
+          SELECT (doc_id * {INC_DRIFT_EPOCHS})
+                   // (SELECT MAX(doc_id) + 1 FROM documents) AS seg,
+                 n_chars // {DRIFT_BIN_W} AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents
+          GROUP BY 1, 2
+        )
+        SELECT CAST(seg AS INT) AS seg, n_bins, psi_q
+        FROM ({" UNION ALL ".join("(" + p + ")" for p in per_seg)})
+        """
+
+    @register("stream_drift_monitor", _oracle_sql)
+    def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Standing PSI drift monitor under streaming ingest (see block
+        comment): documents land one corpus segment per trigger; each
+        epoch appends only its own fixed-width length-histogram counts
+        (mergeable sufficient statistic, O(batch)); the final read
+        computes PSI of every segment against segment 0 from the store
+        alone — no corpus rescans, file→trigger order irrelevant.
+
+        Scale: per-epoch state is ≤bins rows; query-time drift math
+        touches only (segs × bins) rows. The same store serves any
+        reference choice (previous-segment PSI, rolling windows)
+        without re-reading documents."""
+        tune(spark)
+        src = _e2e_tmpdir("alrs_drift_src_")
+        store = _e2e_tmpdir("alrs_drift_store_")
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        # Geometry (segment boundaries) fixed from the corpus BEFORE
+        # streaming — 1-row bounded collect, the cosine-store pattern.
+        mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        segged = docs.withColumn(
+            "seg",
+            F.expr(f"int((doc_id * {INC_DRIFT_EPOCHS}) div {int(mx) + 1})"),
+        )
+        for s in range(INC_DRIFT_EPOCHS):
+            segged.filter(F.col("seg") == s).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/s{s}")
+        stream = (
+            spark.readStream.schema(segged.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_drift_epoch(spark, batch_df, epoch_id, store)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_drift_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        counts = (
+            spark.read.parquet(store)
+            .groupBy("seg", "bin")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .persist()
+        )
+        ref = counts.filter(F.col("seg") == 0).select("bin", F.col("c").alias("a"))
+        out = None
+        for s in range(1, INC_DRIFT_EPOCHS):
+            cur = counts.filter(F.col("seg") == s).select(
+                "bin", F.col("c").alias("b")
+            )
+            pair = ref.join(cur, "bin", "full_outer").select(
+                F.coalesce("a", F.lit(0)).alias("a"),
+                F.coalesce("b", F.lit(0)).alias("b"),
+            )
+            tot = pair.agg(
+                F.sum("a").cast("bigint").alias("na"),
+                F.sum("b").cast("bigint").alias("nb"),
+                F.count("*").cast("bigint").alias("k"),
+            )
+            sa = (F.col("a").cast("double") + 1) / (F.col("na") + F.col("k"))
+            sb = (F.col("b").cast("double") + 1) / (F.col("nb") + F.col("k"))
+            from ..operators.windows_sql import PSI_SCALE as _PS
+
+            terms = pair.crossJoin(F.broadcast(tot)).select(
+                F.floor(((sa - sb) * (F.log(sa) - F.log(sb))) * _PS)
+                .cast("bigint")
+                .alias("term_q")
+            )
+            seg_row = terms.agg(
+                F.count("*").cast("bigint").alias("n_bins"),
+                F.sum("term_q").cast("bigint").alias("psi_q"),
+            ).select(F.lit(s).cast("int").alias("seg"), "n_bins", "psi_q")
+            out = seg_row if out is None else out.unionByName(seg_row)
+        return out
+
+
+_register_stream_drift_monitor()

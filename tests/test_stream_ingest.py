@@ -536,3 +536,61 @@ def test_standing_topk_replay_and_monotone_merge(spark, tmp_path):
         .collect()
     }
     assert final == batch, "standing top-K != batch top-K"
+
+
+def test_incremental_drift_replay_idempotent(spark, tmp_path):
+    """The drift store is a mergeable sufficient statistic: replaying any
+    epoch overwrites its own partition idempotently, and the merged
+    (seg, bin) counts equal the batch histogram of the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        DRIFT_BIN_W,
+        INC_DRIFT_EPOCHS,
+        ingest_drift_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "n_chars")
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    segged = docs.withColumn(
+        "seg", F.expr(f"int((doc_id * {INC_DRIFT_EPOCHS}) div {int(mx) + 1})")
+    )
+    src = str(tmp_path / "src")
+    for s in range(INC_DRIFT_EPOCHS):
+        segged.filter(F.col("seg") == s).coalesce(1).write.parquet(f"{src}/s{s}")
+    store = str(tmp_path / "store")
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/s*/part-*"))
+    assert len(files) == INC_DRIFT_EPOCHS
+    for i, f in enumerate(files):
+        ingest_drift_epoch(spark, spark.read.parquet(f), i, store)
+
+    def merged():
+        return {
+            (r["seg"], r["bin"], r["c"])
+            for r in spark.read.parquet(store)
+            .groupBy("seg", "bin")
+            .agg(F.sum("cnt").alias("c"))
+            .collect()
+        }
+
+    before = merged()
+    # out-of-order + tail replay
+    ingest_drift_epoch(spark, spark.read.parquet(files[1]), 1, store)
+    assert merged() == before
+    last = len(files) - 1
+    ingest_drift_epoch(spark, spark.read.parquet(files[last]), last, store)
+    assert merged() == before
+
+    batch = {
+        (r["seg"], r["bin"], r["c"])
+        for r in segged.groupBy(
+            "seg", F.expr(f"n_chars div {DRIFT_BIN_W}").alias("bin")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert before == batch, "incremental histogram != batch histogram"
