@@ -2247,17 +2247,59 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").alias("score_hi"),
     )
 
-@register(
-    "quality_calibration_scorers",
-    rf"""
-    WITH {_SURPRISAL_CTES},
-    {_GOPHER_LABELS_CTE},
-    s_scored AS (
-      SELECT doc_id,
-             CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens AS score
-      FROM per_doc, tot
-    ),
-    words AS (
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, score) under the learned naive-Bayes linear
+    scorer: hashed uni+bigram DSIR buckets, per-bucket log-count-ratio
+    weights fit on the Gopher-gate labels (micro-nat int64s), a
+    document scores the MEAN weight of its grams. Shared by
+    quality_calibration_scorers and scorer_disagreement_select; the
+    oracle twin is _NB_SCORE_CTES."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text("text"), " ").alias("ws")
+    )
+    uni = d.select("doc_id", F.explode("ws").alias("g"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> ws[i - 1] || ' ' || ws[i])")
+        ).alias("g"),
+    )
+    gbuck = uni.unionByName(bi).select(
+        "doc_id", (hex_hash64(F.col("g"), salt="nbq:") % DSIR_BUCKETS).alias("b")
+    )
+    labels = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_all").alias("passes")
+    )
+    counts = (
+        gbuck.join(labels, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("p_b"),
+            F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("f_b"),
+        )
+    )
+    tots = counts.agg(F.sum("p_b").alias("p_n"), F.sum("f_b").alias("f_n"))
+    qln = lambda num, den: F.floor(F.log(num / den) * 1e6).cast("bigint")
+    wts = counts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            qln((F.col("p_b") + 1).cast("double"), (F.col("p_n") + DSIR_BUCKETS).cast("double"))
+            - qln((F.col("f_b") + 1).cast("double"), (F.col("f_n") + DSIR_BUCKETS).cast("double"))
+        ).alias("w"),
+    )
+    return (
+        gbuck.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg((F.sum("w").cast("double") / F.count("*")).alias("score"))
+    )
+
+
+# The naive-Bayes linear scorer's oracle chain (words → hashed-gram
+# buckets → per-bucket pass/fail counts → log-count-ratio weights →
+# per-doc mean-weight score). Requires {_GOPHER_LABELS_CTE} (for
+# `labels`) earlier in the WITH list. Shared by
+# quality_calibration_scorers and scorer_disagreement_select.
+_NB_SCORE_CTES = rf"""words AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
       FROM documents
@@ -2294,7 +2336,20 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.doc_id, CAST(SUM(w.w) AS DOUBLE) / COUNT(*) AS score
       FROM gbuck g JOIN wts w ON w.b = g.b
       GROUP BY g.doc_id
+    )"""
+
+
+@register(
+    "quality_calibration_scorers",
+    rf"""
+    WITH {_SURPRISAL_CTES},
+    {_GOPHER_LABELS_CTE},
+    s_scored AS (
+      SELECT doc_id,
+             CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens AS score
+      FROM per_doc, tot
     ),
+    {_NB_SCORE_CTES},
     curves AS (
       SELECT 'surprisal' AS scorer, s.doc_id, s.score, l.passes,
              ntile({CALIB_BUCKETS}) OVER (ORDER BY s.score ASC, s.doc_id ASC) AS bucket
@@ -2339,43 +2394,9 @@ def quality_calibration_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
     512-row map-side-combined groupBy; the weight table broadcasts;
     the global ntile is one row per doc with the same approx-quantile
     rewrite documented on quality_calibration_curve."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(norm_text("text"), " ").alias("ws")
-    )
-    uni = d.select("doc_id", F.explode("ws").alias("g"))
-    bi = d.filter(F.size("ws") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(ws) - 1), i -> ws[i - 1] || ' ' || ws[i])")
-        ).alias("g"),
-    )
-    gbuck = uni.unionByName(bi).select(
-        "doc_id", (hex_hash64(F.col("g"), salt="nbq:") % DSIR_BUCKETS).alias("b")
-    )
+    l_scored = _nb_scored(spark, sf_dir)
     labels = gopher_quality_rules(spark, sf_dir).select(
         "doc_id", F.col("passes_all").alias("passes")
-    )
-    counts = (
-        gbuck.join(labels, "doc_id")
-        .groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("p_b"),
-            F.sum(F.when(F.col("passes"), 0).otherwise(1)).alias("f_b"),
-        )
-    )
-    tots = counts.agg(F.sum("p_b").alias("p_n"), F.sum("f_b").alias("f_n"))
-    qln = lambda num, den: F.floor(F.log(num / den) * 1e6).cast("bigint")
-    wts = counts.crossJoin(F.broadcast(tots)).select(
-        "b",
-        (
-            qln((F.col("p_b") + 1).cast("double"), (F.col("p_n") + DSIR_BUCKETS).cast("double"))
-            - qln((F.col("f_b") + 1).cast("double"), (F.col("f_n") + DSIR_BUCKETS).cast("double"))
-        ).alias("w"),
-    )
-    l_scored = (
-        gbuck.join(F.broadcast(wts), "b")
-        .groupBy("doc_id")
-        .agg((F.sum("w").cast("double") / F.count("*")).alias("score"))
     )
     s_scored = _doc_surprisal(spark, sf_dir).select(
         "doc_id",
@@ -2540,4 +2561,102 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dom.join(F.broadcast(wdf), "source").select(
         "source", "n_docs", "n_tokens", "loss_q", "weight_ppm", "boost_ppm"
+    )
+
+
+# ---- Scorer-disagreement selection ----------------------------------------
+# Dataset-cartography / active-learning selection (Swayamdipta et al.
+# 2020's "ambiguous region", query-by-committee reduced to two
+# members): documents on which the unsupervised surprisal scorer and
+# the learned NB-linear scorer DISAGREE most are exactly the documents
+# where a human label (or a stronger model's pass) buys the most
+# information — the standard triage list a curation team reviews.
+# Disagreement is measured in RANK space (|rank under scorer A − rank
+# under scorer B|), which is scale-free: the two scores live in
+# unrelated units, so score-space deltas are meaningless but rank
+# deltas are comparable and integer-exact.
+DISAGREE_K = 50
+
+
+@register(
+    "scorer_disagreement_select",
+    rf"""
+    WITH {_SURPRISAL_CTES},
+    {_GOPHER_LABELS_CTE},
+    {_NB_SCORE_CTES},
+    s_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY
+               CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens ASC,
+               doc_id ASC) AS r_s
+      FROM per_doc, tot
+    ),
+    n_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score ASC, doc_id ASC) AS r_n
+      FROM l_scored
+    )
+    SELECT doc_id,
+           CAST(r_s AS BIGINT) AS rank_surprisal,
+           CAST(r_n AS BIGINT) AS rank_nb,
+           CAST(abs(r_s - r_n) AS BIGINT) AS disagreement,
+           CAST(pick AS INT) AS pick
+    FROM (
+      SELECT s.doc_id, s.r_s, n.r_n,
+             row_number() OVER (ORDER BY abs(s.r_s - n.r_n) DESC, s.doc_id ASC)
+               AS pick
+      FROM s_ranked s JOIN n_ranked n ON n.doc_id = s.doc_id
+    ) WHERE pick <= {DISAGREE_K}
+    """,
+)
+def scorer_disagreement_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DISAGREE_K} documents by rank disagreement between the
+    unsupervised surprisal scorer and the learned NB-linear scorer (see
+    block comment) — the curation triage list: each row carries both
+    ranks, the absolute rank gap, and the pick order.
+
+    Cross-engine determinism: both scores are exact-int ratios (one
+    correctly-rounded division each), both row_numbers order by
+    (score ASC, doc_id ASC) total orders, and every output column is an
+    integer.
+
+    Scale: two scorer plans (token-keyed shuffles, shared with their
+    standalone queries) + two one-row-per-doc global rank windows and a
+    doc_id-keyed join. The global windows carry the same documented
+    100 TB rewrite as dsir_topk_scalable: pre-compute score quantiles
+    and rank within bands, or use the sketch-threshold top-K for the
+    final pick — disagreement only needs the TAIL of the rank gap."""
+    s_ranked = _doc_surprisal(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(
+            W.orderBy(
+                (F.col("surprisal_q").cast("double") / F.col("n_tokens")).asc(),
+                F.col("doc_id").asc(),
+            )
+        )
+        .cast("bigint")
+        .alias("r_s"),
+    )
+    n_ranked = _nb_scored(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").asc(), F.col("doc_id").asc()))
+        .cast("bigint")
+        .alias("r_n"),
+    )
+    joined = s_ranked.join(n_ranked, "doc_id").withColumn(
+        "disagreement", F.abs(F.col("r_s") - F.col("r_n")).cast("bigint")
+    )
+    w = W.orderBy(F.col("disagreement").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("pick", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick") <= DISAGREE_K)
+        .select(
+            "doc_id",
+            F.col("r_s").alias("rank_surprisal"),
+            F.col("r_n").alias("rank_nb"),
+            "disagreement",
+            "pick",
+        )
     )
