@@ -92,6 +92,10 @@ QUERIES = [
     "stream_incremental_winnow",  # within-doc sketching, append-only store
     "stream_incremental_cosine",  # stateless signatures + GEMM bucket verify
     "stream_topk_quality",  # versioned monotone top-K state, O(batch+K)/epoch
+    "doremi_domain_reweight",  # corpus surprisal + bounded-domain MW loop
+    "kcenter_diverse_select",  # K map-only GEMM passes + 1-row argmaxes
+    "stream_drift_monitor",  # mergeable histogram store, query-time PSI
+    "scorer_disagreement_select",  # two scorer plans + rank-gap windows
 ]
 
 

@@ -40,6 +40,10 @@ BUDGETS = [
     # by the 3x midpoint as linear-asymptote, now gated so they stay so)
     ("cdc_chunks", 20.0),               # Rabin chunker + chunk-hash groupBy
     ("heavy_hitters_cms_only", 20.0),   # production sketch-only CMS plan
+    # round-9 addition: K map-only GEMM passes + K 1-row argmax collects —
+    # linear in corpus size by construction; the gate guards against the
+    # argmax accidentally becoming a global sort
+    ("kcenter_diverse_select", 20.0),
 ]
 
 
