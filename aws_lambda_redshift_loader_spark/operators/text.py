@@ -2551,6 +2551,9 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("surprisal_q").cast("bigint").alias("sur_q"),
         )
         .withColumn("loss_q", F.expr("sur_q div n_tokens").cast("bigint"))
+        # Domain-cardinality rows; persisted so the bounded collect and
+        # the final projection share ONE execution of the surprisal plan.
+        .persist()
     )
     # Bounded collect: one row per domain (see scale note).
     rows = [(r["source"], r["loss_q"]) for r in dom.select("source", "loss_q").collect()]
