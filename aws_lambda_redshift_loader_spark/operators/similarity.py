@@ -163,6 +163,44 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_recon(emb: DataFrame) -> DataFrame:
+    """(vec_id, e) → (vec_id, r): SQ8 code-then-reconstruct over the
+    corpus' per-dimension [min, max] ranges — the exact-integer x255
+    scaling documented on embedding_sq8_topk. Split out so the
+    reconstruction-envelope test asserts against the query's ACTUAL
+    reconstructed values, not a re-derivation of the same bound
+    formula (round-9 ADVICE)."""
+    dims = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    lim = dims.agg(
+        F.sort_array(F.collect_list(F.struct("dim", "mn"))).alias("s_mn"),
+        F.sort_array(
+            F.collect_list(F.struct("dim", F.greatest(F.col("mx") - F.col("mn"), F.lit(1)).alias("rg")))
+        ).alias("s_rg"),
+    ).select(
+        F.transform("s_mn", lambda s: s["mn"]).alias("mns"),
+        F.transform("s_rg", lambda s: s["rg"]).alias("rgs"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(lim))
+        .select(
+            "vec_id",
+            F.transform(
+                "e",
+                lambda x, i: F.element_at(F.col("mns"), i + 1) * 255
+                + F.floor(
+                    ((x - F.element_at(F.col("mns"), i + 1)) * 255).cast("double")
+                    / F.element_at(F.col("rgs"), i + 1)
+                ).cast("bigint")
+                * F.element_at(F.col("rgs"), i + 1),
+            ).alias("r"),
+        )
+    )
+
+
 @register(
     "embedding_sq8_topk",
     f"""
@@ -227,35 +265,7 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize("embedding").alias("e")
     )
-    dims = (
-        emb.select(F.posexplode("e").alias("dim", "v"))
-        .groupBy("dim")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-    )
-    lim = dims.agg(
-        F.sort_array(F.collect_list(F.struct("dim", "mn"))).alias("s_mn"),
-        F.sort_array(
-            F.collect_list(F.struct("dim", F.greatest(F.col("mx") - F.col("mn"), F.lit(1)).alias("rg")))
-        ).alias("s_rg"),
-    ).select(
-        F.transform("s_mn", lambda s: s["mn"]).alias("mns"),
-        F.transform("s_rg", lambda s: s["rg"]).alias("rgs"),
-    )
-    recon = (
-        emb.crossJoin(F.broadcast(lim))
-        .select(
-            "vec_id",
-            F.transform(
-                "e",
-                lambda x, i: F.element_at(F.col("mns"), i + 1) * 255
-                + F.floor(
-                    ((x - F.element_at(F.col("mns"), i + 1)) * 255).cast("double")
-                    / F.element_at(F.col("rgs"), i + 1)
-                ).cast("bigint")
-                * F.element_at(F.col("rgs"), i + 1),
-            ).alias("r"),
-        )
-    )
+    recon = _sq8_recon(emb)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.scalar import codes_expr, codes_sql, hex_hash64, norm_text, rolling_hash_expr, rolling_hash_sql
 from ..plans.registry import register
-from ..session import table
+from ..session import defer_unpersist, table
 
 # Stopword fingerprints per language (tiny n-gram-ish heuristic).
 LANG_PATTERNS = {
@@ -2131,7 +2131,9 @@ def dsir_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch, the threshold-check loop, and the final filtered window
     # all read the same materialization instead of re-scoring the
     # corpus per action (the docstring's "production caches scored").
-    scored = _dsir_scored(spark, sf_dir).persist()
+    # The returned frame filters this cache, so release is deferred to
+    # the harness (session.release_persisted) after consumption.
+    scored = defer_unpersist(_dsir_scored(spark, sf_dir).persist())
     stats = scored.agg(
         F.min("score_q").alias("lo"),
         F.max("score_q").alias("hi"),
@@ -2553,8 +2555,11 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("loss_q", F.expr("sur_q div n_tokens").cast("bigint"))
         # Domain-cardinality rows; persisted so the bounded collect and
         # the final projection share ONE execution of the surprisal plan.
+        # The returned frame joins against this cache — released by the
+        # harness (session.release_persisted) after consumption.
         .persist()
     )
+    defer_unpersist(dom)
     # Bounded collect: one row per domain (see scale note).
     rows = [(r["source"], r["loss_q"]) for r in dom.select("source", "loss_q").collect()]
     final = _doremi_mw_rounds(sorted(rows))

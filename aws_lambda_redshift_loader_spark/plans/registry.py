@@ -72,16 +72,20 @@ def _resolve_lazy_oracles() -> None:
     nesting another deferred oracle would read its ``None`` placeholder
     (resolution order is arbitrary). The tripwire below catches that
     mistake loudly instead of shipping ``... AS (None) ...`` to DuckDB.
-    It matches the exact f-string artifact of formatting a ``None``
-    oracle — ``(None)`` — rather than the bare substring ``None``, so a
-    legitimate future oracle containing a string literal or identifier
-    spelling ``None`` does not assert-fail ``load_all()``."""
+    It matches the word ``None`` anywhere in the rendered SQL (not just
+    the parenthesized ``(None)`` form) so an unresolved nested oracle
+    interpolated without surrounding parentheses — e.g.
+    ``f"WITH {other.oracle}, ..."`` → ``WITH None, ...`` — is caught
+    too. No legitimate oracle in this repo spells the bare word
+    ``None`` (SQL NULL is ``NULL``); if one ever must, quote it so the
+    word-boundary regex does not fire on an f-string artifact."""
     import dataclasses
+    import re
 
     while _LAZY_ORACLES:
         name, thunk = _LAZY_ORACLES.popitem()
         sql = thunk()
-        assert sql is not None and "(None)" not in sql, (
+        assert sql is not None and not re.search(r"\bNone\b", sql), (
             f"lazy oracle for {name!r} embedded an unresolved oracle "
             "(callable oracles may nest only string-oracle queries)"
         )
@@ -107,6 +111,10 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-9 new queries (no prior correctness row)
+    "doremi_domain_reweight",
+    "kcenter_diverse_select",
+    "stream_drift_monitor",
+    "scorer_disagreement_select",
     "stream_incremental_simhash",
     "quality_calibration_scorers",
     "stream_incremental_cdc",

@@ -89,6 +89,38 @@ def get_spark(app_name: str = "aws-lambda-redshift-loader-spark") -> SparkSessio
     return tune(spark)
 
 
+def defer_unpersist(df: DataFrame) -> DataFrame:
+    """Tag a persist()ed frame for release AFTER the caller consumes the
+    query's returned DataFrame (which depends on it, so the query
+    function itself cannot unpersist before the action runs). Harnesses
+    that execute many queries back-to-back (bench.py, the oracle sweep)
+    call :func:`release_persisted` between queries; a single-query
+    caller that never releases just leaves one LRU-evictable cached
+    frame, same as before this hook existed. Deliberately NOT used for
+    the cross-query memo caches (dedup pair graph, near-dup ingest
+    memo) — those persist across queries by design."""
+    _PENDING_UNPERSIST.append(df)
+    return df
+
+
+_PENDING_UNPERSIST: list = []
+
+
+def release_persisted() -> int:
+    """Unpersist every frame tagged by :func:`defer_unpersist`; returns
+    the number released. Safe to call any time after the previous
+    query's result was collected."""
+    n = 0
+    while _PENDING_UNPERSIST:
+        df = _PENDING_UNPERSIST.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session may be gone; releasing is best-effort
+    return n
+
+
 def normalize_nanos(df: DataFrame) -> DataFrame:
     """Convert int64-nanosecond `ts` (from nanosAsLong) to TimestampType.
 

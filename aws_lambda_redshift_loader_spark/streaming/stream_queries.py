@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import dec
 from ..plans.registry import register
-from ..session import normalize_nanos, tune
+from ..session import defer_unpersist, normalize_nanos, tune
 
 _COUNTER = itertools.count()
 
@@ -2012,7 +2012,9 @@ def _register_stream_drift_monitor() -> None:
         finally:
             q.stop()
 
-        counts = (
+        # seg x bin cardinality rows, read per drift segment below and by
+        # the returned frame — released by the harness after consumption.
+        counts = defer_unpersist(
             spark.read.parquet(store)
             .groupBy("seg", "bin")
             .agg(F.sum("cnt").cast("bigint").alias("c"))

@@ -111,6 +111,14 @@ def main() -> None:
             memo_labels[name] = _dedup.MEMO_EVENTS[n_events:]
         # Drop per-query litter (cached rels, memory-sink temp views) so
         # later queries measure operators, not accumulated heap pressure.
+        # release_persisted drops frames queries persist()ed for their own
+        # multi-action plans (deferred because the returned frame depends
+        # on them); clearCache then sweeps whatever remains EXCEPT the
+        # deliberate cross-query memos, which are localCheckpoint-backed
+        # and survive it.
+        from aws_lambda_redshift_loader_spark.session import release_persisted
+
+        release_persisted()
         spark.catalog.clearCache()
         for tbl in spark.catalog.listTables():
             if tbl.name.startswith("stream_result_"):

@@ -50,10 +50,13 @@ def _normalize(rows, colnames):
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_match(spark, name):
+    from aws_lambda_redshift_loader_spark.session import release_persisted
+
     spec = SPECS[name]
     sdf = spec.fn(spark, SF_ORACLE)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    release_persisted()  # drop the query's own deferred persist()s
 
     con = _duck(SF_ORACLE)
     res = con.execute(spec.oracle)

@@ -237,6 +237,7 @@ def test_sq8_recall_and_code_bounds(spark):
     from aws_lambda_redshift_loader_spark.operators.similarity import (
         embedding_sq8_topk,
         _quantize,
+        _sq8_recon,
     )
     from aws_lambda_redshift_loader_spark.session import table
 
@@ -250,19 +251,27 @@ def test_sq8_recall_and_code_bounds(spark):
     assert recall >= 0.8, f"SQ8 recall collapsed: {recall:.3f}"
     assert len(rows) == N_QUERIES * TOP_K
 
-    # Envelope check on the quantized ints the index is built from.
+    # Envelope check against the query's ACTUAL reconstructed values
+    # (_sq8_recon is the exact frame embedding_sq8_topk scores): every
+    # reconstructed r_d must lie in [mn_d*255, mx_d*255], where mn/mx
+    # come from an independent aggregate over the quantized ints — a
+    # division or range slip inside the recon expression now fails here
+    # instead of only (maybe) dropping recall.
     emb = table(spark, SF_ORACLE, "embeddings").select(
-        _quantize("embedding").alias("e")
+        "vec_id", _quantize("embedding").alias("e")
     )
-    lims = (
-        emb.select(F.posexplode("e").alias("dim", "v"))
-        .groupBy("dim")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .collect()
+    viol = (
+        _sq8_recon(emb)
+        .select(F.posexplode("r").alias("dim", "rv"))
+        .join(
+            emb.select(F.posexplode("e").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx")),
+            "dim",
+        )
+        .filter(
+            (F.col("rv") < F.col("mn") * 255) | (F.col("rv") > F.col("mx") * 255)
+        )
+        .count()
     )
-    for r in lims:
-        rg = max(r.mx - r.mn, 1)
-        # every possible code c in [0, 255]; reconstruction mn*255 + c*rg
-        # stays within [mn*255, mx*255]
-        assert r.mn * 255 + 0 * rg >= r.mn * 255
-        assert r.mn * 255 + ((r.mx - r.mn) * 255 // rg) * rg <= r.mx * 255
+    assert viol == 0, f"SQ8 reconstruction escaped its envelope: {viol} values"
