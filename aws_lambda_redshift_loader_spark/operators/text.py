@@ -2668,3 +2668,171 @@ def scorer_disagreement_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pick",
         )
     )
+
+
+# ---- Banded global rank (the 100 TB window rewrite) ------------------------
+# A global row_number() with no partitionBy routes every row through ONE
+# task — fine at one row per document and sf0.1, a scale-killer at 100 TB.
+# The banded form is exact: split the score range into quantile bands
+# (approximate boundaries — accuracy only shapes band balance, never the
+# answer), rank WITHIN each band (parallel, partitioned window), and add
+# the exact count of rows in all lower bands. Bounded driver state: B-1
+# boundary doubles + B band counts. Worst case (every score identical)
+# degenerates to one band = the status quo, never worse.
+RANK_BANDS = 32
+
+
+def _banded_rank(scored: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+    """Append ``rank_name`` = the exact global row_number under
+    (score_col ASC, doc_id ASC) without a single-partition window.
+
+    Band assignment depends only on the score, so tied scores always
+    share a band and the within-band (score, doc_id) order concatenated
+    across bands IS the global total order; the prefix-sum offsets make
+    the ranks globally exact regardless of how approximate the
+    percentile boundaries are."""
+    bounds = scored.agg(
+        F.percentile_approx(
+            score_col, [i / RANK_BANDS for i in range(1, RANK_BANDS)], 10000
+        ).alias("bs")
+    ).collect()[0]["bs"]
+    uniq = sorted(set(bounds or []))
+    band = F.lit(0)
+    for b in uniq:
+        band = band + F.when(F.col(score_col) >= F.lit(b), 1).otherwise(0)
+    banded = scored.withColumn("_band", band.cast("int"))
+    counts = {
+        r["_band"]: r["n"]
+        for r in banded.groupBy("_band").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    offmap = F.create_map(
+        *[x for k in sorted(offsets) for x in (F.lit(k), F.lit(offsets[k]))]
+    )
+    w = W.partitionBy("_band").orderBy(F.col(score_col).asc(), F.col("doc_id").asc())
+    return banded.withColumn(
+        rank_name,
+        (offmap[F.col("_band")] + F.row_number().over(w)).cast("bigint"),
+    ).drop("_band")
+
+
+@register(
+    "scorer_disagreement_scalable",
+    lambda: _registry_queries()["scorer_disagreement_select"].oracle,
+)
+def scorer_disagreement_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of scorer_disagreement_select (same oracle — the
+    hash gate proves the rewrite): the exact query's three unpartitioned
+    global row_number windows each route one-row-per-document through a
+    single task. Here (1) both scorer ranks come from _banded_rank —
+    quantile-banded, partition-parallel, exact; (2) the final top-K pick
+    uses the dsir_topk_scalable sketch-threshold pattern: estimate the
+    K-th disagreement with percentile_approx, filter to survivors
+    (distributed, map-side), run the exact (disagreement DESC, doc_id)
+    window on O(K) survivors only, stepping the threshold down if the
+    sketch overshoots (driver-side scalar loop, terminates at the global
+    minimum).
+
+    Scale: two scorer plans (token-keyed shuffles, shared with their
+    standalone queries) joined once on doc_id into ONE persisted
+    two-score frame (ranking each score before vs after the join is
+    equivalent — both scorers cover exactly the documents table — and
+    the hash gate proves it); then bounded driver passes only: one agg
+    for both boundary arrays + n, one (band_s x band_n) grouped count
+    whose Python marginals give both prefix-offset maps, two
+    band-partitioned rank windows back to back on the same frame (no
+    post-rank join), one fused min/max/percentile agg for the
+    disagreement threshold, and the exact pick window over O(K)
+    survivors. Persisted frames are released by the harness
+    (session.release_persisted)."""
+    per_doc = defer_unpersist(
+        _doc_surprisal(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("surprisal_q").cast("double") / F.col("n_tokens")).alias("s"),
+        )
+        .join(_nb_scored(spark, sf_dir), "doc_id")
+        .persist()
+    )
+    pcts = [i / RANK_BANDS for i in range(1, RANK_BANDS)]
+    head = per_doc.agg(
+        F.percentile_approx("s", pcts, 10000).alias("bs"),
+        F.percentile_approx("score", pcts, 10000).alias("bn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n = head["n"]
+
+    def band_col(col: str, bounds) -> Column:
+        b = F.lit(0)
+        for v in sorted(set(bounds or [])):
+            b = b + F.when(F.col(col) >= F.lit(v), 1).otherwise(0)
+        return b.cast("int")
+
+    banded = per_doc.withColumn("_bs", band_col("s", head["bs"])).withColumn(
+        "_bn", band_col("score", head["bn"])
+    )
+    cells = banded.groupBy("_bs", "_bn").agg(F.count("*").alias("c")).collect()
+
+    def offsets(axis: str):
+        marg: dict[int, int] = {}
+        for r in cells:
+            marg[r[axis]] = marg.get(r[axis], 0) + r["c"]
+        off, acc = {}, 0
+        for k in sorted(marg):
+            off[k] = acc
+            acc += marg[k]
+        return F.create_map(*[x for k in sorted(off) for x in (F.lit(k), F.lit(off[k]))])
+
+    ranked = defer_unpersist(
+        banded.withColumn(
+            "r_s",
+            (
+                offsets("_bs")[F.col("_bs")]
+                + F.row_number().over(
+                    W.partitionBy("_bs").orderBy(F.col("s").asc(), F.col("doc_id").asc())
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "r_n",
+            (
+                offsets("_bn")[F.col("_bn")]
+                + F.row_number().over(
+                    W.partitionBy("_bn").orderBy(
+                        F.col("score").asc(), F.col("doc_id").asc()
+                    )
+                )
+            ).cast("bigint"),
+        )
+        .withColumn("disagreement", F.abs(F.col("r_s") - F.col("r_n")).cast("bigint"))
+        .select("doc_id", "r_s", "r_n", "disagreement")
+        .persist()
+    )
+    frac = max(0.0, 1.0 - DISAGREE_K / n) if n > DISAGREE_K else 0.0
+    stats = ranked.agg(
+        F.min("disagreement").alias("lo"),
+        F.max("disagreement").alias("hi"),
+        F.expr(f"percentile_approx(disagreement, {frac}, 10000)").alias("thr"),
+    ).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    thr = lo if n <= DISAGREE_K else stats["thr"]
+    if n > DISAGREE_K:
+        step = max((hi - lo) // 8, 1)
+        while thr > lo and ranked.filter(F.col("disagreement") >= thr).count() < DISAGREE_K:
+            thr = max(lo, thr - step)
+    survivors = ranked.filter(F.col("disagreement") >= thr)
+    w = W.orderBy(F.col("disagreement").desc(), F.col("doc_id").asc())
+    return (
+        survivors.withColumn("pick", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick") <= DISAGREE_K)
+        .select(
+            "doc_id",
+            F.col("r_s").alias("rank_surprisal"),
+            F.col("r_n").alias("rank_nb"),
+            "disagreement",
+            "pick",
+        )
+    )

@@ -110,6 +110,8 @@ def _resolve_lazy_oracles() -> None:
 # correctness files are unavailable. The local tests/test_oracle.py sweep
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
+    # round-10 new queries (no prior correctness row)
+    "scorer_disagreement_scalable",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",

@@ -96,6 +96,8 @@ QUERIES = [
     "kcenter_diverse_select",  # K map-only GEMM passes + 1-row argmaxes
     "stream_drift_monitor",  # mergeable histogram store, query-time PSI
     "scorer_disagreement_select",  # two scorer plans + rank-gap windows
+    # round-10 additions
+    "scorer_disagreement_scalable",  # banded ranks + sketch-threshold pick
 ]
 
 

@@ -287,3 +287,53 @@ def test_calibration_curve_no_cartesian(spark):
     # the documented global ntile (one row per doc).
     plan = _formatted(spark, "quality_calibration_curve")
     assert "CartesianProduct" not in plan
+
+
+def test_banded_rank_has_no_single_partition_exchange(spark):
+    # The banded global rank is the 100 TB rewrite of an unpartitioned
+    # row_number window: its plan must contain a PARTITIONED window and
+    # zero single-partition exchanges (the exact form funnels every row
+    # through one task — that shape regressing back in is the bug).
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.operators.text import (
+        _banded_rank,
+        _doc_surprisal,
+    )
+
+    scored = _doc_surprisal(spark, SF_SMOKE).select(
+        "doc_id",
+        (F.col("surprisal_q").cast("double") / F.col("n_tokens")).alias("s"),
+    )
+    df = _banded_rank(scored, "s", "r_s")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    base = scored._jdf.queryExecution().explainString(mode)
+    assert "Window" in plan
+    # The scored frame itself carries one SinglePartition exchange (the
+    # 1-row corpus-total scalar aggregate); the banded rank must add NONE
+    # — its window exchange is hashpartitioning on _band.
+    assert plan.count("SinglePartition") == base.count("SinglePartition")
+    assert "hashpartitioning(_band" in plan
+
+
+def test_scorer_disagreement_scalable_windows_only_survivors(spark):
+    # The one global (unpartitioned) window the scalable form keeps is
+    # the final pick over the O(K) sketch-threshold survivors; every
+    # corpus-scale rank window must be partitioned by _band. The exact
+    # form has three unpartitioned window funnels — regressing to more
+    # than one here is the bug. (SinglePartition exchanges from 1-row
+    # scalar aggregates inside the cached scorer plans are fine.)
+    import re
+
+    plan = _formatted(spark, "scorer_disagreement_scalable")
+    lines = plan.splitlines()
+    win_args = []
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            win_args.append(" ".join(l.strip() for l in lines[i : i + 4]))
+    assert win_args, "no Window nodes found"
+    unpartitioned = [
+        a for a in win_args if "_bs" not in a and "_bn" not in a and "_band" not in a
+    ]
+    assert len(unpartitioned) <= 1, f"{len(unpartitioned)} global windows"
