@@ -2682,9 +2682,12 @@ def scorer_disagreement_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANK_BANDS = 32
 
 
-def _banded_rank(scored: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+def _banded_rank(scored: DataFrame, score_col: str, rank_name: str):
     """Append ``rank_name`` = the exact global row_number under
-    (score_col ASC, doc_id ASC) without a single-partition window.
+    (score_col ASC, doc_id ASC) without a single-partition window;
+    returns ``(ranked_df, total_rows)`` (the total falls out of the
+    band-count pass for free — callers deriving rank arithmetic like
+    ntile need it).
 
     Band assignment depends only on the score, so tied scores always
     share a band and the within-band (score, doc_id) order concatenated
@@ -2713,10 +2716,11 @@ def _banded_rank(scored: DataFrame, score_col: str, rank_name: str) -> DataFrame
         *[x for k in sorted(offsets) for x in (F.lit(k), F.lit(offsets[k]))]
     )
     w = W.partitionBy("_band").orderBy(F.col(score_col).asc(), F.col("doc_id").asc())
-    return banded.withColumn(
+    ranked = banded.withColumn(
         rank_name,
         (offmap[F.col("_band")] + F.row_number().over(w)).cast("bigint"),
     ).drop("_band")
+    return ranked, acc
 
 
 @register(
@@ -2835,4 +2839,54 @@ def scorer_disagreement_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disagreement",
             "pick",
         )
+    )
+
+
+@register(
+    "quality_calibration_scalable",
+    lambda: _registry_queries()["quality_calibration_curve"].oracle,
+)
+def quality_calibration_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of quality_calibration_curve (same oracle — the
+    hash gate proves the rewrite): the exact query's global ntile is a
+    single-partition window over one row per document. Here the bucket
+    comes from _banded_rank plus closed-form ntile arithmetic — with n
+    rows in {CALIB_BUCKETS} buckets, q = n div B and r = n mod B, the
+    SQL-standard ntile (first r buckets get q+1 rows) is
+      rank <= r*(q+1)  ->  (rank-1) div (q+1) + 1
+      otherwise        ->  r + (rank - r*(q+1) - 1) div q + 1
+    — a map-side expression over the exact banded rank, so the whole
+    plan is scan + partitioned windows + one bucket groupBy.
+
+    Scale: scorer and gate stay scan-shaped; the banded rank's driver
+    state is B-1 boundaries + band counts; no stage funnels the corpus
+    through one task (plan-shape CI locks it)."""
+    surp = _doc_surprisal(spark, sf_dir).select(
+        "doc_id",
+        (F.col("surprisal_q").cast("double") / F.col("n_tokens")).alias("score"),
+    )
+    labels = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_all").alias("passes")
+    )
+    scored = defer_unpersist(surp.join(labels, "doc_id").persist())
+    ranked, n = _banded_rank(scored, "score", "rank")
+    q, r = divmod(n, CALIB_BUCKETS)
+    qd = max(q, 1)  # guard: q=0 (n < B) never reaches the else branch
+    bucketed = ranked.withColumn(
+        "bucket",
+        F.when(
+            F.col("rank") <= r * (q + 1),
+            F.expr(f"(rank - 1) div {q + 1} + 1"),
+        )
+        .otherwise(F.expr(f"{r} + (rank - {r * (q + 1)} - 1) div {qd} + 1"))
+        .cast("int"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        (
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("double") / F.count("*")
+        ).alias("pass_frac"),
+        F.min("score").alias("score_lo"),
+        F.max("score").alias("score_hi"),
     )

@@ -112,6 +112,7 @@ def _resolve_lazy_oracles() -> None:
 _FIRST = [
     # round-10 new queries (no prior correctness row)
     "scorer_disagreement_scalable",
+    "quality_calibration_scalable",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",

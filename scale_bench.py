@@ -98,6 +98,7 @@ QUERIES = [
     "scorer_disagreement_select",  # two scorer plans + rank-gap windows
     # round-10 additions
     "scorer_disagreement_scalable",  # banded ranks + sketch-threshold pick
+    "quality_calibration_scalable",  # ntile via banded rank + closed form
 ]
 
 

@@ -305,7 +305,7 @@ def test_banded_rank_has_no_single_partition_exchange(spark):
         "doc_id",
         (F.col("surprisal_q").cast("double") / F.col("n_tokens")).alias("s"),
     )
-    df = _banded_rank(scored, "s", "r_s")
+    df, _n = _banded_rank(scored, "s", "r_s")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     base = scored._jdf.queryExecution().explainString(mode)
@@ -337,3 +337,17 @@ def test_scorer_disagreement_scalable_windows_only_survivors(spark):
         a for a in win_args if "_bs" not in a and "_bn" not in a and "_band" not in a
     ]
     assert len(unpartitioned) <= 1, f"{len(unpartitioned)} global windows"
+
+
+def test_calibration_scalable_has_no_global_window(spark):
+    # The ntile-from-banded-rank rewrite must contain NO unpartitioned
+    # window at all — bucket assignment is closed-form arithmetic over
+    # the banded rank.
+    import re
+
+    plan = _formatted(spark, "quality_calibration_scalable")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            args = " ".join(l.strip() for l in lines[i : i + 4])
+            assert "_band" in args, f"unpartitioned window: {args[:160]}"

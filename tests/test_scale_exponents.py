@@ -44,6 +44,11 @@ BUDGETS = [
     # linear in corpus size by construction; the gate guards against the
     # argmax accidentally becoming a global sort
     ("kcenter_diverse_select", 20.0),
+    # round-10 addition: banded ranks + sketch-threshold pick — linear by
+    # construction; the gate guards the rank windows regressing to a
+    # single-partition funnel (which shows up as a superlinear tail once
+    # one task sorts the whole corpus)
+    ("scorer_disagreement_scalable", 20.0),
 ]
 
 
