@@ -809,6 +809,361 @@ def compact_cosine_store(
     )
 
 
+# Bucket by node MODULO (not a hash): doc ids are dense serials so the
+# modulo balances, and the driver fast path below must compute the same
+# bucket in Python to build the pruning literals without an extra job.
+def _labels_bkt() -> "F.Column":
+    return F.pmod(F.col("node"), F.lit(INC_STORE_BKTS)).cast("int")
+
+
+# Above this many delta pairs, ingest_cc_epoch routes through the
+# DataFrame path (_ingest_cc_epoch_frames) whose label-graph CC carries
+# connected_components' own gate — mirroring dedup.CC_LOCAL_EDGE_MAX:
+# the collect is bounded BY THE GATE, and the distributed path stays
+# exercised via the env override (tests force it).
+import os as _os_cc
+
+INC_CC_LOCAL_MAX = int(_os_cc.environ.get("ALRS_INC_CC_LOCAL_MAX", 1_000_000))
+
+
+def _read_store_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read an epoch-partitioned store that may not exist yet (epoch 0
+    of an incremental query); a missing/empty dir is an empty frame with
+    the declared schema (epoch column included). Checked up front rather
+    than caught — Spark's listener bus logs caught AnalysisExceptions at
+    ERROR, which would spam every first-epoch ingest."""
+    import os as _os
+
+    if not _os.path.isdir(path) or not any(
+        name.startswith("epoch=") for name in _os.listdir(path)
+    ):
+        return spark.createDataFrame([], schema + ", epoch int")
+    return spark.read.parquet(path)
+
+
+def _resolved_remap(spark: SparkSession, remap_dir: str, before_epoch: int) -> DataFrame:
+    """(old_label, new_label): the remap store resolved to its latest
+    row per key among epochs < before_epoch. The store is FLAT by
+    construction (every epoch re-points keys whose target merged, see
+    ingest_cc_epoch), so one lookup fully resolves any stored label.
+    Merge-event-sized — orders below the pair store."""
+    return (
+        _read_store_or_empty(
+            spark, remap_dir, "old_label bigint, new_label bigint"
+        )
+        .filter(F.col("epoch") < before_epoch)
+        .groupBy("old_label")
+        .agg(F.max_by("new_label", "epoch").alias("new_label"))
+    )
+
+
+def ingest_cc_epoch(
+    spark: SparkSession,
+    epoch_id: int,
+    pairs_dir: str,
+    labels_dir: str,
+    remap_dir: str,
+) -> None:
+    """Warm-start incremental connected components over one epoch's pair
+    delta — see _ingest_cc_epoch_frames for the full design note. This
+    wrapper is the size gate: a near-dup pair DELTA at threshold-grade
+    similarity is tiny (hundreds of pairs per epoch at sf0.1), and the
+    per-epoch cost of the DataFrame path is dominated by fixed job
+    overhead (~6 jobs/epoch), so below INC_CC_LOCAL_MAX the whole epoch
+    runs driver-side: ONE bounded collect of the delta, ONE bounded
+    collect of the bucket-and-node-pruned label rows plus the flat
+    remap (unioned into a single job), a Python min-root union-find,
+    and up to two tiny epoch-partition writes. Above the gate — or with
+    ALRS_INC_CC_LOCAL_MAX=0 (tests force it) — the DataFrame path runs
+    with connected_components' own distributed loop. Both paths write
+    identical store contents (equivalence is test-locked)."""
+    delta = spark.read.parquet(f"{pairs_dir}/epoch={epoch_id}").select(
+        "doc_a", "doc_b"
+    )
+    rows = delta.limit(INC_CC_LOCAL_MAX + 1).collect() if INC_CC_LOCAL_MAX > 0 else None
+    if rows is None or len(rows) > INC_CC_LOCAL_MAX:
+        _ingest_cc_epoch_frames(spark, epoch_id, pairs_dir, labels_dir, remap_dir)
+        return
+    if not rows:
+        return  # no pairs this epoch: nothing to store, nothing to merge
+    edges = [(r["doc_a"], r["doc_b"]) for r in rows]
+    eps = sorted({n for e in edges for n in e})
+    bkts = sorted({n % INC_STORE_BKTS for n in eps})
+    # One job for all prior state: pruned label rows (kind 0) + raw
+    # remap rows (kind 1, latest-per-key resolved in Python). Skipped
+    # entirely on a virgin store (epoch 0) — no job at all.
+    import os as _osp
+
+    def _has_epochs(d: str) -> bool:
+        return _osp.path.isdir(d) and any(
+            x.startswith("epoch=") for x in _osp.listdir(d)
+        )
+
+    state = [] if not (_has_epochs(labels_dir) or _has_epochs(remap_dir)) else (
+        _read_store_or_empty(
+            spark, labels_dir, "node bigint, cluster_id bigint, bkt int"
+        )
+        .filter(
+            (F.col("epoch") < epoch_id)
+            & F.col("bkt").isin(bkts)
+            & F.col("node").isin(eps)
+        )
+        .select(
+            F.col("node").alias("k"),
+            F.col("cluster_id").alias("v"),
+            F.lit(-1).alias("e"),
+            F.lit(0).alias("kind"),
+        )
+        .unionByName(
+            _read_store_or_empty(
+                spark, remap_dir, "old_label bigint, new_label bigint"
+            )
+            .filter(F.col("epoch") < epoch_id)
+            .select(
+                F.col("old_label").alias("k"),
+                F.col("new_label").alias("v"),
+                F.col("epoch").cast("int").alias("e"),
+                F.lit(1).alias("kind"),
+            )
+        )
+        .collect()
+    )
+    stored = {r["k"]: r["v"] for r in state if r["kind"] == 0}
+    remap: dict[int, tuple[int, int]] = {}
+    for r in state:
+        if r["kind"] == 1 and (r["k"] not in remap or r["e"] > remap[r["k"]][0]):
+            remap[r["k"]] = (r["e"], r["v"])
+
+    def base(n: int) -> int:
+        s = stored.get(n)
+        if s is None:
+            return n
+        return remap[s][1] if s in remap else s
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        la, lb = base(a), base(b)
+        for l in (la, lb):
+            if l not in parent:
+                parent[l] = l
+        ra, rb = find(la), find(lb)
+        if ra != rb:  # min-root: labels stay min-reachable-ids
+            parent[max(ra, rb)] = min(ra, rb)
+
+    new_rows = sorted(
+        (n % INC_STORE_BKTS, n, find(base(n)))
+        for n in eps
+        if n not in stored
+    )
+    if new_rows:
+        import pandas as _pd
+
+        # Arrow path on purpose: createDataFrame(python list) +
+        # coalesce(1) makes ONE task evaluate every parent Python
+        # partition sequentially (~5s for 200 rows, measured); the
+        # pandas/Arrow frame is a single JVM-side partition (~0.1s).
+        spark.createDataFrame(
+            _pd.DataFrame(
+                [(n, c, bk) for bk, n, c in new_rows],
+                columns=["node", "cluster_id", "bkt"],
+            ).astype({"node": "int64", "cluster_id": "int64", "bkt": "int32"}),
+            "node bigint, cluster_id bigint, bkt int",
+        ).coalesce(1).write.option(
+            "parquet.block.size", INC_STORE_BLOCK
+        ).mode("overwrite").parquet(f"{labels_dir}/epoch={epoch_id}")
+    rm: dict[int, int] = {}
+    for n in eps:
+        if n in stored:
+            b_ = base(n)
+            f = find(b_)
+            if f != b_:
+                rm[b_] = f
+    for k, (_e, v) in remap.items():
+        if v in parent:
+            f = find(v)
+            if f != v:
+                rm[k] = f
+    if rm:
+        import pandas as _pd
+
+        spark.createDataFrame(
+            _pd.DataFrame(
+                sorted(rm.items()), columns=["old_label", "new_label"]
+            ).astype("int64"),
+            "old_label bigint, new_label bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{remap_dir}/epoch={epoch_id}"
+        )
+
+
+def _ingest_cc_epoch_frames(
+    spark: SparkSession,
+    epoch_id: int,
+    pairs_dir: str,
+    labels_dir: str,
+    remap_dir: str,
+) -> None:
+    """Warm-start incremental connected components over one epoch's pair
+    delta (round-9 verdict item 2 — the last batch recompute inside the
+    incremental family): instead of re-running CC over the accumulated
+    pair store at read time, each epoch CONTRACTS the previous labels
+    (a valid fixpoint for all earlier edges) and runs CC only on the
+    delta-projected label graph, whose size is O(delta edges), never
+    O(store). State is two epoch-partitioned stores:
+
+    - labels: (node, cluster_id) — written ONCE per node, at the epoch
+      the node first appears in a pair, with the label final AS OF that
+      epoch; node-bucketed (bkt = hash(node) % {INC_STORE_BKTS},
+      bkt-sorted, small row groups) so the per-epoch endpoint lookup
+      prunes to the delta's own buckets exactly like the band-store
+      probe.
+    - remap: (old_label, new_label) — one row per label whose component
+      merged, kept FLAT: when a remap target itself merges, every key
+      pointing at it is re-emitted at the merging epoch, so read-time
+      resolution is a single lookup (no chain walking). Merge-event-
+      sized.
+
+    Correctness is the standard union-find contraction argument: CC over
+    (contracted previous components + delta edges) equals CC over the
+    full accumulated edge set; labels are min-reachable-ids throughout
+    because new nodes enter the label graph as their own ids and
+    connected_components takes the min label. Every write is an
+    epoch-partition overwrite reading only epochs < this one, so replay
+    after later commits reproduces the original outputs (test-locked).
+
+    Scale: endpoint resolution is a bucket-pruned broadcast probe
+    (O(delta keys x bucket size) I/O); the label-graph CC goes through
+    connected_components' size gate (driver union-find when tiny, the
+    Pregel loop when not); writes are O(newly-paired nodes) +
+    O(merge events). Nothing rescans the accumulated pair store."""
+    from ..operators.dedup import connected_components
+
+    delta = spark.read.parquet(f"{pairs_dir}/epoch={epoch_id}").select(
+        "doc_a", "doc_b"
+    )
+    eps = (
+        delta.select(F.col("doc_a").alias("node"))
+        .unionByName(delta.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .withColumn("bkt", _labels_bkt())
+    )
+    ep_bkts = [
+        r["b"] for r in eps.select(F.col("bkt").alias("b")).distinct().collect()
+    ]
+    stored = (
+        _read_store_or_empty(
+            spark, labels_dir, "node bigint, cluster_id bigint, bkt int"
+        )
+        .filter((F.col("epoch") < epoch_id) & F.col("bkt").isin(ep_bkts))
+        .select("node", "cluster_id")
+    )
+    # Prune the store to the delta's endpoints FIRST (broadcast semi —
+    # the store side is never shuffled), then all remaining joins are
+    # delta-sized.
+    pruned = stored.join(F.broadcast(eps.select("node")), "node", "left_semi")
+    remap = _resolved_remap(spark, remap_dir, epoch_id)
+    resolved = (
+        eps.select("node")
+        .join(pruned.hint("broadcast"), "node", "left")
+        .join(
+            F.broadcast(remap),
+            F.col("cluster_id") == F.col("old_label"),
+            "left",
+        )
+        .select(
+            "node",
+            F.col("cluster_id").isNotNull().alias("is_stored"),
+            F.coalesce("new_label", "cluster_id", "node").alias("base"),
+        )
+    )
+    ledges = (
+        delta.join(
+            F.broadcast(resolved.select(F.col("node").alias("doc_a"), F.col("base").alias("la"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(resolved.select(F.col("node").alias("doc_b"), F.col("base").alias("lb"))),
+            "doc_b",
+        )
+        .select("la", "lb")
+    )
+    cc = connected_components(spark, ledges, "la", "lb").select(
+        F.col("node").alias("lbl"), F.col("cluster_id").alias("final")
+    )
+    # Newly-paired nodes: one labels row each, final as of THIS epoch.
+    new_rows = (
+        resolved.filter(~F.col("is_stored"))
+        .join(F.broadcast(cc), F.col("base") == F.col("lbl"), "left")
+        .select(
+            "node",
+            F.coalesce("final", "base").cast("bigint").alias("cluster_id"),
+        )
+        .withColumn("bkt", _labels_bkt())
+    )
+    new_rows.repartition(1).sortWithinPartitions("bkt").write.option(
+        "parquet.block.size", INC_STORE_BLOCK
+    ).mode("overwrite").parquet(f"{labels_dir}/epoch={epoch_id}")
+    # Remap delta: (a) current labels of touched OLD components that
+    # merged; (b) re-point existing keys whose target merged (keeps the
+    # store flat).
+    rm_a = (
+        resolved.filter(F.col("is_stored"))
+        .select("base")
+        .distinct()
+        .join(F.broadcast(cc), F.col("base") == F.col("lbl"))
+        .filter(F.col("final") != F.col("base"))
+        .select(
+            F.col("base").alias("old_label"), F.col("final").alias("new_label")
+        )
+    )
+    rm_b = (
+        remap.join(F.broadcast(cc), F.col("new_label") == F.col("lbl"))
+        .filter(F.col("final") != F.col("new_label"))
+        .select("old_label", F.col("final").alias("new_label"))
+    )
+    rm_a.unionByName(rm_b).distinct().write.mode("overwrite").parquet(
+        f"{remap_dir}/epoch={epoch_id}"
+    )
+
+
+def resolve_incremental_labels(
+    spark: SparkSession, labels_dir: str, remap_dir: str
+) -> DataFrame:
+    """(doc_id, cluster_id): the incremental CC stores resolved — node
+    rows (written once each) re-pointed through the flat remap. This is
+    the read side of ingest_cc_epoch: no CC runs here, so the standing
+    query's read cost is one label-store scan + a broadcast of the
+    merge-event-sized remap."""
+    labels = _read_store_or_empty(
+        spark, labels_dir, "node bigint, cluster_id bigint, bkt int"
+    )
+    remap = (
+        _read_store_or_empty(spark, remap_dir, "old_label bigint, new_label bigint")
+        .groupBy("old_label")
+        .agg(F.max_by("new_label", "epoch").alias("new_label"))
+    )
+    return (
+        labels.join(
+            F.broadcast(remap),
+            labels["cluster_id"] == remap["old_label"],
+            "left",
+        )
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("new_label", "cluster_id").cast("bigint").alias("cluster_id"),
+        )
+    )
+
+
 def ingest_neardup_epoch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -937,15 +1292,17 @@ def ingest_neardup_epoch(
 # dedup.MEMO_EVENTS so BENCH_DETAIL attributes the build cost to
 # whichever consumer ran first). Scale instruments clear the memo so
 # exponents measure full builds.
-_INGEST_MEMO: dict[tuple[str, str], tuple[str, str, str, str]] = {}
+_INGEST_MEMO: dict[tuple[str, str], tuple[str, str, str, str, str, str]] = {}
 
 
-def _ensure_neardup_ingest(spark: SparkSession, sf_dir: str) -> tuple[str, str, str, str]:
+def _ensure_neardup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str, str, str, str]:
     """Run the shared near-dup ingest stream (documents split into
     {INC_NEARDUP_EPOCHS} range files, one file per trigger, foreachBatch
-    = ingest_neardup_epoch + the map-only per-batch feature pass) once
-    per session per fixture; returns (docs_wh, store, pairs_dir,
-    feat_dir)."""
+    = ingest_neardup_epoch + warm-start incremental CC + the map-only
+    per-batch feature pass) once per session per fixture; returns
+    (docs_wh, store, pairs_dir, feat_dir, labels_dir, remap_dir)."""
     from ..operators import dedup as _dedup
     from ..operators.dedup import _doc_features
 
@@ -962,6 +1319,8 @@ def _ensure_neardup_ingest(spark: SparkSession, sf_dir: str) -> tuple[str, str, 
     docs_wh = _e2e_tmpdir("alrs_inc_docs_")
     pairs_dir = _e2e_tmpdir("alrs_inc_pairs_")
     feat_dir = _e2e_tmpdir("alrs_inc_feat_")
+    labels_dir = _e2e_tmpdir("alrs_inc_labels_")
+    remap_dir = _e2e_tmpdir("alrs_inc_remap_")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     docs.repartitionByRange(INC_NEARDUP_EPOCHS, "doc_id").write.mode(
@@ -976,6 +1335,10 @@ def _ensure_neardup_ingest(spark: SparkSession, sf_dir: str) -> tuple[str, str, 
 
     def update(batch_df: DataFrame, epoch_id: int) -> None:
         ingest_neardup_epoch(spark, batch_df, epoch_id, docs_wh, store, pairs_dir)
+        # Warm-start CC over the pair delta just written: labels stay a
+        # standing store, so consumers never re-run CC over the
+        # accumulated pairs (see ingest_cc_epoch).
+        ingest_cc_epoch(spark, epoch_id, pairs_dir, labels_dir, remap_dir)
         # Feature pass straight off the batch (map-only per-doc
         # expressions, so batch-local equals corpus-global) — no
         # warehouse re-read.
@@ -993,7 +1356,7 @@ def _ensure_neardup_ingest(spark: SparkSession, sf_dir: str) -> tuple[str, str, 
         q.processAllAvailable()
     finally:
         q.stop()
-    _INGEST_MEMO[key] = (docs_wh, store, pairs_dir, feat_dir)
+    _INGEST_MEMO[key] = (docs_wh, store, pairs_dir, feat_dir, labels_dir, remap_dir)
     return _INGEST_MEMO[key]
 
 
@@ -1024,7 +1387,7 @@ def _register_incremental_neardup() -> None:
         verification that touches ONLY candidate docs. The full corpus
         is never re-shingled or re-scanned after its arrival epoch — the
         delta cost a 100 TB corpus needs when 0.1% arrives daily."""
-        _, _, pairs_dir, _ = _ensure_neardup_ingest(spark, sf_dir)
+        _, _, pairs_dir, _, _, _ = _ensure_neardup_ingest(spark, sf_dir)
         return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard")
 
 
@@ -1264,27 +1627,31 @@ def _register_incremental_curation() -> None:
     )
     def stream_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming curation (see block comment): the shared ingest
-        stream maintains the pair store AND a per-batch feature store
-        (quality score, token count, deterministic split — map-only
-        per-doc expressions, so batch-local equals corpus-global); the
-        compaction here runs connected components over the accumulated
-        pair store and the batch capstone's own report epilogue over the
-        feature store. Hash-gated equal to the batch corpus_curation_e2e.
-        The ingest is SHARED with stream_incremental_neardup (one
-        maintained pipeline, many consumers — see _ensure_neardup_ingest).
+        stream maintains the pair store, the WARM-START incremental CC
+        label/remap stores (ingest_cc_epoch — per-epoch CC over the
+        delta-projected label graph, never the accumulated pairs), AND a
+        per-batch feature store (quality score, token count,
+        deterministic split — map-only per-doc expressions, so
+        batch-local equals corpus-global); the read here just RESOLVES
+        the standing labels (one scan + a broadcast of the merge-event-
+        sized remap — no CC at read time) and runs the batch capstone's
+        report epilogue over the feature store. Hash-gated equal to the
+        batch corpus_curation_e2e. The ingest is SHARED with
+        stream_incremental_neardup (one maintained pipeline, many
+        consumers — see _ensure_neardup_ingest).
 
-        Scale: ingest is O(batch) per epoch (near-dup delta + map-only
-        features); the compaction reads the edge-list-sized pair store
+        Scale: ingest is O(batch) per epoch (near-dup delta + bucket-
+        pruned label maintenance + map-only features); the read touches
+        the node-grain label store
         and the one-row-per-doc feature store — the nightly-report shape
         over a continuously-ingested corpus. Nothing rescans document
         text after its arrival epoch."""
-        from ..operators.dedup import _curation_report, connected_components
+        from ..operators.dedup import _curation_report
 
-        _, _, pairs_dir, feat_dir = _ensure_neardup_ingest(spark, sf_dir)
-        pairs = spark.read.parquet(pairs_dir).select("doc_a", "doc_b")
-        clusters = connected_components(spark, pairs, "doc_a", "doc_b").select(
-            F.col("node").alias("doc_id"), "cluster_id"
+        _, _, _, feat_dir, labels_dir, remap_dir = _ensure_neardup_ingest(
+            spark, sf_dir
         )
+        clusters = resolve_incremental_labels(spark, labels_dir, remap_dir)
         features = spark.read.parquet(feat_dir).select(
             "doc_id", "quality_score", "n_tokens", "split"
         )

@@ -594,3 +594,100 @@ def test_incremental_drift_replay_idempotent(spark, tmp_path):
         .collect()
     }
     assert before == batch, "incremental histogram != batch histogram"
+
+
+def test_incremental_cc_replay_idempotent_and_equals_batch(spark, tmp_path):
+    """Warm-start incremental CC (ingest_cc_epoch): after any epoch the
+    RESOLVED label store equals the batch connected components over the
+    accumulated pairs, and replaying any committed epoch — including
+    after later epochs committed — leaves the resolved labels unchanged
+    (every write reads only epochs strictly before itself)."""
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.operators.dedup import (
+        connected_components,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_cc_epoch,
+        ingest_neardup_epoch,
+        resolve_incremental_labels,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    wh, store, pairs, labels, remap = (
+        str(tmp_path / d) for d in ("wh", "store", "pairs", "labels", "remap")
+    )
+
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        ingest_neardup_epoch(spark, spark.read.parquet(f), i, wh, store, pairs)
+        ingest_cc_epoch(spark, i, pairs, labels, remap)
+
+    def resolved():
+        return {
+            (r["doc_id"], r["cluster_id"])
+            for r in resolve_incremental_labels(spark, labels, remap).collect()
+        }
+
+    batch = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(
+            spark,
+            spark.read.parquet(pairs).select("doc_a", "doc_b"),
+            "doc_a",
+            "doc_b",
+        ).collect()
+    }
+    before = resolved()
+    assert before == batch, "incremental CC != batch CC over accumulated pairs"
+
+    # out-of-order replay (epoch 0 after epochs 1-2 committed)
+    ingest_cc_epoch(spark, 0, pairs, labels, remap)
+    assert resolved() == before, "replayed CC epoch changed the labels"
+    # tail replay (what checkpoint recovery actually produces)
+    last = len(files) - 1
+    ingest_cc_epoch(spark, last, pairs, labels, remap)
+    assert resolved() == before
+
+
+def test_incremental_cc_frames_path_equals_fast_path(spark, tmp_path):
+    """The above-gate DataFrame path (_ingest_cc_epoch_frames +
+    connected_components' distributed machinery) must write stores that
+    RESOLVE identically to the driver fast path — the gate may not
+    change semantics (the dedup CC_LOCAL_EDGE_MAX contract)."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.streaming import stream_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    files = sorted(glob.glob(f"{src}/part-*"))
+
+    def run(tag, gate):
+        wh, store, pairs, labels, remap = (
+            str(tmp_path / f"{tag}_{d}")
+            for d in ("wh", "store", "pairs", "labels", "remap")
+        )
+        old = sq.INC_CC_LOCAL_MAX
+        sq.INC_CC_LOCAL_MAX = gate
+        try:
+            for i, f in enumerate(files):
+                sq.ingest_neardup_epoch(
+                    spark, spark.read.parquet(f), i, wh, store, pairs
+                )
+                sq.ingest_cc_epoch(spark, i, pairs, labels, remap)
+        finally:
+            sq.INC_CC_LOCAL_MAX = old
+        return {
+            (r["doc_id"], r["cluster_id"])
+            for r in sq.resolve_incremental_labels(spark, labels, remap).collect()
+        }
+
+    assert run("fast", 1_000_000) == run("frames", 0)
