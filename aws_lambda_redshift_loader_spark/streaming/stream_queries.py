@@ -1677,8 +1677,23 @@ _register_incremental_curation()
 INC_SIMHASH_EPOCHS = 4
 
 
-def _sim_bkt() -> "F.Column":
-    return F.pmod(F.xxhash64("band", "band_val"), F.lit(INC_STORE_BKTS)).cast("int")
+def _sim_bkt(n_bkt: int | None = None) -> "F.Column":
+    return F.pmod(
+        F.xxhash64("band", "band_val"), F.lit(n_bkt or INC_STORE_BKTS)
+    ).cast("int")
+
+
+# Mid-stream segment compaction point for the SimHash store query: when
+# epoch INC_SIM_COMPACT_AT arrives, every earlier epoch segment is merged
+# into a fresh store at INC_SIM_COMPACT_GROWTH x the bucket count
+# (constant rows-per-bucket as the corpus grows — the policy
+# _compact_signature_store documents), and the stream CONTINUES against
+# the compacted store. Epoch routing (which store + which bucket count)
+# is a pure function of epoch_id, so replaying any epoch — before or
+# after the compaction point, in any order — reproduces its original
+# outputs (test-locked).
+INC_SIM_COMPACT_AT = 2
+INC_SIM_COMPACT_GROWTH = 4
 
 
 def ingest_simhash_epoch(
@@ -1687,6 +1702,7 @@ def ingest_simhash_epoch(
     epoch_id: int,
     store: str,
     pairs_dir: str,
+    n_bkt: int | None = None,
 ) -> None:
     """One SimHash ingest epoch (module-level so replay idempotence is
     directly testable, like ingest_neardup_epoch): sign the batch, write
@@ -1703,7 +1719,7 @@ def ingest_simhash_epoch(
     from ..operators.dedup import HAMMING_MAX, _simhash_band_rows, _simhash_sigs
 
     obs = Observation()
-    _simhash_band_rows(_simhash_sigs(batch_df)).withColumn("bkt", _sim_bkt()).observe(
+    _simhash_band_rows(_simhash_sigs(batch_df)).withColumn("bkt", _sim_bkt(n_bkt)).observe(
         obs, F.collect_set("bkt").alias("bkts")
     ).sortWithinPartitions("bkt").write.option(
         "parquet.block.size", INC_STORE_BLOCK
@@ -1737,6 +1753,41 @@ def ingest_simhash_epoch(
     pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
 
 
+def simhash_epoch_with_compaction(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    store: str,
+    store2: str,
+    pairs_dir: str,
+) -> None:
+    """Epoch router exercising segment compaction INSIDE the epoch loop
+    (round-9 verdict item 3): epochs before INC_SIM_COMPACT_AT ingest
+    into the original store at the default bucket count; when epoch
+    INC_SIM_COMPACT_AT arrives, the accumulated segments are first
+    merged into ``store2`` at {INC_SIM_COMPACT_GROWTH}x buckets
+    (compact_simhash_store — above the checkpoint's committed offset,
+    so pre-compaction epochs never replay into the merged store), and
+    that epoch plus every later one ingests into ``store2`` probing
+    with the grown bucket count. Pair deltas are unaffected: bucket
+    membership is a pure function of the probe key, so candidates
+    survive re-bucketing bit-for-bit (the compaction equivalence test),
+    and the hash gate vs the batch recompute stays the proof.
+
+    Replay: routing is a pure function of epoch_id and the compaction
+    input (epochs < INC_SIM_COMPACT_AT of ``store``) never changes
+    after those epochs commit, so re-running the compaction on a replay
+    of epoch {INC_SIM_COMPACT_AT} rewrites identical content —
+    idempotent under any replay order (test-locked)."""
+    if epoch_id < INC_SIM_COMPACT_AT:
+        ingest_simhash_epoch(spark, batch_df, epoch_id, store, pairs_dir)
+        return
+    n2 = INC_STORE_BKTS * INC_SIM_COMPACT_GROWTH
+    if epoch_id == INC_SIM_COMPACT_AT or not _os_cc.path.isdir(f"{store2}/epoch=0"):
+        compact_simhash_store(spark, store, store2, n2)
+    ingest_simhash_epoch(spark, batch_df, epoch_id, store2, pairs_dir, n_bkt=n2)
+
+
 def _register_incremental_simhash() -> None:
     from ..plans.registry import QUERIES as _REG
 
@@ -1761,6 +1812,7 @@ def _register_incremental_simhash() -> None:
         tune(spark)
         src = _e2e_tmpdir("alrs_sim_src_")
         store = _e2e_tmpdir("alrs_sim_store_")
+        store2 = _e2e_tmpdir("alrs_sim_store2_")
         pairs_dir = _e2e_tmpdir("alrs_sim_pairs_")
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1777,7 +1829,9 @@ def _register_incremental_simhash() -> None:
         )
 
         def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_simhash_epoch(spark, batch_df, epoch_id, store, pairs_dir)
+            simhash_epoch_with_compaction(
+                spark, batch_df, epoch_id, store, store2, pairs_dir
+            )
 
         with _stream_shuffle(spark):
             q = (

@@ -691,3 +691,55 @@ def test_incremental_cc_frames_path_equals_fast_path(spark, tmp_path):
         }
 
     assert run("fast", 1_000_000) == run("frames", 0)
+
+
+def test_simhash_midstream_compaction_replay_and_batch_equal(spark, tmp_path):
+    """Compaction INSIDE the epoch loop: epochs 0-1 ingest into the
+    original store, epoch 2 first merges them into a 4x-bucket store and
+    continues there — the final pair set must equal the batch recompute,
+    and replaying epochs on either side of the compaction point (which
+    re-runs the compaction itself) must not change it."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.dedup import simhash_neardup_pairs
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        simhash_epoch_with_compaction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(4, "doc_id").write.parquet(src)
+    store, store2, pairs = (
+        str(tmp_path / d) for d in ("store", "store2", "pairs")
+    )
+    files = sorted(glob.glob(f"{src}/part-*"))
+    assert len(files) == 4
+
+    def run_epoch(i):
+        simhash_epoch_with_compaction(
+            spark, spark.read.parquet(files[i]), i, store, store2, pairs
+        )
+
+    for i in range(4):
+        run_epoch(i)
+
+    def pair_set():
+        return {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in spark.read.parquet(pairs).collect()
+        }
+
+    before = pair_set()
+    batch = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(spark, sf).collect()
+    }
+    assert before == batch, "compacted incremental != batch recompute"
+
+    run_epoch(1)  # pre-compaction replay (old store, old buckets)
+    assert pair_set() == before
+    run_epoch(2)  # the compaction epoch itself (re-runs the merge)
+    assert pair_set() == before
+    run_epoch(3)  # post-compaction tail replay
+    assert pair_set() == before
