@@ -113,6 +113,7 @@ _FIRST = [
     # round-10 new queries (no prior correctness row)
     "scorer_disagreement_scalable",
     "quality_calibration_scalable",
+    "stream_drift_monitor_ks",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",

@@ -2342,6 +2342,83 @@ def ingest_drift_epoch(
     )
 
 
+# Drift-histogram store, built once per (session, sf_dir) and SHARED by
+# the PSI monitor and the KS monitor — the point of a mergeable
+# sufficient statistic is that any number of standing statistics read
+# the same store. Build/hit events land in dedup.MEMO_EVENTS (the
+# pair-graph labeling convention) so bench lines stay interpretable.
+_DRIFT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ensure_drift_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Stream the corpus one segment per trigger through
+    ingest_drift_epoch once per session per fixture; returns the
+    histogram store path."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DRIFT_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("drift_ingest_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("drift_ingest_build")
+
+    tune(spark)
+    src = _e2e_tmpdir("alrs_drift_src_")
+    store = _e2e_tmpdir("alrs_drift_store_")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    # Geometry (segment boundaries) fixed from the corpus BEFORE
+    # streaming — 1-row bounded collect, the cosine-store pattern.
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    segged = docs.withColumn(
+        "seg",
+        F.expr(f"int((doc_id * {INC_DRIFT_EPOCHS}) div {int(mx) + 1})"),
+    )
+    for s in range(INC_DRIFT_EPOCHS):
+        segged.filter(F.col("seg") == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/s{s}")
+    stream = (
+        spark.readStream.schema(segged.schema)
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_drift_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_drift_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _DRIFT_MEMO[key] = store
+    return store
+
+
+# The histogram-counts CTE both drift oracles share: rebuild the
+# segmentation + binning the ingest performs, directly over documents.
+def _drift_counts_cte() -> str:
+    return f"""counts AS MATERIALIZED (
+          SELECT (doc_id * {INC_DRIFT_EPOCHS})
+                   // (SELECT MAX(doc_id) + 1 FROM documents) AS seg,
+                 n_chars // {DRIFT_BIN_W} AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents
+          GROUP BY 1, 2
+        )"""
+
+
 def _register_stream_drift_monitor() -> None:
     from ..operators.windows_sql import PSI_SCALE
 
@@ -2368,14 +2445,7 @@ def _register_stream_drift_monitor() -> None:
       )"""
             )
         return f"""
-        WITH counts AS MATERIALIZED (
-          SELECT (doc_id * {INC_DRIFT_EPOCHS})
-                   // (SELECT MAX(doc_id) + 1 FROM documents) AS seg,
-                 n_chars // {DRIFT_BIN_W} AS bin,
-                 CAST(COUNT(*) AS BIGINT) AS c
-          FROM documents
-          GROUP BY 1, 2
-        )
+        WITH {_drift_counts_cte()}
         SELECT CAST(seg AS INT) AS seg, n_bins, psi_q
         FROM ({" UNION ALL ".join("(" + p + ")" for p in per_seg)})
         """
@@ -2393,45 +2463,7 @@ def _register_stream_drift_monitor() -> None:
         touches only (segs × bins) rows. The same store serves any
         reference choice (previous-segment PSI, rolling windows)
         without re-reading documents."""
-        tune(spark)
-        src = _e2e_tmpdir("alrs_drift_src_")
-        store = _e2e_tmpdir("alrs_drift_store_")
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "n_chars"
-        )
-        # Geometry (segment boundaries) fixed from the corpus BEFORE
-        # streaming — 1-row bounded collect, the cosine-store pattern.
-        mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-        segged = docs.withColumn(
-            "seg",
-            F.expr(f"int((doc_id * {INC_DRIFT_EPOCHS}) div {int(mx) + 1})"),
-        )
-        for s in range(INC_DRIFT_EPOCHS):
-            segged.filter(F.col("seg") == s).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{src}/s{s}")
-        stream = (
-            spark.readStream.schema(segged.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("recursiveFileLookup", "true")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_drift_epoch(spark, batch_df, epoch_id, store)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_drift_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        store = _ensure_drift_ingest(spark, sf_dir)
 
         # seg x bin cardinality rows, read per drift segment below and by
         # the returned frame — released by the harness after consumption.
@@ -2474,3 +2506,114 @@ def _register_stream_drift_monitor() -> None:
 
 
 _register_stream_drift_monitor()
+
+
+def _register_stream_drift_monitor_ks() -> None:
+    from ..operators.windows_sql import KS_SCALE
+
+    def _oracle_sql() -> str:
+        per_seg = []
+        for s in range(1, INC_DRIFT_EPOCHS):
+            per_seg.append(
+                f"""SELECT {s} AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             MAX(CAST(floor(abs(CAST(cum_a AS DOUBLE) / na
+                                - CAST(cum_b AS DOUBLE) / nb) * {KS_SCALE})
+                      AS BIGINT)) AS ks_q
+      FROM (
+        SELECT SUM(a) OVER (ORDER BY bin ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               SUM(b) OVER (ORDER BY bin ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+               SUM(a) OVER () AS na,
+               SUM(b) OVER () AS nb
+        FROM (
+          SELECT coalesce(r.bin, s.bin) AS bin,
+                 coalesce(r.c, 0) AS a, coalesce(s.c, 0) AS b
+          FROM (SELECT bin, c FROM counts WHERE seg = 0) r
+          FULL OUTER JOIN (SELECT bin, c FROM counts WHERE seg = {s}) s
+            ON s.bin = r.bin
+        )
+      )"""
+            )
+        return f"""
+        WITH {_drift_counts_cte()}
+        SELECT CAST(seg AS INT) AS seg, n_bins, ks_q
+        FROM ({" UNION ALL ".join("(" + p + ")" for p in per_seg)})
+        """
+
+    from pyspark.sql.window import Window as W
+
+    @register("stream_drift_monitor_ks", _oracle_sql)
+    def stream_drift_monitor_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Kolmogorov-Smirnov drift beside the PSI monitor, over the
+        SAME mergeable histogram store (_ensure_drift_ingest — built
+        once per session, consumed by both standing statistics; that
+        sharing is the point of keeping a sufficient statistic rather
+        than a computed score). Per segment s vs reference segment 0:
+        D = max over bins of |ECDF_ref - ECDF_s| on the binned length
+        distribution — the nonparametric complement to PSI's smoothed
+        divergence (PSI reacts to mass ratios, KS to cumulative gaps).
+
+        Exactness follows ks_two_sample: exact int cumulative counts,
+        two correctly-rounded divisions, the gap floored to
+        {KS_SCALE}-units per bin BEFORE the max — reduction-order-
+        independent, hash-gated.
+
+        Scale: query-time math touches (segs x bins) store rows; the
+        cumulative window orders BINS (fixed-width histogram support,
+        bounded by data range / {DRIFT_BIN_W}), not documents."""
+        store = _ensure_drift_ingest(spark, sf_dir)
+        counts = defer_unpersist(
+            spark.read.parquet(store)
+            .groupBy("seg", "bin")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .persist()
+        )
+        ref = counts.filter(F.col("seg") == 0).select(
+            F.col("bin").alias("rbin"), F.col("c").alias("a")
+        )
+        out = None
+        for s in range(1, INC_DRIFT_EPOCHS):
+            cur = counts.filter(F.col("seg") == s).select(
+                F.col("bin").alias("sbin"), F.col("c").alias("b")
+            )
+            pair = ref.join(
+                cur, F.col("sbin") == F.col("rbin"), "full_outer"
+            ).select(
+                F.coalesce("rbin", "sbin").alias("bin"),
+                F.coalesce("a", F.lit(0)).alias("a"),
+                F.coalesce("b", F.lit(0)).alias("b"),
+            )
+            wcum = W.orderBy(F.col("bin").asc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+            tot = pair.agg(
+                F.sum("a").cast("bigint").alias("na"),
+                F.sum("b").cast("bigint").alias("nb"),
+            )
+            cum = pair.select(
+                F.sum("a").over(wcum).alias("cum_a"),
+                F.sum("b").over(wcum).alias("cum_b"),
+            )
+            gap_q = F.floor(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("na")
+                    - F.col("cum_b").cast("double") / F.col("nb")
+                )
+                * KS_SCALE
+            ).cast("bigint")
+            seg_row = (
+                cum.crossJoin(F.broadcast(tot))
+                .select(gap_q.alias("gap_q"))
+                .agg(
+                    F.count("*").cast("bigint").alias("n_bins"),
+                    F.max("gap_q").alias("ks_q"),
+                )
+                .select(F.lit(s).cast("int").alias("seg"), "n_bins", "ks_q")
+            )
+            out = seg_row if out is None else out.unionByName(seg_row)
+        return out
+
+
+_register_stream_drift_monitor_ks()

@@ -99,6 +99,7 @@ QUERIES = [
     # round-10 additions
     "scorer_disagreement_scalable",  # banded ranks + sketch-threshold pick
     "quality_calibration_scalable",  # ntile via banded rank + closed form
+    "stream_drift_monitor_ks",  # KS over the shared histogram store
 ]
 
 
@@ -589,6 +590,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     from aws_lambda_redshift_loader_spark.streaming import stream_queries as _sq
 
     _sq._INGEST_MEMO.clear()
+    _sq._DRIFT_MEMO.clear()
     t0 = time.perf_counter()
     specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0

@@ -71,6 +71,7 @@ def _run(spark, fn, sf_dir: str) -> float:
     from aws_lambda_redshift_loader_spark.streaming import stream_queries as _sq
 
     _sq._INGEST_MEMO.clear()
+    _sq._DRIFT_MEMO.clear()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
