@@ -1314,7 +1314,6 @@ def _ensure_neardup_ingest(
     _dedup.MEMO_EVENTS.append("inc_ingest_build")
 
     tune(spark)
-    src = _e2e_tmpdir("alrs_inc_src_")
     store = _e2e_tmpdir("alrs_inc_store_")
     docs_wh = _e2e_tmpdir("alrs_inc_docs_")
     pairs_dir = _e2e_tmpdir("alrs_inc_pairs_")
@@ -1323,9 +1322,7 @@ def _ensure_neardup_ingest(
     remap_dir = _e2e_tmpdir("alrs_inc_remap_")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    docs.repartitionByRange(INC_NEARDUP_EPOCHS, "doc_id").write.mode(
-        "overwrite"
-    ).parquet(src)
+    src = _ensure_doc_split(spark, sf_dir, INC_NEARDUP_EPOCHS)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "part-*")
@@ -1533,15 +1530,12 @@ def _register_incremental_bm25() -> None:
         from ..functions.scalar import norm_text
 
         tune(spark)
-        src = _e2e_tmpdir("alrs_bm25_src_")
         seg_dir = _e2e_tmpdir("alrs_bm25_segs_")
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        docs.repartitionByRange(INC_BM25_EPOCHS, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(src)
+        src = _ensure_doc_split(spark, sf_dir, INC_BM25_EPOCHS)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("pathGlobFilter", "part-*")
@@ -1810,7 +1804,6 @@ def _register_incremental_simhash() -> None:
         arrival epoch. This is the Hamming-band analog of the MinHash
         store, with verification fused into the probe join."""
         tune(spark)
-        src = _e2e_tmpdir("alrs_sim_src_")
         store = _e2e_tmpdir("alrs_sim_store_")
         store2 = _e2e_tmpdir("alrs_sim_store2_")
         pairs_dir = _e2e_tmpdir("alrs_sim_pairs_")
@@ -1818,9 +1811,7 @@ def _register_incremental_simhash() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        docs.repartitionByRange(INC_SIMHASH_EPOCHS, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(src)
+        src = _ensure_doc_split(spark, sf_dir, INC_SIMHASH_EPOCHS)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("pathGlobFilter", "part-*")
@@ -1908,15 +1899,12 @@ def _register_incremental_cdc() -> None:
         keys. This is the write path a chunked 100 TB corpus store
         runs on every arrival batch."""
         tune(spark)
-        src = _e2e_tmpdir("alrs_cdc_src_")
         store = _e2e_tmpdir("alrs_cdc_store_")
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        docs.repartitionByRange(INC_CDC_EPOCHS, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(src)
+        src = _ensure_doc_split(spark, sf_dir, INC_CDC_EPOCHS)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("pathGlobFilter", "part-*")
@@ -1996,15 +1984,12 @@ def _register_incremental_winnow() -> None:
         store stays ~6% of corpus text — the copy-detection index shape
         a 100 TB corpus maintains per arrival batch."""
         tune(spark)
-        src = _e2e_tmpdir("alrs_win_src_")
         store = _e2e_tmpdir("alrs_win_store_")
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        docs.repartitionByRange(INC_WINNOW_EPOCHS, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(src)
+        src = _ensure_doc_split(spark, sf_dir, INC_WINNOW_EPOCHS)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("pathGlobFilter", "part-*")
@@ -2267,15 +2252,12 @@ def _register_stream_topk_quality() -> None:
         standing-query/leaderboard shape. The global window the batch
         form needs never materializes here at all."""
         tune(spark)
-        src = _e2e_tmpdir("alrs_topk_src_")
         state_dir = _e2e_tmpdir("alrs_topk_state_")
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        docs.repartitionByRange(INC_TOPK_EPOCHS, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(src)
+        src = _ensure_doc_split(spark, sf_dir, INC_TOPK_EPOCHS)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("pathGlobFilter", "part-*")
@@ -2348,6 +2330,32 @@ def ingest_drift_epoch(
 # the same store. Build/hit events land in dedup.MEMO_EVENTS (the
 # pair-graph labeling convention) so bench lines stay interpretable.
 _DRIFT_MEMO: dict[tuple[str, str], str] = {}
+
+# Range-split (doc_id, text) source files, built once per (session,
+# fixture, epoch count) and shared by every doc-fed incremental store
+# query (near-dup ingest, bm25, simhash, cdc, winnow, standing top-K):
+# the split is the simulated arrival order, identical across consumers,
+# and re-writing ~the corpus once per query was the single largest
+# shared fixed cost of the store family (~2.5 s each at sf0.1). The
+# source dir is consumed read-only (each query keeps its own stream
+# checkpoint), so sharing is safe.
+_SPLIT_MEMO: dict[tuple[str, str, int], str] = {}
+
+
+def _ensure_doc_split(spark: SparkSession, sf_dir: str, n: int) -> str:
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    cached = _SPLIT_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("doc_split_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("doc_split_build")
+    src = _e2e_tmpdir("alrs_docsplit_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.repartitionByRange(n, "doc_id").write.mode("overwrite").parquet(src)
+    _SPLIT_MEMO[key] = src
+    return src
 
 
 def _ensure_drift_ingest(spark: SparkSession, sf_dir: str) -> str:

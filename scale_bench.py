@@ -591,6 +591,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
 
     _sq._INGEST_MEMO.clear()
     _sq._DRIFT_MEMO.clear()
+    _sq._SPLIT_MEMO.clear()
     t0 = time.perf_counter()
     specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
