@@ -114,6 +114,7 @@ _FIRST = [
     "scorer_disagreement_scalable",
     "quality_calibration_scalable",
     "stream_drift_monitor_ks",
+    "stream_incremental_cc",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",

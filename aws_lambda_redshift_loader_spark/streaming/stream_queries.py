@@ -1654,6 +1654,36 @@ def _register_incremental_curation() -> None:
 
 _register_incremental_curation()
 
+
+def _register_incremental_cc() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_cc",
+        lambda: _REG["dedup_connected_components"].oracle,
+    )
+    def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Warm-start incremental connected components surfaced as its
+        own standing query (ninth member of the incremental-store
+        family): the shared near-dup ingest maintains the label/remap
+        stores per epoch (ingest_cc_epoch — CC over the delta-projected
+        label graph only), and this read just RESOLVES them. Oracle =
+        the batch dedup_connected_components SQL, so the hash gate
+        proves the standing labels equal the recursive-CTE fixpoint over
+        the full pair graph at every verification.
+
+        Scale: read cost is one label-store scan plus a broadcast of
+        the merge-event-sized remap — no CC at read time; maintenance
+        cost is measured O(delta) by the ccprobe instrument
+        (BENCH_SCALE stream_incremental_curation@ccprobe)."""
+        _, _, _, _, labels_dir, remap_dir = _ensure_neardup_ingest(spark, sf_dir)
+        return resolve_incremental_labels(spark, labels_dir, remap_dir).select(
+            "doc_id", "cluster_id"
+        )
+
+
+_register_incremental_cc()
+
 # ---- Incremental SimHash index maintenance ------------------------------
 # Fifth member of the incremental-index family, and the cheapest to
 # maintain: the SimHash signature is a pure per-doc function, so each
