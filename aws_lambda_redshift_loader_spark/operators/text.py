@@ -753,9 +753,46 @@ FROM per_doc, tot
 """
 
 
+# Per-session materializations of the two corpus-wide scorer frames
+# (one row per document each). Nine queries consume the surprisal frame
+# and three the NB-linear frame; without the memo every one re-pays the
+# token-keyed vocab shuffle. Same contract as dedup's pair-graph memo:
+# localCheckpoint-backed (survives bench.py's clearCache), keyed on
+# (applicationId, sf_dir), build/hit labeled in dedup.MEMO_EVENTS so
+# bench rows stay interpretable, and CLEARED by the scale instruments
+# so exponents measure full costs.
+_SURP_MEMO: dict[tuple[str, str], DataFrame] = {}
+_NB_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _scorer_memo(
+    spark: SparkSession, sf_dir: str, memo: dict, label: str, build
+) -> DataFrame:
+    from ..operators.dedup import MEMO_EVENTS
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = memo.get(key)
+    if cached is not None:
+        MEMO_EVENTS.append(f"{label}_hit")
+        return cached
+    MEMO_EVENTS.append(f"{label}_build")
+    out = build().localCheckpoint(eager=True)
+    memo[key] = out
+    return out
+
+
 def _doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc (doc_id, n_tokens, surprisal_q, mean_surprisal_q) — shared
-    by unigram_logprob_quality and ccnet_bucket."""
+    """Per-doc (doc_id, n_tokens, surprisal_q, mean_surprisal_q) — the
+    unigram-surprisal scorer frame, memoized per session (see
+    _SURP_MEMO)."""
+    return _scorer_memo(
+        spark, sf_dir, _SURP_MEMO, "surprisal", lambda: _doc_surprisal_plan(spark, sf_dir)
+    )
+
+
+def _doc_surprisal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-memoized surprisal plan (the scale instruments and any
+    caller wanting a fresh lineage use this)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
     vocab = toks.groupBy("token").agg(
@@ -2251,10 +2288,18 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc (doc_id, score) under the learned naive-Bayes linear
+    scorer (see _nb_scored_plan); memoized per session (_NB_MEMO)."""
+    return _scorer_memo(
+        spark, sf_dir, _NB_MEMO, "nb_scorer", lambda: _nb_scored_plan(spark, sf_dir)
+    )
+
+
+def _nb_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, score) under the learned naive-Bayes linear
     scorer: hashed uni+bigram DSIR buckets, per-bucket log-count-ratio
     weights fit on the Gopher-gate labels (micro-nat int64s), a
     document scores the MEAN weight of its grams. Shared by
-    quality_calibration_scorers and scorer_disagreement_select; the
+    quality_calibration_scorers and the scorer-disagreement pair; the
     oracle twin is _NB_SCORE_CTES."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split(norm_text("text"), " ").alias("ws")

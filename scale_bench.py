@@ -592,6 +592,10 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._INGEST_MEMO.clear()
     _sq._DRIFT_MEMO.clear()
     _sq._SPLIT_MEMO.clear()
+    from aws_lambda_redshift_loader_spark.operators import text as _tx
+
+    _tx._SURP_MEMO.clear()
+    _tx._NB_MEMO.clear()
     t0 = time.perf_counter()
     specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0

@@ -73,6 +73,10 @@ def _run(spark, fn, sf_dir: str) -> float:
     _sq._INGEST_MEMO.clear()
     _sq._DRIFT_MEMO.clear()
     _sq._SPLIT_MEMO.clear()
+    from aws_lambda_redshift_loader_spark.operators import text as _tx
+
+    _tx._SURP_MEMO.clear()
+    _tx._NB_MEMO.clear()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
