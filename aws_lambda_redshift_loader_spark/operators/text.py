@@ -2078,10 +2078,21 @@ def _registry_queries():
     return QUERIES
 
 
+_DSIR_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, score_q) — the DSIR importance scores before
     the top-K selection; shared by the exact window form and the
-    approximate-threshold scalable form."""
+    approximate-threshold scalable form. Memoized per session like the
+    other scorer frames (_scorer_memo contract)."""
+    return _scorer_memo(
+        spark, sf_dir, _DSIR_MEMO, "dsir_scorer", lambda: _dsir_scored_plan(spark, sf_dir)
+    )
+
+
+def _dsir_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-memoized DSIR scoring plan."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split(norm_text("text"), " ").alias("ws")
     )
@@ -2164,13 +2175,11 @@ def dsir_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the rewrite the exact query's docstring promises — kept as
     a separate registered query so both forms stay measured, and the
     driver-side threshold loop does bounded scalar collects only."""
-    # One row per document: persist so the stats pass, the percentile
+    # One row per document; _dsir_scored is session-memoized
+    # (localCheckpoint-materialized), so the stats pass, the percentile
     # sketch, the threshold-check loop, and the final filtered window
-    # all read the same materialization instead of re-scoring the
-    # corpus per action (the docstring's "production caches scored").
-    # The returned frame filters this cache, so release is deferred to
-    # the harness (session.release_persisted) after consumption.
-    scored = defer_unpersist(_dsir_scored(spark, sf_dir).persist())
+    # all read one materialization with no extra persist layer.
+    scored = _dsir_scored(spark, sf_dir)
     stats = scored.agg(
         F.min("score_q").alias("lo"),
         F.max("score_q").alias("hi"),

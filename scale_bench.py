@@ -596,6 +596,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
 
     _tx._SURP_MEMO.clear()
     _tx._NB_MEMO.clear()
+    _tx._DSIR_MEMO.clear()
     t0 = time.perf_counter()
     specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0

@@ -244,25 +244,42 @@ def test_mmr_ann_and_rrf_are_bounded_epilogues(spark):
     assert "CartesianProduct" not in plan
 
 
+def _scored_build_plan(spark, builder):
+    # The scorer frames are session-memoized (localCheckpoint), so the
+    # consumer queries' physical plans show only an RDD scan; the plan
+    # properties live in the BUILD plan, asserted here directly.
+    df = builder(spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_dsir_weight_table_broadcasts(spark):
     # The 512-row bucket weight table must join the gram stream as a
     # broadcast; a shuffled join would move the whole gram set twice.
-    plan = _formatted(spark, "dsir_importance_select")
+    # Both the exact top-K and the scalable form consume this one
+    # memoized frame, so the build plan is the single place to lock.
+    from aws_lambda_redshift_loader_spark.operators.text import _dsir_scored_plan
+
+    plan = _scored_build_plan(spark, _dsir_scored_plan)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
-def test_dsir_scalable_weight_table_broadcasts(spark):
-    # The scalable top-K rides the same scored frame as the exact form:
-    # its weight table must broadcast and nothing may go cartesian.
-    plan = _formatted(spark, "dsir_topk_scalable")
+def test_nb_scorer_weight_table_broadcasts(spark):
+    # Same contract for the learned NB scorer's 512-row weight table
+    # (its consumers see only the memoized scan).
+    from aws_lambda_redshift_loader_spark.operators.text import _nb_scored_plan
+
+    plan = _scored_build_plan(spark, _nb_scored_plan)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_calibration_scorers_weight_table_broadcasts(spark):
-    # The learned scorer's 512-row NB weight table must broadcast into
-    # the gram-scoring join, same contract as the DSIR weight table.
+    # The curve epilogue (decile stats join over the memoized scorer
+    # frames) must stay broadcast-shaped and cartesian-free; the NB
+    # weight-table broadcast itself is locked on the build plan by
+    # test_nb_scorer_weight_table_broadcasts.
     plan = _formatted(spark, "quality_calibration_scorers")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

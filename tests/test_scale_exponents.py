@@ -77,6 +77,7 @@ def _run(spark, fn, sf_dir: str) -> float:
 
     _tx._SURP_MEMO.clear()
     _tx._NB_MEMO.clear()
+    _tx._DSIR_MEMO.clear()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
