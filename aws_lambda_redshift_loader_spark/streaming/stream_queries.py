@@ -863,9 +863,12 @@ def ingest_cc_epoch(
     pairs_dir: str,
     labels_dir: str,
     remap_dir: str,
+    delta_rows: "list[tuple[int, int]] | None" = None,
 ) -> None:
     """Warm-start incremental connected components over one epoch's pair
-    delta — see _ingest_cc_epoch_frames for the full design note. This
+    delta — see _ingest_cc_epoch_frames for the full design note. When
+    the caller already holds the delta (the shared ingest observes it on
+    the pair write), ``delta_rows`` skips the delta read job. This
     wrapper is the size gate: a near-dup pair DELTA at threshold-grade
     similarity is tiny (hundreds of pairs per epoch at sf0.1), and the
     per-epoch cost of the DataFrame path is dominated by fixed job
@@ -877,16 +880,23 @@ def ingest_cc_epoch(
     ALRS_INC_CC_LOCAL_MAX=0 (tests force it) — the DataFrame path runs
     with connected_components' own distributed loop. Both paths write
     identical store contents (equivalence is test-locked)."""
-    delta = spark.read.parquet(f"{pairs_dir}/epoch={epoch_id}").select(
-        "doc_a", "doc_b"
-    )
-    rows = delta.limit(INC_CC_LOCAL_MAX + 1).collect() if INC_CC_LOCAL_MAX > 0 else None
+    if delta_rows is not None and INC_CC_LOCAL_MAX > 0:
+        rows = list(delta_rows)
+    elif INC_CC_LOCAL_MAX > 0:
+        rows = (
+            spark.read.parquet(f"{pairs_dir}/epoch={epoch_id}")
+            .select("doc_a", "doc_b")
+            .limit(INC_CC_LOCAL_MAX + 1)
+            .collect()
+        )
+    else:
+        rows = None
     if rows is None or len(rows) > INC_CC_LOCAL_MAX:
         _ingest_cc_epoch_frames(spark, epoch_id, pairs_dir, labels_dir, remap_dir)
         return
     if not rows:
         return  # no pairs this epoch: nothing to store, nothing to merge
-    edges = [(r["doc_a"], r["doc_b"]) for r in rows]
+    edges = [(r[0], r[1]) for r in rows]
     eps = sorted({n for e in edges for n in e})
     bkts = sorted({n % INC_STORE_BKTS for n in eps})
     # One job for all prior state: pruned label rows (kind 0) + raw
@@ -1280,7 +1290,15 @@ def ingest_neardup_epoch(
     )
     needed = arrived.join(cand_ids.hint("broadcast"), "doc_id", "left_semi")
     verified = _verify_candidates(cands, needed)
-    verified.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+    # The pair delta rides an Observation on its own write (near-dup
+    # deltas are edge-list-small), so the warm-start CC epoch that
+    # follows in the shared ingest can skip re-reading it — one fewer
+    # job per epoch. Standalone callers may ignore the return value.
+    pobs = Observation()
+    verified.observe(
+        pobs, F.collect_list(F.struct("doc_a", "doc_b")).alias("delta")
+    ).write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+    return [(r["doc_a"], r["doc_b"]) for r in pobs.get["delta"]]
 
 
 # The shared ingest pipeline is run ONCE per (session, sf_dir) and
@@ -1317,7 +1335,7 @@ def _ensure_neardup_ingest(
     store = _e2e_tmpdir("alrs_inc_store_")
     docs_wh = _e2e_tmpdir("alrs_inc_docs_")
     pairs_dir = _e2e_tmpdir("alrs_inc_pairs_")
-    feat_dir = _e2e_tmpdir("alrs_inc_feat_")
+    feat_dir = docs_wh  # features ride the warehouse write (see update)
     labels_dir = _e2e_tmpdir("alrs_inc_labels_")
     remap_dir = _e2e_tmpdir("alrs_inc_remap_")
 
@@ -1331,16 +1349,19 @@ def _ensure_neardup_ingest(
     )
 
     def update(batch_df: DataFrame, epoch_id: int) -> None:
-        ingest_neardup_epoch(spark, batch_df, epoch_id, docs_wh, store, pairs_dir)
-        # Warm-start CC over the pair delta just written: labels stay a
+        # Curation features ride the arrived-docs warehouse write (one
+        # job instead of a separate feature store): per-doc expressions,
+        # so batch-local equals corpus-global, and consumers read the
+        # feature columns from docs_wh with text pruned at the scan.
+        aug = batch_df.join(_doc_features(batch_df), "doc_id")
+        delta = ingest_neardup_epoch(
+            spark, aug, epoch_id, docs_wh, store, pairs_dir
+        )
+        # Warm-start CC over the pair delta just observed: labels stay a
         # standing store, so consumers never re-run CC over the
         # accumulated pairs (see ingest_cc_epoch).
-        ingest_cc_epoch(spark, epoch_id, pairs_dir, labels_dir, remap_dir)
-        # Feature pass straight off the batch (map-only per-doc
-        # expressions, so batch-local equals corpus-global) — no
-        # warehouse re-read.
-        _doc_features(batch_df).write.mode("overwrite").parquet(
-            f"{feat_dir}/epoch={epoch_id}"
+        ingest_cc_epoch(
+            spark, epoch_id, pairs_dir, labels_dir, remap_dir, delta_rows=delta
         )
 
     with _stream_shuffle(spark):
