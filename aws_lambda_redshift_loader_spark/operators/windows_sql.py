@@ -1415,3 +1415,95 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users",
         )
     )
+
+
+# ---- Equi-depth histogram, banded-rank form -----------------------------
+EQD_RANK_BANDS = 32
+
+
+def _eqd_registry():
+    from ..plans.registry import QUERIES
+
+    return QUERIES
+
+
+@register(
+    "value_histogram_equidepth_scalable",
+    lambda: _eqd_registry()["value_histogram_equidepth"].oracle,
+)
+def value_histogram_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of value_histogram_equidepth (same oracle — the
+    hash gate proves the rewrite): the exact form's per-group ntile
+    sorts each event_type in ONE task, which the docstring flags as the
+    huge-single-group risk. Here each group's rank is banded (the
+    _banded_rank idea applied per group): per-group quantile boundaries
+    from one grouped percentile_approx, band assignment as a pure
+    expression (groups are low-cardinality — event types — so the
+    boundary literals inline), exact within-(group, band) window ranks
+    plus per-(group, band) prefix-sum offsets, and the SQL-standard
+    ntile recovered closed-form from the exact rank with per-group
+    (q, r) literals. No window sees more than one band of one group.
+
+    Bounded driver state: G x (B-1) boundary doubles + G x B band
+    counts (G = event-type cardinality, B = {EQD_RANK_BANDS})."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    )
+    pcts = [i / EQD_RANK_BANDS for i in range(1, EQD_RANK_BANDS)]
+    gb = {
+        r["event_type"]: sorted(set(r["bs"] or []))
+        for r in qv.groupBy("event_type")
+        .agg(F.percentile_approx("v", pcts, 10000).alias("bs"))
+        .collect()
+    }
+    band = F.lit(0)
+    for g, bs in sorted(gb.items()):
+        chain = F.lit(0)
+        for b in bs:
+            chain = chain + F.when(F.col("v") >= F.lit(int(b)), 1).otherwise(0)
+        band = F.when(F.col("event_type") == g, chain).otherwise(band)
+    banded = qv.withColumn("_band", band.cast("int"))
+    cells = banded.groupBy("event_type", "_band").agg(F.count("*").alias("c")).collect()
+    counts: dict[str, dict[int, int]] = {}
+    for r in cells:
+        counts.setdefault(r["event_type"], {})[r["_band"]] = r["c"]
+    off_entries, n_g = [], {}
+    for g in sorted(counts):
+        acc = 0
+        for b in sorted(counts[g]):
+            off_entries += [F.lit(f"{g}:{b}"), F.lit(acc)]
+            acc += counts[g][b]
+        n_g[g] = acc
+    offmap = F.create_map(*off_entries)
+    wr = W.partitionBy("event_type", "_band").orderBy(
+        F.col("v").asc(), F.col("event_id").asc()
+    )
+    ranked = banded.withColumn(
+        "rank",
+        (
+            offmap[F.format_string("%s:%d", F.col("event_type"), F.col("_band"))]
+            + F.row_number().over(wr)
+        ).cast("bigint"),
+    )
+    bucket = F.lit(0)
+    for g in sorted(n_g):
+        q, r = divmod(n_g[g], EQD_BINS)
+        qd = max(q, 1)  # q=0 (n < bins): every row satisfies the when branch
+        expr = F.when(
+            F.col("rank") <= r * (q + 1),
+            F.expr(f"(rank - 1) div {q + 1} + 1"),
+        ).otherwise(F.expr(f"{r} + (rank - {r * (q + 1)} - 1) div {qd} + 1"))
+        bucket = F.when(F.col("event_type") == g, expr).otherwise(bucket)
+    return (
+        ranked.withColumn("bin", bucket.cast("int"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.min("v").alias("v_lo"),
+            F.max("v").alias("v_hi"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select("event_type", "bin", "v_lo", "v_hi", "n")
+    )

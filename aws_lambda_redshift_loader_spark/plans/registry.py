@@ -115,6 +115,7 @@ _FIRST = [
     "quality_calibration_scalable",
     "stream_drift_monitor_ks",
     "stream_incremental_cc",
+    "value_histogram_equidepth_scalable",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",

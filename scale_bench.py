@@ -100,6 +100,7 @@ QUERIES = [
     "scorer_disagreement_scalable",  # banded ranks + sketch-threshold pick
     "quality_calibration_scalable",  # ntile via banded rank + closed form
     "stream_drift_monitor_ks",  # KS over the shared histogram store
+    "value_histogram_equidepth_scalable",  # per-group banded rank + ntile
 ]
 
 

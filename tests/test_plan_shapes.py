@@ -368,3 +368,20 @@ def test_calibration_scalable_has_no_global_window(spark):
         if re.match(r"^\(\d+\) Window", line.strip()):
             args = " ".join(l.strip() for l in lines[i : i + 4])
             assert "_band" in args, f"unpartitioned window: {args[:160]}"
+
+
+def test_equidepth_scalable_windows_are_banded(spark):
+    # Every window in the banded equi-depth plan must partition by
+    # (event_type, _band) — the exact form's one-task-per-group sort is
+    # precisely what this rewrite removes.
+    import re
+
+    plan = _formatted(spark, "value_histogram_equidepth_scalable")
+    lines = plan.splitlines()
+    found = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            args = " ".join(l.strip() for l in lines[i : i + 4])
+            assert "_band" in args, f"unbanded window: {args[:160]}"
+            found += 1
+    assert found >= 1
