@@ -116,6 +116,7 @@ _FIRST = [
     "stream_drift_monitor_ks",
     "stream_incremental_cc",
     "value_histogram_equidepth_scalable",
+    "stream_store_quantiles",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",

@@ -2676,3 +2676,80 @@ def _register_stream_drift_monitor_ks() -> None:
 
 
 _register_stream_drift_monitor_ks()
+
+
+INC_STORE_QUANTILES = 8  # B-quantile boundaries derived from the store
+
+
+def _register_stream_store_quantiles() -> None:
+    def _oracle_sql() -> str:
+        return f"""
+        WITH {_drift_counts_cte()},
+        merged AS (
+          SELECT bin, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY bin
+        ),
+        cum AS (
+          SELECT bin,
+                 SUM(n) OVER (ORDER BY bin ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                 SUM(n) OVER () AS tot
+          FROM merged
+        )
+        SELECT CAST(k AS INT) AS k,
+               CAST(MIN(bin) AS BIGINT) AS bin,
+               CAST(MIN(bin) * {DRIFT_BIN_W} AS BIGINT) AS v_lo
+        FROM cum, LATERAL (
+          SELECT unnest(generate_series(1, {INC_STORE_QUANTILES - 1})) AS k
+        )
+        WHERE cn * {INC_STORE_QUANTILES} >= k * tot
+        GROUP BY k
+        """
+
+    from pyspark.sql.window import Window as W
+
+    @register("stream_store_quantiles", _oracle_sql)
+    def stream_store_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Approximate corpus quantiles served FROM the standing
+        histogram store — the third consumer of _ensure_drift_ingest
+        (after the PSI and KS monitors), and the t-digest-style payoff
+        of keeping a mergeable sufficient statistic: {INC_STORE_QUANTILES}-quantile
+        boundaries of the document-length distribution computed from
+        bin counts alone, no document rescans, answerable at any time
+        during ingest. Boundary k = the first bin whose cumulative
+        count reaches k/B of the total (integer cross-multiplication —
+        no division, so both engines agree exactly); the reported value
+        is the bin's lower edge (resolution = the bin width, the
+        documented accuracy contract of histogram quantiles).
+
+        Scale: query-time math touches one row per OCCUPIED BIN
+        (bounded by data range / {DRIFT_BIN_W}); the cumulative window
+        orders bins, not documents; the k-range is a {INC_STORE_QUANTILES - 1}-row
+        broadcast."""
+        store = _ensure_drift_ingest(spark, sf_dir)
+        merged = (
+            spark.read.parquet(store)
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+        wcum = W.orderBy(F.col("bin").asc()).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        cum = merged.select(
+            "bin",
+            F.sum("n").over(wcum).alias("cn"),
+            F.sum("n").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("tot"),
+        )
+        ks = spark.range(1, INC_STORE_QUANTILES).select(F.col("id").alias("k"))
+        return (
+            cum.crossJoin(F.broadcast(ks))
+            .filter(F.col("cn") * INC_STORE_QUANTILES >= F.col("k") * F.col("tot"))
+            .groupBy("k")
+            .agg(
+                F.min("bin").cast("bigint").alias("bin"),
+                (F.min("bin") * DRIFT_BIN_W).cast("bigint").alias("v_lo"),
+            )
+            .select(F.col("k").cast("int").alias("k"), "bin", "v_lo")
+        )
+
+
+_register_stream_store_quantiles()
