@@ -1507,3 +1507,91 @@ def value_histogram_equidepth_scalable(spark: SparkSession, sf_dir: str) -> Data
         )
         .select("event_type", "bin", "v_lo", "v_hi", "n")
     )
+
+
+# ---- KS two-sample, banded-ECDF form ------------------------------------
+KS_RANK_BANDS = 32
+
+
+@register(
+    "ks_two_sample_scalable",
+    lambda: _eqd_registry()["ks_two_sample"].oracle,
+)
+def ks_two_sample_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ks_two_sample (same oracle — the hash gate
+    proves the rewrite): the exact form's cumulative-ECDF window orders
+    the whole distinct-value support in ONE task, which its docstring
+    flags ("a truly global ECDF at 100 TB would range-partition the
+    support and carry per-partition offsets — the standard distributed
+    prefix-sum shape"). This is that shape, via the banded-rank
+    machinery generalized to cumulative SUMS: quantile bands over the
+    support, per-band count totals collected ({KS_RANK_BANDS}-bounded
+    driver state), and the global running counts recovered as
+    band-offset + within-band running sum under a PARTITIONED window.
+    Band order equals value order (bands are value ranges), so the
+    concatenated cumulative sums are exactly the global ECDF counts;
+    the per-point quantized gap and its max are the exact query's own
+    expressions."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
+    )
+    qv = ev.select(
+        "event_type", F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v")
+    )
+    per_v = qv.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == KS_GROUP_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == KS_GROUP_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    pcts = [i / KS_RANK_BANDS for i in range(1, KS_RANK_BANDS)]
+    bounds = sorted(
+        set(
+            per_v.agg(F.percentile_approx("v", pcts, 10000).alias("bs")).collect()[0][
+                "bs"
+            ]
+            or []
+        )
+    )
+    band = F.lit(0)
+    for b in bounds:
+        band = band + F.when(F.col("v") >= F.lit(int(b)), 1).otherwise(0)
+    banded = per_v.withColumn("_band", band.cast("int"))
+    cells = (
+        banded.groupBy("_band")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    )
+    offs_a, offs_b, acc_a, acc_b = {}, {}, 0, 0
+    for r in sorted(cells, key=lambda r: r["_band"]):
+        offs_a[r["_band"]], offs_b[r["_band"]] = acc_a, acc_b
+        acc_a += r["sa"]
+        acc_b += r["sb"]
+    na, nb = acc_a, acc_b
+    map_a = F.create_map(*[x for k in sorted(offs_a) for x in (F.lit(k), F.lit(offs_a[k]))])
+    map_b = F.create_map(*[x for k in sorted(offs_b) for x in (F.lit(k), F.lit(offs_b[k]))])
+    wcum = W.partitionBy("_band").orderBy(F.col("v").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = banded.select(
+        (map_a[F.col("_band")] + F.sum("ca").over(wcum)).alias("cum_a"),
+        (map_b[F.col("_band")] + F.sum("cb").over(wcum)).alias("cum_b"),
+    )
+    gap_q = F.floor(
+        F.abs(
+            F.col("cum_a").cast("double") / F.lit(na)
+            - F.col("cum_b").cast("double") / F.lit(nb)
+        )
+        * KS_SCALE
+    ).cast("bigint")
+    return (
+        cum.select(gap_q.alias("gap_q"))
+        .agg(F.max("gap_q").alias("ks_q"))
+        .select(
+            F.lit(na).cast("bigint").alias("na"),
+            F.lit(nb).cast("bigint").alias("nb"),
+            "ks_q",
+        )
+    )

@@ -117,6 +117,7 @@ _FIRST = [
     "stream_incremental_cc",
     "value_histogram_equidepth_scalable",
     "stream_store_quantiles",
+    "ks_two_sample_scalable",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",

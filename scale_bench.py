@@ -101,6 +101,7 @@ QUERIES = [
     "quality_calibration_scalable",  # ntile via banded rank + closed form
     "stream_drift_monitor_ks",  # KS over the shared histogram store
     "value_histogram_equidepth_scalable",  # per-group banded rank + ntile
+    "ks_two_sample_scalable",  # banded ECDF (distributed prefix sum)
 ]
 
 

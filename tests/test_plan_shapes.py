@@ -385,3 +385,16 @@ def test_equidepth_scalable_windows_are_banded(spark):
             assert "_band" in args, f"unbanded window: {args[:160]}"
             found += 1
     assert found >= 1
+
+
+def test_ks_scalable_windows_are_banded(spark):
+    # The banded ECDF must carry NO unpartitioned window — the global
+    # running counts come from band offsets + partitioned running sums.
+    import re
+
+    plan = _formatted(spark, "ks_two_sample_scalable")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            args = " ".join(l.strip() for l in lines[i : i + 4])
+            assert "_band" in args, f"unbanded window: {args[:160]}"
