@@ -293,3 +293,93 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_probed"))
     )
     return out
+
+
+# ---- Join-size estimation via CMS inner product -------------------------
+# (Alon-Matias-Szegedy second moment / Cormode-Muthukrishnan inner
+# product): the self-join size on a key — SUM over keys of cnt(k)^2 —
+# estimated from a count-min sketch alone as the MIN over hash rows of
+# the row's inner product with itself. This is what a cost-based
+# optimizer consults before picking a join strategy: the sketch is
+# mergeable, O(depth x width) state, and never underestimates.
+F2_SLACK = 2  # bound: est <= exact + F2_SLACK * N^2 / width (checked)
+
+
+@register(
+    "selfjoin_size_estimate",
+    f"""
+    WITH keys AS (SELECT user_id AS k FROM events),
+    cms AS (
+      SELECT d.i, {_duck_bucket("f2' || d.i || '", "keys.k", CMS_WIDTH)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM keys, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i) d
+      GROUP BY d.i, bucket
+    ),
+    per_row AS (
+      SELECT i, CAST(SUM(c * c) AS BIGINT) AS est FROM cms GROUP BY i
+    ),
+    est AS (SELECT MIN(est) AS cms_estimate FROM per_row),
+    exact AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS exact_f2,
+             CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys GROUP BY k)
+    )
+    SELECT exact_f2, cms_estimate, n_rows,
+           cms_estimate >= exact_f2
+           AND cms_estimate - exact_f2 <= ({F2_SLACK} * n_rows * n_rows) // {CMS_WIDTH}
+             AS within_bound
+    FROM exact, est
+    """,
+)
+def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality on events.user_id from a count-min sketch
+    (see block comment): exact F2 = SUM cnt(k)^2, estimate = MIN over
+    the {CMS_DEPTH} hash rows of SUM c^2 — never an underestimate, and
+    the sketch-only path touches {CMS_DEPTH}x{CMS_WIDTH} counters
+    instead of the key dictionary. The within_bound column asserts the
+    CMS inner-product contract (overshoot <= {F2_SLACK} N^2/width on
+    this fixture) the same way the HLL/percentile sketches are gated:
+    exact values plus a boolean the oracle reproduces.
+
+    Scale: the sketch build is one map-side-combined groupBy on
+    (row, bucket) — bounded width regardless of key cardinality — and
+    the exact audit side is the one key-grain aggregate; production
+    drops the audit and keeps the O(1)-state estimator."""
+    ev = table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    rows = ev.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (hex_hash64(F.col("k"), salt=f"f2{i}:") % CMS_WIDTH)
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("i", "bucket")
+    )
+    per_row = (
+        rows.groupBy("i", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("est"))
+    )
+    est = per_row.agg(F.min("est").alias("cms_estimate"))
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .agg(
+            F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_f2"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_f2",
+        "cms_estimate",
+        "n_rows",
+        (
+            (F.col("cms_estimate") >= F.col("exact_f2"))
+            & (
+                F.col("cms_estimate") - F.col("exact_f2")
+                <= F.expr(f"({F2_SLACK} * n_rows * n_rows) div {CMS_WIDTH}")
+            )
+        ).alias("within_bound"),
+    )

@@ -118,6 +118,7 @@ _FIRST = [
     "value_histogram_equidepth_scalable",
     "stream_store_quantiles",
     "ks_two_sample_scalable",
+    "selfjoin_size_estimate",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",
