@@ -1174,6 +1174,72 @@ def resolve_incremental_labels(
     )
 
 
+INC_CC_COMPACT_AT = 2  # snapshot the label store when this epoch arrives
+
+
+def compact_cc_store(
+    spark: SparkSession, labels_dir: str, remap_dir: str, out_labels: str
+) -> None:
+    """Label-store compaction: materialize the RESOLVED labels (every
+    node re-pointed through the flat remap) as a single bkt-sorted
+    snapshot segment ``out_labels/epoch=0``. After compaction the
+    stream continues against the snapshot with a FRESH remap store —
+    pre-compaction merges are baked into the snapshot, so stale remap
+    entries cannot apply (their keys no longer appear as stored
+    labels). Same contract as the signature-store compactions: runs
+    above the checkpoint's committed offset, input epochs are frozen
+    once committed, so re-running the merge on a replay rewrites
+    identical content."""
+    (
+        resolve_incremental_labels(spark, labels_dir, remap_dir)
+        .select(
+            F.col("doc_id").alias("node"),
+            "cluster_id",
+            F.pmod(F.col("doc_id"), F.lit(INC_STORE_BKTS)).cast("int").alias("bkt"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("bkt")
+        .write.option("parquet.block.size", INC_STORE_BLOCK)
+        .mode("overwrite")
+        .parquet(f"{out_labels}/epoch=0")
+    )
+
+
+def cc_epoch_with_compaction(
+    spark: SparkSession,
+    epoch_id: int,
+    pairs_dir: str,
+    labels_dir: str,
+    remap_dir: str,
+    labels2_dir: str,
+    remap2_dir: str,
+    delta_rows=None,
+) -> None:
+    """Epoch router for the warm-start CC stores, exercising label-store
+    compaction INSIDE the standing loop (the simhash_epoch_with_compaction
+    pattern): epochs before {INC_CC_COMPACT_AT} maintain the original
+    label/remap stores; when epoch {INC_CC_COMPACT_AT} arrives the
+    resolved labels are snapshotted into ``labels2_dir`` (fresh remap in
+    ``remap2_dir``) and that epoch plus every later one maintains the
+    compacted pair. Routing is a pure function of epoch_id and the
+    compaction input is frozen once its epochs commit — replay-
+    idempotent on both sides of the compaction point (test-locked).
+    Consumers read the post-compaction dirs: every pre-compaction node
+    is in the snapshot."""
+    import os as _osr
+
+    if epoch_id < INC_CC_COMPACT_AT:
+        ingest_cc_epoch(
+            spark, epoch_id, pairs_dir, labels_dir, remap_dir, delta_rows=delta_rows
+        )
+        return
+    if epoch_id == INC_CC_COMPACT_AT or not _osr.path.isdir(f"{labels2_dir}/epoch=0"):
+        compact_cc_store(spark, labels_dir, remap_dir, labels2_dir)
+    ingest_cc_epoch(
+        spark, epoch_id, pairs_dir, labels2_dir, remap2_dir, delta_rows=delta_rows
+    )
+
+
 def ingest_neardup_epoch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -1338,6 +1404,8 @@ def _ensure_neardup_ingest(
     feat_dir = docs_wh  # features ride the warehouse write (see update)
     labels_dir = _e2e_tmpdir("alrs_inc_labels_")
     remap_dir = _e2e_tmpdir("alrs_inc_remap_")
+    labels2_dir = _e2e_tmpdir("alrs_inc_labels2_")
+    remap2_dir = _e2e_tmpdir("alrs_inc_remap2_")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     src = _ensure_doc_split(spark, sf_dir, INC_NEARDUP_EPOCHS)
@@ -1359,9 +1427,17 @@ def _ensure_neardup_ingest(
         )
         # Warm-start CC over the pair delta just observed: labels stay a
         # standing store, so consumers never re-run CC over the
-        # accumulated pairs (see ingest_cc_epoch).
-        ingest_cc_epoch(
-            spark, epoch_id, pairs_dir, labels_dir, remap_dir, delta_rows=delta
+        # accumulated pairs; the label store is snapshot-compacted
+        # mid-stream (see cc_epoch_with_compaction).
+        cc_epoch_with_compaction(
+            spark,
+            epoch_id,
+            pairs_dir,
+            labels_dir,
+            remap_dir,
+            labels2_dir,
+            remap2_dir,
+            delta_rows=delta,
         )
 
     with _stream_shuffle(spark):
@@ -1374,7 +1450,9 @@ def _ensure_neardup_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
-    _INGEST_MEMO[key] = (docs_wh, store, pairs_dir, feat_dir, labels_dir, remap_dir)
+    # Consumers resolve the POST-compaction stores (every pre-compaction
+    # node is in the snapshot).
+    _INGEST_MEMO[key] = (docs_wh, store, pairs_dir, feat_dir, labels2_dir, remap2_dir)
     return _INGEST_MEMO[key]
 
 

@@ -743,3 +743,60 @@ def test_simhash_midstream_compaction_replay_and_batch_equal(spark, tmp_path):
     assert pair_set() == before
     run_epoch(3)  # post-compaction tail replay
     assert pair_set() == before
+
+
+def test_cc_midstream_compaction_replay_and_equals_batch(spark, tmp_path):
+    """Label-store compaction inside the epoch loop: epochs 0-1 maintain
+    the original stores, epoch 2 snapshots the resolved labels and
+    continues against the compacted pair — the final resolution must
+    equal batch CC over all pairs, and replays on either side of the
+    compaction point (re-running the snapshot itself) change nothing."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.dedup import (
+        connected_components,
+    )
+    from aws_lambda_redshift_loader_spark.streaming import stream_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(4, "doc_id").write.parquet(src)
+    wh, store, pairs, la, ra, lb, rb = (
+        str(tmp_path / d)
+        for d in ("wh", "store", "pairs", "la", "ra", "lb", "rb")
+    )
+    files = sorted(glob.glob(f"{src}/part-*"))
+    assert len(files) == 4
+
+    def run_epoch(i):
+        sq.ingest_neardup_epoch(spark, spark.read.parquet(files[i]), i, wh, store, pairs)
+        sq.cc_epoch_with_compaction(spark, i, pairs, la, ra, lb, rb)
+
+    for i in range(4):
+        run_epoch(i)
+
+    def resolved():
+        return {
+            (r["doc_id"], r["cluster_id"])
+            for r in sq.resolve_incremental_labels(spark, lb, rb).collect()
+        }
+
+    batch = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(
+            spark,
+            spark.read.parquet(pairs).select("doc_a", "doc_b"),
+            "doc_a",
+            "doc_b",
+        ).collect()
+    }
+    before = resolved()
+    assert before == batch, "compacted incremental CC != batch CC"
+
+    sq.cc_epoch_with_compaction(spark, 1, pairs, la, ra, lb, rb)  # pre-compaction replay
+    assert resolved() == before
+    sq.cc_epoch_with_compaction(spark, 2, pairs, la, ra, lb, rb)  # snapshot epoch replay
+    assert resolved() == before
+    sq.cc_epoch_with_compaction(spark, 3, pairs, la, ra, lb, rb)  # tail replay
+    assert resolved() == before
