@@ -383,3 +383,107 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+@register(
+    "join_size_estimate_cms",
+    f"""
+    WITH ck AS (SELECT user_id AS k FROM events WHERE event_type = 'click'),
+    vk AS (SELECT user_id AS k FROM events WHERE event_type = 'view'),
+    cms_c AS (
+      SELECT d.i, {_duck_bucket("j2' || d.i || '", "ck.k", CMS_WIDTH)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ck, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i) d
+      GROUP BY d.i, bucket
+    ),
+    cms_v AS (
+      SELECT d.i, {_duck_bucket("j2' || d.i || '", "vk.k", CMS_WIDTH)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM vk, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i) d
+      GROUP BY d.i, bucket
+    ),
+    per_row AS (
+      SELECT a.i, CAST(SUM(a.c * b.c) AS BIGINT) AS est
+      FROM cms_c a JOIN cms_v b ON b.i = a.i AND b.bucket = a.bucket
+      GROUP BY a.i
+    ),
+    est AS (SELECT MIN(est) AS cms_estimate FROM per_row),
+    exact AS (
+      SELECT CAST(COALESCE(SUM(c.n * v.n), 0) AS BIGINT) AS exact_size,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) AS n_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM vk) AS n_view
+      FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM ck GROUP BY k) c
+      JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM vk GROUP BY k) v
+        ON v.k = c.k
+    )
+    SELECT exact_size, cms_estimate, n_click, n_view,
+           cms_estimate >= exact_size
+           AND cms_estimate - exact_size
+               <= ({F2_SLACK} * n_click * n_view) // {CMS_WIDTH} AS within_bound
+    FROM exact, est
+    """,
+)
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table join-size estimation from two count-min sketches (the
+    Cormode-Muthukrishnan inner product, generalizing
+    selfjoin_size_estimate): |clicks JOIN views ON user_id| =
+    SUM over users of c_u * v_u — what an optimizer needs before
+    choosing the funnel join's strategy — estimated as the MIN over
+    hash rows of the two sketches' inner product. Sketches are built
+    independently per stream (mergeable, O(depth x width) each), never
+    meet at key grain, and never underestimate; within_bound asserts
+    the {F2_SLACK} * N_c * N_v / width overshoot contract the oracle
+    reproduces.
+
+    Scale: two bounded-width groupBys (no key-cardinality state), a
+    {CMS_DEPTH}x{CMS_WIDTH}-row sketch join, and the exact audit join
+    that production would drop."""
+    ev = table(spark, sf_dir, "events")
+    ck = ev.filter(F.col("event_type") == "click").select(F.col("user_id").alias("k"))
+    vk = ev.filter(F.col("event_type") == "view").select(F.col("user_id").alias("k"))
+
+    def cms(keys: DataFrame) -> DataFrame:
+        return (
+            keys.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            (hex_hash64(F.col("k"), salt=f"j2{i}:") % CMS_WIDTH)
+                            for i in range(CMS_DEPTH)
+                        ]
+                    )
+                ).alias("i", "bucket")
+            )
+            .groupBy("i", "bucket")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    per_row = (
+        cms(ck)
+        .alias("a")
+        .join(cms(vk).alias("b"), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("est"))
+    )
+    est = per_row.agg(F.min("est").alias("cms_estimate"))
+    cpu = ck.groupBy("k").agg(F.count("*").cast("bigint").alias("cn"))
+    vpu = vk.groupBy("k").agg(F.count("*").cast("bigint").alias("vn"))
+    exact = (
+        cpu.join(vpu, "k")
+        .agg(F.coalesce(F.sum(F.col("cn") * F.col("vn")), F.lit(0)).cast("bigint").alias("exact_size"))
+        .crossJoin(F.broadcast(ck.agg(F.count("*").cast("bigint").alias("n_click"))))
+        .crossJoin(F.broadcast(vk.agg(F.count("*").cast("bigint").alias("n_view"))))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "cms_estimate",
+        "n_click",
+        "n_view",
+        (
+            (F.col("cms_estimate") >= F.col("exact_size"))
+            & (
+                F.col("cms_estimate") - F.col("exact_size")
+                <= F.expr(f"({F2_SLACK} * n_click * n_view) div {CMS_WIDTH}")
+            )
+        ).alias("within_bound"),
+    )

@@ -119,6 +119,7 @@ _FIRST = [
     "stream_store_quantiles",
     "ks_two_sample_scalable",
     "selfjoin_size_estimate",
+    "join_size_estimate_cms",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",
