@@ -1734,15 +1734,15 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reproducible epochs, and the DuckDB oracle replays the identical
     draws) and uniform-ish without any RNG state.
 
-    Scale: the dense rank is one global row_number — at 100 TB replace
-    it with a range-partitioned rank (repartitionByRange + per-partition
-    offsets, the standard zipWithIndex shape) exactly as the z-order
-    audit's ntile note; the draws themselves are map-only and the
-    resolve is a single equi-join on the ring index, shuffling only
-    anchor×{NEG_K} rows."""
+    Scale: the dense rank comes from _banded_rank (quantile bands +
+    partitioned windows + prefix-sum offsets — the range-partitioned
+    zipWithIndex shape this docstring used to only PROMISE; round 10
+    made the machinery shared, so the caveat became code); the draws
+    themselves are map-only and the resolve is a single equi-join on
+    the ring index, shuffling only anchor×{NEG_K} rows."""
     d = table(spark, sf_dir, "documents")
-    widx = W.orderBy(F.col("doc_id").asc())
-    idx = d.select("doc_id").withColumn("i", F.row_number().over(widx) - 1)
+    ranked, _n = _banded_rank(d.select("doc_id", F.col("doc_id").alias("_k")), "_k", "_r")
+    idx = ranked.select("doc_id", (F.col("_r") - 1).alias("i"))
     n = idx.agg(F.count("*").cast("bigint").alias("n_docs"))
     draws = (
         idx.crossJoin(F.broadcast(n))
