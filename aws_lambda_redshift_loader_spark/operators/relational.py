@@ -2009,11 +2009,11 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a reader prunes on.
 
     Scale: extents are a 1-row broadcast aggregate; key computation is
-    map-only codegen; the global ntile is the one genuinely serial
-    shape here — in production you'd range-partition by zkey sample
-    quantiles (repartitionByRange) instead, which is the same layout
-    minus the single-window; the audit keeps ntile for exact
-    cross-engine bucket parity."""
+    map-only codegen; the bucket assignment is the banded rank + the
+    closed-form ntile (quantile bands over zkey, partitioned windows,
+    prefix-sum offsets) — the range-partition-by-sample-quantiles
+    layout this note used to only describe, with exact cross-engine
+    bucket parity preserved because the banded rank is exact."""
     o = table(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey",
@@ -2033,10 +2033,14 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"((d - dmin) * {top}) div greatest(dmax - dmin, 1)").alias("ys"),
     )
     zkey = F.expr(_interleave_expr("xs", "ys", lambda e, n: f"shiftleft({e}, {n})"))
-    keyed = scaled.select("o_orderkey", "o_custkey", "d", zkey.alias("zkey"))
-    wz = W.orderBy(F.col("zkey").asc(), F.col("o_orderkey").asc())
-    bucketed = keyed.select(
-        "o_custkey", "d", F.ntile(ZORDER_BUCKETS).over(wz).alias("bucket")
+    keyed = scaled.select(
+        F.col("o_orderkey").alias("doc_id"), "o_custkey", "d", zkey.alias("zkey")
+    )
+    from .text import _banded_rank, _ntile_from_rank
+
+    ranked, n = _banded_rank(keyed, "zkey", "_r")
+    bucketed = ranked.select(
+        "o_custkey", "d", _ntile_from_rank("_r", n, ZORDER_BUCKETS).alias("bucket")
     )
     return bucketed.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_rows"),

@@ -2777,6 +2777,25 @@ def _banded_rank(scored: DataFrame, score_col: str, rank_name: str):
     return ranked, acc
 
 
+def _ntile_from_rank(rank_col: str, n: int, buckets: int) -> Column:
+    """SQL-standard ntile as closed-form arithmetic over an exact
+    1-based rank: with q = n div B and r = n mod B, the first r buckets
+    get q+1 rows. Pair with _banded_rank to get exact global ntiles
+    from partitioned windows only (quality_calibration_scalable, the
+    z-order layout audit, the per-group variant in
+    value_histogram_equidepth_scalable)."""
+    q, r = divmod(n, buckets)
+    qd = max(q, 1)  # q=0 (n < B) never reaches the else branch
+    return (
+        F.when(
+            F.col(rank_col) <= r * (q + 1),
+            F.expr(f"({rank_col} - 1) div {q + 1} + 1"),
+        )
+        .otherwise(F.expr(f"{r} + ({rank_col} - {r * (q + 1)} - 1) div {qd} + 1"))
+        .cast("int")
+    )
+
+
 @register(
     "scorer_disagreement_scalable",
     lambda: _registry_queries()["scorer_disagreement_select"].oracle,
@@ -2924,17 +2943,7 @@ def quality_calibration_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = defer_unpersist(surp.join(labels, "doc_id").persist())
     ranked, n = _banded_rank(scored, "score", "rank")
-    q, r = divmod(n, CALIB_BUCKETS)
-    qd = max(q, 1)  # guard: q=0 (n < B) never reaches the else branch
-    bucketed = ranked.withColumn(
-        "bucket",
-        F.when(
-            F.col("rank") <= r * (q + 1),
-            F.expr(f"(rank - 1) div {q + 1} + 1"),
-        )
-        .otherwise(F.expr(f"{r} + (rank - {r * (q + 1)} - 1) div {qd} + 1"))
-        .cast("int"),
-    )
+    bucketed = ranked.withColumn("bucket", _ntile_from_rank("rank", n, CALIB_BUCKETS))
     return bucketed.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
