@@ -19,7 +19,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.scalar import dec, hex_hash64, strip_filename, wildcard_hive
 from ..plans.registry import register
-from ..session import table
+from ..session import defer_unpersist, table
 
 
 # ---------------------------------------------------------------------------
@@ -2535,4 +2535,70 @@ def customer_order_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.col("n").cast("bigint").alias("n_gaps"),
         F.col("gap_days").alias("median_gap_days"),
+    )
+
+
+def _rel_registry():
+    from ..plans.registry import QUERIES
+
+    return QUERIES
+
+
+@register(
+    "rfm_segmentation_scalable",
+    lambda: _rel_registry()["rfm_segmentation"].oracle,
+)
+def rfm_segmentation_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of rfm_segmentation (same oracle — the hash gate
+    proves the rewrite): the exact form's three unpartitioned ntiles
+    each funnel one-row-per-customer through a single task. Here each
+    axis goes through _banded_rank + _ntile_from_rank (quantile bands,
+    partitioned windows, prefix-sum offsets, closed-form ntile). All
+    three sort keys are converted to exact-integer ASCENDING scores so
+    one rank machine serves every axis: recency = -days(last_order),
+    frequency = -count, monetary = -(spend x 10^4) (DECIMAL(18,4) to
+    exact integer ten-thousandths — a monotone bijection, so the
+    banded order equals the exact form's DESC order, ties and all).
+
+    Scale: one orders groupBy as before; per axis, two bounded driver
+    collects (band boundaries + band counts) and one band-partitioned
+    window; the grid aggregate is unchanged."""
+    from .text import _banded_rank, _ntile_from_rank
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    metrics = defer_unpersist(
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(dec("o_totalprice")).alias("monetary"),
+        )
+        .select(
+            F.col("c_custkey").alias("doc_id"),
+            (-F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")))
+            .cast("bigint")
+            .alias("neg_r"),
+            (-F.col("frequency")).cast("bigint").alias("neg_f"),
+            (-(F.col("monetary") * 10000)).cast("bigint").alias("neg_m"),
+        )
+        .persist()
+    )
+    ranked, n = _banded_rank(metrics, "neg_r", "_rr")
+    ranked, _ = _banded_rank(ranked, "neg_f", "_rf")
+    ranked, _ = _banded_rank(ranked, "neg_m", "_rm")
+    scored = ranked.select(
+        "doc_id",
+        _ntile_from_rank("_rr", n, RFM_TILES).alias("r"),
+        _ntile_from_rank("_rf", n, RFM_TILES).alias("f"),
+        _ntile_from_rank("_rm", n, RFM_TILES).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.min("doc_id").alias("example_custkey"),
+        )
+        .select("r", "f", "m", "n_customers", "example_custkey")
     )

@@ -120,6 +120,7 @@ _FIRST = [
     "ks_two_sample_scalable",
     "selfjoin_size_estimate",
     "join_size_estimate_cms",
+    "rfm_segmentation_scalable",
     # round-9 new queries (no prior correctness row)
     "doremi_domain_reweight",
     "kcenter_diverse_select",

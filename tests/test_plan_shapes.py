@@ -398,3 +398,18 @@ def test_ks_scalable_windows_are_banded(spark):
         if re.match(r"^\(\d+\) Window", line.strip()):
             args = " ".join(l.strip() for l in lines[i : i + 4])
             assert "_band" in args, f"unbanded window: {args[:160]}"
+
+
+def test_rfm_scalable_windows_are_banded(spark):
+    # All three RFM axis ranks must run under band-partitioned windows.
+    import re
+
+    plan = _formatted(spark, "rfm_segmentation_scalable")
+    lines = plan.splitlines()
+    found = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            args = " ".join(l.strip() for l in lines[i : i + 4])
+            assert "_band" in args, f"unbanded window: {args[:160]}"
+            found += 1
+    assert found >= 3
