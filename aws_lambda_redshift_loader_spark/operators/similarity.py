@@ -1941,34 +1941,34 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated — the mad_outliers idiom applied to the embeddings
     table.
 
-    Scale: one map-only norm pass; the two medians are rank windows
-    over a SINGLE global order — at 100 TB swap in percentile_approx
-    for the center (approx_quantile_check documents that contract) and
-    keep the exact deviation filter; the audit form stays exact."""
+    Scale: one map-only norm pass; both medians come from the banded
+    rank (operators.text._banded_rank — quantile bands, partitioned
+    windows, prefix-sum offsets), so the EXACT rank-method median
+    survives at any scale with no single-task window and no
+    percentile_approx compromise — round 10 turned this docstring's
+    old approx-swap caveat into exact code."""
+    from .text import _banded_rank
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize("embedding").alias("e")
     )
     norms = emb.select(
         "vec_id", _dot(F.col("e"), F.col("e")).cast("bigint").alias("nsq")
     )
-    wn = W.orderBy(F.col("nsq").asc())
-    ranked = norms.select(
-        "vec_id", "nsq", F.row_number().over(wn).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
+    ranked, n = _banded_rank(
+        norms.withColumnRenamed("vec_id", "doc_id"), "nsq", "rn"
     )
-    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+    med = ranked.filter(F.col("rn") == (n + 1) // 2).select(
         F.col("nsq").alias("median_nsq")
     )
     dev = norms.crossJoin(F.broadcast(med)).select(
         "vec_id", "nsq", "median_nsq",
         F.abs(F.col("nsq") - F.col("median_nsq")).alias("ad"),
     )
-    wd = W.orderBy(F.col("ad").asc())
-    dranked = dev.select(
-        "ad", F.row_number().over(wd).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
+    dranked, nd = _banded_rank(
+        dev.select(F.col("vec_id").alias("doc_id"), "ad"), "ad", "rn"
     )
-    mad = dranked.filter(F.expr("rn = (n + 1) div 2")).select(
+    mad = dranked.filter(F.col("rn") == (nd + 1) // 2).select(
         F.col("ad").alias("mad_nsq")
     )
     return (
