@@ -2033,8 +2033,10 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"((d - dmin) * {top}) div greatest(dmax - dmin, 1)").alias("ys"),
     )
     zkey = F.expr(_interleave_expr("xs", "ys", lambda e, n: f"shiftleft({e}, {n})"))
-    keyed = scaled.select(
-        F.col("o_orderkey").alias("doc_id"), "o_custkey", "d", zkey.alias("zkey")
+    keyed = defer_unpersist(
+        scaled.select(
+            F.col("o_orderkey").alias("doc_id"), "o_custkey", "d", zkey.alias("zkey")
+        ).persist()  # read by the boundary/count collects AND the final plan
     )
     from .text import _banded_rank, _ntile_from_rank
 

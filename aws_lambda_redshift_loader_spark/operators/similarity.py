@@ -1952,8 +1952,12 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize("embedding").alias("e")
     )
-    norms = emb.select(
-        "vec_id", _dot(F.col("e"), F.col("e")).cast("bigint").alias("nsq")
+    from ..session import defer_unpersist
+
+    norms = defer_unpersist(
+        emb.select(
+            "vec_id", _dot(F.col("e"), F.col("e")).cast("bigint").alias("nsq")
+        ).persist()  # four bounded driver passes + the final plan share it
     )
     ranked, n = _banded_rank(
         norms.withColumnRenamed("vec_id", "doc_id"), "nsq", "rn"
