@@ -841,19 +841,28 @@ def _read_store_or_empty(spark: SparkSession, path: str, schema: str) -> DataFra
     return spark.read.parquet(path)
 
 
-def _resolved_remap(spark: SparkSession, remap_dir: str, before_epoch: int) -> DataFrame:
-    """(old_label, new_label): the remap store resolved to its latest
-    row per key among epochs < before_epoch. The store is FLAT by
-    construction (every epoch re-points keys whose target merged, see
-    ingest_cc_epoch), so one lookup fully resolves any stored label.
-    Merge-event-sized — orders below the pair store."""
+# The CC state is ONE kind-tagged store (round-10 lead: one write job
+# per epoch instead of separate label + remap stores):
+#   kind=0 label row  (node, cluster_id), written once per node
+#   kind=1 remap row  (node=old_label, cluster_id=new_label), flat
+# Segments are (kind, bkt)-sorted with small row groups, so the pruned
+# label read skips remap row groups on kind stats and non-matching
+# label row groups on bkt zone maps, while the merge-event-sized remap
+# rows read in full — both sides of the state in one scan.
+CC_STORE_SCHEMA = "kind int, node bigint, cluster_id bigint, bkt int"
+
+
+def _resolved_remap(spark: SparkSession, cc_dir: str, before_epoch: int) -> DataFrame:
+    """(old_label, new_label): the store's remap rows (kind=1) resolved
+    to their latest row per key among epochs < before_epoch. Remap rows
+    are FLAT by construction (every epoch re-points keys whose target
+    merged, see ingest_cc_epoch), so one lookup fully resolves any
+    stored label. Merge-event-sized — orders below the pair store."""
     return (
-        _read_store_or_empty(
-            spark, remap_dir, "old_label bigint, new_label bigint"
-        )
-        .filter(F.col("epoch") < before_epoch)
-        .groupBy("old_label")
-        .agg(F.max_by("new_label", "epoch").alias("new_label"))
+        _read_store_or_empty(spark, cc_dir, CC_STORE_SCHEMA)
+        .filter((F.col("kind") == 1) & (F.col("epoch") < before_epoch))
+        .groupBy(F.col("node").alias("old_label"))
+        .agg(F.max_by("cluster_id", "epoch").alias("new_label"))
     )
 
 
@@ -861,8 +870,7 @@ def ingest_cc_epoch(
     spark: SparkSession,
     epoch_id: int,
     pairs_dir: str,
-    labels_dir: str,
-    remap_dir: str,
+    cc_dir: str,
     delta_rows: "list[tuple[int, int]] | None" = None,
 ) -> None:
     """Warm-start incremental connected components over one epoch's pair
@@ -872,11 +880,12 @@ def ingest_cc_epoch(
     wrapper is the size gate: a near-dup pair DELTA at threshold-grade
     similarity is tiny (hundreds of pairs per epoch at sf0.1), and the
     per-epoch cost of the DataFrame path is dominated by fixed job
-    overhead (~6 jobs/epoch), so below INC_CC_LOCAL_MAX the whole epoch
-    runs driver-side: ONE bounded collect of the delta, ONE bounded
-    collect of the bucket-and-node-pruned label rows plus the flat
-    remap (unioned into a single job), a Python min-root union-find,
-    and up to two tiny epoch-partition writes. Above the gate — or with
+    overhead, so below INC_CC_LOCAL_MAX the whole epoch runs
+    driver-side: ONE bounded collect of the delta, ONE bounded collect
+    of prior state (bucket-and-node-pruned label rows + the flat remap,
+    a single scan of the kind-tagged store), a Python min-root
+    union-find, and ONE tiny epoch-partition write carrying both the
+    new label rows and the remap delta. Above the gate — or with
     ALRS_INC_CC_LOCAL_MAX=0 (tests force it) — the DataFrame path runs
     with connected_components' own distributed loop. Both paths write
     identical store contents (equivalence is test-locked)."""
@@ -892,16 +901,17 @@ def ingest_cc_epoch(
     else:
         rows = None
     if rows is None or len(rows) > INC_CC_LOCAL_MAX:
-        _ingest_cc_epoch_frames(spark, epoch_id, pairs_dir, labels_dir, remap_dir)
+        _ingest_cc_epoch_frames(spark, epoch_id, pairs_dir, cc_dir)
         return
     if not rows:
         return  # no pairs this epoch: nothing to store, nothing to merge
     edges = [(r[0], r[1]) for r in rows]
     eps = sorted({n for e in edges for n in e})
     bkts = sorted({n % INC_STORE_BKTS for n in eps})
-    # One job for all prior state: pruned label rows (kind 0) + raw
-    # remap rows (kind 1, latest-per-key resolved in Python). Skipped
-    # entirely on a virgin store (epoch 0) — no job at all.
+    # One job for all prior state: pruned label rows (kind 0, zone-map
+    # skipped to the delta's buckets) + raw remap rows (kind 1,
+    # latest-per-key resolved in Python) — one scan of the one store.
+    # Skipped entirely on a virgin store (epoch 0) — no job at all.
     import os as _osp
 
     def _has_epochs(d: str) -> bool:
@@ -909,32 +919,24 @@ def ingest_cc_epoch(
             x.startswith("epoch=") for x in _osp.listdir(d)
         )
 
-    state = [] if not (_has_epochs(labels_dir) or _has_epochs(remap_dir)) else (
-        _read_store_or_empty(
-            spark, labels_dir, "node bigint, cluster_id bigint, bkt int"
-        )
+    state = [] if not _has_epochs(cc_dir) else (
+        _read_store_or_empty(spark, cc_dir, CC_STORE_SCHEMA)
         .filter(
             (F.col("epoch") < epoch_id)
-            & F.col("bkt").isin(bkts)
-            & F.col("node").isin(eps)
+            & (
+                (
+                    (F.col("kind") == 0)
+                    & F.col("bkt").isin(bkts)
+                    & F.col("node").isin(eps)
+                )
+                | (F.col("kind") == 1)
+            )
         )
         .select(
             F.col("node").alias("k"),
             F.col("cluster_id").alias("v"),
-            F.lit(-1).alias("e"),
-            F.lit(0).alias("kind"),
-        )
-        .unionByName(
-            _read_store_or_empty(
-                spark, remap_dir, "old_label bigint, new_label bigint"
-            )
-            .filter(F.col("epoch") < epoch_id)
-            .select(
-                F.col("old_label").alias("k"),
-                F.col("new_label").alias("v"),
-                F.col("epoch").cast("int").alias("e"),
-                F.lit(1).alias("kind"),
-            )
+            F.col("epoch").cast("int").alias("e"),
+            "kind",
         )
         .collect()
     )
@@ -974,22 +976,6 @@ def ingest_cc_epoch(
         for n in eps
         if n not in stored
     )
-    if new_rows:
-        import pandas as _pd
-
-        # Arrow path on purpose: createDataFrame(python list) +
-        # coalesce(1) makes ONE task evaluate every parent Python
-        # partition sequentially (~5s for 200 rows, measured); the
-        # pandas/Arrow frame is a single JVM-side partition (~0.1s).
-        spark.createDataFrame(
-            _pd.DataFrame(
-                [(n, c, bk) for bk, n, c in new_rows],
-                columns=["node", "cluster_id", "bkt"],
-            ).astype({"node": "int64", "cluster_id": "int64", "bkt": "int32"}),
-            "node bigint, cluster_id bigint, bkt int",
-        ).coalesce(1).write.option(
-            "parquet.block.size", INC_STORE_BLOCK
-        ).mode("overwrite").parquet(f"{labels_dir}/epoch={epoch_id}")
     rm: dict[int, int] = {}
     for n in eps:
         if n in stored:
@@ -1002,25 +988,40 @@ def ingest_cc_epoch(
             f = find(v)
             if f != v:
                 rm[k] = f
-    if rm:
+    out = [(0, n, c, bk) for bk, n, c in new_rows] + [
+        (1, k, v, k % INC_STORE_BKTS) for k, v in sorted(rm.items())
+    ]
+    if out:
         import pandas as _pd
 
+        # ONE write job for the whole epoch delta (labels + remap,
+        # kind-tagged; rows already (kind, bkt)-ordered). Arrow path on
+        # purpose: createDataFrame(python list) + coalesce(1) makes ONE
+        # task evaluate every parent Python partition sequentially
+        # (~5s for 200 rows, measured); the pandas/Arrow frame is a
+        # single JVM-side partition (~0.1s).
         spark.createDataFrame(
             _pd.DataFrame(
-                sorted(rm.items()), columns=["old_label", "new_label"]
-            ).astype("int64"),
-            "old_label bigint, new_label bigint",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{remap_dir}/epoch={epoch_id}"
-        )
+                out, columns=["kind", "node", "cluster_id", "bkt"]
+            ).astype(
+                {
+                    "kind": "int32",
+                    "node": "int64",
+                    "cluster_id": "int64",
+                    "bkt": "int32",
+                }
+            ),
+            CC_STORE_SCHEMA,
+        ).coalesce(1).write.option(
+            "parquet.block.size", INC_STORE_BLOCK
+        ).mode("overwrite").parquet(f"{cc_dir}/epoch={epoch_id}")
 
 
 def _ingest_cc_epoch_frames(
     spark: SparkSession,
     epoch_id: int,
     pairs_dir: str,
-    labels_dir: str,
-    remap_dir: str,
+    cc_dir: str,
 ) -> None:
     """Warm-start incremental connected components over one epoch's pair
     delta (round-9 verdict item 2 — the last batch recompute inside the
@@ -1028,19 +1029,20 @@ def _ingest_cc_epoch_frames(
     pair store at read time, each epoch CONTRACTS the previous labels
     (a valid fixpoint for all earlier edges) and runs CC only on the
     delta-projected label graph, whose size is O(delta edges), never
-    O(store). State is two epoch-partitioned stores:
+    O(store). State is ONE kind-tagged epoch-partitioned store
+    (CC_STORE_SCHEMA — one write job per epoch):
 
-    - labels: (node, cluster_id) — written ONCE per node, at the epoch
-      the node first appears in a pair, with the label final AS OF that
-      epoch; node-bucketed (bkt = hash(node) % {INC_STORE_BKTS},
-      bkt-sorted, small row groups) so the per-epoch endpoint lookup
-      prunes to the delta's own buckets exactly like the band-store
-      probe.
-    - remap: (old_label, new_label) — one row per label whose component
-      merged, kept FLAT: when a remap target itself merges, every key
-      pointing at it is re-emitted at the merging epoch, so read-time
-      resolution is a single lookup (no chain walking). Merge-event-
-      sized.
+    - kind=0 label rows: (node, cluster_id) — written ONCE per node, at
+      the epoch the node first appears in a pair, with the label final
+      AS OF that epoch; node-bucketed (bkt = node % {INC_STORE_BKTS},
+      (kind, bkt)-sorted, small row groups) so the per-epoch endpoint
+      lookup prunes to the delta's own buckets exactly like the
+      band-store probe.
+    - kind=1 remap rows: (old_label, new_label) — one row per label
+      whose component merged, kept FLAT: when a remap target itself
+      merges, every key pointing at it is re-emitted at the merging
+      epoch, so read-time resolution is a single lookup (no chain
+      walking). Merge-event-sized.
 
     Correctness is the standard union-find contraction argument: CC over
     (contracted previous components + delta edges) equals CC over the
@@ -1070,17 +1072,19 @@ def _ingest_cc_epoch_frames(
         r["b"] for r in eps.select(F.col("bkt").alias("b")).distinct().collect()
     ]
     stored = (
-        _read_store_or_empty(
-            spark, labels_dir, "node bigint, cluster_id bigint, bkt int"
+        _read_store_or_empty(spark, cc_dir, CC_STORE_SCHEMA)
+        .filter(
+            (F.col("kind") == 0)
+            & (F.col("epoch") < epoch_id)
+            & F.col("bkt").isin(ep_bkts)
         )
-        .filter((F.col("epoch") < epoch_id) & F.col("bkt").isin(ep_bkts))
         .select("node", "cluster_id")
     )
     # Prune the store to the delta's endpoints FIRST (broadcast semi —
     # the store side is never shuffled), then all remaining joins are
     # delta-sized.
     pruned = stored.join(F.broadcast(eps.select("node")), "node", "left_semi")
-    remap = _resolved_remap(spark, remap_dir, epoch_id)
+    remap = _resolved_remap(spark, cc_dir, epoch_id)
     resolved = (
         eps.select("node")
         .join(pruned.hint("broadcast"), "node", "left")
@@ -1114,14 +1118,12 @@ def _ingest_cc_epoch_frames(
         resolved.filter(~F.col("is_stored"))
         .join(F.broadcast(cc), F.col("base") == F.col("lbl"), "left")
         .select(
+            F.lit(0).alias("kind"),
             "node",
             F.coalesce("final", "base").cast("bigint").alias("cluster_id"),
         )
         .withColumn("bkt", _labels_bkt())
     )
-    new_rows.repartition(1).sortWithinPartitions("bkt").write.option(
-        "parquet.block.size", INC_STORE_BLOCK
-    ).mode("overwrite").parquet(f"{labels_dir}/epoch={epoch_id}")
     # Remap delta: (a) current labels of touched OLD components that
     # merged; (b) re-point existing keys whose target merged (keeps the
     # store flat).
@@ -1140,26 +1142,38 @@ def _ingest_cc_epoch_frames(
         .filter(F.col("final") != F.col("new_label"))
         .select("old_label", F.col("final").alias("new_label"))
     )
-    rm_a.unionByName(rm_b).distinct().write.mode("overwrite").parquet(
-        f"{remap_dir}/epoch={epoch_id}"
+    rm_rows = (
+        rm_a.unionByName(rm_b)
+        .distinct()
+        .select(
+            F.lit(1).alias("kind"),
+            F.col("old_label").alias("node"),
+            F.col("new_label").alias("cluster_id"),
+            F.pmod(F.col("old_label"), F.lit(INC_STORE_BKTS))
+            .cast("int")
+            .alias("bkt"),
+        )
     )
+    # ONE kind-tagged write for the whole epoch delta (labels + remap).
+    new_rows.unionByName(rm_rows).repartition(1).sortWithinPartitions(
+        "kind", "bkt"
+    ).write.option("parquet.block.size", INC_STORE_BLOCK).mode(
+        "overwrite"
+    ).parquet(f"{cc_dir}/epoch={epoch_id}")
 
 
-def resolve_incremental_labels(
-    spark: SparkSession, labels_dir: str, remap_dir: str
-) -> DataFrame:
-    """(doc_id, cluster_id): the incremental CC stores resolved — node
-    rows (written once each) re-pointed through the flat remap. This is
-    the read side of ingest_cc_epoch: no CC runs here, so the standing
-    query's read cost is one label-store scan + a broadcast of the
-    merge-event-sized remap."""
-    labels = _read_store_or_empty(
-        spark, labels_dir, "node bigint, cluster_id bigint, bkt int"
-    )
+def resolve_incremental_labels(spark: SparkSession, cc_dir: str) -> DataFrame:
+    """(doc_id, cluster_id): the kind-tagged CC store resolved — label
+    rows (kind=0, written once each) re-pointed through the flat remap
+    (kind=1). This is the read side of ingest_cc_epoch: no CC runs
+    here, so the standing query's read cost is one store scan + a
+    broadcast of the merge-event-sized remap."""
+    store = _read_store_or_empty(spark, cc_dir, CC_STORE_SCHEMA)
+    labels = store.filter(F.col("kind") == 0)
     remap = (
-        _read_store_or_empty(spark, remap_dir, "old_label bigint, new_label bigint")
-        .groupBy("old_label")
-        .agg(F.max_by("new_label", "epoch").alias("new_label"))
+        store.filter(F.col("kind") == 1)
+        .groupBy(F.col("node").alias("old_label"))
+        .agg(F.max_by("cluster_id", "epoch").alias("new_label"))
     )
     return (
         labels.join(
@@ -1169,7 +1183,9 @@ def resolve_incremental_labels(
         )
         .select(
             F.col("node").alias("doc_id"),
-            F.coalesce("new_label", "cluster_id").cast("bigint").alias("cluster_id"),
+            F.coalesce("new_label", labels["cluster_id"])
+            .cast("bigint")
+            .alias("cluster_id"),
         )
     )
 
@@ -1177,31 +1193,30 @@ def resolve_incremental_labels(
 INC_CC_COMPACT_AT = 2  # snapshot the label store when this epoch arrives
 
 
-def compact_cc_store(
-    spark: SparkSession, labels_dir: str, remap_dir: str, out_labels: str
-) -> None:
-    """Label-store compaction: materialize the RESOLVED labels (every
-    node re-pointed through the flat remap) as a single bkt-sorted
-    snapshot segment ``out_labels/epoch=0``. After compaction the
-    stream continues against the snapshot with a FRESH remap store —
-    pre-compaction merges are baked into the snapshot, so stale remap
+def compact_cc_store(spark: SparkSession, cc_dir: str, out_dir: str) -> None:
+    """CC-store compaction: materialize the RESOLVED labels (every node
+    re-pointed through the flat remap) as a single (kind, bkt)-sorted
+    snapshot segment ``out_dir/epoch=0``. After compaction the stream
+    continues against the fresh store — pre-compaction merges are baked
+    into the snapshot (it holds only kind=0 rows), so stale remap
     entries cannot apply (their keys no longer appear as stored
     labels). Same contract as the signature-store compactions: runs
     above the checkpoint's committed offset, input epochs are frozen
     once committed, so re-running the merge on a replay rewrites
     identical content."""
     (
-        resolve_incremental_labels(spark, labels_dir, remap_dir)
+        resolve_incremental_labels(spark, cc_dir)
         .select(
+            F.lit(0).alias("kind"),
             F.col("doc_id").alias("node"),
             "cluster_id",
             F.pmod(F.col("doc_id"), F.lit(INC_STORE_BKTS)).cast("int").alias("bkt"),
         )
         .repartition(1)
-        .sortWithinPartitions("bkt")
+        .sortWithinPartitions("kind", "bkt")
         .write.option("parquet.block.size", INC_STORE_BLOCK)
         .mode("overwrite")
-        .parquet(f"{out_labels}/epoch=0")
+        .parquet(f"{out_dir}/epoch=0")
     )
 
 
@@ -1209,35 +1224,28 @@ def cc_epoch_with_compaction(
     spark: SparkSession,
     epoch_id: int,
     pairs_dir: str,
-    labels_dir: str,
-    remap_dir: str,
-    labels2_dir: str,
-    remap2_dir: str,
+    cc_dir: str,
+    cc2_dir: str,
     delta_rows=None,
 ) -> None:
-    """Epoch router for the warm-start CC stores, exercising label-store
+    """Epoch router for the warm-start CC store, exercising label-store
     compaction INSIDE the standing loop (the simhash_epoch_with_compaction
     pattern): epochs before {INC_CC_COMPACT_AT} maintain the original
-    label/remap stores; when epoch {INC_CC_COMPACT_AT} arrives the
-    resolved labels are snapshotted into ``labels2_dir`` (fresh remap in
-    ``remap2_dir``) and that epoch plus every later one maintains the
-    compacted pair. Routing is a pure function of epoch_id and the
-    compaction input is frozen once its epochs commit — replay-
-    idempotent on both sides of the compaction point (test-locked).
-    Consumers read the post-compaction dirs: every pre-compaction node
-    is in the snapshot."""
+    store; when epoch {INC_CC_COMPACT_AT} arrives the resolved labels
+    are snapshotted into ``cc2_dir`` and that epoch plus every later
+    one maintains the compacted store. Routing is a pure function of
+    epoch_id and the compaction input is frozen once its epochs commit
+    — replay-idempotent on both sides of the compaction point
+    (test-locked). Consumers read the post-compaction store: every
+    pre-compaction node is in the snapshot."""
     import os as _osr
 
     if epoch_id < INC_CC_COMPACT_AT:
-        ingest_cc_epoch(
-            spark, epoch_id, pairs_dir, labels_dir, remap_dir, delta_rows=delta_rows
-        )
+        ingest_cc_epoch(spark, epoch_id, pairs_dir, cc_dir, delta_rows=delta_rows)
         return
-    if epoch_id == INC_CC_COMPACT_AT or not _osr.path.isdir(f"{labels2_dir}/epoch=0"):
-        compact_cc_store(spark, labels_dir, remap_dir, labels2_dir)
-    ingest_cc_epoch(
-        spark, epoch_id, pairs_dir, labels2_dir, remap2_dir, delta_rows=delta_rows
-    )
+    if epoch_id == INC_CC_COMPACT_AT or not _osr.path.isdir(f"{cc2_dir}/epoch=0"):
+        compact_cc_store(spark, cc_dir, cc2_dir)
+    ingest_cc_epoch(spark, epoch_id, pairs_dir, cc2_dir, delta_rows=delta_rows)
 
 
 def ingest_neardup_epoch(
@@ -1376,17 +1384,17 @@ def ingest_neardup_epoch(
 # dedup.MEMO_EVENTS so BENCH_DETAIL attributes the build cost to
 # whichever consumer ran first). Scale instruments clear the memo so
 # exponents measure full builds.
-_INGEST_MEMO: dict[tuple[str, str], tuple[str, str, str, str, str, str]] = {}
+_INGEST_MEMO: dict[tuple[str, str], tuple[str, str, str, str, str]] = {}
 
 
 def _ensure_neardup_ingest(
     spark: SparkSession, sf_dir: str
-) -> tuple[str, str, str, str, str, str]:
+) -> tuple[str, str, str, str, str]:
     """Run the shared near-dup ingest stream (documents split into
     {INC_NEARDUP_EPOCHS} range files, one file per trigger, foreachBatch
     = ingest_neardup_epoch + warm-start incremental CC + the map-only
     per-batch feature pass) once per session per fixture; returns
-    (docs_wh, store, pairs_dir, feat_dir, labels_dir, remap_dir)."""
+    (docs_wh, store, pairs_dir, feat_dir, cc_dir)."""
     from ..operators import dedup as _dedup
     from ..operators.dedup import _doc_features
 
@@ -1402,10 +1410,8 @@ def _ensure_neardup_ingest(
     docs_wh = _e2e_tmpdir("alrs_inc_docs_")
     pairs_dir = _e2e_tmpdir("alrs_inc_pairs_")
     feat_dir = docs_wh  # features ride the warehouse write (see update)
-    labels_dir = _e2e_tmpdir("alrs_inc_labels_")
-    remap_dir = _e2e_tmpdir("alrs_inc_remap_")
-    labels2_dir = _e2e_tmpdir("alrs_inc_labels2_")
-    remap2_dir = _e2e_tmpdir("alrs_inc_remap2_")
+    cc_dir = _e2e_tmpdir("alrs_inc_cc_")
+    cc2_dir = _e2e_tmpdir("alrs_inc_cc2_")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     src = _ensure_doc_split(spark, sf_dir, INC_NEARDUP_EPOCHS)
@@ -1430,14 +1436,7 @@ def _ensure_neardup_ingest(
         # accumulated pairs; the label store is snapshot-compacted
         # mid-stream (see cc_epoch_with_compaction).
         cc_epoch_with_compaction(
-            spark,
-            epoch_id,
-            pairs_dir,
-            labels_dir,
-            remap_dir,
-            labels2_dir,
-            remap2_dir,
-            delta_rows=delta,
+            spark, epoch_id, pairs_dir, cc_dir, cc2_dir, delta_rows=delta
         )
 
     with _stream_shuffle(spark):
@@ -1450,9 +1449,9 @@ def _ensure_neardup_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
-    # Consumers resolve the POST-compaction stores (every pre-compaction
+    # Consumers resolve the POST-compaction store (every pre-compaction
     # node is in the snapshot).
-    _INGEST_MEMO[key] = (docs_wh, store, pairs_dir, feat_dir, labels2_dir, remap2_dir)
+    _INGEST_MEMO[key] = (docs_wh, store, pairs_dir, feat_dir, cc2_dir)
     return _INGEST_MEMO[key]
 
 
@@ -1483,7 +1482,7 @@ def _register_incremental_neardup() -> None:
         verification that touches ONLY candidate docs. The full corpus
         is never re-shingled or re-scanned after its arrival epoch — the
         delta cost a 100 TB corpus needs when 0.1% arrives daily."""
-        _, _, pairs_dir, _, _, _ = _ensure_neardup_ingest(spark, sf_dir)
+        _, _, pairs_dir, _, _ = _ensure_neardup_ingest(spark, sf_dir)
         return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard")
 
 
@@ -1721,7 +1720,7 @@ def _register_incremental_curation() -> None:
     def stream_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming curation (see block comment): the shared ingest
         stream maintains the pair store, the WARM-START incremental CC
-        label/remap stores (ingest_cc_epoch — per-epoch CC over the
+        kind-tagged CC store (ingest_cc_epoch — per-epoch CC over the
         delta-projected label graph, never the accumulated pairs), AND a
         per-batch feature store (quality score, token count,
         deterministic split — map-only per-doc expressions, so
@@ -1741,10 +1740,8 @@ def _register_incremental_curation() -> None:
         text after its arrival epoch."""
         from ..operators.dedup import _curation_report
 
-        _, _, _, feat_dir, labels_dir, remap_dir = _ensure_neardup_ingest(
-            spark, sf_dir
-        )
-        clusters = resolve_incremental_labels(spark, labels_dir, remap_dir)
+        _, _, _, feat_dir, cc_dir = _ensure_neardup_ingest(spark, sf_dir)
+        clusters = resolve_incremental_labels(spark, cc_dir)
         features = spark.read.parquet(feat_dir).select(
             "doc_id", "quality_score", "n_tokens", "split"
         )
@@ -1764,8 +1761,8 @@ def _register_incremental_cc() -> None:
     def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Warm-start incremental connected components surfaced as its
         own standing query (ninth member of the incremental-store
-        family): the shared near-dup ingest maintains the label/remap
-        stores per epoch (ingest_cc_epoch — CC over the delta-projected
+        family): the shared near-dup ingest maintains the kind-tagged CC
+        store per epoch (ingest_cc_epoch — CC over the delta-projected
         label graph only), and this read just RESOLVES them. Oracle =
         the batch dedup_connected_components SQL, so the hash gate
         proves the standing labels equal the recursive-CTE fixpoint over
@@ -1775,8 +1772,8 @@ def _register_incremental_cc() -> None:
         the merge-event-sized remap — no CC at read time; maintenance
         cost is measured O(delta) by the ccprobe instrument
         (BENCH_SCALE stream_incremental_curation@ccprobe)."""
-        _, _, _, _, labels_dir, remap_dir = _ensure_neardup_ingest(spark, sf_dir)
-        return resolve_incremental_labels(spark, labels_dir, remap_dir).select(
+        _, _, _, _, cc_dir = _ensure_neardup_ingest(spark, sf_dir)
+        return resolve_incremental_labels(spark, cc_dir).select(
             "doc_id", "cluster_id"
         )
 

@@ -497,10 +497,10 @@ def run_probe() -> None:
         # evidence): per-epoch label maintenance cost tracks the pair
         # DELTA, not the accumulated label store. Protocol mirrors the
         # signature-store probes: bulk-ingest the corpus as epoch 0
-        # (pairs + labels/remap), then time ONLY ingest_cc_epoch for a
-        # fixed small arriving batch at 1x and 10x store scale; record
-        # the label-store rows the bucket-and-node-pruned state read
-        # considers vs the full store.
+        # (pairs + kind-tagged CC store), then time ONLY ingest_cc_epoch
+        # for a fixed small arriving batch at 1x and 10x store scale;
+        # record the label rows (kind=0) the bucket-and-node-pruned
+        # state read considers vs the full store.
         entry = {}
         for label, sf_dir, n_bkt in (
             ("1x", SRC, PROBE_BKTS_1X),
@@ -508,14 +508,14 @@ def run_probe() -> None:
         ):
             SQ.INC_STORE_BKTS = n_bkt
             base = tempfile.mkdtemp(prefix=f"alrs_ccprobe_{label}_")
-            wh, store, pairs, labels, remap = (
-                f"{base}/{d}" for d in ("wh", "store", "pairs", "labels", "remap")
+            wh, store, pairs, cc = (
+                f"{base}/{d}" for d in ("wh", "store", "pairs", "cc")
             )
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
                 "doc_id", "text"
             )
             SQ.ingest_neardup_epoch(spark, docs, 0, wh, store, pairs)
-            SQ.ingest_cc_epoch(spark, 0, pairs, labels, remap)
+            SQ.ingest_cc_epoch(spark, 0, pairs, cc)
             batch = (
                 docs.orderBy("doc_id")
                 .limit(PROBE_BATCH_DOCS)
@@ -523,7 +523,7 @@ def run_probe() -> None:
             )
             SQ.ingest_neardup_epoch(spark, batch, 1, wh, store, pairs)
             t0 = time.perf_counter()
-            SQ.ingest_cc_epoch(spark, 1, pairs, labels, remap)
+            SQ.ingest_cc_epoch(spark, 1, pairs, cc)
             dt = round(time.perf_counter() - t0, 3)
             # State-scan accounting: rows the pruned label read considers.
             delta = spark.read.parquet(f"{pairs}/epoch=1")
@@ -535,7 +535,7 @@ def run_probe() -> None:
                 }
             )
             bkts = sorted({n % n_bkt for n in eps})
-            lab = spark.read.parquet(labels)
+            lab = spark.read.parquet(cc).filter(F.col("kind") == 0)
             scanned = lab.filter(
                 (F.col("epoch") < 1)
                 & F.col("bkt").isin(bkts)

@@ -617,8 +617,8 @@ def test_incremental_cc_replay_idempotent_and_equals_batch(spark, tmp_path):
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     src = str(tmp_path / "src")
     docs.repartitionByRange(3, "doc_id").write.parquet(src)
-    wh, store, pairs, labels, remap = (
-        str(tmp_path / d) for d in ("wh", "store", "pairs", "labels", "remap")
+    wh, store, pairs, cc = (
+        str(tmp_path / d) for d in ("wh", "store", "pairs", "cc")
     )
 
     import glob
@@ -626,12 +626,12 @@ def test_incremental_cc_replay_idempotent_and_equals_batch(spark, tmp_path):
     files = sorted(glob.glob(f"{src}/part-*"))
     for i, f in enumerate(files):
         ingest_neardup_epoch(spark, spark.read.parquet(f), i, wh, store, pairs)
-        ingest_cc_epoch(spark, i, pairs, labels, remap)
+        ingest_cc_epoch(spark, i, pairs, cc)
 
     def resolved():
         return {
             (r["doc_id"], r["cluster_id"])
-            for r in resolve_incremental_labels(spark, labels, remap).collect()
+            for r in resolve_incremental_labels(spark, cc).collect()
         }
 
     batch = {
@@ -647,11 +647,11 @@ def test_incremental_cc_replay_idempotent_and_equals_batch(spark, tmp_path):
     assert before == batch, "incremental CC != batch CC over accumulated pairs"
 
     # out-of-order replay (epoch 0 after epochs 1-2 committed)
-    ingest_cc_epoch(spark, 0, pairs, labels, remap)
+    ingest_cc_epoch(spark, 0, pairs, cc)
     assert resolved() == before, "replayed CC epoch changed the labels"
     # tail replay (what checkpoint recovery actually produces)
     last = len(files) - 1
-    ingest_cc_epoch(spark, last, pairs, labels, remap)
+    ingest_cc_epoch(spark, last, pairs, cc)
     assert resolved() == before
 
 
@@ -671,9 +671,8 @@ def test_incremental_cc_frames_path_equals_fast_path(spark, tmp_path):
     files = sorted(glob.glob(f"{src}/part-*"))
 
     def run(tag, gate):
-        wh, store, pairs, labels, remap = (
-            str(tmp_path / f"{tag}_{d}")
-            for d in ("wh", "store", "pairs", "labels", "remap")
+        wh, store, pairs, cc = (
+            str(tmp_path / f"{tag}_{d}") for d in ("wh", "store", "pairs", "cc")
         )
         old = sq.INC_CC_LOCAL_MAX
         sq.INC_CC_LOCAL_MAX = gate
@@ -682,12 +681,12 @@ def test_incremental_cc_frames_path_equals_fast_path(spark, tmp_path):
                 sq.ingest_neardup_epoch(
                     spark, spark.read.parquet(f), i, wh, store, pairs
                 )
-                sq.ingest_cc_epoch(spark, i, pairs, labels, remap)
+                sq.ingest_cc_epoch(spark, i, pairs, cc)
         finally:
             sq.INC_CC_LOCAL_MAX = old
         return {
             (r["doc_id"], r["cluster_id"])
-            for r in sq.resolve_incremental_labels(spark, labels, remap).collect()
+            for r in sq.resolve_incremental_labels(spark, cc).collect()
         }
 
     assert run("fast", 1_000_000) == run("frames", 0)
@@ -762,16 +761,15 @@ def test_cc_midstream_compaction_replay_and_equals_batch(spark, tmp_path):
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     src = str(tmp_path / "src")
     docs.repartitionByRange(4, "doc_id").write.parquet(src)
-    wh, store, pairs, la, ra, lb, rb = (
-        str(tmp_path / d)
-        for d in ("wh", "store", "pairs", "la", "ra", "lb", "rb")
+    wh, store, pairs, cca, ccb = (
+        str(tmp_path / d) for d in ("wh", "store", "pairs", "cca", "ccb")
     )
     files = sorted(glob.glob(f"{src}/part-*"))
     assert len(files) == 4
 
     def run_epoch(i):
         sq.ingest_neardup_epoch(spark, spark.read.parquet(files[i]), i, wh, store, pairs)
-        sq.cc_epoch_with_compaction(spark, i, pairs, la, ra, lb, rb)
+        sq.cc_epoch_with_compaction(spark, i, pairs, cca, ccb)
 
     for i in range(4):
         run_epoch(i)
@@ -779,7 +777,7 @@ def test_cc_midstream_compaction_replay_and_equals_batch(spark, tmp_path):
     def resolved():
         return {
             (r["doc_id"], r["cluster_id"])
-            for r in sq.resolve_incremental_labels(spark, lb, rb).collect()
+            for r in sq.resolve_incremental_labels(spark, ccb).collect()
         }
 
     batch = {
@@ -794,9 +792,9 @@ def test_cc_midstream_compaction_replay_and_equals_batch(spark, tmp_path):
     before = resolved()
     assert before == batch, "compacted incremental CC != batch CC"
 
-    sq.cc_epoch_with_compaction(spark, 1, pairs, la, ra, lb, rb)  # pre-compaction replay
+    sq.cc_epoch_with_compaction(spark, 1, pairs, cca, ccb)  # pre-compaction replay
     assert resolved() == before
-    sq.cc_epoch_with_compaction(spark, 2, pairs, la, ra, lb, rb)  # snapshot epoch replay
+    sq.cc_epoch_with_compaction(spark, 2, pairs, cca, ccb)  # snapshot epoch replay
     assert resolved() == before
-    sq.cc_epoch_with_compaction(spark, 3, pairs, la, ra, lb, rb)  # tail replay
+    sq.cc_epoch_with_compaction(spark, 3, pairs, cca, ccb)  # tail replay
     assert resolved() == before
