@@ -748,6 +748,7 @@ def _compact_signature_store(
     n_bkt: int,
     data_cols: list[str],
     bkt_hash: "F.Column",
+    wrap=None,
 ) -> None:
     """Segment compaction for a signature store: merge every epoch
     segment into ONE re-bucketed, bkt-sorted segment written as
@@ -763,11 +764,20 @@ def _compact_signature_store(
     merged epoch would duplicate its rows). Probe results are
     unchanged: bucket membership is a pure function of the probe key,
     so candidate pairs survive re-bucketing bit-for-bit (test-locked
-    for all three signature stores)."""
-    rows = spark.read.parquet(store).select(*data_cols)
-    rows.withColumn(
+    for all three signature stores). ``wrap`` marks a fused kind-tagged
+    store (SimHash/cosine): only its band rows (kind=0) are merged —
+    the pair deltas already delivered stay in their original epoch
+    dirs — and the compacted segment is re-emitted through the same
+    kind-0 wrapper so both stores stay union-readable."""
+    rows = spark.read.parquet(store)
+    if wrap is not None:
+        rows = rows.filter(F.col("kind") == 0)
+    rows = rows.select(*data_cols).withColumn(
         "bkt", F.pmod(bkt_hash, F.lit(n_bkt)).cast("int")
-    ).repartition("bkt").sortWithinPartitions("bkt").write.option(
+    )
+    if wrap is not None:
+        rows = wrap(rows)
+    rows.repartition("bkt").sortWithinPartitions("bkt").write.option(
         "parquet.block.size", INC_STORE_BLOCK
     ).mode("overwrite").parquet(f"{out}/epoch=0")
 
@@ -787,10 +797,13 @@ def compact_simhash_store(
 ) -> None:
     """SimHash Hamming-band store compaction (see
     _compact_signature_store); rows carry the full signature, so the
-    compacted segment keeps verification probe-fused."""
+    compacted segment keeps verification probe-fused. The store is the
+    fused kind-tagged layout: band rows merge, delivered pair deltas
+    stay put."""
     _compact_signature_store(
         spark, store, out, n_bkt,
         ["doc_id", "simhash", "band", "band_val"], F.xxhash64("band", "band_val"),
+        wrap=_sim_kind0,
     )
 
 
@@ -802,10 +815,12 @@ def compact_cosine_store(
     GEMM verification stays store-local after the merge. LSH geometry
     (the signature width) is NOT changed here — re-deriving it for a
     grown corpus means re-stamping signatures, a rebuild rather than a
-    re-bucket, as in any deployed LSH index."""
+    re-bucket, as in any deployed LSH index. Fused kind-tagged layout:
+    bucket rows merge, delivered pair deltas stay put."""
     _compact_signature_store(
         spark, store, out, n_bkt,
         ["vec_id", "e", "bucket"], F.xxhash64("bucket"),
+        wrap=_cos_kind0,
     )
 
 
@@ -1794,6 +1809,22 @@ _register_incremental_cc()
 # own segment, so a pair is found once, in its later doc's epoch; the
 # union of per-epoch deltas equals the batch recompute, which is the
 # oracle (simhash_neardup_pairs' own SQL).
+#
+# ONE output commit per trigger (the round-10 verdict's "fuse the
+# segment write and pair-delta write" lever, same shape as the
+# kind-tagged CC store): epoch K's single write carries this epoch's
+# band segment (kind=0) PLUS the PREVIOUS epoch's Hamming-verified pair
+# delta (kind=1) — the delta is DEFERRED one epoch so its isin pruning
+# literals (the previous segment's bucket set) are already known from
+# that segment's own Observation, with zero extra jobs. A committed
+# segment is frozen, so delta(e) = probe(segment_e vs kind-0 rows of
+# epochs <= e) is a pure function of committed store content: it can be
+# (re)computed at epoch e+1, on replay after a driver restart (the
+# bucket set is then re-derived from the committed segment — one tiny
+# pruned read), or by the post-stream flush for the final epoch, always
+# bit-identically. The alternatives measured and rejected for the
+# MinHash store (separate distinct-collect job: +1.1 s/epoch) stay
+# rejected; this design needs neither a second write nor a collect.
 INC_SIMHASH_EPOCHS = 4
 
 
@@ -1816,48 +1847,69 @@ INC_SIM_COMPACT_AT = 2
 INC_SIM_COMPACT_GROWTH = 4
 
 
-def ingest_simhash_epoch(
+def _sim_kind0(bands: DataFrame) -> DataFrame:
+    """Band rows -> the fused store's full schema (kind=0)."""
+    return bands.select(
+        F.lit(0).alias("kind"),
+        "doc_id",
+        "simhash",
+        "band",
+        "band_val",
+        "bkt",
+        F.lit(None).cast("bigint").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.lit(None).cast("int").alias("hamming"),
+    )
+
+
+def _sim_kind1(pairs: DataFrame) -> DataFrame:
+    """Pair-delta rows -> the fused store's full schema (kind=1)."""
+    return pairs.select(
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("simhash"),
+        F.lit(None).cast("int").alias("band"),
+        F.lit(None).cast("bigint").alias("band_val"),
+        F.lit(None).cast("int").alias("bkt"),
+        "doc_a",
+        "doc_b",
+        "hamming",
+    )
+
+
+def _simhash_delta(
     spark: SparkSession,
-    batch_df: DataFrame,
-    epoch_id: int,
-    store: str,
-    pairs_dir: str,
-    n_bkt: int | None = None,
-) -> None:
-    """One SimHash ingest epoch (module-level so replay idempotence is
-    directly testable, like ingest_neardup_epoch): sign the batch, write
-    the epoch's band segment (bkt-sorted, small row groups), probe the
-    accumulated store pruned to the batch's own buckets, and write the
-    Hamming-verified pair delta — every write an epoch-partition
-    overwrite, so any replay reproduces its original outputs. Per-epoch
-    cost is O(batch) signing + O(batch keys x bucket size) probe I/O;
-    both-docs-old pairs are structurally impossible (the probe side is
-    this epoch's segment alone), so no batch-membership filter is
-    needed."""
-    from pyspark.sql import Observation
+    seg_store: str,
+    seg_epoch: int,
+    seg_bkts: list[int] | None = None,
+) -> DataFrame:
+    """Hamming-verified pair delta of epoch ``seg_epoch``: the committed
+    segment probed (broadcast) against the accumulated kind-0 band rows
+    of epochs <= seg_epoch, pruned at the source to the segment's own
+    bucket set — a pure function of committed store content, so it is
+    replay-safe wherever it is (re)computed. ``seg_bkts`` normally
+    arrives from the segment write's Observation; on a replay after a
+    driver restart it is re-derived from the committed segment (one tiny
+    pruned read)."""
+    from ..operators.dedup import HAMMING_MAX
 
-    from ..operators.dedup import HAMMING_MAX, _simhash_band_rows, _simhash_sigs
-
-    obs = Observation()
-    _simhash_band_rows(_simhash_sigs(batch_df)).withColumn("bkt", _sim_bkt(n_bkt)).observe(
-        obs, F.collect_set("bkt").alias("bkts")
-    ).sortWithinPartitions("bkt").write.option(
-        "parquet.block.size", INC_STORE_BLOCK
-    ).mode("overwrite").parquet(f"{store}/epoch={epoch_id}")
-    batch_bkts = obs.get["bkts"]
-    new_bands = spark.read.parquet(f"{store}/epoch={epoch_id}")
-    # Same replay bound and source pruning as the MinHash store: epochs
-    # after this one excluded; scan pruned to the batch's buckets.
-    all_bands = spark.read.parquet(store).filter(
-        (F.col("epoch") <= epoch_id) & F.col("bkt").isin(batch_bkts)
+    seg = spark.read.parquet(seg_store).filter(
+        (F.col("epoch") == seg_epoch) & (F.col("kind") == 0)
+    )
+    if seg_bkts is None:
+        seg_bkts = [r[0] for r in seg.select("bkt").distinct().collect()]
+    all_bands = spark.read.parquet(seg_store).filter(
+        (F.col("epoch") <= seg_epoch)
+        & (F.col("kind") == 0)
+        & F.col("bkt").isin(seg_bkts)
     )
     hamming = F.bit_count(
         F.col("nb.simhash").bitwiseXOR(F.col("ab.simhash"))
     ).cast("int")
-    pairs = (
+    return (
         all_bands.alias("ab")
         .join(
-            F.broadcast(new_bands.alias("nb")),
+            F.broadcast(seg.alias("nb")),
             (F.col("nb.band") == F.col("ab.band"))
             & (F.col("nb.band_val") == F.col("ab.band_val"))
             & (F.col("nb.doc_id") != F.col("ab.doc_id")),
@@ -1870,7 +1922,71 @@ def ingest_simhash_epoch(
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+
+
+
+def ingest_simhash_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    store: str,
+    n_bkt: int | None = None,
+    delta_spec: tuple[str, int] | None = None,
+    prev_bkts: list[int] | None = None,
+) -> list[int]:
+    """One SimHash ingest epoch (module-level so replay idempotence is
+    directly testable, like ingest_neardup_epoch): sign the batch and
+    make ONE fused write to ``store/epoch={epoch_id}`` carrying this
+    epoch's band segment (kind=0, bkt-sorted, small row groups) plus the
+    PREVIOUS epoch's pair delta (kind=1, see _simhash_delta and the
+    block comment) — one output commit per trigger, an epoch-partition
+    overwrite, so any replay reproduces its original outputs. Returns
+    this segment's bucket set (riding an Observation on the fused
+    write — no extra job) for the NEXT epoch's delta pruning.
+
+    ``delta_spec`` overrides which committed segment's delta this write
+    carries as ``(store_path, epoch)`` — the compaction router points it
+    at the pre-compaction store for the switchover epoch; an epoch < 0
+    skips the delta (epoch 0, and the probe instrument's bulk loads).
+    Per-epoch cost is O(batch) signing + O(batch keys x bucket size)
+    probe I/O; both-docs-old pairs are structurally impossible (the
+    probe side is the deferred epoch's segment alone), so no
+    batch-membership filter is needed."""
+    from pyspark.sql import Observation
+
+    from ..operators.dedup import _simhash_band_rows, _simhash_sigs
+
+    if delta_spec is None:
+        delta_spec = (store, epoch_id - 1)
+    d_store, d_epoch = delta_spec
+    obs = Observation()
+    bands = _simhash_band_rows(_simhash_sigs(batch_df)).withColumn(
+        "bkt", _sim_bkt(n_bkt)
+    )
+    out = _sim_kind0(bands).observe(
+        obs, F.collect_set("bkt").alias("bkts")
+    ).sortWithinPartitions("bkt")
+    if d_epoch >= 0:
+        out = out.unionByName(_sim_kind1(_simhash_delta(spark, d_store, d_epoch, prev_bkts)))
+    out.write.option("parquet.block.size", INC_STORE_BLOCK).mode(
+        "overwrite"
+    ).parquet(f"{store}/epoch={epoch_id}")
+    return obs.get["bkts"]
+
+
+def flush_simhash_delta(
+    spark: SparkSession,
+    store: str,
+    last_epoch: int,
+    prev_bkts: list[int] | None = None,
+) -> None:
+    """Write the FINAL epoch's deferred pair delta once the stream
+    drains, as a pairs-only partition at ``epoch={last_epoch + 1}`` —
+    the one extra commit the deferred design pays at stream end (and on
+    a restart it simply recomputes the same pure function)."""
+    _sim_kind1(_simhash_delta(spark, store, last_epoch, prev_bkts)).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/epoch={last_epoch + 1}")
 
 
 def simhash_epoch_with_compaction(
@@ -1879,8 +1995,8 @@ def simhash_epoch_with_compaction(
     epoch_id: int,
     store: str,
     store2: str,
-    pairs_dir: str,
-) -> None:
+    bkts_by_epoch: dict[int, list[int]] | None = None,
+) -> list[int]:
     """Epoch router exercising segment compaction INSIDE the epoch loop
     (round-9 verdict item 3): epochs before INC_SIM_COMPACT_AT ingest
     into the original store at the default bucket count; when epoch
@@ -1889,23 +2005,40 @@ def simhash_epoch_with_compaction(
     (compact_simhash_store — above the checkpoint's committed offset,
     so pre-compaction epochs never replay into the merged store), and
     that epoch plus every later one ingests into ``store2`` probing
-    with the grown bucket count. Pair deltas are unaffected: bucket
-    membership is a pure function of the probe key, so candidates
-    survive re-bucketing bit-for-bit (the compaction equivalence test),
-    and the hash gate vs the batch recompute stays the proof.
+    with the grown bucket count. The switchover epoch's DEFERRED pair
+    delta still belongs to the last pre-compaction segment, so its
+    delta_spec points at the OLD store (old bucketing — the committed
+    rows carry their own bkt, so no re-derivation is needed); pair
+    deltas are otherwise unaffected: bucket membership is a pure
+    function of the probe key, so candidates survive re-bucketing
+    bit-for-bit (the compaction equivalence test), and the hash gate vs
+    the batch recompute stays the proof.
 
     Replay: routing is a pure function of epoch_id and the compaction
     input (epochs < INC_SIM_COMPACT_AT of ``store``) never changes
     after those epochs commit, so re-running the compaction on a replay
     of epoch {INC_SIM_COMPACT_AT} rewrites identical content —
-    idempotent under any replay order (test-locked)."""
+    idempotent under any replay order (test-locked). ``bkts_by_epoch``
+    is the driver-side stash of per-epoch Observation bucket sets
+    (bounded: one int list per epoch); a missing entry — first epoch,
+    or any epoch after a driver restart — just re-derives from the
+    committed segment."""
+    prev = (bkts_by_epoch or {}).get(epoch_id - 1)
     if epoch_id < INC_SIM_COMPACT_AT:
-        ingest_simhash_epoch(spark, batch_df, epoch_id, store, pairs_dir)
-        return
+        return ingest_simhash_epoch(spark, batch_df, epoch_id, store, prev_bkts=prev)
     n2 = INC_STORE_BKTS * INC_SIM_COMPACT_GROWTH
     if epoch_id == INC_SIM_COMPACT_AT or not _os_cc.path.isdir(f"{store2}/epoch=0"):
         compact_simhash_store(spark, store, store2, n2)
-    ingest_simhash_epoch(spark, batch_df, epoch_id, store2, pairs_dir, n_bkt=n2)
+    d_store = store if epoch_id == INC_SIM_COMPACT_AT else store2
+    return ingest_simhash_epoch(
+        spark,
+        batch_df,
+        epoch_id,
+        store2,
+        n_bkt=n2,
+        delta_spec=(d_store, epoch_id - 1),
+        prev_bkts=prev,
+    )
 
 
 def _register_incremental_simhash() -> None:
@@ -1928,11 +2061,12 @@ def _register_incremental_simhash() -> None:
         append-only, and the probe prunes to the batch's band buckets —
         the full corpus is never re-signed or re-scanned after its
         arrival epoch. This is the Hamming-band analog of the MinHash
-        store, with verification fused into the probe join."""
+        store, with verification fused into the probe join — and ONE
+        output commit per trigger (deferred delta, see the block
+        comment), plus one post-stream flush for the final epoch."""
         tune(spark)
         store = _e2e_tmpdir("alrs_sim_store_")
         store2 = _e2e_tmpdir("alrs_sim_store2_")
-        pairs_dir = _e2e_tmpdir("alrs_sim_pairs_")
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
@@ -1944,10 +2078,11 @@ def _register_incremental_simhash() -> None:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        bkts: dict[int, list[int]] = {}
 
         def update(batch_df: DataFrame, epoch_id: int) -> None:
-            simhash_epoch_with_compaction(
-                spark, batch_df, epoch_id, store, store2, pairs_dir
+            bkts[epoch_id] = simhash_epoch_with_compaction(
+                spark, batch_df, epoch_id, store, store2, bkts
             )
 
         with _stream_shuffle(spark):
@@ -1960,7 +2095,19 @@ def _register_incremental_simhash() -> None:
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "hamming")
+        last = INC_SIMHASH_EPOCHS - 1
+        flush_simhash_delta(spark, store2, last, prev_bkts=bkts.get(last))
+        pair_cols = ["doc_a", "doc_b", "hamming"]
+        return (
+            spark.read.parquet(store)
+            .filter(F.col("kind") == 1)
+            .select(*pair_cols)
+            .unionByName(
+                spark.read.parquet(store2)
+                .filter(F.col("kind") == 1)
+                .select(*pair_cols)
+            )
+        )
 
 
 _register_incremental_simhash()
@@ -2161,45 +2308,74 @@ _register_incremental_winnow()
 # replay exact under the usual epoch bound. Pair disjointness across
 # epochs is structural as ever, so the union of deltas equals the batch
 # embedding_cosine_neardup — its oracle is the gate.
+#
+# Like the SimHash store, ONE output commit per trigger: epoch K's
+# fused write carries this epoch's bucket-row segment (kind=0) plus the
+# PREVIOUS epoch's GEMM-verified pair delta (kind=1) — deferred one
+# epoch so the isin pruning literals (the previous segment's bucket
+# set, riding its own write's Observation) are already known with zero
+# extra jobs, and always re-derivable from the committed segment on
+# replay. A post-stream flush delivers the final epoch's delta.
 INC_COSINE_EPOCHS = 4
 
 
-def ingest_cosine_epoch(
+def _cos_kind0(rows: DataFrame) -> DataFrame:
+    """Bucket rows -> the fused store's full schema (kind=0)."""
+    return rows.select(
+        F.lit(0).alias("kind"),
+        "vec_id",
+        "e",
+        "bucket",
+        "bkt",
+        F.lit(None).cast("bigint").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("dup_id"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+
+
+def _cos_kind1(pairs: DataFrame) -> DataFrame:
+    """Pair-delta rows -> the fused store's full schema (kind=1)."""
+    return pairs.select(
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("vec_id"),
+        F.lit(None).cast("array<bigint>").alias("e"),
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("int").alias("bkt"),
+        "keep_id",
+        "dup_id",
+        "cosine",
+    )
+
+
+def _cosine_delta(
     spark: SparkSession,
-    batch_df: DataFrame,
-    epoch_id: int,
-    bits: int,
-    store: str,
-    pairs_dir: str,
-) -> None:
-    """One cosine ingest epoch (module-level for replay testing):
-    signature-stamp the batch (map-only GEMM), append the epoch's
-    bucket-row segment, then GEMM-verify the batch's buckets against
-    the pruned accumulated store and write the pair delta — every
-    write an epoch-partition overwrite."""
-    from pyspark.sql import Observation
+    seg_store: str,
+    seg_epoch: int,
+    seg_bkts: list[int] | None = None,
+) -> DataFrame:
+    """GEMM-verified pair delta of epoch ``seg_epoch``: the accumulated
+    kind-0 bucket rows of epochs <= seg_epoch, pruned at the source to
+    the segment's own bucket set, scored bucket-locally by the batch
+    plan's BLAS GEMM, then semi-joined to the segment's vec_ids so only
+    pairs involving that epoch's vectors survive (the GEMM scores whole
+    bucket groups). A pure function of committed store content —
+    replay-safe wherever it is (re)computed."""
     from pyspark.sql import types as T
 
-    from ..operators.similarity import (
-        NEARDUP_COSINE,
-        _lsh_signatures,
-        _quantize,
-    )
+    from ..operators.similarity import NEARDUP_COSINE
 
-    emb = batch_df.select("vec_id", _quantize("embedding").alias("e"))
-    rows = _lsh_signatures(emb, bits).select(
-        "vec_id", "e", F.explode("buckets").alias("bucket")
-    ).withColumn("bkt", F.pmod(F.xxhash64("bucket"), F.lit(INC_STORE_BKTS)).cast("int"))
-    obs = Observation()
-    rows.observe(obs, F.collect_set("bkt").alias("bkts")).sortWithinPartitions(
-        "bkt"
-    ).write.option("parquet.block.size", INC_STORE_BLOCK).mode("overwrite").parquet(
-        f"{store}/epoch={epoch_id}"
+    seg = spark.read.parquet(seg_store).filter(
+        (F.col("epoch") == seg_epoch) & (F.col("kind") == 0)
     )
-    batch_bkts = obs.get["bkts"]
+    if seg_bkts is None:
+        seg_bkts = [r[0] for r in seg.select("bkt").distinct().collect()]
     group_rows = (
-        spark.read.parquet(store)
-        .filter((F.col("epoch") <= epoch_id) & F.col("bkt").isin(batch_bkts))
+        spark.read.parquet(seg_store)
+        .filter(
+            (F.col("epoch") <= seg_epoch)
+            & (F.col("kind") == 0)
+            & F.col("bkt").isin(seg_bkts)
+        )
         .select("vec_id", "e", "bucket")
     )
     out_schema = T.StructType(
@@ -2231,18 +2407,74 @@ def ingest_cosine_epoch(
             }
         )
 
-    batch_ids = emb.select(F.col("vec_id").alias("bid"))
-    delta = (
+    seg_ids = seg.select(F.col("vec_id").alias("bid"))
+    return (
         group_rows.groupBy("bucket")
         .applyInPandas(score_bucket, out_schema)
         .join(
-            batch_ids.hint("broadcast"),
+            seg_ids.hint("broadcast"),
             (F.col("keep_id") == F.col("bid")) | (F.col("dup_id") == F.col("bid")),
             "left_semi",
         )
         .dropDuplicates(["keep_id", "dup_id"])
     )
-    delta.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+
+
+
+def ingest_cosine_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    bits: int,
+    store: str,
+    prev_bkts: list[int] | None = None,
+    skip_delta: bool = False,
+) -> list[int]:
+    """One cosine ingest epoch (module-level for replay testing):
+    signature-stamp the batch (map-only GEMM) and make ONE fused write
+    to ``store/epoch={epoch_id}`` carrying this epoch's bucket-row
+    segment (kind=0, bkt-sorted) plus the PREVIOUS epoch's pair delta
+    (kind=1, see _cosine_delta) — one output commit per trigger, an
+    epoch-partition overwrite, so any replay reproduces its original
+    outputs. Returns this segment's bucket set (riding an Observation
+    on the fused write) for the next epoch's delta pruning."""
+    from pyspark.sql import Observation
+
+    from ..operators.similarity import _lsh_signatures, _quantize
+
+    emb = batch_df.select("vec_id", _quantize("embedding").alias("e"))
+    rows = (
+        _lsh_signatures(emb, bits)
+        .select("vec_id", "e", F.explode("buckets").alias("bucket"))
+        .withColumn(
+            "bkt", F.pmod(F.xxhash64("bucket"), F.lit(INC_STORE_BKTS)).cast("int")
+        )
+    )
+    obs = Observation()
+    out = _cos_kind0(rows).observe(
+        obs, F.collect_set("bkt").alias("bkts")
+    ).sortWithinPartitions("bkt")
+    if epoch_id > 0 and not skip_delta:
+        out = out.unionByName(
+            _cos_kind1(_cosine_delta(spark, store, epoch_id - 1, prev_bkts))
+        )
+    out.write.option("parquet.block.size", INC_STORE_BLOCK).mode(
+        "overwrite"
+    ).parquet(f"{store}/epoch={epoch_id}")
+    return obs.get["bkts"]
+
+
+def flush_cosine_delta(
+    spark: SparkSession,
+    store: str,
+    last_epoch: int,
+    prev_bkts: list[int] | None = None,
+) -> None:
+    """Write the FINAL epoch's deferred pair delta once the stream
+    drains, as a pairs-only partition at ``epoch={last_epoch + 1}``."""
+    _cos_kind1(_cosine_delta(spark, store, last_epoch, prev_bkts)).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/epoch={last_epoch + 1}")
 
 
 def _register_incremental_cosine() -> None:
@@ -2271,7 +2503,6 @@ def _register_incremental_cosine() -> None:
         tune(spark)
         src = _e2e_tmpdir("alrs_cos_src_")
         store = _e2e_tmpdir("alrs_cos_store_")
-        pairs_dir = _e2e_tmpdir("alrs_cos_pairs_")
 
         raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "embedding"
@@ -2286,9 +2517,13 @@ def _register_incremental_cosine() -> None:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        bkts: dict[int, list[int]] = {}
 
         def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_cosine_epoch(spark, batch_df, epoch_id, bits, store, pairs_dir)
+            bkts[epoch_id] = ingest_cosine_epoch(
+                spark, batch_df, epoch_id, bits, store,
+                prev_bkts=bkts.get(epoch_id - 1),
+            )
 
         with _stream_shuffle(spark):
             q = (
@@ -2300,7 +2535,13 @@ def _register_incremental_cosine() -> None:
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(pairs_dir).select("keep_id", "dup_id", "cosine")
+        last = INC_COSINE_EPOCHS - 1
+        flush_cosine_delta(spark, store, last, prev_bkts=bkts.get(last))
+        return (
+            spark.read.parquet(store)
+            .filter(F.col("kind") == 1)
+            .select("keep_id", "dup_id", "cosine")
+        )
 
 
 _register_incremental_cosine()

@@ -411,7 +411,21 @@ def run_probe() -> None:
         return _band_rows(batch).select(SQ._store_bkt().alias("bkt"))
 
     def simhash_ingest(batch, epoch, base):
-        SQ.ingest_simhash_epoch(spark, batch, epoch, f"{base}/store", f"{base}/pairs")
+        # Fused deferred-delta design: every write skips the in-line
+        # delta here; the probe cost of the BATCH is delivered by the
+        # flush below (segment write + flush together sum to exactly
+        # the per-trigger steady-state cost — without ever paying the
+        # corpus self-delta the bulk load would otherwise defer to the
+        # timed epoch).
+        SQ.ingest_simhash_epoch(
+            spark, batch, epoch, f"{base}/store",
+            delta_spec=(f"{base}/store", -1),
+        )
+
+    def simhash_flush(base, epoch):
+        # prev_bkts deliberately omitted: the timing includes the
+        # re-derive read a restart would pay — the honest worst case.
+        SQ.flush_simhash_delta(spark, f"{base}/store", epoch)
 
     def simhash_bkts(batch):
         return _simhash_band_rows(_simhash_sigs(batch)).select(
@@ -419,8 +433,8 @@ def run_probe() -> None:
         )
 
     families = (
-        ("stream_incremental_neardup", neardup_ingest, neardup_bkts),
-        ("stream_incremental_simhash", simhash_ingest, simhash_bkts),
+        ("stream_incremental_neardup", neardup_ingest, neardup_bkts, None),
+        ("stream_incremental_simhash", simhash_ingest, simhash_bkts, simhash_flush),
     )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json")
     payload = {}
@@ -431,7 +445,7 @@ def run_probe() -> None:
 
     old_bkts = SQ.INC_STORE_BKTS
     try:
-        for qname, ingest, bkts_of in families:
+        for qname, ingest, bkts_of, flush in families:
             entry: dict[str, dict] = {}
             for label, sf_dir, n_bkt in (
                 ("1x", SRC, PROBE_BKTS_1X),
@@ -455,16 +469,20 @@ def run_probe() -> None:
                 )
                 t0 = time.perf_counter()
                 ingest(batch, 1, base)
+                if flush is not None:
+                    flush(base, 1)
                 dt = round(time.perf_counter() - t0, 3)
                 # Probe-scan accounting: rows the pruned store read
-                # considers vs the full accumulated store.
+                # considers vs the full accumulated store (band/bucket
+                # rows only for the fused kind-tagged stores).
                 bkts = [r[0] for r in bkts_of(batch).distinct().collect()]
-                scanned = (
-                    spark.read.parquet(store)
-                    .filter((F.col("epoch") <= 1) & F.col("bkt").isin(bkts))
-                    .count()
-                )
-                total = spark.read.parquet(store).filter(F.col("epoch") <= 1).count()
+                srows = spark.read.parquet(store)
+                if "kind" in srows.columns:
+                    srows = srows.filter(F.col("kind") == 0)
+                scanned = srows.filter(
+                    (F.col("epoch") <= 1) & F.col("bkt").isin(bkts)
+                ).count()
+                total = srows.filter(F.col("epoch") <= 1).count()
                 entry[label] = {
                     "sec_epoch": dt,
                     "store_rows": total,

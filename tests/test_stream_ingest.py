@@ -209,10 +209,17 @@ def test_incremental_neardup_replay_idempotent(spark, tmp_path):
 
 def test_incremental_simhash_replay_idempotent(spark, tmp_path):
     """The SimHash store's exactly-once contract, mirroring the near-dup
-    test: replaying ANY committed epoch reproduces its outputs, and the
-    final pair set equals the batch simhash_neardup_pairs recompute."""
+    test: replaying ANY committed epoch reproduces its outputs (the
+    fused write carries the previous epoch's DEFERRED delta — a pure
+    function of committed segments, so replays recompute it
+    bit-identically, with or without the stashed bucket set), and the
+    final pair set (kind=1 rows + the flush) equals the batch
+    simhash_neardup_pairs recompute."""
+    from pyspark.sql import functions as F
+
     from aws_lambda_redshift_loader_spark.operators.dedup import simhash_neardup_pairs
     from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        flush_simhash_delta,
         ingest_simhash_epoch,
     )
 
@@ -220,27 +227,38 @@ def test_incremental_simhash_replay_idempotent(spark, tmp_path):
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     src = str(tmp_path / "src")
     docs.repartitionByRange(3, "doc_id").write.parquet(src)
-    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    store = str(tmp_path / "store")
 
     import glob
 
     files = sorted(glob.glob(f"{src}/part-*"))
+    bkts = {}
     for i, f in enumerate(files):
-        ingest_simhash_epoch(spark, spark.read.parquet(f), i, store, pairs)
+        bkts[i] = ingest_simhash_epoch(
+            spark, spark.read.parquet(f), i, store, prev_bkts=bkts.get(i - 1)
+        )
+    last = len(files) - 1
+    flush_simhash_delta(spark, store, last, prev_bkts=bkts[last])
 
     def pair_set():
         return {
             (r["doc_a"], r["doc_b"], r["hamming"])
-            for r in spark.read.parquet(pairs).select("doc_a", "doc_b", "hamming").collect()
+            for r in spark.read.parquet(store)
+            .filter(F.col("kind") == 1)
+            .select("doc_a", "doc_b", "hamming")
+            .collect()
         }
 
     before = pair_set()
     # out-of-order replay (epoch 0 after epochs 1-2 committed)
-    ingest_simhash_epoch(spark, spark.read.parquet(files[0]), 0, store, pairs)
+    ingest_simhash_epoch(spark, spark.read.parquet(files[0]), 0, store)
     assert pair_set() == before
-    # tail replay (the checkpoint-recovery case)
-    last = len(files) - 1
-    ingest_simhash_epoch(spark, spark.read.parquet(files[last]), last, store, pairs)
+    # tail replay (the checkpoint-recovery case) — no stashed bucket
+    # set, the restart path: the delta re-derives it from the segment
+    ingest_simhash_epoch(spark, spark.read.parquet(files[last]), last, store)
+    assert pair_set() == before
+    # flush replay (restart after the stream drained but mid-flush)
+    flush_simhash_delta(spark, store, last)
     assert pair_set() == before
 
     batch = {
@@ -391,13 +409,18 @@ def test_incremental_winnow_replay_idempotent(spark, tmp_path):
 
 def test_incremental_cosine_replay_idempotent(spark, tmp_path):
     """The semantic near-dup store's exactly-once contract: replaying
-    any epoch (out-of-order and tail) reproduces its outputs, and the
-    union of deltas equals the batch embedding_cosine_neardup."""
+    any epoch (out-of-order and tail, with or without the stashed
+    bucket set) reproduces its outputs, and the union of deferred
+    deltas (kind=1 rows + the flush) equals the batch
+    embedding_cosine_neardup."""
+    from pyspark.sql import functions as F
+
     from aws_lambda_redshift_loader_spark.operators.similarity import (
         _lsh_bits,
         embedding_cosine_neardup,
     )
     from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        flush_cosine_delta,
         ingest_cosine_epoch,
     )
 
@@ -406,24 +429,35 @@ def test_incremental_cosine_replay_idempotent(spark, tmp_path):
     bits = _lsh_bits(raw.count())
     src = str(tmp_path / "src")
     raw.repartitionByRange(3, "vec_id").write.parquet(src)
-    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    store = str(tmp_path / "store")
 
     import glob
 
     files = sorted(glob.glob(f"{src}/part-*"))
+    bkts = {}
     for i, f in enumerate(files):
-        ingest_cosine_epoch(spark, spark.read.parquet(f), i, bits, store, pairs)
+        bkts[i] = ingest_cosine_epoch(
+            spark, spark.read.parquet(f), i, bits, store,
+            prev_bkts=bkts.get(i - 1),
+        )
+    last = len(files) - 1
+    flush_cosine_delta(spark, store, last, prev_bkts=bkts[last])
 
     def pair_set():
         return {
             (r["keep_id"], r["dup_id"], r["cosine"])
-            for r in spark.read.parquet(pairs).select("keep_id", "dup_id", "cosine").collect()
+            for r in spark.read.parquet(store)
+            .filter(F.col("kind") == 1)
+            .select("keep_id", "dup_id", "cosine")
+            .collect()
         }
 
     before = pair_set()
-    ingest_cosine_epoch(spark, spark.read.parquet(files[0]), 0, bits, store, pairs)
+    ingest_cosine_epoch(spark, spark.read.parquet(files[0]), 0, bits, store)
     assert pair_set() == before
-    ingest_cosine_epoch(spark, spark.read.parquet(files[-1]), len(files) - 1, bits, store, pairs)
+    ingest_cosine_epoch(spark, spark.read.parquet(files[-1]), last, bits, store)
+    assert pair_set() == before
+    flush_cosine_delta(spark, store, last)
     assert pair_set() == before
     batch = {
         (r["keep_id"], r["dup_id"], r["cosine"])
@@ -443,25 +477,44 @@ def test_simhash_and_cosine_store_compaction_equivalence(spark, tmp_path):
     sf = "/root/testdata/sf0.001"
     import glob
 
-    # --- SimHash ---
+    from pyspark.sql import functions as F
+
+    def kind1(path, cols):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .filter(F.col("kind") == 1)
+            .select(*cols)
+            .collect()
+        }
+
+    # --- SimHash --- (deltas are deferred: deliver epoch 2's via the
+    # flush on each side and compare those)
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     dsrc = str(tmp_path / "dsrc")
     docs.repartitionByRange(3, "doc_id").write.parquet(dsrc)
     dfiles = sorted(glob.glob(f"{dsrc}/part-*"))
-    s_a, p_a = str(tmp_path / "sstore_a"), str(tmp_path / "spairs_a")
+    s_a = str(tmp_path / "sstore_a")
     for i in (0, 1):
-        SQ.ingest_simhash_epoch(spark, spark.read.parquet(dfiles[i]), i, s_a, p_a)
-    s_c, p_b = str(tmp_path / "sstore_c"), str(tmp_path / "spairs_b")
+        SQ.ingest_simhash_epoch(spark, spark.read.parquet(dfiles[i]), i, s_a)
+    s_c = str(tmp_path / "sstore_c")
     SQ.compact_simhash_store(spark, s_a, s_c, SQ.INC_STORE_BKTS * 4)
-    SQ.ingest_simhash_epoch(spark, spark.read.parquet(dfiles[2]), 2, s_a, p_a)
+    SQ.ingest_simhash_epoch(
+        spark, spark.read.parquet(dfiles[2]), 2, s_a, delta_spec=(s_a, -1)
+    )
+    SQ.flush_simhash_delta(spark, s_a, 2)
     old = SQ.INC_STORE_BKTS
     SQ.INC_STORE_BKTS = old * 4
     try:
-        SQ.ingest_simhash_epoch(spark, spark.read.parquet(dfiles[2]), 2, s_c, p_b)
+        SQ.ingest_simhash_epoch(
+            spark, spark.read.parquet(dfiles[2]), 2, s_c, delta_spec=(s_c, -1)
+        )
+        SQ.flush_simhash_delta(spark, s_c, 2)
     finally:
         SQ.INC_STORE_BKTS = old
-    da = {tuple(r) for r in spark.read.parquet(f"{p_a}/epoch=2").collect()}
-    db = {tuple(r) for r in spark.read.parquet(f"{p_b}/epoch=2").collect()}
+    scols = ["doc_a", "doc_b", "hamming"]
+    da = kind1(f"{s_a}/epoch=3", scols)
+    db = kind1(f"{s_c}/epoch=3", scols)
     assert da == db and da, "simhash compaction changed the pair delta"
 
     # --- Cosine ---
@@ -470,19 +523,26 @@ def test_simhash_and_cosine_store_compaction_equivalence(spark, tmp_path):
     esrc = str(tmp_path / "esrc")
     raw.repartitionByRange(3, "vec_id").write.parquet(esrc)
     efiles = sorted(glob.glob(f"{esrc}/part-*"))
-    c_a, q_a = str(tmp_path / "cstore_a"), str(tmp_path / "cpairs_a")
+    c_a = str(tmp_path / "cstore_a")
     for i in (0, 1):
-        SQ.ingest_cosine_epoch(spark, spark.read.parquet(efiles[i]), i, bits, c_a, q_a)
-    c_c, q_b = str(tmp_path / "cstore_c"), str(tmp_path / "cpairs_b")
+        SQ.ingest_cosine_epoch(spark, spark.read.parquet(efiles[i]), i, bits, c_a)
+    c_c = str(tmp_path / "cstore_c")
     SQ.compact_cosine_store(spark, c_a, c_c, SQ.INC_STORE_BKTS * 4)
-    SQ.ingest_cosine_epoch(spark, spark.read.parquet(efiles[2]), 2, bits, c_a, q_a)
+    SQ.ingest_cosine_epoch(
+        spark, spark.read.parquet(efiles[2]), 2, bits, c_a, skip_delta=True
+    )
+    SQ.flush_cosine_delta(spark, c_a, 2)
     SQ.INC_STORE_BKTS = old * 4
     try:
-        SQ.ingest_cosine_epoch(spark, spark.read.parquet(efiles[2]), 2, bits, c_c, q_b)
+        SQ.ingest_cosine_epoch(
+            spark, spark.read.parquet(efiles[2]), 2, bits, c_c, skip_delta=True
+        )
+        SQ.flush_cosine_delta(spark, c_c, 2)
     finally:
         SQ.INC_STORE_BKTS = old
-    da = {tuple(r) for r in spark.read.parquet(f"{q_a}/epoch=2").collect()}
-    db = {tuple(r) for r in spark.read.parquet(f"{q_b}/epoch=2").collect()}
+    ccols = ["keep_id", "dup_id", "cosine"]
+    da = kind1(f"{c_a}/epoch=3", ccols)
+    db = kind1(f"{c_c}/epoch=3", ccols)
     assert da == db and da, "cosine compaction changed the pair delta"
 
 
@@ -700,8 +760,11 @@ def test_simhash_midstream_compaction_replay_and_batch_equal(spark, tmp_path):
     re-runs the compaction itself) must not change it."""
     import glob
 
+    from pyspark.sql import functions as F
+
     from aws_lambda_redshift_loader_spark.operators.dedup import simhash_neardup_pairs
     from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        flush_simhash_delta,
         simhash_epoch_with_compaction,
     )
 
@@ -709,25 +772,32 @@ def test_simhash_midstream_compaction_replay_and_batch_equal(spark, tmp_path):
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     src = str(tmp_path / "src")
     docs.repartitionByRange(4, "doc_id").write.parquet(src)
-    store, store2, pairs = (
-        str(tmp_path / d) for d in ("store", "store2", "pairs")
-    )
+    store, store2 = (str(tmp_path / d) for d in ("store", "store2"))
     files = sorted(glob.glob(f"{src}/part-*"))
     assert len(files) == 4
 
+    # Replays run WITHOUT the stashed bucket sets (the restart path):
+    # the deferred delta re-derives them from the committed segments.
     def run_epoch(i):
         simhash_epoch_with_compaction(
-            spark, spark.read.parquet(files[i]), i, store, store2, pairs
+            spark, spark.read.parquet(files[i]), i, store, store2, {}
         )
 
     for i in range(4):
         run_epoch(i)
+    flush_simhash_delta(spark, store2, 3)
 
     def pair_set():
-        return {
-            (r["doc_a"], r["doc_b"], r["hamming"])
-            for r in spark.read.parquet(pairs).collect()
-        }
+        out = set()
+        for s in (store, store2):
+            out |= {
+                (r["doc_a"], r["doc_b"], r["hamming"])
+                for r in spark.read.parquet(s)
+                .filter(F.col("kind") == 1)
+                .select("doc_a", "doc_b", "hamming")
+                .collect()
+            }
+        return out
 
     before = pair_set()
     batch = {
@@ -741,6 +811,8 @@ def test_simhash_midstream_compaction_replay_and_batch_equal(spark, tmp_path):
     run_epoch(2)  # the compaction epoch itself (re-runs the merge)
     assert pair_set() == before
     run_epoch(3)  # post-compaction tail replay
+    assert pair_set() == before
+    flush_simhash_delta(spark, store2, 3)  # flush replay
     assert pair_set() == before
 
 
