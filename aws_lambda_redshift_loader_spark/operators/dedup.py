@@ -76,6 +76,60 @@ def exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("doc_id")
 
 
+BOILERPLATE_PREFIX_CHARS = 64  # shared opening to call a template
+
+
+@register(
+    "boilerplate_prefix_clusters",
+    rf"""
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      FROM documents
+    )
+    SELECT md5(substr(norm, 1, {BOILERPLATE_PREFIX_CHARS})) AS prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_distinct_bodies,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           COUNT(DISTINCT md5(norm)) > 1 AS is_template
+    FROM n
+    GROUP BY prefix_hash
+    HAVING COUNT(*) >= 2
+    """,
+)
+def boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by shared opening: documents whose first
+    {BOILERPLATE_PREFIX_CHARS} normalized characters coincide form a
+    prefix cluster — the cheap first pass web-corpus pipelines use to
+    find templated pages (license headers, navigation chrome, form
+    letters) before any shingling. ``is_template`` separates true
+    boilerplate (same opening, DIFFERENT bodies) from plain exact
+    duplicates, which exact_dedup_docs already owns.
+
+    Scale: one map-only fingerprint pass and one hash-aggregate on the
+    prefix hash — the md5 keys shard uniformly, and per-group state is
+    two counters plus a distinct-set of body fingerprints that the
+    HAVING >= 2 filter keeps honest (clusters are small unless the
+    corpus genuinely is templated, which is exactly the signal)."""
+    d = table(spark, sf_dir, "documents")
+    n = d.select("doc_id", norm_text("text").alias("norm"))
+    return (
+        n.select(
+            "doc_id",
+            F.md5(F.substring("norm", 1, BOILERPLATE_PREFIX_CHARS)).alias("prefix_hash"),
+            F.md5("norm").alias("body"),
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("body").cast("bigint").alias("n_distinct_bodies"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            (F.countDistinct("body") > 1).alias("is_template"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def _shingles_of(docs: DataFrame) -> DataFrame:
     """(doc_id, text) frame → distinct (doc_id, shingle) word-k-gram
     pairs. DataFrame-parameterized so the incremental streaming form can

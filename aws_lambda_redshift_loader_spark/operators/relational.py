@@ -1476,6 +1476,62 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.filter(cond)
 
 
+ES_SAMPLE_K = 20  # weighted sample size per stratum
+# 2^60 as an exactly-representable double (hash values are < 2^60)
+_ES_DENOM = 1152921504606846976.0
+
+
+@register(
+    "weighted_sample_es",
+    f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(floor(
+               ln((CAST(concat('0x', substr(md5(concat('es|',
+                     CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+                  / {_ES_DENOM})
+               / n_chars * 1000000000.0) AS BIGINT) AS es_key
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, es_key,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY es_key DESC, doc_id ASC) AS rn
+      FROM keyed
+    ) WHERE rn <= {ES_SAMPLE_K}
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis style:
+    each doc gets key = ln(u)/w with u a deterministic md5-uniform in
+    (0,1] and w its length weight (n_chars); the top-{ES_SAMPLE_K} keys
+    per language ARE a w-weighted sample without replacement (the
+    classic distributed one-pass formulation — u^(1/w) order-isomorphic
+    to ln(u)/w). Longer docs are proportionally likelier, yet the draw
+    is fully reproducible: hash-uniform, not rand() — same lineage
+    argument as stratified_sample, now with weights.
+
+    Determinism: ln() is the one non-correctly-rounded step (1-ulp
+    engine skew), so the key is quantized to integer nano-units
+    (floor(ln(u)/w * 1e9)) BEFORE ranking — the established
+    micro-quantization pattern — and ties break on doc_id.
+
+    Scale: one map pass + a per-stratum top-K (5 strata here; at real
+    scale the rank-within-band rewrite this repo uses for global ranks
+    applies unchanged, or a per-partition top-K + merge since only K
+    survivors per stratum matter)."""
+    d = table(spark, sf_dir, "documents")
+    u = (hex_hash64(F.col("doc_id").cast("string"), salt="es|") + 1) / F.lit(_ES_DENOM)
+    key = F.floor(F.log(u) / F.col("n_chars") * F.lit(1000000000.0)).cast("bigint")
+    w = W.partitionBy("lang").orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", "n_chars", key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ES_SAMPLE_K)
+    )
+
+
 @register(
     "merge_upsert",
     """

@@ -2258,3 +2258,101 @@ def kcenter_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         emb.unpersist()
     return spark.createDataFrame(picks, "sel_k int, vec_id bigint, dist_q bigint")
+
+
+@register(
+    "sq8_reconstruction_error",
+    f"""
+    WITH {_QUANT_CTE},
+    dims AS (
+      SELECT u.i AS dim, MIN(e[CAST(u.i AS INT)]) AS mn, MAX(e[CAST(u.i AS INT)]) AS mx
+      FROM q, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u
+      GROUP BY u.i
+    ),
+    lim AS (
+      SELECT list(mn ORDER BY dim) AS mns,
+             list(GREATEST(mx - mn, 1) ORDER BY dim) AS rgs
+      FROM dims
+    ),
+    recon AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {DIM}),
+               i -> mns[CAST(i AS INT)] * 255
+                  + (((e[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255)
+                     // rgs[CAST(i AS INT)]) * rgs[CAST(i AS INT)]) AS r
+      FROM q, lim
+    ),
+    errs AS (
+      SELECT a.vec_id,
+             list_transform(generate_series(1, {DIM}),
+               i -> abs(a.e[CAST(i AS INT)] * 255 - b.r[CAST(i AS INT)])) AS ev
+      FROM q a JOIN recon b ON b.vec_id = a.vec_id
+    ),
+    per_vec AS (
+      SELECT e.vec_id,
+             CAST(list_max(e.ev) AS BIGINT) AS mx,
+             CAST(list_sum(e.ev) AS BIGINT) AS sm,
+             list_max(list_transform(generate_series(1, {DIM}),
+               i -> e.ev[CAST(i AS INT)] - l.rgs[CAST(i AS INT)])) < 0 AS incell
+      FROM errs e, lim l
+    )
+    SELECT t.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MAX(p.mx) AS BIGINT) AS max_abs_err,
+           CAST(SUM(p.sm) AS BIGINT) AS total_abs_err,
+           BOOL_AND(p.incell) AS within_cell
+    FROM per_vec p JOIN embeddings t ON t.vec_id = p.vec_id
+    GROUP BY t.label
+    """,
+)
+def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-loss audit for the SQ8 index: per label class, the
+    worst and total absolute reconstruction error of the 8-bit codes
+    (in the exact x255 integer domain embedding_sq8_topk scores in),
+    plus the cell-bound contract — every per-dimension error must be
+    strictly inside its quantization cell (err_d <= rg_d - 1). This is
+    the audit run before trusting a quantized index build: a range,
+    rounding, or division slip in the codec shows up as a blown
+    max_abs_err or a FALSE within_cell on either engine, and the error
+    MAGNITUDES (not just the bound) hash-verify cross-engine because
+    the whole codec is integer arithmetic.
+
+    Scale: one {DIM}-element broadcast range row, map-only
+    code/reconstruct/error transforms, one label-grain aggregate —
+    no join wider than the broadcast, same shape at any corpus size."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label"), _quantize("embedding").alias("e")
+    )
+    recon = _sq8_recon(emb.select("vec_id", "e"))
+    dims = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    lim = dims.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("dim", F.greatest(F.col("mx") - F.col("mn"), F.lit(1)).alias("rg"))
+            )
+        ).alias("s_rg")
+    ).select(F.transform("s_rg", lambda s: s["rg"]).alias("rgs"))
+    j = (
+        emb.join(recon, "vec_id")
+        .crossJoin(F.broadcast(lim))
+        .withColumn("ev", F.zip_with("e", "r", lambda x, y: F.abs(x * 255 - y)))
+    )
+    per_vec = j.select(
+        "vec_id",
+        "label",
+        F.array_max("ev").cast("bigint").alias("mx"),
+        F.aggregate("ev", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("sm"),
+        (
+            F.array_max(F.zip_with("ev", "rgs", lambda a, rg: a - rg)) < 0
+        ).alias("incell"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.max("mx").cast("bigint").alias("max_abs_err"),
+        F.sum("sm").cast("bigint").alias("total_abs_err"),
+        F.bool_and("incell").alias("within_cell"),
+    )

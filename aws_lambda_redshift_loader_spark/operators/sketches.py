@@ -487,3 +487,285 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+# ---- KMV sketch set algebra ----------------------------------------------
+# The k-minimum-values sketch supports UNION and INTERSECTION estimation
+# (Beyer et al., "On synopses for distinct-value estimation under
+# multiset operations"): merge two sketches by taking the k smallest of
+# their union; rho = how many of those k live in BOTH input sketches
+# estimates the Jaccard, and intersection ~= (rho/k) * union_estimate.
+# Every intermediate is md5-integer deterministic, so unlike HLL the
+# whole algebra hash-verifies cross-engine.
+OVERLAP_K = 256  # per-set sketch size; rel. error ~ 1/sqrt(k)
+_KMV_DENOM = 1152921504606846976.0  # 2^60, exactly representable
+
+
+@register(
+    "kmv_set_overlap",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT lang, t.tok
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      ) t
+    ),
+    hv AS (
+      SELECT DISTINCT lang,
+             CAST(concat('0x', substr(md5(concat('kv|', tok)), 1, 15)) AS BIGINT) AS hv
+      FROM toks
+    ),
+    sk AS (
+      SELECT lang, hv FROM (
+        SELECT lang, hv,
+               row_number() OVER (PARTITION BY lang ORDER BY hv ASC) AS rn
+        FROM hv
+      ) WHERE rn <= {OVERLAP_K}
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    pairs AS (
+      SELECT a.lang AS la, b.lang AS lb FROM langs a JOIN langs b ON a.lang < b.lang
+    ),
+    merged AS (
+      SELECT DISTINCT p.la, p.lb, s.hv
+      FROM pairs p JOIN sk s ON s.lang = p.la OR s.lang = p.lb
+    ),
+    mtop AS (
+      SELECT la, lb, hv FROM (
+        SELECT la, lb, hv,
+               row_number() OVER (PARTITION BY la, lb ORDER BY hv ASC) AS rn
+        FROM merged
+      ) WHERE rn <= {OVERLAP_K}
+    ),
+    stats AS (
+      SELECT m.la, m.lb,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(m.hv) AS kth,
+             CAST(SUM(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rho
+      FROM mtop m
+      LEFT JOIN sk sa ON sa.lang = m.la AND sa.hv = m.hv
+      LEFT JOIN sk sb ON sb.lang = m.lb AND sb.hv = m.hv
+      GROUP BY m.la, m.lb
+    ),
+    est AS (
+      SELECT la, lb, n_kept, rho,
+             CAST(CASE WHEN n_kept < {OVERLAP_K} THEN n_kept
+                  ELSE floor(({OVERLAP_K} - 1) * {_KMV_DENOM} / kth) END
+                  AS BIGINT) AS u_est
+      FROM stats
+    ),
+    sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS la, b.lang AS lb, CAST(COUNT(*) AS BIGINT) AS ei
+      FROM toks a JOIN toks b ON b.tok = a.tok AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT e.la AS lang_a, e.lb AS lang_b,
+           za.n + zb.n - COALESCE(i.ei, 0) AS exact_union,
+           COALESCE(i.ei, 0) AS exact_intersection,
+           e.u_est AS kmv_union_est,
+           (e.rho * e.u_est) // e.n_kept AS kmv_intersection_est,
+           e.rho,
+           (e.rho * 1000000) // e.n_kept AS jaccard_ppm
+    FROM est e
+    JOIN sizes za ON za.lang = e.la
+    JOIN sizes zb ON zb.lang = e.lb
+    LEFT JOIN inter i ON i.la = e.la AND i.lb = e.lb
+    """,
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra over per-language token vocabularies (see
+    block comment): for every language pair, the exact union /
+    intersection cardinalities next to the sketch-only estimates —
+    union from the merged k-minimum sketch, intersection and Jaccard
+    from rho (merged-top-k values present in BOTH input sketches). The
+    vocabulary-overlap matrix is what a multilingual mix design reads
+    before sharing a tokenizer across languages.
+
+    Scale: the exact side is the audit (token-grain self-join);
+    production keeps only the sketches — {OVERLAP_K} values per set,
+    mergeable per shard, pairwise algebra on k-row frames. All
+    arithmetic is md5-integer + one exactly-representable double
+    multiply/divide, so the sketch path hash-verifies cross-engine
+    (the HLL contrast documented on kmv_distinct_estimate)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.array_distinct(F.split(norm_text("text"), " "))).alias("tok"),
+    ).distinct()
+    hv = toks.select(
+        "lang", hex_hash64(F.col("tok"), salt="kv|").alias("hv")
+    ).distinct()
+    wl = W.partitionBy("lang").orderBy(F.col("hv").asc())
+    sk = hv.withColumn("rn", F.row_number().over(wl)).filter(
+        F.col("rn") <= OVERLAP_K
+    ).select("lang", "hv")
+    langs = d.select("lang").distinct()
+    pairs = (
+        langs.alias("a")
+        .join(langs.alias("b"), F.col("a.lang") < F.col("b.lang"))
+        .select(F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(sk, (F.col("lang") == F.col("la")) | (F.col("lang") == F.col("lb")))
+        .select("la", "lb", "hv")
+        .distinct()
+    )
+    wp = W.partitionBy("la", "lb").orderBy(F.col("hv").asc())
+    mtop = merged.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= OVERLAP_K
+    )
+    sa = sk.select(F.col("lang").alias("la"), "hv", F.lit(1).alias("ina"))
+    sb = sk.select(F.col("lang").alias("lb"), "hv", F.lit(1).alias("inb"))
+    stats = (
+        mtop.join(sa, ["la", "hv"], "left")
+        .join(sb, ["lb", "hv"], "left")
+        .groupBy("la", "lb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.max("hv").alias("kth"),
+            F.sum(
+                F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rho"),
+        )
+    )
+    u_est = (
+        F.when(F.col("n_kept") < OVERLAP_K, F.col("n_kept"))
+        .otherwise(F.floor((OVERLAP_K - 1) * F.lit(_KMV_DENOM) / F.col("kth")))
+        .cast("bigint")
+    )
+    est = stats.select("la", "lb", "n_kept", "rho", u_est.alias("u_est"))
+    sizes = toks.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        toks.alias("x")
+        .join(
+            toks.alias("y"),
+            (F.col("y.tok") == F.col("x.tok")) & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(F.col("x.lang").alias("la"), F.col("y.lang").alias("lb"))
+        .agg(F.count("*").cast("bigint").alias("ei"))
+    )
+    return (
+        est.join(sizes.select(F.col("lang").alias("la"), F.col("n").alias("na")), "la")
+        .join(sizes.select(F.col("lang").alias("lb"), F.col("n").alias("nb")), "lb")
+        .join(inter, ["la", "lb"], "left")
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            (F.col("na") + F.col("nb") - F.coalesce("ei", F.lit(0))).alias("exact_union"),
+            F.coalesce("ei", F.lit(0)).alias("exact_intersection"),
+            F.col("u_est").alias("kmv_union_est"),
+            F.expr("(rho * u_est) div n_kept").alias("kmv_intersection_est"),
+            "rho",
+            F.expr("(rho * 1000000) div n_kept").alias("jaccard_ppm"),
+        )
+    )
+
+
+def _lsh_candidate_oracle() -> str:
+    """Lazy oracle (resolved by load_all): composes dedup's shingle +
+    minhash CTE constants so the SQL bands are the engine's own."""
+    from .dedup import _MINHASH_CTE, _SHINGLES_CTE
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {_MINHASH_CTE},
+    keys AS (
+      SELECT concat(CAST(band AS VARCHAR), '|', band_key) AS k FROM bands
+    ),
+    cms AS (
+      SELECT d.i, {_duck_bucket("lf' || d.i || '", "keys.k", CMS_WIDTH)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM keys, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i) d
+      GROUP BY d.i, bucket
+    ),
+    per_row AS (
+      SELECT i, CAST(SUM(c * c) AS BIGINT) AS est FROM cms GROUP BY i
+    ),
+    est AS (SELECT MIN(est) AS cms_f2 FROM per_row),
+    exact AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS exact_f2,
+             CAST(SUM(n) AS BIGINT) AS n_band_rows,
+             CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS exact_candidates
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys GROUP BY k)
+    )
+    SELECT exact_candidates,
+           (cms_f2 - n_band_rows) // 2 AS est_candidates,
+           exact_f2, cms_f2, n_band_rows,
+           cms_f2 >= exact_f2
+           AND cms_f2 - exact_f2 <= ({F2_SLACK} * n_band_rows * n_band_rows)
+               // {CMS_WIDTH} AS within_bound
+    FROM exact, est
+    """
+
+
+@register("lsh_candidate_estimate", _lsh_candidate_oracle)
+def lsh_candidate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-planner statistics: predict the MinHash-LSH candidate-pair
+    volume from a count-min sketch over the band keys BEFORE running
+    the pair join. Candidates = SUM over band buckets of C(n_k, 2) =
+    (F2 - N) / 2, and F2 is exactly what the CMS inner product
+    estimates (selfjoin_size_estimate's machinery pointed at the LSH
+    key space) — the number an optimizer consults to size the shuffle,
+    pick band parameters, or flag a skewed bucket that needs salting,
+    at O(depth x width) state instead of a key-grain count. The
+    estimate never undershoots (CMS one-sided error), so capacity
+    planning from it is safe; within_bound asserts the overshoot
+    contract the oracle reproduces.
+
+    Scale: the band-key pass is the store's own signing cost; the
+    sketch build is a bounded-width map-side-combined groupBy; the
+    exact side is the audit production drops."""
+    from .dedup import _band_rows
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    keys = _band_rows(docs).select(
+        F.concat(
+            F.col("band").cast("string"), F.lit("|"), F.col("band_key")
+        ).alias("k")
+    )
+    rows = keys.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (hex_hash64(F.col("k"), salt=f"lf{i}:") % CMS_WIDTH)
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("i", "bucket")
+    )
+    per_row = (
+        rows.groupBy("i", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("est"))
+    )
+    est = per_row.agg(F.min("est").alias("cms_f2"))
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .agg(
+            F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_f2"),
+            F.sum("n").cast("bigint").alias("n_band_rows"),
+            F.expr("CAST(sum(n * (n - 1)) div 2 AS BIGINT)").alias("exact_candidates"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_candidates",
+        F.expr("(cms_f2 - n_band_rows) div 2").alias("est_candidates"),
+        "exact_f2",
+        "cms_f2",
+        "n_band_rows",
+        (
+            (F.col("cms_f2") >= F.col("exact_f2"))
+            & (
+                F.col("cms_f2") - F.col("exact_f2")
+                <= F.expr(f"({F2_SLACK} * n_band_rows * n_band_rows) div {CMS_WIDTH}")
+            )
+        ).alias("within_bound"),
+    )

@@ -178,6 +178,68 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FERTILITY_ORACLE = r"""
+WITH m AS (
+  SELECT lang,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           AS bpe,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(nbytes) AS BIGINT) AS text_bytes,
+       CAST(SUM(bpe) AS DOUBLE) / greatest(SUM(ws), 1) AS fertility,
+       CAST(SUM(nbytes) AS DOUBLE) / greatest(SUM(bpe), 1) AS bytes_per_token
+FROM m GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility", _FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish subword tokens
+    per whitespace word (fertility — the standard metric for how hard a
+    tokenizer fragments a language) and UTF-8 bytes per subword token
+    (compression rate) — the per-language statistics a multilingual
+    training-mix design starts from. Counting reuses token_count's two
+    segmentations; byte length is octet_length over the UTF-8 text, so
+    multi-byte scripts (the zh slice of the fixture) genuinely diverge
+    from their char counts.
+
+    Determinism: all counters are exact integers summed per group;
+    each output ratio is ONE double division of two exact sums
+    (division is correctly rounded — no reduction-order ambiguity).
+
+    Scale: map-only feature extraction + one 5-group aggregate with
+    map-side partials; no join, no window — the same shape at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+    ws = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("bigint")
+    m = d.select(
+        "lang",
+        ws.alias("ws"),
+        bpe.alias("bpe"),
+        F.octet_length("text").cast("bigint").alias("nbytes"),
+    )
+    return m.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("nbytes").cast("bigint").alias("text_bytes"),
+        (
+            F.sum("bpe").cast("double") / F.greatest(F.sum("ws"), F.lit(1))
+        ).alias("fertility"),
+        (
+            F.sum("nbytes").cast("double") / F.greatest(F.sum("bpe"), F.lit(1))
+        ).alias("bytes_per_token"),
+    )
+
+
 _FINGERPRINT_ORACLE = r"""
 SELECT doc_id,
        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,

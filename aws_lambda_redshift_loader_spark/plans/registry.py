@@ -111,6 +111,12 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-10 new queries (no prior correctness row)
+    "kmv_set_overlap",
+    "lsh_candidate_estimate",
+    "sq8_reconstruction_error",
+    "weighted_sample_es",
+    "tokenizer_fertility",
+    "boilerplate_prefix_clusters",
     "scorer_disagreement_scalable",
     "quality_calibration_scalable",
     "stream_drift_monitor_ks",
