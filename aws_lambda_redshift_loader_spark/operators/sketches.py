@@ -82,20 +82,46 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition."""
     d = table(spark, sf_dir, "documents")
     tokens = d.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
-    buckets = [
-        (hex_hash64(F.col("token"), salt=f"{i}:") % CMS_WIDTH).alias(f"b{i}")
-        for i in range(CMS_DEPTH)
-    ]
-    with_buckets = tokens.select("token", *buckets)
+    return _cms_report(tokens, _cms_of(tokens))
+
+
+def _token_buckets(tokens: DataFrame) -> DataFrame:
+    """(token) frame → (token, b0..b{CMS_DEPTH-1}) salted bucket ids —
+    the shared hash geometry of the token CMS family."""
+    return tokens.select(
+        "token",
+        *[
+            (hex_hash64(F.col("token"), salt=f"{i}:") % CMS_WIDTH).alias(f"b{i}")
+            for i in range(CMS_DEPTH)
+        ],
+    )
+
+
+def _cms_of(tokens: DataFrame) -> DataFrame:
+    """(token) frame → count-min counters (i, bucket, c). Linear in the
+    input (pure counter sums), so per-shard/per-epoch sketches built
+    with this merge EXACTLY by adding counters per (i, bucket) — the
+    property the streaming CMS store's hash gate proves."""
+    wb = _token_buckets(tokens)
     cms = None
     for i in range(CMS_DEPTH):
         row = (
-            with_buckets.groupBy(F.col(f"b{i}").alias("bucket"))
+            wb.groupBy(F.col(f"b{i}").alias("bucket"))
             .agg(F.count("*").cast("bigint").alias("c"))
             .select(F.lit(i).alias("i"), "bucket", "c")
         )
         cms = row if cms is None else cms.unionByName(row)
-    exact = with_buckets.groupBy("token", *[f"b{i}" for i in range(CMS_DEPTH)]).agg(
+    return cms
+
+
+def _cms_report(tokens: DataFrame, cms: DataFrame) -> DataFrame:
+    """Heavy-hitters report: exact per-token counts (the audit side)
+    joined against a (i, bucket, c) counter frame, estimate = MIN over
+    the token's {CMS_DEPTH} counters, top-{CMS_TOP}. Shared by the
+    batch sketch and the streaming counter store (whose cms frame is
+    the additive merge of per-epoch sketches)."""
+    wb = _token_buckets(tokens)
+    exact = wb.groupBy("token", *[f"b{i}" for i in range(CMS_DEPTH)]).agg(
         F.count("*").cast("bigint").alias("exact_count")
     )
     est = exact

@@ -111,6 +111,8 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-10 new queries (no prior correctness row)
+    "stream_kmv_distinct",
+    "stream_heavy_hitters_cms",
     "kmv_set_overlap",
     "lsh_candidate_estimate",
     "sq8_reconstruction_error",

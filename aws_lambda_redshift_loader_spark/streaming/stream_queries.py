@@ -2719,7 +2719,12 @@ def _ensure_doc_split(spark: SparkSession, sf_dir: str, n: int) -> str:
         return cached
     _dedup.MEMO_EVENTS.append("doc_split_build")
     src = _e2e_tmpdir("alrs_docsplit_")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # lang rides along for the consumers that group by it (the KMV
+    # store); parquet projection means doc_id/text-only consumers never
+    # read it — their declared readStream schemas stay 2-column.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
     docs.repartitionByRange(n, "doc_id").write.mode("overwrite").parquet(src)
     _SPLIT_MEMO[key] = src
     return src
@@ -3069,3 +3074,250 @@ def _register_stream_store_quantiles() -> None:
 
 
 _register_stream_store_quantiles()
+
+
+# ---- Standing KMV distinct sketch -----------------------------------------
+# Tenth/eleventh members of the incremental family: two MERGEABLE
+# SKETCHES maintained under streaming ingest, each with a different
+# merge law. The KMV store is a MONOTONE top-K merge like
+# stream_topk_quality (kmvK(kmvK(A) u B) = kmvK(A u B) — the k SMALLEST
+# hashes survive any merge order), so each state version holds at most
+# K hashes per language and the final version equals the batch sketch
+# over the whole corpus. The CMS store below is LINEAR (counters add),
+# so per-epoch sketches merge exactly by summing per (i, bucket).
+# Together they cover the two algebraic classes every production
+# sketch falls into — order statistics and linear counters.
+STREAM_KMV_K = 256
+INC_KMV_EPOCHS = 4
+
+
+def merge_kmv_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, state_dir: str
+) -> None:
+    """One KMV merge epoch (module-level for replay testing): sketch the
+    batch's per-language token hashes, merge with the PREDECESSOR state
+    version (still on disk), keep the {STREAM_KMV_K} smallest per
+    language, write this epoch's version — a pure function of
+    (batch, predecessor), so replaying any epoch rewrites identical
+    state. O(batch + langs x K) per epoch."""
+    from ..functions.scalar import hex_hash64, norm_text
+    from pyspark.sql.window import Window as W
+
+    toks = batch_df.select(
+        "lang",
+        F.explode(F.array_distinct(F.split(norm_text("text"), " "))).alias("tok"),
+    )
+    cur = toks.select(
+        "lang", hex_hash64(F.col("tok"), salt="skmv|").alias("hv")
+    ).distinct()
+    if epoch_id > 0:
+        prev = spark.read.parquet(f"{state_dir}/epoch={epoch_id - 1}").select(
+            "lang", "hv"
+        )
+        cur = prev.unionByName(cur).distinct()
+    w = W.partitionBy("lang").orderBy(F.col("hv").asc())
+    (
+        cur.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STREAM_KMV_K)
+        .select("lang", "hv")
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/epoch={epoch_id}")
+    )
+
+
+def _register_stream_kmv_distinct() -> None:
+    @register(
+        "stream_kmv_distinct",
+        f"""
+        WITH toks AS (
+          SELECT DISTINCT lang, t.tok
+          FROM documents, LATERAL (
+            SELECT unnest(string_split(
+              lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+          ) t
+        ),
+        hv AS (
+          SELECT DISTINCT lang,
+                 CAST(concat('0x', substr(md5(concat('skmv|', tok)), 1, 15)) AS BIGINT) AS hv
+          FROM toks
+        ),
+        sk AS (
+          SELECT lang, hv FROM (
+            SELECT lang, hv,
+                   row_number() OVER (PARTITION BY lang ORDER BY hv ASC) AS rn
+            FROM hv
+          ) WHERE rn <= {STREAM_KMV_K}
+        ),
+        stats AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hv) AS kth
+          FROM sk GROUP BY lang
+        ),
+        exact AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+          FROM toks GROUP BY lang
+        )
+        SELECT e.lang, e.exact_distinct, s.n_kept,
+               CAST(CASE WHEN s.n_kept < {STREAM_KMV_K} THEN s.n_kept
+                    ELSE floor(({STREAM_KMV_K} - 1) * 1152921504606846976.0 / s.kth)
+                    END AS BIGINT) AS kmv_estimate
+        FROM exact e JOIN stats s ON s.lang = e.lang
+        """,
+    )
+    def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Standing per-language distinct-vocabulary estimate under
+        streaming ingest (see block comment): documents arrive one
+        range file per trigger; each epoch merges the batch's token
+        hashes into the KMV state monotonely (merge_kmv_epoch). The
+        final state version IS the corpus sketch — hash-gated equal to
+        the batch-built KMV (estimate formula included) next to the
+        exact distinct counts (the audit side production drops).
+
+        Scale: state is {STREAM_KMV_K} hashes per language regardless
+        of corpus size; per-epoch work is O(batch) hashing + a window
+        over at most langs x (K + batch-vocab) rows. The exact side
+        rescans the corpus only because the audit demands it."""
+        tune(spark)
+        state_dir = _e2e_tmpdir("alrs_kmv_state_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        src = _ensure_doc_split(spark, sf_dir, INC_KMV_EPOCHS)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            merge_kmv_epoch(spark, batch_df, epoch_id, state_dir)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_kmv_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        from ..functions.scalar import norm_text
+
+        state = spark.read.parquet(f"{state_dir}/epoch={INC_KMV_EPOCHS - 1}")
+        stats = state.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_kept"), F.max("hv").alias("kth")
+        )
+        est = (
+            F.when(F.col("n_kept") < STREAM_KMV_K, F.col("n_kept"))
+            .otherwise(
+                F.floor(
+                    (STREAM_KMV_K - 1)
+                    * F.lit(1152921504606846976.0)
+                    / F.col("kth")
+                )
+            )
+            .cast("bigint")
+        )
+        exact = (
+            docs.select(
+                "lang",
+                F.explode(
+                    F.array_distinct(F.split(norm_text("text"), " "))
+                ).alias("tok"),
+            )
+            .distinct()
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("exact_distinct"))
+        )
+        return exact.join(stats, "lang").select(
+            "lang", "exact_distinct", "n_kept", est.alias("kmv_estimate")
+        )
+
+
+_register_stream_kmv_distinct()
+
+
+# ---- Streaming CMS heavy-hitters store ------------------------------------
+INC_CMS_EPOCHS = 4
+
+
+def ingest_cms_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One CMS ingest epoch (module-level for replay testing): build the
+    batch's own count-min counters (bounded DEPTH x WIDTH rows) and
+    overwrite this epoch's partition — map-side-combined groupBys, no
+    state read at all (the linear-merge law makes read-free ingest
+    possible: counters add at query time)."""
+    from ..functions.scalar import norm_text
+    from ..operators.sketches import _cms_of
+
+    tokens = batch_df.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    _cms_of(tokens).write.mode("overwrite").parquet(f"{store}/epoch={epoch_id}")
+
+
+def _register_stream_cms() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_heavy_hitters_cms",
+        lambda: _REG["heavy_hitters_cms"].oracle,
+    )
+    def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Heavy hitters from a STREAM-MAINTAINED count-min store (see
+        the KMV block comment): each arriving batch appends only its own
+        DEPTH x WIDTH counter sketch (ingest_cms_epoch — no state read,
+        the purest possible ingest); at query time the per-epoch
+        sketches merge EXACTLY by summing counters per (i, bucket)
+        because CMS is linear, and the merged frame feeds the batch
+        query's own report (_cms_report). Hash-gated equal to the batch
+        heavy_hitters_cms — the proof that per-shard sketch + additive
+        merge loses nothing, which is precisely how a 1000-executor
+        deployment builds this sketch.
+
+        Scale: per-epoch state written is bounded (DEPTH x WIDTH rows)
+        regardless of batch or corpus size; the merge touches
+        epochs x DEPTH x WIDTH counter rows; the exact audit side in
+        the report is what production drops."""
+        from ..functions.scalar import norm_text
+        from ..operators.sketches import _cms_report
+
+        tune(spark)
+        store = _e2e_tmpdir("alrs_cms_store_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        src = _ensure_doc_split(spark, sf_dir, INC_CMS_EPOCHS)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_cms_epoch(spark, batch_df, epoch_id, store)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_cms_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        merged = (
+            spark.read.parquet(store)
+            .groupBy("i", "bucket")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        tokens = docs.select(
+            F.explode(F.split(norm_text("text"), " ")).alias("token")
+        )
+        return _cms_report(tokens, merged)
+
+
+_register_stream_cms()

@@ -102,6 +102,13 @@ QUERIES = [
     "stream_drift_monitor_ks",  # KS over the shared histogram store
     "value_histogram_equidepth_scalable",  # per-group banded rank + ntile
     "ks_two_sample_scalable",  # banded ECDF (distributed prefix sum)
+    # round-10 late additions
+    "kmv_set_overlap",  # per-set KMV sketches + pairwise merge algebra
+    "lsh_candidate_estimate",  # CMS inner product over LSH band keys
+    "sq8_reconstruction_error",  # integer codec error audit
+    "weighted_sample_es",  # hash-uniform weighted top-K per stratum
+    "tokenizer_fertility",  # map + bounded-group agg
+    "boilerplate_prefix_clusters",  # prefix-hash aggregate
 ]
 
 

@@ -870,3 +870,109 @@ def test_cc_midstream_compaction_replay_and_equals_batch(spark, tmp_path):
     assert resolved() == before
     sq.cc_epoch_with_compaction(spark, 3, pairs, cca, ccb)  # tail replay
     assert resolved() == before
+
+
+def test_kmv_state_replay_and_monotone_merge(spark, tmp_path):
+    """The standing KMV sketch's contracts: (a) replaying any epoch
+    (recomputed from its predecessor's on-disk version) reproduces it
+    bit-for-bit; (b) the final state equals the batch sketch — the
+    monotone merge kmvK(kmvK(A) u B) = kmvK(A u B)."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from aws_lambda_redshift_loader_spark.functions.scalar import (
+        hex_hash64,
+        norm_text,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        STREAM_KMV_K,
+        merge_kmv_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    state = str(tmp_path / "state")
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        merge_kmv_epoch(spark, spark.read.parquet(f), i, state)
+    last = len(files) - 1
+
+    def state_set(e):
+        return {
+            (r["lang"], r["hv"])
+            for r in spark.read.parquet(f"{state}/epoch={e}").collect()
+        }
+
+    before = state_set(last)
+    # tail replay: recomputed from the predecessor version on disk
+    merge_kmv_epoch(spark, spark.read.parquet(files[last]), last, state)
+    assert state_set(last) == before
+    # batch equality: k smallest per lang over the whole corpus
+    hv = (
+        docs.select(
+            "lang",
+            F.explode(F.array_distinct(F.split(norm_text("text"), " "))).alias("tok"),
+        )
+        .select("lang", hex_hash64(F.col("tok"), salt="skmv|").alias("hv"))
+        .distinct()
+    )
+    w = W.partitionBy("lang").orderBy(F.col("hv").asc())
+    batch = {
+        (r["lang"], r["hv"])
+        for r in hv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STREAM_KMV_K)
+        .select("lang", "hv")
+        .collect()
+    }
+    assert before == batch, "standing KMV state != batch sketch"
+
+
+def test_cms_store_replay_and_linear_merge(spark, tmp_path):
+    """The streaming CMS store's contracts: (a) replaying any epoch
+    (pure function of its own batch) reproduces it; (b) summing the
+    per-epoch counters per (i, bucket) equals the batch-built sketch —
+    CMS linearity."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.functions.scalar import norm_text
+    from aws_lambda_redshift_loader_spark.operators.sketches import _cms_of
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_cms_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartitionByRange(3, "doc_id").write.parquet(src)
+    store = str(tmp_path / "store")
+    files = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(files):
+        ingest_cms_epoch(spark, spark.read.parquet(f), i, store)
+
+    def epoch_counters(e):
+        return {
+            (r["i"], r["bucket"], r["c"])
+            for r in spark.read.parquet(f"{store}/epoch={e}").collect()
+        }
+
+    before = epoch_counters(0)
+    ingest_cms_epoch(spark, spark.read.parquet(files[0]), 0, store)
+    assert epoch_counters(0) == before
+    merged = {
+        (r["i"], r["bucket"], r["c"])
+        for r in spark.read.parquet(store)
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .collect()
+    }
+    tokens = docs.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    batch = {(r["i"], r["bucket"], r["c"]) for r in _cms_of(tokens).collect()}
+    assert merged == batch, "summed per-epoch CMS != batch CMS"
