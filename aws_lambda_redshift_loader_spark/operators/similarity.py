@@ -2356,3 +2356,137 @@ def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sm").cast("bigint").alias("total_abs_err"),
         F.bool_and("incell").alias("within_cell"),
     )
+
+
+@register(
+    "embedding_filtered_topk",
+    f"""
+    WITH {_QUANT_CTE},
+    lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS query_id, la.label, b.vec_id AS neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM q a
+      JOIN lab la ON la.vec_id = a.vec_id
+      JOIN lab lb ON lb.label = la.label AND lb.vec_id <> a.vec_id
+      JOIN q b ON b.vec_id = lb.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, label, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-{TOP_K} restricted to neighbors
+    sharing the query's label (the "same tenant / same language / same
+    split" predicate every production vector store must support). This
+    is the PRE-FILTER strategy: the predicate joins into the scoring
+    pass itself, so each query scores only its label's partition of the
+    corpus and top-k is exact under the filter. The alternative
+    (post-filter: run unfiltered ANN, discard non-matching neighbors)
+    under-fills k whenever the filter is selective — with 10 balanced
+    labels an unfiltered top-5 expects only ~0.5 same-label rows, so
+    post-filtering returns <=1 of the 5 wanted neighbors. Pre-filter
+    cost scales with the filter's selectivity (here ~N/10 candidates
+    per query instead of N), which is exactly when you want it.
+
+    Scale: broadcast the query set (with labels), score corpus rows
+    against ONLY the same-label queries via the broadcast-join
+    condition — a map-only pass over the corpus with the label
+    predicate applied before any dot product; no corpus shuffle. At an
+    IVF-indexed 100 TB scale the same predicate drops into the
+    postings probe (filter before scoring) — composition documented on
+    stream_incremental_ivf."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        _quantize("embedding").alias("e"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    pairs = emb.alias("c").join(
+        F.broadcast(queries),
+        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+        "inner",
+    )
+    cosine = (
+        _dot(F.col("qe"), F.col("e")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+            * F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
+        )
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("qlabel").alias("label"),
+        F.col("vec_id").alias("neighbor_id"),
+        cosine.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "label", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """Lazy oracle (resolved by load_all): nests the brute-force and SQ8
+    oracles verbatim, so the recall ground truth is BY CONSTRUCTION the
+    same SQL the driver already hash-gates those two queries against."""
+    from ..plans.registry import QUERIES as _REG
+
+    return f"""
+    WITH bf AS ({_REG["embedding_topk_bruteforce"].oracle}),
+    sq AS ({_REG["embedding_sq8_topk"].oracle})
+    SELECT b.query_id,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(s.neighbor_id) * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm
+    FROM bf b LEFT JOIN sq s
+      ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@register("ann_recall_eval", _ann_recall_oracle)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the SQ8 index against brute-force ground truth,
+    computed IN-ENGINE per query — the standing eval gate a production
+    index deployment runs on every rebuild ("measure, don't guess" as a
+    query, not an offline instrument; ANN_RECALL.json remains the
+    offline sweep across all six index families, this is the
+    always-on contract for the one family the recall sweep picked).
+    Output grain: one row per query vector with hit count and
+    recall_ppm (integer parts-per-million — exact cross-engine, no
+    float division).
+
+    Scale: both sides reuse their registered plans (broadcast-queries
+    map-only scoring); the recall join itself touches
+    {N_QUERIES}x{TOP_K} rows — driver-trivial at any corpus size. The
+    expensive side is ground truth: at 100 TB you run brute force once
+    over a FIXED query panel (this shape — the corpus scan is the cost,
+    queries ride along broadcast), cache the panel's true top-k, and
+    re-evaluate only the index side per rebuild."""
+    bf = embedding_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    sq = embedding_sq8_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("m")
+    )
+    return (
+        bf.join(sq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("m").cast("bigint").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.expr(f"CAST((hits * 1000000) div {TOP_K} AS BIGINT)").alias("recall_ppm"),
+        )
+    )

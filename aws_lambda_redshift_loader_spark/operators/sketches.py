@@ -693,6 +693,143 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KJ_K = 64  # small on purpose: ~150 distinct users at sf0.01 must EXCEED
+# the sketch size so the driver gate exercises the (K-1)*2^60/kth
+# estimator, not the n_kept<K exact fallback
+
+
+@register(
+    "kmv_join_distinct",
+    f"""
+    WITH ck AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'click'
+    ),
+    vk AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'view'
+    ),
+    skc AS (
+      SELECT CAST(concat('0x', substr(md5(concat('kj|', k)), 1, 15)) AS BIGINT) AS hv
+      FROM ck ORDER BY hv ASC LIMIT {KJ_K}
+    ),
+    skv AS (
+      SELECT CAST(concat('0x', substr(md5(concat('kj|', k)), 1, 15)) AS BIGINT) AS hv
+      FROM vk ORDER BY hv ASC LIMIT {KJ_K}
+    ),
+    mtop AS (
+      SELECT DISTINCT hv FROM (
+        SELECT hv FROM skc UNION ALL SELECT hv FROM skv
+      ) ORDER BY hv ASC LIMIT {KJ_K}
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(m.hv) AS kth,
+             CAST(SUM(CASE WHEN c.hv IS NOT NULL AND v.hv IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rho
+      FROM mtop m
+      LEFT JOIN skc c ON c.hv = m.hv
+      LEFT JOIN skv v ON v.hv = m.hv
+    ),
+    est AS (
+      SELECT n_kept, rho,
+             CAST(CASE WHEN n_kept < {KJ_K} THEN n_kept
+                  ELSE floor(({KJ_K} - 1) * {_KMV_DENOM} / kth) END
+                  AS BIGINT) AS u_est
+      FROM stats
+    ),
+    exact AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) AS exact_users_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM vk) AS exact_users_view,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM ck JOIN vk ON vk.k = ck.k) AS exact_overlap
+    )
+    SELECT exact_users_click, exact_users_view, exact_overlap,
+           u_est AS kmv_union_est,
+           (rho * u_est) // n_kept AS kmv_overlap_est,
+           rho,
+           (rho * 1000000) // n_kept AS jaccard_ppm
+    FROM exact, est
+    """,
+)
+def kmv_join_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table JOIN-KEY overlap estimation from KMV sketches — the
+    distinct-count sibling of join_size_estimate_cms (which sizes the
+    join OUTPUT; this sizes the key MATCH: how many click users also
+    appear in views). The optimizer question it answers: is the funnel
+    join's build side mostly-matching (dense, favor shuffle) or
+    sparse-matching (favor a Bloom/semi pre-filter)? Union comes from
+    the merged k-minimum sketch, overlap from rho (merged-top-k values
+    present in BOTH input sketches) — the same Beyer et al. multiset
+    algebra as kmv_set_overlap, applied across two tables instead of
+    within one.
+
+    Scale: each side's sketch is a distributed sort-limit
+    (TakeOrdered: per-partition top-{KJ_K}, merged on the driver —
+    no single-partition window, no key-grain shuffle beyond the
+    distinct); the algebra runs on two {KJ_K}-row broadcast
+    frames. The exact side is the audit production drops. All
+    arithmetic is md5-integer + one exactly-representable double
+    multiply/divide, so the sketch path hash-verifies cross-engine."""
+    ev = table(spark, sf_dir, "events")
+
+    def sketch(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(hex_hash64(F.col("user_id"), salt="kj|").alias("hv"))
+            .distinct()
+            .orderBy(F.col("hv").asc())
+            .limit(KJ_K)
+        )
+
+    skc, skv = sketch("click"), sketch("view")
+    mtop = (
+        skc.unionByName(skv)
+        .distinct()
+        .orderBy(F.col("hv").asc())
+        .limit(KJ_K)
+    )
+    stats = (
+        mtop.join(F.broadcast(skc.withColumn("ina", F.lit(1))), "hv", "left")
+        .join(F.broadcast(skv.withColumn("inb", F.lit(1))), "hv", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.max("hv").alias("kth"),
+            F.sum(
+                F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rho"),
+        )
+    )
+    u_est = (
+        F.when(F.col("n_kept") < KJ_K, F.col("n_kept"))
+        .otherwise(F.floor((KJ_K - 1) * F.lit(_KMV_DENOM) / F.col("kth")))
+        .cast("bigint")
+    )
+    est = stats.select("n_kept", "rho", u_est.alias("u_est"))
+    users = lambda t: (
+        ev.filter(F.col("event_type") == t).select(F.col("user_id").alias("k")).distinct()
+    )
+    cu, vu = users("click"), users("view")
+    exact = (
+        cu.agg(F.count("*").cast("bigint").alias("exact_users_click"))
+        .crossJoin(F.broadcast(vu.agg(F.count("*").cast("bigint").alias("exact_users_view"))))
+        .crossJoin(
+            F.broadcast(
+                cu.join(vu, "k").agg(F.count("*").cast("bigint").alias("exact_overlap"))
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_users_click",
+        "exact_users_view",
+        "exact_overlap",
+        F.col("u_est").alias("kmv_union_est"),
+        F.expr("(rho * u_est) div n_kept").alias("kmv_overlap_est"),
+        "rho",
+        F.expr("(rho * 1000000) div n_kept").alias("jaccard_ppm"),
+    )
+
+
 def _lsh_candidate_oracle() -> str:
     """Lazy oracle (resolved by load_all): composes dedup's shingle +
     minhash CTE constants so the SQL bands are the engine's own."""

@@ -110,6 +110,11 @@ def _resolve_lazy_oracles() -> None:
 # correctness files are unavailable. The local tests/test_oracle.py sweep
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
+    # round-10 late additions (no prior correctness row)
+    "kmv_join_distinct",
+    "embedding_filtered_topk",
+    "ann_recall_eval",
+    "stream_cluster_sizes",
     # round-10 new queries (no prior correctness row)
     "stream_kmv_distinct",
     "stream_heavy_hitters_cms",

@@ -1795,6 +1795,58 @@ def _register_incremental_cc() -> None:
 
 _register_incremental_cc()
 
+
+def _register_stream_cluster_sizes() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_cluster_sizes",
+        lambda: _REG["cluster_size_histogram"].oracle,
+    )
+    def stream_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Standing cluster-SIZE distribution served from the
+        incremental CC store — the dedup-shape report
+        (cluster_size_histogram) as a store read instead of a batch
+        recompute: resolve the warm-start labels (one label-store scan
+        + the merge-event-sized broadcast remap, no CC at read time)
+        and aggregate sizes on top. This is the dashboard query a
+        continuously-ingesting dedup pipeline actually serves —
+        "how big are the duplicate clusters right now" — and its hash
+        gate proves the standing store answers it identically to the
+        full batch pair-graph recompute. Shares the session ingest with
+        the other store consumers (memo: one build, many reads).
+
+        Scale: read cost is the store scan plus three bounded
+        aggregates (cluster grain, then size grain — both shrink
+        monotonically); maintenance cost is the ingest's measured
+        O(delta) per epoch (BENCH_SCALE ccprobe)."""
+        _, _, _, _, cc_dir = _ensure_neardup_ingest(spark, sf_dir)
+        labels = resolve_incremental_labels(spark, cc_dir)
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+        sizes = labels.groupBy("cluster_id").agg(
+            F.count("*").cast("bigint").alias("size")
+        )
+        hist = sizes.groupBy("size").agg(
+            F.count("*").cast("bigint").alias("n_clusters")
+        )
+        covered = hist.agg(
+            F.sum(F.col("size") * F.col("n_clusters")).cast("bigint").alias("n_covered")
+        )
+        return (
+            hist.crossJoin(F.broadcast(n_docs))
+            .crossJoin(F.broadcast(covered))
+            .select(
+                "size",
+                "n_clusters",
+                (F.col("size") * F.col("n_clusters")).cast("bigint").alias("n_docs_in"),
+                (F.col("n_docs") - F.col("n_covered")).cast("bigint").alias("n_singletons"),
+            )
+        )
+
+
+_register_stream_cluster_sizes()
+
 # ---- Incremental SimHash index maintenance ------------------------------
 # Fifth member of the incremental-index family, and the cheapest to
 # maintain: the SimHash signature is a pure per-doc function, so each

@@ -275,3 +275,52 @@ def test_sq8_recall_and_code_bounds(spark):
         .count()
     )
     assert viol == 0, f"SQ8 reconstruction escaped its envelope: {viol} values"
+
+
+def test_filtered_topk_respects_filter(spark):
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        embedding_filtered_topk,
+    )
+    from aws_lambda_redshift_loader_spark.session import table
+
+    rows = embedding_filtered_topk(spark, SF_ORACLE).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in table(spark, SF_ORACLE, "embeddings").select("vec_id", "label").collect()
+    }
+    per_query = {}
+    for r in rows:
+        # the filter contract: every neighbor shares the query's label,
+        # the query's own label column is consistent, no self-match
+        assert labels[r.neighbor_id] == r.label == labels[r.query_id]
+        assert r.neighbor_id != r.query_id
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_query) == N_QUERIES
+    for ranks in per_query.values():
+        # contiguous ranks from 1 (each label has >= TOP_K members here)
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TOP_K
+
+
+def test_ann_recall_eval_consistent_with_plans(spark):
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        ann_recall_eval,
+        embedding_sq8_topk,
+    )
+
+    rows = ann_recall_eval(spark, SF_ORACLE).collect()
+    assert len(rows) == N_QUERIES
+    # recompute hits from the two underlying plans — the query must
+    # agree with its own inputs, not just be in-range
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_topk_bruteforce(spark, SF_ORACLE).collect()
+    }
+    sq8 = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_sq8_topk(spark, SF_ORACLE).collect()
+    }
+    for r in rows:
+        want = len({p for p in exact & sq8 if p[0] == r.query_id})
+        assert r.hits == want
+        assert r.recall_ppm == (r.hits * 1_000_000) // TOP_K
