@@ -3015,3 +3015,87 @@ def quality_calibration_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("score_lo"),
         F.max("score").alias("score_hi"),
     )
+
+
+SPLIT_BUCKETS = 1000
+SPLIT_TRAIN_LT = 800  # buckets [0,800) -> train
+SPLIT_VAL_LT = 900  # [800,900) -> val; [900,1000) -> test
+
+
+@register(
+    "dataset_split_assign",
+    f"""
+    WITH assign AS (
+      SELECT lang,
+             CAST(concat('0x', substr(md5(concat('sp|', doc_id)), 1, 15)) AS BIGINT)
+               % {SPLIT_BUCKETS} AS b,
+             len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+               AS n_toks
+      FROM documents
+    ),
+    tagged AS (
+      SELECT lang,
+             CASE WHEN b < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN b < {SPLIT_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split,
+             n_toks
+      FROM assign
+    ),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM tagged GROUP BY lang)
+    SELECT t.lang, t.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) * 1000000 // tot.n_lang AS BIGINT) AS frac_ppm
+    FROM tagged t JOIN tot ON tot.lang = t.lang
+    GROUP BY t.lang, t.split, tot.n_lang
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment — the split
+    every training run starts from, done the way it survives corpus
+    growth: each document's split is a pure function of its stable key
+    (md5 bucket of doc_id, {SPLIT_TRAIN_LT}/{SPLIT_VAL_LT - SPLIT_TRAIN_LT}/
+    {SPLIT_BUCKETS - SPLIT_VAL_LT} per mille), so re-running on an
+    APPENDED corpus never reassigns an existing document (no
+    train->test leakage on refresh — the failure mode
+    split_leakage_audit exists to catch) and needs no global shuffle,
+    sort, or persisted assignment table. The report is the
+    stratification audit: per (lang, split) document and token counts
+    plus the realized per-language split fraction (ppm) against the
+    {SPLIT_TRAIN_LT}/1000 target — hash-deviation is binomial, so
+    small languages visibly wobble and that wobble is exactly what a
+    mix designer needs to see before trusting a tiny val split.
+
+    Scale: one map-only pass (hash + CASE + token count) and one
+    (lang, split)-grain aggregate with map-side combine; the lang-total
+    join is a broadcast of one row per language."""
+    d = table(spark, sf_dir, "documents")
+    assign = d.select(
+        "lang",
+        (hex_hash64(F.col("doc_id"), salt="sp|") % SPLIT_BUCKETS).alias("b"),
+        F.size(F.split(norm_text("text"), " ")).alias("n_toks"),
+    )
+    tagged = assign.select(
+        "lang",
+        F.when(F.col("b") < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(F.col("b") < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "n_toks",
+    )
+    tot = tagged.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    return (
+        tagged.groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs * 1000000 div n_lang AS BIGINT)").alias("frac_ppm"),
+        )
+    )

@@ -111,6 +111,8 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-10 late additions (no prior correctness row)
+    "bloom_join_prune",
+    "dataset_split_assign",
     "kmv_join_distinct",
     "embedding_filtered_topk",
     "ann_recall_eval",

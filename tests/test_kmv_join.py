@@ -39,3 +39,39 @@ def test_stream_cluster_sizes_adds_up(spark):
         assert r.size >= 2  # stored clusters are multi-doc by construction
         assert r.n_docs_in == r.size * r.n_clusters
         assert r.n_singletons == n_docs - covered
+
+
+def test_bloom_join_prune_lossless_and_pruning(spark):
+    from aws_lambda_redshift_loader_spark.operators.sketches import bloom_join_prune
+
+    [r] = bloom_join_prune(spark, SF_ORACLE).collect()
+    # no false negatives: the pruned join must lose nothing
+    assert r.n_join_rows_pruned == r.n_join_rows
+    # the filtered build side must actually prune on this fixture
+    assert r.n_survivors < r.n_customers
+    assert r.pruned_ppm == (r.n_customers - r.n_survivors) * 1_000_000 // r.n_customers
+
+
+def test_dataset_split_assign_partitions_corpus(spark):
+    from aws_lambda_redshift_loader_spark.operators.text import (
+        SPLIT_TRAIN_LT,
+        dataset_split_assign,
+    )
+
+    rows = dataset_split_assign(spark, SF_ORACLE).collect()
+    n_total = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    # splits partition the corpus exactly
+    assert sum(r.n_docs for r in rows) == n_total
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {})[r.split] = r
+    for lang, d in per_lang.items():
+        lang_total = sum(r.n_docs for r in d.values())
+        for r in d.values():
+            assert r.frac_ppm == r.n_docs * 1_000_000 // lang_total
+        # train must dominate (binomial wobble can't flip 80/10/10
+        # ordering at fixture sizes)
+        assert d["train"].n_docs > max(
+            (d[s].n_docs for s in ("val", "test") if s in d), default=0
+        )
