@@ -109,6 +109,14 @@ QUERIES = [
     "weighted_sample_es",  # hash-uniform weighted top-K per stratum
     "tokenizer_fertility",  # map + bounded-group agg
     "boilerplate_prefix_clusters",  # prefix-hash aggregate
+    # round-10 final additions (stream_cluster_sizes is omitted: its
+    # maintenance cost IS the shared ingest already measured by the
+    # stream_incremental_* rows; its own read is one store scan)
+    "kmv_join_distinct",  # per-side KMV via distributed sort-limit
+    "bloom_join_prune",  # bloom build + probe-side prune + join both ways
+    "embedding_filtered_topk",  # label-predicate broadcast scoring pass
+    "ann_recall_eval",  # brute + SQ8 plans + tiny recall join
+    "dataset_split_assign",  # map-only hash split + (lang,split) agg
 ]
 
 

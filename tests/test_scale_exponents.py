@@ -44,6 +44,10 @@ BUDGETS = [
     # linear in corpus size by construction; the gate guards against the
     # argmax accidentally becoming a global sort
     ("kcenter_diverse_select", 20.0),
+    # round-10 late addition: the KMV sketch is a distributed sort-limit
+    # (per-partition top-K merged on the driver) — the gate guards it
+    # regressing to a single-task global sort of the full key set
+    ("kmv_join_distinct", 20.0),
     # round-10 addition: banded ranks + sketch-threshold pick — linear by
     # construction; the gate guards the rank windows regressing to a
     # single-partition funnel (which shows up as a superlinear tail once
