@@ -413,3 +413,38 @@ def test_rfm_scalable_windows_are_banded(spark):
             assert "_band" in args, f"unbanded window: {args[:160]}"
             found += 1
     assert found >= 3
+
+
+def test_filtered_topk_scores_via_broadcast_only(spark):
+    # Pre-filter vector search: the label predicate rides the broadcast
+    # scoring join — the corpus must never shuffle (no SortMergeJoin)
+    # and never fall into an unconstrained cartesian.
+    plan = _formatted(spark, "embedding_filtered_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_join_prune_broadcasts_bitset_probes(spark):
+    # The probe-side pre-filter joins against <= BLOOM_M bit positions:
+    # every bloom-position join must be a broadcast, never a shuffle of
+    # the customer side.
+    plan = _formatted(spark, "bloom_join_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_join_distinct_uses_distributed_sort_limit(spark):
+    # The per-side KMV sketch is orderBy().limit(K): Spark must plan a
+    # limit (TakeOrderedAndProject or Global/LocalLimit pair), never a
+    # full global Sort with no limit below the sketch joins.
+    plan = _formatted(spark, "kmv_join_distinct")
+    assert ("TakeOrderedAndProject" in plan) or ("GlobalLimit" in plan)
+
+
+def test_dataset_split_assign_is_map_plus_one_agg(spark):
+    # Hash-split assignment is map-only + one (lang, split) aggregate:
+    # no join wider than the one-row-per-language broadcast, no window.
+    plan = _formatted(spark, "dataset_split_assign")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
