@@ -2660,3 +2660,520 @@ def rfm_segmentation_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r", "f", "m", "n_customers", "example_custkey")
     )
+
+
+# ---- TPC-H-shape round-11 additions --------------------------------------
+# The eight classic decision-support plan shapes the inventory had not yet
+# exercised, adapted to this fixture's schema (no partsupp / l_shipmode /
+# l_commitdate / c_phone columns — each adaptation keeps the PLAN shape the
+# original query exists to exercise; reference semantics per SURVEY §2.3/§2.4,
+# reference has no relational engine of its own so shapes follow the
+# published TPC-H kit).
+
+VS_YEAR_LO = 1995  # Q7 shipping window
+VS_YEAR_HI = 1996
+
+
+@register(
+    "volume_shipping_pairs",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= DATE '{VS_YEAR_LO}-01-01'
+      AND l.l_shipdate < DATE '{VS_YEAR_HI + 1}-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between nation pairs: revenue
+    moved from every supplier nation to every customer nation by ship
+    year inside a two-year window (the full pair matrix instead of the
+    kit's single pair so the result is non-empty at every SF). The plan
+    the shape exists to exercise: ONE fact-fact shuffle (orders⋈lineitem)
+    under FOUR broadcast dimension joins feeding a grouped aggregate on
+    dimension attributes.
+
+    Scale: supplier/customer/nation broadcast (dims); the date filter
+    pushes to the lineitem scan; the group-by key space is
+    |nations|² × years — tiny — so the aggregate is map-side combined."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{VS_YEAR_LO}-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit(f"{VS_YEAR_HI + 1}-01-01").cast("date"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("sk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("ck") == F.col("c_nationkey"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("ship_year").cast("int").alias("ship_year"),
+            F.col("rev").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+MS_REGION = "ASIA"  # Q8 market: customer region
+MS_PTYPE = "PROMO"  # part type under analysis
+MS_NATION = "NATION_5"  # supplier nation whose share is tracked
+
+
+@register(
+    "market_share_by_year",
+    f"""
+    WITH base AS (
+      SELECT year(o.o_orderdate) AS order_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS rev,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '{MS_PTYPE}'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey AND r.r_name = '{MS_REGION}'
+    )
+    SELECT CAST(order_year AS INT) AS order_year,
+           CAST(SUM(CASE WHEN supp_nation = '{MS_NATION}' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN supp_nation = '{MS_NATION}' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM base
+    GROUP BY order_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share: of all {MS_PTYPE}-part revenue
+    sold into {MS_REGION}-region customers, the fraction supplied by
+    {MS_NATION}, by order year. The shape's point: a conditional
+    aggregate (share numerator) computed in the SAME pass as its
+    denominator — no self-join, no second scan — under a 7-table star.
+
+    Scale: part/supplier/customer/nation/region all broadcast;
+    orders⋈lineitem is the one shuffle. Share is one double division of
+    two exact DECIMAL sums (cross-engine deterministic)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == MS_PTYPE)
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == MS_REGION)
+    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("rk"))
+    base = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("sk") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("ck") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("rk"))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == MS_NATION, F.col("rev")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    tot = F.sum("rev")
+    return base.groupBy("order_year").agg(
+        nat.cast("double").alias("nation_revenue"),
+        tot.cast("double").alias("total_revenue"),
+        (nat.cast("double") / tot.cast("double")).alias("mkt_share"),
+    ).select(
+        F.col("order_year").cast("int").alias("order_year"),
+        "nation_revenue",
+        "total_revenue",
+        "mkt_share",
+    )
+
+
+RI_DATE_LO = "1996-01-01"  # Q10 half-year window
+RI_DATE_HI = "1996-07-01"
+RI_TOP = 20
+
+
+@register(
+    "returned_item_ranking",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= DATE '{RI_DATE_LO}'
+      AND o.o_orderdate < DATE '{RI_DATE_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT {RI_TOP}
+    """,
+)
+def returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item customer ranking: the {RI_TOP}
+    customers who returned the most revenue in a half-year window. The
+    shape's point: a grouped aggregate at CUSTOMER grain (much wider key
+    space than Q3's order grain) closed by a global top-k.
+
+    Scale: the top-k is sort+limit — Spark's TakeOrderedAndProject, a
+    per-partition heap + driver merge of {RI_TOP} rows per partition —
+    never a single-partition global window (total order: revenue desc,
+    custkey asc makes the limit deterministic for the hash gate)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(RI_DATE_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(RI_DATE_HI).cast("date"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev"))
+        .select("c_custkey", "c_name", "n_name", F.col("rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(RI_TOP)
+    )
+
+
+SD_BUCKET_DAYS = 30  # Q12-adapted ship-delay bucket width
+SD_BUCKET_CAP = 6
+
+
+@register(
+    "ship_delay_priority_mix",
+    f"""
+    SELECT CAST(LEAST(datediff('day', o.o_orderdate, l.l_shipdate) // {SD_BUCKET_DAYS},
+                      {SD_BUCKET_CAP}) AS INT) AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def ship_delay_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — the fixture has no l_shipmode /
+    l_commitdate, so the mode dimension becomes the DERIVED ship-delay
+    bucket: days from order to ship, {SD_BUCKET_DAYS}-day buckets capped
+    at {SD_BUCKET_CAP}): per bucket, how many lineitems belong to
+    high-priority vs low-priority orders. The shape's point: both
+    branches of a priority split counted in one conditional-aggregate
+    pass over a fact-fact join, grouped by a computed key.
+
+    Scale: one orders⋈lineitem shuffle; ≤{SD_BUCKET_CAP + 1} groups so
+    the aggregate is entirely map-side combined."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    j = o.join(l, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    bucket = F.least(
+        F.floor(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / SD_BUCKET_DAYS),
+        F.lit(SD_BUCKET_CAP),
+    ).cast("int")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+LO_QTY_MIN = 150  # Q18 large-order quantity threshold
+LO_TOP = 100
+
+
+@register(
+    "large_order_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {LO_QTY_MIN}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice,
+           CAST(b.sum_qty AS BIGINT) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT {LO_TOP}
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    quantity exceeds {LO_QTY_MIN}, with their customers, ranked by order
+    value, top {LO_TOP}. The shape's point: a HAVING-filtered aggregate
+    used as the DRIVING side of subsequent joins (the classic
+    "aggregate-then-join" that lets the engine shrink the fact table
+    before touching dimensions).
+
+    Scale: the lineitem aggregate map-side combines on l_orderkey; its
+    survivors (rare orders) then join orders/customer — AQE sees the
+    shrunken side and broadcasts it; the top-k is sort+limit
+    (TakeOrdered), never a global window. Quantities are integral
+    doubles, so SUM is order-independent and the BIGINT cast exact."""
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LO_QTY_MIN)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(LO_TOP)
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 5 AND 15)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 40
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive predicate revenue: an OR of three
+    (brand, size-band, quantity-band) conjunctions across the
+    part⋈lineitem join. The shape's point: Catalyst must (a) push the
+    COMMON part of each disjunct below the join per side (brand/size to
+    the part scan, quantity to the lineitem scan as an OR-of-ranges) and
+    (b) keep the cross-side conjunctions as a join-time filter — naive
+    engines evaluate the whole disjunction post-join.
+
+    Scale: part is a broadcast dim; lineitem never shuffles (broadcast
+    hash join + map-side-combined single-group aggregate)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(5, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 40)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+WS_TOP = 10  # Q21-adapted supplier ranking size
+
+
+@register(
+    "waiting_supplier_ranking",
+    f"""
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    ),
+    sole_latest AS (
+      SELECT DISTINCT a.l_orderkey, a.l_suppkey
+      FROM l1 a
+      WHERE EXISTS (SELECT 1 FROM l1 b
+                    WHERE b.l_orderkey = a.l_orderkey
+                      AND b.l_suppkey <> a.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l1 c
+                        WHERE c.l_orderkey = a.l_orderkey
+                          AND c.l_suppkey <> a.l_suppkey
+                          AND c.l_shipdate > a.l_shipdate)
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole_latest x
+    JOIN supplier s ON s.s_suppkey = x.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT {WS_TOP}
+    """,
+)
+def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted — no l_commitdate/l_receiptdate, so
+    "kept the order waiting" becomes "shipped LAST among the order's
+    suppliers"): for finalized orders with at least two suppliers, count
+    per supplier the orders where no OTHER supplier shipped later, top
+    {WS_TOP}. The shape's point: correlated EXISTS + NOT EXISTS against
+    the SAME fact table — a semi-join and an anti-join over self-joined
+    lineitem, the hardest decorrelation pattern in the kit.
+
+    Scale: all three l1 references shuffle on l_orderkey (co-located
+    self-joins — one exchange reused three times); the semi/anti joins
+    never multiply rows; the final count groups on the supplier dim."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    l1 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    a = l1.alias("a")
+    b = l1.alias("b")
+    c = l1.alias("c")
+    multi = a.join(
+        b,
+        (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+        & (F.col("b.l_suppkey") != F.col("a.l_suppkey")),
+        "left_semi",
+    )
+    sole = multi.join(
+        c,
+        (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("a.l_suppkey"))
+        & (F.col("c.l_shipdate") > F.col("a.l_shipdate")),
+        "left_anti",
+    ).select("a.l_orderkey", "a.l_suppkey").distinct()
+    s = table(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(WS_TOP)
+    )
+
+
+IB_CUTOFF = "2001-01-01"  # Q22-adapted recency cutoff
+
+
+@register(
+    "idle_balance_customers",
+    f"""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '{IB_CUTOFF}'
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted — no c_phone, and every fixture customer
+    has SOME order, so "never ordered" becomes "no order since
+    {IB_CUTOFF}"): wealthy-but-idle customers per nation — balance above
+    the average positive balance, no recent order. The shape's point: a
+    scalar subquery (the global average) feeding a filter PLUS a NOT
+    EXISTS anti-join, the two classic subquery decorrelations in one
+    plan.
+
+    Scale: the threshold is a one-row broadcast crossJoin (exact DECIMAL
+    sum / count — one deterministic double division); the anti-join
+    shuffles on custkey against the date-pruned orders scan; counts and
+    the DECIMAL balance sum are order-independent."""
+    cust = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+        )
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(IB_CUTOFF).cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_custs"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )

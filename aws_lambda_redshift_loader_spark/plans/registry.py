@@ -110,6 +110,15 @@ def _resolve_lazy_oracles() -> None:
 # correctness files are unavailable. The local tests/test_oracle.py sweep
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
+    # round-11 new queries (no prior correctness row)
+    "volume_shipping_pairs",
+    "market_share_by_year",
+    "returned_item_ranking",
+    "ship_delay_priority_mix",
+    "large_order_customers",
+    "disjunctive_part_revenue",
+    "waiting_supplier_ranking",
+    "idle_balance_customers",
     # round-10 late additions (no prior correctness row)
     "bloom_join_prune",
     "dataset_split_assign",
