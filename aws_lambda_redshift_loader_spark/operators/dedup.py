@@ -1900,3 +1900,301 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "savings_frac"
         ),
     )
+
+
+# ---- Round-11 estimator audits -------------------------------------------
+# Two planner instruments over the MinHash machinery: how well the
+# signature ESTIMATES Jaccard (estimate-error by agreement level), and
+# how LSH recall decays as the effective near-dup threshold rises (the
+# s-curve, measured on this corpus instead of assumed from the (1/b)^(1/r)
+# formula). Both are bounded audits over candidate-pair frames.
+
+_SIG_MATCH_SQL = " + ".join(
+    f"CASE WHEN ha.mh{i} = hb.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+
+@register(
+    "minhash_estimate_error",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_MINHASH_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    sigm AS (
+      SELECT c.doc_a, c.doc_b, ({_SIG_MATCH_SQL}) AS matches
+      FROM cands c
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    per AS (
+      SELECT s.matches,
+             (s.matches * 1000000) // {N_HASHES} AS est_ppm,
+             (COALESCE(i.n_common, 0) * 1000000)
+               // (sa.n_shingles + sb.n_shingles - COALESCE(i.n_common, 0)) AS exact_ppm
+      FROM sigm s
+      JOIN sizes sa ON sa.doc_id = s.doc_a
+      JOIN sizes sb ON sb.doc_id = s.doc_b
+      LEFT JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+    )
+    SELECT CAST(matches AS INT) AS sig_matches,
+           CAST(MIN(est_ppm) AS BIGINT) AS est_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+           CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm,
+           CAST(MAX(ABS(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+    FROM per GROUP BY matches
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-error audit: for every LSH candidate pair, the
+    signature's Jaccard estimate (matching minhashes / {N_HASHES}) next
+    to the exact shingle Jaccard, grouped by agreement level — the
+    calibration table that tells a dedup planner how much verification
+    the {N_HASHES}-permutation signature really needs (a perfectly
+    calibrated signature could skip exact verification above a safe
+    agreement level; the error columns price that shortcut). All
+    quantities are integer ppm (integer division — exact both engines;
+    theoretical sd per pair is sqrt(j(1-j)/{N_HASHES}) ~ 12.5 ppt at
+    j=0.5, so mean errors around 100k ppm are the signature working as
+    designed, not a bug).
+
+    Scale: candidates come from the sub-quadratic band join; signatures
+    ride a doc-grain frame joined twice to the (tiny) candidate list;
+    the exact verify is the audit cost production drops. The groupBy
+    key space is {N_HASHES + 1} rows."""
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles_of(docs)
+    base = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint").alias("h"),
+    )
+    hashed = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * _mh_ab(i)[0] + _mh_ab(i)[1]) % MINHASH_P).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = _band_rows(docs)
+    cands = (
+        bands.alias("ba")
+        .join(
+            bands.alias("bb"),
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashed.alias("ha")
+    hb = hashed.alias("hb")
+    matches = sum(
+        F.when(F.col(f"ha.mh{i}") == F.col(f"hb.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    sigm = (
+        cands.join(ha, F.col("ha.doc_id") == F.col("doc_a"))
+        .join(hb, F.col("hb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", matches.alias("matches"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sha = sh.alias("sa")
+    shb = sh.alias("sb")
+    inter = (
+        cands.join(sha, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            shb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    per = (
+        sigm.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "matches",
+            F.expr(f"(matches * 1000000) div {N_HASHES}").alias("est_ppm"),
+            F.expr(
+                "(coalesce(n_common, 0) * 1000000)"
+                " div (na + nb - coalesce(n_common, 0))"
+            ).alias("exact_ppm"),
+        )
+    )
+    return per.groupBy(F.col("matches").cast("int").alias("sig_matches")).agg(
+        F.min("est_ppm").cast("bigint").alias("est_ppm"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("sum(exact_ppm) div count(*)").cast("bigint").alias("mean_exact_ppm"),
+        F.expr("sum(abs(est_ppm - exact_ppm)) div count(*)")
+        .cast("bigint")
+        .alias("mean_abs_err_ppm"),
+        F.max(F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+        .cast("bigint")
+        .alias("max_abs_err_ppm"),
+    )
+
+
+SWEEP_PPM = [500000, 600000, 700000, 800000, 900000]  # threshold grid
+
+
+@register(
+    "lsh_threshold_sweep",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_HASHED_SHINGLES_CTE},
+    capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM hshingles s
+      JOIN (SELECT shingle FROM hshingles
+            GROUP BY shingle HAVING COUNT(*) <= {HOT_SHINGLE_DF_CAP}) k
+        ON k.shingle = s.shingle
+    ),
+    jsizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM capped GROUP BY doc_id
+    ),
+    jinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact_pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(CAST(n_common AS DOUBLE)
+                        / (sa.n_shingles + sb.n_shingles - n_common) * 1000000)
+                  AS BIGINT) AS jppm
+      FROM jinter
+      JOIN jsizes sa ON sa.doc_id = doc_a
+      JOIN jsizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    {_MINHASH_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    msizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    minter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    lsh_pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(floor(CAST(i.n_common AS DOUBLE)
+                        / (sa.n_shingles + sb.n_shingles - i.n_common) * 1000000)
+                  AS BIGINT) AS jppm
+      FROM minter i
+      JOIN msizes sa ON sa.doc_id = i.doc_a
+      JOIN msizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in SWEEP_PPM)}]) AS BIGINT)
+              AS threshold_ppm),
+    e AS (SELECT t.threshold_ppm, CAST(COUNT(p.jppm) AS BIGINT) AS n_exact
+          FROM thr t LEFT JOIN exact_pairs p ON p.jppm >= t.threshold_ppm
+          GROUP BY t.threshold_ppm),
+    l AS (SELECT t.threshold_ppm, CAST(COUNT(p.jppm) AS BIGINT) AS n_lsh
+          FROM thr t LEFT JOIN lsh_pairs p ON p.jppm >= t.threshold_ppm
+          GROUP BY t.threshold_ppm),
+    c AS (SELECT t.threshold_ppm, CAST(COUNT(b.je) AS BIGINT) AS n_common
+          FROM thr t LEFT JOIN (
+            SELECT ep.jppm AS je, lp.jppm AS jl
+            FROM exact_pairs ep JOIN lsh_pairs lp
+              ON lp.doc_a = ep.doc_a AND lp.doc_b = ep.doc_b
+          ) b ON b.je >= t.threshold_ppm AND b.jl >= t.threshold_ppm
+          GROUP BY t.threshold_ppm)
+    SELECT e.threshold_ppm, e.n_exact, l.n_lsh, c.n_common,
+           CASE WHEN e.n_exact > 0 THEN (c.n_common * 1000000) // e.n_exact END
+             AS recall_ppm
+    FROM e JOIN l ON l.threshold_ppm = e.threshold_ppm
+    JOIN c ON c.threshold_ppm = e.threshold_ppm
+    """,
+)
+def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall s-curve, MEASURED: neardup_method_agreement's one-point
+    audit swept across a Jaccard-threshold grid — per threshold, how
+    many exact-index pairs exist, how many LSH-verified pairs exist, how
+    many they share, and recall in ppm. The formula curve
+    (1-(1-j^{BAND_SIZE})^{N_HASHES // BAND_SIZE}) says where recall
+    SHOULD fall; this query says where it DOES fall on this corpus —
+    the table a dedup planner reads before promising a dedup threshold
+    to a data owner. (Counts use COUNT(join_col) under the LEFT JOIN +
+    GROUP BY pattern so a threshold with zero matches reports 0.)
+
+    Scale: both pair sets are verified near-dup edge lists (tiny); the
+    sweep is a {len(SWEEP_PPM)}-row broadcast against them. The exact
+    side reuses the capped inverted index, the LSH side the memoized
+    pair graph (jaccards already verified) — no new corpus passes."""
+    exact = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.floor(F.col("jaccard") * 1000000).cast("bigint").alias("jppm"),
+    ).localCheckpoint(eager=True)
+    lsh = _verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.floor(F.col("jaccard") * 1000000).cast("bigint").alias("jppm"),
+    )
+    thr = spark.range(0).sparkSession.createDataFrame(
+        [(t,) for t in SWEEP_PPM], "threshold_ppm bigint"
+    )
+    e = (
+        F.broadcast(thr)
+        .join(exact, F.col("jppm") >= F.col("threshold_ppm"), "left")
+        .groupBy("threshold_ppm")
+        .agg(F.count("jppm").cast("bigint").alias("n_exact"))
+    )
+    lc = (
+        F.broadcast(thr)
+        .join(lsh, F.col("jppm") >= F.col("threshold_ppm"), "left")
+        .groupBy("threshold_ppm")
+        .agg(F.count("jppm").cast("bigint").alias("n_lsh"))
+    )
+    both = exact.alias("ep").join(
+        lsh.alias("lp"),
+        (F.col("lp.doc_a") == F.col("ep.doc_a")) & (F.col("lp.doc_b") == F.col("ep.doc_b")),
+    ).select(F.col("ep.jppm").alias("je"), F.col("lp.jppm").alias("jl"))
+    cc = (
+        F.broadcast(thr)
+        .join(both, (F.col("je") >= F.col("threshold_ppm")) & (F.col("jl") >= F.col("threshold_ppm")), "left")
+        .groupBy("threshold_ppm")
+        .agg(F.count("je").cast("bigint").alias("n_common"))
+    )
+    return (
+        e.join(lc, "threshold_ppm")
+        .join(cc, "threshold_ppm")
+        .select(
+            "threshold_ppm",
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.when(
+                F.col("n_exact") > 0,
+                F.expr("(n_common * 1000000) div n_exact"),
+            ).alias("recall_ppm"),
+        )
+    )

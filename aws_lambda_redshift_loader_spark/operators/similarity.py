@@ -2490,3 +2490,122 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST((hits * 1000000) div {TOP_K} AS BIGINT)").alias("recall_ppm"),
         )
     )
+
+
+REFINE_C = 40  # coarse SQ8 candidates per query before exact rerank
+
+
+@register(
+    "ann_refine_topk",
+    f"""
+    WITH {_QUANT_CTE},
+    dims AS (
+      SELECT u.i AS dim, MIN(e[CAST(u.i AS INT)]) AS mn, MAX(e[CAST(u.i AS INT)]) AS mx
+      FROM q, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u
+      GROUP BY u.i
+    ),
+    lim AS (
+      SELECT list(mn ORDER BY dim) AS mns,
+             list(GREATEST(mx - mn, 1) ORDER BY dim) AS rgs
+      FROM dims
+    ),
+    recon AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {DIM}),
+               i -> mns[CAST(i AS INT)] * 255
+                  + (((e[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255)
+                     // rgs[CAST(i AS INT)]) * rgs[CAST(i AS INT)]) AS r
+      FROM q, lim
+    ),
+    coarse_pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.r AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.r AS DOUBLE[]), CAST(b.r AS DOUBLE[])))) AS ccos
+      FROM q a JOIN recon b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    coarse AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ccos DESC, neighbor_id ASC) AS crank
+        FROM coarse_pairs
+      ) WHERE crank <= {REFINE_C}
+    ),
+    refined AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM coarse c
+      JOIN q a ON a.vec_id = c.query_id
+      JOIN q b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM refined
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage refine search (the FAISS IndexRefineFlat pattern):
+    stage 1 scans the 8x-smaller SQ8 codes for {REFINE_C} coarse
+    candidates per query; stage 2 re-scores ONLY those candidates
+    against the full-precision vectors and returns the exact-cosine
+    top-{TOP_K}. This is how production serves high recall at
+    memory-bandwidth prices: the exact vectors are touched for
+    {REFINE_C} rows per query instead of the whole corpus, and any
+    coarse-stage ranking error inside the candidate set is corrected
+    (recall can only match or beat raw SQ8 at equal K — measured in
+    ANN_RECALL.json, not asserted).
+
+    Scale: the coarse stage is embedding_sq8_topk's broadcast-queries
+    map-only scan; the refine stage joins a queries×{REFINE_C}-row
+    candidate list back to the corpus by key (shuffle on vec_id of a
+    TINY frame) and re-ranks inside per-query partitions. No stage ever
+    materializes all-pairs."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    recon = _sq8_recon(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    coarse_pairs = recon.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
+    )
+    ccos = (
+        _dot(F.col("qe"), F.col("r")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+            * F.sqrt(_dot(F.col("r"), F.col("r")).cast("double"))
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("neighbor_id").asc())
+    coarse = (
+        coarse_pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), ccos.alias("ccos")
+        )
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= REFINE_C)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qv"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("nv"))
+    refined = coarse.join(qe, "query_id").join(ne, "neighbor_id")
+    cosine = (
+        _dot(F.col("qv"), F.col("nv")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double"))
+            * F.sqrt(_dot(F.col("nv"), F.col("nv")).cast("double"))
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        refined.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )

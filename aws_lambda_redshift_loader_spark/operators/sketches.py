@@ -1029,3 +1029,181 @@ def lsh_candidate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+@register(
+    "kmv_difference_estimate",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT lang, t.tok
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      ) t
+    ),
+    hv AS (
+      SELECT DISTINCT lang,
+             CAST(concat('0x', substr(md5(concat('kv|', tok)), 1, 15)) AS BIGINT) AS hv
+      FROM toks
+    ),
+    sk AS (
+      SELECT lang, hv FROM (
+        SELECT lang, hv,
+               row_number() OVER (PARTITION BY lang ORDER BY hv ASC) AS rn
+        FROM hv
+      ) WHERE rn <= {OVERLAP_K}
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    pairs AS (
+      SELECT a.lang AS la, b.lang AS lb FROM langs a JOIN langs b ON a.lang < b.lang
+    ),
+    merged AS (
+      SELECT DISTINCT p.la, p.lb, s.hv
+      FROM pairs p JOIN sk s ON s.lang = p.la OR s.lang = p.lb
+    ),
+    mtop AS (
+      SELECT la, lb, hv FROM (
+        SELECT la, lb, hv,
+               row_number() OVER (PARTITION BY la, lb ORDER BY hv ASC) AS rn
+        FROM merged
+      ) WHERE rn <= {OVERLAP_K}
+    ),
+    stats AS (
+      SELECT m.la, m.lb,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(m.hv) AS kth,
+             CAST(SUM(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rho_a_only,
+             CAST(SUM(CASE WHEN sa.hv IS NULL AND sb.hv IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rho_b_only
+      FROM mtop m
+      LEFT JOIN sk sa ON sa.lang = m.la AND sa.hv = m.hv
+      LEFT JOIN sk sb ON sb.lang = m.lb AND sb.hv = m.hv
+      GROUP BY m.la, m.lb
+    ),
+    est AS (
+      SELECT la, lb, n_kept, rho_a_only, rho_b_only,
+             CAST(CASE WHEN n_kept < {OVERLAP_K} THEN n_kept
+                  ELSE floor(({OVERLAP_K} - 1) * {_KMV_DENOM} / kth) END
+                  AS BIGINT) AS u_est
+      FROM stats
+    ),
+    sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS la, b.lang AS lb, CAST(COUNT(*) AS BIGINT) AS ei
+      FROM toks a JOIN toks b ON b.tok = a.tok AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT e.la AS lang_a, e.lb AS lang_b,
+           za.n - COALESCE(i.ei, 0) AS exact_diff_ab,
+           (e.rho_a_only * e.u_est) // e.n_kept AS kmv_diff_ab_est,
+           zb.n - COALESCE(i.ei, 0) AS exact_diff_ba,
+           (e.rho_b_only * e.u_est) // e.n_kept AS kmv_diff_ba_est,
+           e.rho_a_only, e.rho_b_only
+    FROM est e
+    JOIN sizes za ON za.lang = e.la
+    JOIN sizes zb ON zb.lang = e.lb
+    LEFT JOIN inter i ON i.la = e.la AND i.lb = e.lb
+    """,
+)
+def kmv_difference_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-DIFFERENCE estimation — the member kmv_set_overlap's
+    algebra was missing: |A\\B| and |B\\A| per language pair from the
+    same merged k-minimum sketch, via rho_a_only / rho_b_only (merged
+    top-k values present in exactly one input sketch) scaled by the
+    union estimate. The statistic a corpus-mix design reads to answer
+    "how much NEW vocabulary does adding language B contribute" without
+    materializing either vocabulary.
+
+    Construction identical to kmv_set_overlap (same per-set sketches —
+    in production the SAME stored sketch serves overlap AND difference;
+    the reference has no sketch surface, SURVEY §2.4's approx-distinct
+    row is the parity anchor). All arithmetic md5-integer + the one
+    exactly-representable double multiply/divide, so the estimates
+    hash-verify cross-engine; the exact sides are the audit columns
+    production would drop.
+
+    Scale: per-set sketches are {OVERLAP_K}-row frames built by one
+    partitioned top-k; pair algebra touches k-row frames only."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.array_distinct(F.split(norm_text("text"), " "))).alias("tok"),
+    ).distinct()
+    hv = toks.select(
+        "lang", hex_hash64(F.col("tok"), salt="kv|").alias("hv")
+    ).distinct()
+    wl = W.partitionBy("lang").orderBy(F.col("hv").asc())
+    sk = hv.withColumn("rn", F.row_number().over(wl)).filter(
+        F.col("rn") <= OVERLAP_K
+    ).select("lang", "hv")
+    langs = d.select("lang").distinct()
+    pairs = (
+        langs.alias("a")
+        .join(langs.alias("b"), F.col("a.lang") < F.col("b.lang"))
+        .select(F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(sk, (F.col("lang") == F.col("la")) | (F.col("lang") == F.col("lb")))
+        .select("la", "lb", "hv")
+        .distinct()
+    )
+    wp = W.partitionBy("la", "lb").orderBy(F.col("hv").asc())
+    mtop = merged.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= OVERLAP_K
+    )
+    sa = sk.select(F.col("lang").alias("la"), "hv", F.lit(1).alias("ina"))
+    sb = sk.select(F.col("lang").alias("lb"), "hv", F.lit(1).alias("inb"))
+    stats = (
+        mtop.join(sa, ["la", "hv"], "left")
+        .join(sb, ["lb", "hv"], "left")
+        .groupBy("la", "lb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.max("hv").alias("kth"),
+            F.sum(
+                F.when(F.col("ina").isNotNull() & F.col("inb").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rho_a_only"),
+            F.sum(
+                F.when(F.col("ina").isNull() & F.col("inb").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rho_b_only"),
+        )
+    )
+    u_est = (
+        F.when(F.col("n_kept") < OVERLAP_K, F.col("n_kept"))
+        .otherwise(F.floor((OVERLAP_K - 1) * F.lit(_KMV_DENOM) / F.col("kth")))
+        .cast("bigint")
+    )
+    est = stats.select(
+        "la", "lb", "n_kept", "rho_a_only", "rho_b_only", u_est.alias("u_est")
+    )
+    sizes = toks.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        toks.alias("x")
+        .join(
+            toks.alias("y"),
+            (F.col("y.tok") == F.col("x.tok")) & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(F.col("x.lang").alias("la"), F.col("y.lang").alias("lb"))
+        .agg(F.count("*").cast("bigint").alias("ei"))
+    )
+    return (
+        est.join(sizes.select(F.col("lang").alias("la"), F.col("n").alias("na")), "la")
+        .join(sizes.select(F.col("lang").alias("lb"), F.col("n").alias("nb")), "lb")
+        .join(inter, ["la", "lb"], "left")
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            (F.col("na") - F.coalesce("ei", F.lit(0))).alias("exact_diff_ab"),
+            F.expr("(rho_a_only * u_est) div n_kept").alias("kmv_diff_ab_est"),
+            (F.col("nb") - F.coalesce("ei", F.lit(0))).alias("exact_diff_ba"),
+            F.expr("(rho_b_only * u_est) div n_kept").alias("kmv_diff_ba_est"),
+            "rho_a_only",
+            "rho_b_only",
+        )
+    )

@@ -3099,3 +3099,110 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_docs * 1000000 div n_lang AS BIGINT)").alias("frac_ppm"),
         )
     )
+
+
+@register(
+    "quality_rule_ablation",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(greatest(length(regexp_extract_all(text, '\\S+')), 1) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace,
+             CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_symbols,
+             CAST(length(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b')) AS BIGINT)
+               AS n_stopwords
+      FROM documents
+    ),
+    flags AS (
+      SELECT n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_wc,
+             CAST(n_nonspace AS DOUBLE) / n_words
+               BETWEEN {GOPHER_MIN_AWL} AND {GOPHER_MAX_AWL} AS ok_awl,
+             CAST(n_symbols AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_sym,
+             n_stopwords >= {GOPHER_MIN_STOPWORD_HITS} AS ok_stop
+      FROM m
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN ok_wc AND ok_awl AND ok_sym AND ok_stop
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+             CAST(SUM(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT) AS f_wc,
+             CAST(SUM(CASE WHEN NOT ok_awl THEN 1 ELSE 0 END) AS BIGINT) AS f_awl,
+             CAST(SUM(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS f_sym,
+             CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+             CAST(SUM(CASE WHEN NOT ok_wc AND ok_awl AND ok_sym AND ok_stop
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fo_wc,
+             CAST(SUM(CASE WHEN ok_wc AND NOT ok_awl AND ok_sym AND ok_stop
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fo_awl,
+             CAST(SUM(CASE WHEN ok_wc AND ok_awl AND NOT ok_sym AND ok_stop
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fo_sym,
+             CAST(SUM(CASE WHEN ok_wc AND ok_awl AND ok_sym AND NOT ok_stop
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fo_stop
+      FROM flags
+    )
+    SELECT u.rule, u.n_fail, u.n_fail_only, a.n_docs, a.n_pass_all,
+           (u.n_fail_only * 1000000) // a.n_docs AS marginal_ppm
+    FROM agg a, LATERAL (
+      SELECT 'word_count' AS rule, a.f_wc AS n_fail, a.fo_wc AS n_fail_only
+      UNION ALL SELECT 'word_len', a.f_awl, a.fo_awl
+      UNION ALL SELECT 'symbols', a.f_sym, a.fo_sym
+      UNION ALL SELECT 'stopwords', a.f_stop, a.fo_stop
+    ) u
+    """,
+)
+def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule ABLATION: per quality rule, how many documents fail
+    it at all (n_fail) and how many fail ONLY it (n_fail_only — the
+    documents that rule alone removes from the corpus). Marginal
+    attribution is the number a curation owner needs before loosening
+    any one gate: a rule with large n_fail but near-zero n_fail_only is
+    redundant shadowing (its rejects die anyway), while a large
+    n_fail_only means the rule single-handedly prices that much corpus.
+    Composes gopher_quality_rules' flag frame (same expressions, same
+    oracle CTE) into one conditional-aggregate row exploded to one row
+    per rule.
+
+    Scale: one map-only flag projection + one single-group aggregate —
+    no shuffle beyond the final 1-row reduce; the 4-row explode is
+    driver-free (explode of a literal-built array)."""
+    flags = gopher_quality_rules(spark, sf_dir).select(
+        "ok_word_count", "ok_word_len", "ok_symbols", "ok_stopwords"
+    )
+    wc, awl, sym, stp = (
+        F.col("ok_word_count"),
+        F.col("ok_word_len"),
+        F.col("ok_symbols"),
+        F.col("ok_stopwords"),
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    agg = flags.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt(wc & awl & sym & stp).alias("n_pass_all"),
+        cnt(~wc).alias("f_wc"),
+        cnt(~awl).alias("f_awl"),
+        cnt(~sym).alias("f_sym"),
+        cnt(~stp).alias("f_stop"),
+        cnt(~wc & awl & sym & stp).alias("fo_wc"),
+        cnt(wc & ~awl & sym & stp).alias("fo_awl"),
+        cnt(wc & awl & ~sym & stp).alias("fo_sym"),
+        cnt(wc & awl & sym & ~stp).alias("fo_stop"),
+    )
+    rules = F.array(
+        F.struct(F.lit("word_count").alias("rule"), F.col("f_wc").alias("n_fail"), F.col("fo_wc").alias("n_fail_only")),
+        F.struct(F.lit("word_len").alias("rule"), F.col("f_awl").alias("n_fail"), F.col("fo_awl").alias("n_fail_only")),
+        F.struct(F.lit("symbols").alias("rule"), F.col("f_sym").alias("n_fail"), F.col("fo_sym").alias("n_fail_only")),
+        F.struct(F.lit("stopwords").alias("rule"), F.col("f_stop").alias("n_fail"), F.col("fo_stop").alias("n_fail_only")),
+    )
+    return (
+        agg.select("n_docs", "n_pass_all", F.explode(rules).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_fail").alias("n_fail"),
+            F.col("r.n_fail_only").alias("n_fail_only"),
+            "n_docs",
+            "n_pass_all",
+            F.expr("(r.n_fail_only * 1000000) div n_docs").alias("marginal_ppm"),
+        )
+    )

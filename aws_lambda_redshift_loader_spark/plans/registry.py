@@ -111,6 +111,11 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-11 new queries (no prior correctness row)
+    "kmv_difference_estimate",
+    "minhash_estimate_error",
+    "lsh_threshold_sweep",
+    "quality_rule_ablation",
+    "ann_refine_topk",
     "volume_shipping_pairs",
     "market_share_by_year",
     "returned_item_ranking",
