@@ -51,6 +51,18 @@ def suppressed_by_raw(t: float, raw_prior: float) -> bool:
     return raw_prior > 0 and t <= RERUN_RATIO * raw_prior
 
 
+def substitutable(orig_memo_events: list[str]) -> bool:
+    """Whether a flagged query's rerun time is a comparable standalone
+    cost. Only a memo-BUILDING first run is exempt (its rerun hits the
+    now-warm memo — a cache hit, not the query's cost). A first run
+    whose events are all ``*_hit`` hit the same warm memo the rerun
+    does, so the two times ARE comparable and min-of-2 applies — the
+    round-10 driver artifact left ~13 s of pure contention standing on
+    two ``surprisal_hit`` queries because any memo event blocked
+    substitution."""
+    return not any(ev.endswith("_build") for ev in orig_memo_events)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -180,6 +192,9 @@ def main() -> None:
             reruns[name] = {"bench": t, "prev": p, "rerun": -1.0}
         if len(_dedup.MEMO_EVENTS) > n_events:
             reruns[name]["rerun_memo_events"] = _dedup.MEMO_EVENTS[n_events:]
+        if not substitutable(memo_labels.get(name, [])):
+            # The bench run BUILT a memo the rerun only hits: the rerun
+            # is a cache hit, not a comparable standalone cost.
             reruns[name]["substituted"] = False
         elif reruns[name]["rerun"] > 0:
             timings[name] = min(t, reruns[name]["rerun"])

@@ -30,3 +30,20 @@ def test_suppressed_by_raw_prior():
     assert suppressed_by_raw(1.4, 1.0)  # within ratio of raw
     assert not suppressed_by_raw(3.0, 1.4)  # slower than even the raw prior
     assert not suppressed_by_raw(1.4, -1.0)  # never flagged before
+
+
+def test_substitutable_memo_rules():
+    from bench import substitutable
+
+    # No memo involvement: plain contention, min-of-2 applies.
+    assert substitutable([])
+    # Pure hits: the bench run and the rerun consume the SAME warm memo,
+    # so the two times are comparable — substitute (the round-10 driver
+    # artifact's quality_calibration_{curve,scalable} case).
+    assert substitutable(["surprisal_hit"])
+    assert substitutable(["surprisal_hit", "nb_scorer_hit"])
+    # Any build in the bench run means the rerun is a cache hit.
+    assert not substitutable(["pairs_build"])
+    assert not substitutable(["cc_build", "pairs_build"])
+    assert not substitutable(["nb_scorer_build", "surprisal_hit"])
+    assert not substitutable(["inc_ingest_build", "doc_split_build"])
