@@ -43,6 +43,7 @@ def main() -> None:
         "embedding_opq_topk",
         "embedding_ivfpq_topk",
         "embedding_sq8_topk",
+        "ann_refine_topk",
     ):
         results[name] = round(len(exact & pairs(name)) / len(exact), 4)
 

@@ -117,6 +117,23 @@ QUERIES = [
     "embedding_filtered_topk",  # label-predicate broadcast scoring pass
     "ann_recall_eval",  # brute + SQ8 plans + tiny recall join
     "dataset_split_assign",  # map-only hash split + (lang,split) agg
+    # round-11 additions: the TPC-H-shape batch (measured on the
+    # coherent 10x star fixture — all key columns shift per replica, so
+    # joins match within replicas at 10x volume)
+    "volume_shipping_pairs",  # 4 broadcast dims + fact-fact shuffle
+    "market_share_by_year",  # 7-table star, conditional share aggregate
+    "returned_item_ranking",  # customer-grain agg + TakeOrdered top-k
+    "ship_delay_priority_mix",  # computed-key conditional aggregate
+    "large_order_customers",  # HAVING aggregate driving later joins
+    "disjunctive_part_revenue",  # OR-of-ANDs pushdown across a join
+    "waiting_supplier_ranking",  # correlated EXISTS/NOT EXISTS self-joins
+    "idle_balance_customers",  # scalar subquery + anti-join
+    # round-11 estimator/refine instruments
+    "kmv_difference_estimate",  # KMV set-difference algebra
+    "minhash_estimate_error",  # signature-vs-exact calibration audit
+    "lsh_threshold_sweep",  # recall s-curve over the pair frames
+    "quality_rule_ablation",  # map-only flags + one-row conditional agg
+    "ann_refine_topk",  # SQ8 coarse scan + exact rerank of C candidates
 ]
 
 
@@ -205,11 +222,43 @@ def build_fixture(
             f"event_type, value, props FROM {src('events')}"
         ),
     )
+    # TPC-H star: every key column shifts by a replica-consistent offset
+    # (l_orderkey↔o_orderkey, o_custkey↔c_custkey, l_suppkey↔s_suppkey,
+    # l_partkey↔p_partkey) so the Nx fixture is N disjoint copies of the
+    # WHOLE star — joins match within replicas at Nx volume, exactly how
+    # a 10x-bigger warehouse behaves. (Before round 11 only lineitem and
+    # customer replicated; orders/supplier/part were single copies, so
+    # star joins matched only replica 0 and join-scaling was invisible.)
+    # nation/region stay single copies: true shared dimensions.
     write(
         "lineitem",
         lambda r: (
-            f"SELECT * REPLACE (l_orderkey + {r * 10_000_000} AS l_orderkey) "
+            f"SELECT * REPLACE (l_orderkey + {r * 10_000_000} AS l_orderkey, "
+            f"l_suppkey + {r * 1_000_000} AS l_suppkey, "
+            f"l_partkey + {r * 10_000_000} AS l_partkey) "
             f"FROM {src('lineitem')}"
+        ),
+    )
+    write(
+        "orders",
+        lambda r: (
+            f"SELECT * REPLACE (o_orderkey + {r * 10_000_000} AS o_orderkey, "
+            f"o_custkey + {r * 10_000_000} AS o_custkey) "
+            f"FROM {src('orders')}"
+        ),
+    )
+    write(
+        "supplier",
+        lambda r: (
+            f"SELECT * REPLACE (s_suppkey + {r * 1_000_000} AS s_suppkey) "
+            f"FROM {src('supplier')}"
+        ),
+    )
+    write(
+        "part",
+        lambda r: (
+            f"SELECT * REPLACE (p_partkey + {r * 10_000_000} AS p_partkey) "
+            f"FROM {src('part')}"
         ),
     )
     # Customer replicates with shifted keys and a TWO-char replica tag

@@ -448,3 +448,60 @@ def test_dataset_split_assign_is_map_plus_one_agg(spark):
     plan = _formatted(spark, "dataset_split_assign")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- round-11 TPC-H-shape contracts --------------------------------------
+
+
+@pytest.mark.parametrize("name", ["returned_item_ranking", "large_order_customers"])
+def test_global_topk_is_take_ordered(spark, name):
+    # The global top-k must be TakeOrderedAndProject (per-partition heap +
+    # driver merge), never a single-partition global Sort + Limit.
+    plan = _formatted(spark, name)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_disjunctive_predicates_push_per_side(spark):
+    # Q19's OR-of-ANDs must split per side and reach BOTH parquet scans
+    # as pushed Or(...) filters (quantity bands to lineitem, brand/size
+    # to part) — losing either turns the scan into a full read.
+    plan = _formatted(spark, "disjunctive_part_revenue")
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters:" in ln and "Or(" in ln
+    ]
+    assert any("l_quantity" in ln for ln in pushed), "lineitem OR bands not pushed"
+    assert any("p_brand" in ln for ln in pushed), "part OR conjunctions not pushed"
+
+
+def test_waiting_suppliers_semi_and_anti(spark):
+    # Q21's correlated EXISTS / NOT EXISTS must decorrelate to a semi and
+    # an anti join (a rewrite through aggregation or a cartesian fails).
+    plan = _formatted(spark, "waiting_supplier_ranking")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_balance_scalar_and_anti(spark):
+    # Q22's scalar threshold is a one-row broadcast (BroadcastNestedLoop
+    # is the correct join for a 1-row cross), and the recency test an
+    # anti join; neither may degrade to a cartesian.
+    plan = _formatted(spark, "idle_balance_customers")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["volume_shipping_pairs", "market_share_by_year"])
+def test_star_joins_never_cartesian(spark, name):
+    # The star shapes must plan hash joins on every edge — a missed join
+    # condition shows up as a cartesian.
+    plan = _formatted(spark, name)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_minhash_estimate_error_never_hints_broadcast(spark):
+    # Same rule as the dedup verify plans: the signature and shingle
+    # frames are doc-grain (unbounded) — no forced broadcast anywhere.
+    assert "ResolvedHint" not in _analyzed(spark, "minhash_estimate_error")
