@@ -53,6 +53,10 @@ BUDGETS = [
     # single-partition funnel (which shows up as a superlinear tail once
     # one task sorts the whole corpus)
     ("scorer_disagreement_scalable", 20.0),
+    # round-11 addition: three co-located lineitem self-joins (semi +
+    # anti) — linear in fact volume (~10x at a clean 10x step); the gate
+    # catches the decorrelation regressing to a nested-loop/cartesian
+    ("waiting_supplier_ranking", 20.0),
 ]
 
 
