@@ -44,6 +44,7 @@ def main() -> None:
         "embedding_ivfpq_topk",
         "embedding_sq8_topk",
         "ann_refine_topk",
+        "embedding_multiprobe_lsh",
     ):
         results[name] = round(len(exact & pairs(name)) / len(exact), 4)
 

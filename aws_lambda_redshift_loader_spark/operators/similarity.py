@@ -2609,3 +2609,179 @@ def ann_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+MP_FLIPS = 2  # multi-probe: flip the 2 lowest-|projection| planes per table
+
+
+def _lsh_query_probes(queries: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, e) query rows → (query_id, qe, probe) multi-probe bucket
+    rows: per table, the home bucket plus the {2 ** MP_FLIPS - 1}
+    perturbations from flipping the {MP_FLIPS} planes with the smallest
+    |projection| (the Lv et al. multi-probe insight: a near-zero
+    projection means the true neighbors straddle that hyperplane, so the
+    adjacent bucket is the next-most-likely home). Ties on |proj| break
+    by plane index, so probe sets are deterministic and the DuckDB
+    oracle rebuilds them exactly. Same md5-parity planes as
+    _lsh_signatures; the per-query work is one tiny GEMM."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-side
+    from pyspark.sql import types as T
+
+    def sign(t: int, p: int, d: int) -> int:
+        h = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) & 1 else -1
+
+    planes = np.array(
+        [
+            [sign(t, p, d) for d in range(DIM)]
+            for t in range(N_TABLES)
+            for p in range(bits)
+        ],
+        dtype=np.float64,
+    )
+    n_tables, b, flips = N_TABLES, bits, MP_FLIPS
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qe", T.ArrayType(T.LongType())),
+            T.StructField("probe", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches):
+        bitvals = 1 << np.arange(b, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            proj = (mat @ planes.T).reshape(len(pdf), n_tables, b)
+            home = ((proj > 0) * bitvals[None, None, :]).sum(axis=2) + (
+                np.arange(n_tables, dtype=np.int64) << b
+            )[None, :]
+            ids, qes, probes = [], [], []
+            for i in range(len(pdf)):
+                for t in range(n_tables):
+                    # Flip planes ranked by (|proj|, plane index) — the
+                    # deterministic tie-break the oracle mirrors.
+                    order = np.lexsort((np.arange(b), np.abs(proj[i, t])))
+                    masks = [0]
+                    for f in order[:flips]:
+                        masks += [m ^ (1 << int(f)) for m in masks]
+                    for m in masks:
+                        ids.append(int(pdf["vec_id"].iloc[i]))
+                        qes.append(pdf["e"].iloc[i])
+                        probes.append(int(home[i, t]) ^ m)
+            yield pd.DataFrame({"query_id": ids, "qe": qes, "probe": np.array(probes, dtype="int32")})
+
+    return queries.mapInPandas(probe, schema=out_schema)
+
+
+@register(
+    "embedding_multiprobe_lsh",
+    f"""
+    WITH {_QUANT_CTE},
+    {_LSH_BUCKETS_CTE},
+    tbuckets AS (
+      SELECT vec_id, t,
+             t * (CAST(1 AS BIGINT) << (SELECT b FROM nb)) +
+             SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, t
+    ),
+    qflip AS (
+      SELECT vec_id, t, p,
+             row_number() OVER (PARTITION BY vec_id, t
+                                ORDER BY ABS(proj) ASC, p ASC) AS r
+      FROM proj WHERE vec_id < {N_QUERIES}
+    ),
+    f2 AS (
+      SELECT vec_id, t,
+             MAX(CASE WHEN r = 1 THEN p END) AS p1,
+             MAX(CASE WHEN r = 2 THEN p END) AS p2
+      FROM qflip WHERE r <= {MP_FLIPS} GROUP BY vec_id, t
+    ),
+    probes AS (
+      SELECT h.vec_id, u.probe
+      FROM tbuckets h
+      JOIN f2 f ON f.vec_id = h.vec_id AND f.t = h.t,
+      LATERAL (
+        SELECT h.bucket AS probe
+        UNION ALL SELECT xor(h.bucket, CAST(1 AS BIGINT) << f.p1)
+        UNION ALL SELECT xor(h.bucket, CAST(1 AS BIGINT) << f.p2)
+        UNION ALL SELECT xor(xor(h.bucket, CAST(1 AS BIGINT) << f.p1),
+                             CAST(1 AS BIGINT) << f.p2)
+      ) u
+      WHERE h.vec_id < {N_QUERIES}
+    ),
+    cands AS (
+      SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN buckets c ON c.bucket = p.probe AND c.vec_id <> p.vec_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM cands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def embedding_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): the recall-per-memory fix
+    for hyperplane LSH — instead of adding tables, each query ALSO
+    probes the buckets reached by flipping its {MP_FLIPS}
+    lowest-|projection| planes per table ({2 ** MP_FLIPS} probes/table
+    incl. home). A near-zero projection means true neighbors straddle
+    that plane, so those adjacent buckets hold most of the misses;
+    recall lifts from embedding_ann_lsh's measured level toward IVF's at
+    ZERO index growth (the corpus side is byte-identical to
+    embedding_ann_lsh's — one home bucket per table; only the query's
+    probe list grows, measured in ANN_RECALL.json).
+
+    Deterministic end to end: integer projections (quantized vectors x
+    ±1 md5-parity planes), |proj| ties broken by plane index, XOR bit
+    flips — the oracle rebuilds identical probe sets in SQL.
+
+    Scale: probing is a broadcast of queries x {N_TABLES} x
+    {2 ** MP_FLIPS} probe rows against the same (table, bucket)-bucketed
+    corpus layout; candidate volume rises by at most the probe factor
+    while staying O(occupancy) per probe — still linear in N, no new
+    corpus pass, no index rebuild."""
+    raw = table(spark, sf_dir, "embeddings")
+    bits = _lsh_bits(raw.count())
+    emb = raw.select("vec_id", _quantize("embedding").alias("e"))
+    sigs = _lsh_signatures(emb, bits)
+    corpus = sigs.select("vec_id", "e", F.explode("buckets").alias("bucket"))
+    probes = _lsh_query_probes(emb.filter(F.col("vec_id") < N_QUERIES), bits)
+    cands = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "e")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cosine = (
+        _dot(F.col("qe"), F.col("e")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+            * F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
+        )
+    )
+    scored = cands.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -111,6 +111,7 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-11 new queries (no prior correctness row)
+    "embedding_multiprobe_lsh",
     "kmv_difference_estimate",
     "minhash_estimate_error",
     "lsh_threshold_sweep",

@@ -134,6 +134,7 @@ QUERIES = [
     "lsh_threshold_sweep",  # recall s-curve over the pair frames
     "quality_rule_ablation",  # map-only flags + one-row conditional agg
     "ann_refine_topk",  # SQ8 coarse scan + exact rerank of C candidates
+    "embedding_multiprobe_lsh",  # home + perturbation probes, same index
 ]
 
 
