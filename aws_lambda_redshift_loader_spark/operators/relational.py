@@ -3177,3 +3177,61 @@ def idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+K_ANON = 5  # minimum safe equivalence-class size
+K_ANON_BAL_BAND = 1000  # account-balance quasi-identifier band width
+
+
+@register(
+    "k_anonymity_audit",
+    f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {K_ANON_BAL_BAND}) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST({K_ANON} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM classes
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment, {K_ANON_BAL_BAND}-wide balance band): how
+    many equivalence classes exist, how many fall below k={K_ANON}, and
+    how many ROWS sit in those re-identifiable classes — the release
+    gate a privacy review runs before publishing an aggregate extract
+    (pairs with pii_redaction, which handles direct identifiers; this
+    measures indirect-identifier risk).
+
+    Scale: one groupBy at quasi-identifier grain (map-side combined)
+    collapsed to a single audit row — no joins, no windows; floor() on
+    the band is floor-toward--inf in both engines, negative balances
+    included."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / K_ANON_BAL_BAND).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").cast("bigint").alias("sz"))
+    return classes.agg(
+        F.lit(K_ANON).cast("bigint").alias("k"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_classes"),
+        F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )

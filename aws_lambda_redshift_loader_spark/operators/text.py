@@ -3206,3 +3206,164 @@ def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(r.n_fail_only * 1000000) div n_docs").alias("marginal_ppm"),
         )
     )
+
+
+KCORE_K = 30  # core level (fixture vocab is a 31-node dense graph, degrees 15-30)
+KCORE_ROUNDS = 3  # fixed peel rounds (unrolled in the oracle)
+
+_KCORE_EDGES_CTE = r"""
+words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+  FROM documents
+),
+e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (
+    SELECT ws[i] AS src, ws[i + 1] AS dst
+    FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i)
+    WHERE len(ws) >= 2
+  ) WHERE src <> dst
+)
+"""
+
+
+def _kcore_round_cte(r: int) -> str:
+    """Unrolled peel round r: degrees over e{r}, survivors with degree
+    >= KCORE_K, edges e{r+1} with both endpoints surviving."""
+    return f"""d{r} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}
+  ) GROUP BY node
+),
+s{r} AS (SELECT node FROM d{r} WHERE d >= {KCORE_K}),
+e{r + 1} AS (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN s{r} sa ON sa.node = e.a
+  JOIN s{r} sb ON sb.node = e.b
+)"""
+
+
+@register(
+    "kcore_token_graph",
+    f"""
+    WITH {_KCORE_EDGES_CTE},
+    {", ".join(_kcore_round_cte(r) for r in range(KCORE_ROUNDS))}
+    SELECT u.round,
+           u.n_nodes,
+           u.n_edges
+    FROM (
+      {" UNION ALL ".join(
+        f'''SELECT {r} AS round,
+               (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+                  SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges'''
+        for r in range(KCORE_ROUNDS + 1)
+      )}
+    ) u
+    """,
+)
+def kcore_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling on the undirected token co-occurrence graph (the
+    third graph-analytics member beside PageRank's convergence loop and
+    the triangle enumeration): {KCORE_ROUNDS} fixed rounds of "drop
+    every node with degree < {KCORE_K}, keep edges whose endpoints both
+    survive", reporting nodes/edges after each round. The k-core is the
+    standard dense-backbone extractor — for token graphs it separates
+    the function-word backbone from long-tail content vocabulary, and
+    the per-round shrink rate tells you how deep the peel must run
+    before the core stabilizes (fixed unrolled rounds keep the oracle
+    exact; production would loop to fixpoint with the same per-round
+    plan, the PageRank-loop pattern).
+
+    Scale: token-vocabulary edge lists are orders of magnitude smaller
+    than the corpus (the dedup CC situation exactly), so below
+    {{KCORE_LOCAL_EDGE_MAX}} edges the peel runs on the driver over the
+    collected edge list (one corpus pass + a trivial loop — the
+    size-gated fast path dedup's union-find established;
+    equivalence-tested against the frames path). Above the gate, each
+    round is one union-groupBy degree count (map-side combined) + two
+    semi-shaped joins on the persisted edge frame — the same shuffle
+    shapes as one PageRank round, the corpus tokenized exactly once."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.split(norm_text("text"), " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bigrams = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                "i -> struct(ws[i - 1] AS src, ws[i] AS dst))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = (
+        bigrams.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    return _kcore_peel(spark, edges)
+
+
+KCORE_LOCAL_EDGE_MAX = 200_000  # driver fast-path gate (edge rows)
+
+
+def _kcore_peel(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """{KCORE_ROUNDS} peel rounds over an (a, b) edge frame → per-round
+    (round, n_nodes, n_edges). Size-gated: driver loop below
+    {KCORE_LOCAL_EDGE_MAX} edges, per-round DataFrame plan above
+    (identical fixpoint semantics — tests force the frames path and
+    compare)."""
+    from ..session import defer_unpersist
+
+    edges = defer_unpersist(edges.persist())
+    n_edges = edges.count()
+    if n_edges <= KCORE_LOCAL_EDGE_MAX:
+        import pandas as pd
+
+        es = [(r.a, r.b) for r in edges.collect()]
+        rows = []
+        for r in range(KCORE_ROUNDS + 1):
+            deg: dict = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            rows.append((r, len(deg), len(es)))
+            if r == KCORE_ROUNDS:
+                break
+            surv = {n for n, dv in deg.items() if dv >= KCORE_K}
+            es = [(a, b) for a, b in es if a in surv and b in surv]
+        # Arrow path: createDataFrame(python_list) costs 5-8 s for tiny
+        # frames (one task evaluates 32 parent Python partitions).
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["round", "n_nodes", "n_edges"]),
+            schema="round int, n_nodes bigint, n_edges bigint",
+        )
+    stats = []
+    cur = edges
+    for r in range(KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
+        stats.append(
+            deg.agg(
+                F.count("*").cast("bigint").alias("n_nodes"),
+                (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias("n_edges"),
+            ).select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+        if r == KCORE_ROUNDS:
+            break
+        surv = deg.filter(F.col("d") >= KCORE_K).select("node")
+        cur = defer_unpersist(
+            cur.join(surv.withColumnRenamed("node", "a"), "a")
+            .join(surv.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+            .persist()
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

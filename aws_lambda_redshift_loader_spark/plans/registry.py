@@ -111,6 +111,8 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-11 new queries (no prior correctness row)
+    "kcore_token_graph",
+    "k_anonymity_audit",
     "embedding_multiprobe_lsh",
     "kmv_difference_estimate",
     "minhash_estimate_error",

@@ -135,6 +135,8 @@ QUERIES = [
     "quality_rule_ablation",  # map-only flags + one-row conditional agg
     "ann_refine_topk",  # SQ8 coarse scan + exact rerank of C candidates
     "embedding_multiprobe_lsh",  # home + perturbation probes, same index
+    "kcore_token_graph",  # fixed-round peel: degree agg + endpoint joins
+    "k_anonymity_audit",  # quasi-identifier-grain groupBy + 1-row audit
 ]
 
 

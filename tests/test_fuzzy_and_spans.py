@@ -255,3 +255,21 @@ def test_pair_graph_memo_builds_once(spark):
     assert dedup.MEMO_EVENTS.count("pairs_build") == 1
     assert dedup.MEMO_EVENTS.count("cc_build") == 1
     assert "pairs_hit" in dedup.MEMO_EVENTS or "cc_hit" in dedup.MEMO_EVENTS
+
+
+def test_kcore_frames_path_equals_driver_path(spark):
+    """kcore_token_graph's size-gated driver peel and the distributed
+    per-round frames path must produce identical per-round stats (the
+    CC union-find equivalence contract applied to the peel loop)."""
+    from aws_lambda_redshift_loader_spark.operators import text as tx
+
+    from conftest import SF_SMOKE
+
+    fast = {tuple(r) for r in tx.kcore_token_graph(spark, SF_SMOKE).collect()}
+    old = tx.KCORE_LOCAL_EDGE_MAX
+    tx.KCORE_LOCAL_EDGE_MAX = -1  # force the distributed frames path
+    try:
+        frames = {tuple(r) for r in tx.kcore_token_graph(spark, SF_SMOKE).collect()}
+    finally:
+        tx.KCORE_LOCAL_EDGE_MAX = old
+    assert fast == frames and len(fast) == tx.KCORE_ROUNDS + 1
