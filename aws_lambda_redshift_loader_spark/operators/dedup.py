@@ -2159,8 +2159,10 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b",
         F.floor(F.col("jaccard") * 1000000).cast("bigint").alias("jppm"),
     )
-    thr = spark.range(0).sparkSession.createDataFrame(
-        [(t,) for t in SWEEP_PPM], "threshold_ppm bigint"
+    import pandas as pd
+
+    thr = spark.createDataFrame(
+        pd.DataFrame({"threshold_ppm": SWEEP_PPM}), schema="threshold_ppm bigint"
     )
     e = (
         F.broadcast(thr)
