@@ -2200,3 +2200,173 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "curation_funnel_report",
+    f"""
+    WITH RECURSIVE {{KB}},
+    kept AS (
+      SELECT doc_id, quality_score FROM ranked WHERE rn = 1
+    ),
+    gated AS (
+      SELECT doc_id FROM kept WHERE quality_score >= {CURATION_QUALITY_MIN}
+    ),
+    contam AS (
+      SELECT DISTINCT corpus_doc FROM (
+        SELECT a.doc_id AS corpus_doc, b.doc_id AS bench_doc, COUNT(*) AS c
+        FROM shingles a
+        JOIN shingles b ON b.shingle = a.shingle
+                       AND b.doc_id < {BENCH_DOC_MAX}
+                       AND a.doc_id >= {BENCH_DOC_MAX}
+        GROUP BY a.doc_id, b.doc_id
+      ) WHERE c >= {CONTAM_MIN_COMMON}
+    ),
+    split_of AS (
+      SELECT doc_id,
+             CASE WHEN h < {SPLIT_TRAIN_PCT} THEN 'train'
+                  WHEN h < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))),
+                                        1, 15)) AS BIGINT) % 100 AS h
+        FROM documents
+      )
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g'))),
+                                   ' ')) AS BIGINT) AS n_tokens,
+             k.doc_id IS NOT NULL AS s1,
+             g.doc_id IS NOT NULL AS s2,
+             (g.doc_id IS NOT NULL AND d.doc_id >= {BENCH_DOC_MAX}
+              AND c.corpus_doc IS NULL) AS s3,
+             (g.doc_id IS NOT NULL AND d.doc_id >= {BENCH_DOC_MAX}
+              AND c.corpus_doc IS NULL AND s.split = 'train') AS s4
+      FROM documents d
+      LEFT JOIN kept k ON k.doc_id = d.doc_id
+      LEFT JOIN gated g ON g.doc_id = d.doc_id
+      LEFT JOIN contam c ON c.corpus_doc = d.doc_id
+      JOIN split_of s ON s.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d0, CAST(SUM(n_tokens) AS BIGINT) AS t0,
+             CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(SUM(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+             CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+             CAST(SUM(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+      FROM flags
+    )
+    SELECT u.stage, u.stage_name, u.n_docs, u.n_tokens,
+           (u.n_tokens * 1000000) // a.t0 AS tokens_ppm_of_raw
+    FROM agg a, LATERAL (
+      SELECT 0 AS stage, 'raw' AS stage_name, a.d0 AS n_docs, a.t0 AS n_tokens
+      UNION ALL SELECT 1, 'dedup_survivors', a.d1, a.t1
+      UNION ALL SELECT 2, 'quality_gated', a.d2, a.t2
+      UNION ALL SELECT 3, 'decontaminated', a.d3, a.t3
+      UNION ALL SELECT 4, 'train_split', a.d4, a.t4
+    ) u
+    """.replace("{KB}", _KEEP_BEST_CTES),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline FUNNEL — per-stage doc/token attribution
+    through raw → near-dup survivors (keep-best, shared pair-graph memo)
+    → quality gate (>= {CURATION_QUALITY_MIN}) → decontamination (drop
+    the held-out stand-in docs AND every corpus doc sharing >=
+    {CONTAM_MIN_COMMON} shingles with one, benchmark_contamination's
+    exact rule) → the train split. corpus_curation_e2e reports the final
+    per-split budgets; this reports WHERE the tokens went — the
+    pipeline-observability artifact a curation owner reads to see which
+    stage is pricing the corpus (pairs with quality_rule_ablation, which
+    attributes WITHIN the quality stage).
+
+    Scale: one corpus scan computes tokens + flags; survivor labels ride
+    the memoized pair graph; the contamination side broadcasts the tiny
+    benchmark shingle set; stage math is one conditional-aggregate row
+    exploded to stage grain — no new shuffle shapes."""
+    clusters = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    feats = _doc_features(d)
+    from pyspark.sql.window import Window as W
+
+    membership = (
+        feats.select("doc_id", "quality_score", "n_tokens", "split")
+        .join(clusters.withColumnRenamed("cluster_id", "cc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cc_id"), F.col("doc_id")))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id").asc()
+        )
+    )
+    contam = benchmark_contamination(spark, sf_dir).select(
+        F.col("corpus_doc").alias("doc_id")
+    ).distinct().withColumn("contaminated", F.lit(True))
+    flags = (
+        membership.withColumn("s1", rn == 1)
+        .join(F.broadcast(contam), "doc_id", "left")
+        .select(
+            "n_tokens",
+            "s1",
+            (F.col("s1") & (F.col("quality_score") >= CURATION_QUALITY_MIN)).alias("s2"),
+            (
+                F.col("s1")
+                & (F.col("quality_score") >= CURATION_QUALITY_MIN)
+                & (F.col("doc_id") >= BENCH_DOC_MAX)
+                & F.col("contaminated").isNull()
+            ).alias("s3"),
+            (
+                F.col("s1")
+                & (F.col("quality_score") >= CURATION_QUALITY_MIN)
+                & (F.col("doc_id") >= BENCH_DOC_MAX)
+                & F.col("contaminated").isNull()
+                & (F.col("split") == "train")
+            ).alias("s4"),
+        )
+    )
+
+    def dc(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    def tc(cond):
+        return F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).cast("bigint")
+
+    agg = flags.agg(
+        F.count("*").cast("bigint").alias("d0"),
+        F.sum("n_tokens").cast("bigint").alias("t0"),
+        dc(F.col("s1")).alias("d1"),
+        tc(F.col("s1")).alias("t1"),
+        dc(F.col("s2")).alias("d2"),
+        tc(F.col("s2")).alias("t2"),
+        dc(F.col("s3")).alias("d3"),
+        tc(F.col("s3")).alias("t3"),
+        dc(F.col("s4")).alias("d4"),
+        tc(F.col("s4")).alias("t4"),
+    )
+    names = ["raw", "dedup_survivors", "quality_gated", "decontaminated", "train_split"]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(names[i]).alias("stage_name"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i in range(5)
+        ]
+    )
+    return (
+        agg.select("t0", F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.n_docs").alias("n_docs"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.expr("(s.n_tokens * 1000000) div t0").alias("tokens_ppm_of_raw"),
+        )
+    )

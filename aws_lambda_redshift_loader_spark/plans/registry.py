@@ -111,6 +111,7 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-11 new queries (no prior correctness row)
+    "curation_funnel_report",
     "kcore_token_graph",
     "k_anonymity_audit",
     "embedding_multiprobe_lsh",

@@ -137,6 +137,7 @@ QUERIES = [
     "embedding_multiprobe_lsh",  # home + perturbation probes, same index
     "kcore_token_graph",  # fixed-round peel: degree agg + endpoint joins
     "k_anonymity_audit",  # quasi-identifier-grain groupBy + 1-row audit
+    "curation_funnel_report",  # pair-graph memo + one flag scan + 1-row agg
 ]
 
 
