@@ -2236,7 +2236,7 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flags AS (
       SELECT d.doc_id,
-             CAST(len(string_split(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g'))),
+             CAST(len(string_split(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))),
                                    ' ')) AS BIGINT) AS n_tokens,
              k.doc_id IS NOT NULL AS s1,
              g.doc_id IS NOT NULL AS s2,
