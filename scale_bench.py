@@ -138,6 +138,7 @@ QUERIES = [
     "kcore_token_graph",  # fixed-round peel: degree agg + endpoint joins
     "k_anonymity_audit",  # quasi-identifier-grain groupBy + 1-row audit
     "curation_funnel_report",  # pair-graph memo + one flag scan + 1-row agg
+    "bm25_prf_topk",  # two postings-restricted BM25 passes + expansion pick
 ]
 
 
