@@ -1595,3 +1595,125 @@ def ks_two_sample_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_q",
         )
     )
+
+
+@register(
+    "seasonal_outliers",
+    f"""
+    WITH qv AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr, event_id,
+             CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v
+      FROM events
+    ),
+    smed AS (
+      SELECT event_type, hr,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS med
+      FROM (
+        SELECT event_type, hr, v,
+               row_number() OVER (PARTITION BY event_type, hr
+                                  ORDER BY v ASC, event_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, hr) AS n
+        FROM qv
+      ) GROUP BY event_type, hr
+    ),
+    dev AS (
+      SELECT q.event_type, q.event_id, abs(q.v - m.med) AS d
+      FROM qv q JOIN smed m ON m.event_type = q.event_type AND m.hr = q.hr
+    ),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS mad
+      FROM (
+        SELECT event_type, d, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY d ASC, event_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(a.mad) AS mad_q,
+           CAST(SUM(CASE WHEN d.d > {MAD_K} * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted robust anomaly detection: values first
+    deseasonalize against their (event_type, hour-of-day) rank-method
+    median, then MAD-flag the RESIDUALS per event_type — the composition
+    that separates "3am is always quiet" from "this 3am is broken",
+    which the global mad_outliers / value_outliers_zscore cannot (a
+    strong daily cycle inflates their global spread and hides intra-hour
+    anomalies). The standard first rung of time-series anomaly detection
+    (seasonal-median decomposition), on the same integer-exact
+    quantize/rank machinery as mad_outliers.
+
+    Scale: one rank-window pass partitioned on (event_type, hour) — 24x
+    more, 24x smaller partitions than the global form — then the MAD
+    pass on event_type; both median join-backs broadcast |groups| rows;
+    final aggregate map-side combined. hour() is identical cross-engine
+    on the µs-normalized timestamps (unlike dayofweek — the
+    chi_square_independence caveat)."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        "event_id",
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    )
+    w_rank = W.partitionBy("event_type", "hr").orderBy(
+        F.col("v").asc(), F.col("event_id").asc()
+    )
+    w_all = W.partitionBy("event_type", "hr")
+    smed = (
+        qv.select(
+            "event_type",
+            "hr",
+            "v",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"), F.col("v")
+                )
+            ).alias("med")
+        )
+    )
+    dev = qv.join(F.broadcast(smed), ["event_type", "hr"]).select(
+        "event_type", "event_id", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    w_rank2 = W.partitionBy("event_type").orderBy(F.col("d").asc(), F.col("event_id").asc())
+    w_all2 = W.partitionBy("event_type")
+    mad = (
+        dev.select(
+            "event_type",
+            "d",
+            F.row_number().over(w_rank2).alias("rn"),
+            F.count("*").over(w_all2).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"), F.col("d")
+                )
+            ).alias("mad")
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("mad").alias("mad_q"),
+            F.sum(F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

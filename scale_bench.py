@@ -139,6 +139,7 @@ QUERIES = [
     "k_anonymity_audit",  # quasi-identifier-grain groupBy + 1-row audit
     "curation_funnel_report",  # pair-graph memo + one flag scan + 1-row agg
     "bm25_prf_topk",  # two postings-restricted BM25 passes + expansion pick
+    "seasonal_outliers",  # (type,hour)-partitioned rank medians + MAD
 ]
 
 
