@@ -1717,3 +1717,61 @@ def seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "max_drawdown_by_user",
+    f"""
+    WITH qv AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, v,
+             MAX(v) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+      FROM qv
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(run_max - v) AS BIGINT) AS max_drawdown_q,
+           CAST(MAX(run_max) AS BIGINT) AS peak_q
+    FROM runs
+    GROUP BY user_id
+    """,
+)
+def max_drawdown_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the running-extremum window pattern
+    (peak-to-trough decline against the best value seen so far, the
+    financial risk statistic and, generally, the "how far below its own
+    high-water mark did this series fall" monitor for any metric
+    stream). Distinct window shape from the ranking/lag/frame families
+    already covered: a cumulative MAX frame composed with a
+    per-partition aggregate over its own output.
+
+    Integer-exact: values quantize before the window, the running max
+    and differences stay int64, ordering is total (ts, event_id).
+
+    Scale: ONE window pass partitioned by user (cumulative frames are
+    O(1) per row — Spark keeps the running max, no frame rescan), then
+    a map-side-combined groupBy on the same key — the exchange is
+    reused between the window and the aggregate (same partitioning)."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = qv.select("user_id", "v", F.max("v").over(w).alias("run_max"))
+    return runs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.col("run_max") - F.col("v")).cast("bigint").alias("max_drawdown_q"),
+        F.max("run_max").cast("bigint").alias("peak_q"),
+    )

@@ -111,6 +111,7 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-11 new queries (no prior correctness row)
+    "max_drawdown_by_user",
     "seasonal_outliers",
     "bm25_prf_topk",
     "curation_funnel_report",

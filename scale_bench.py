@@ -140,6 +140,7 @@ QUERIES = [
     "curation_funnel_report",  # pair-graph memo + one flag scan + 1-row agg
     "bm25_prf_topk",  # two postings-restricted BM25 passes + expansion pick
     "seasonal_outliers",  # (type,hour)-partitioned rank medians + MAD
+    "max_drawdown_by_user",  # cumulative-max window + same-key aggregate
 ]
 
 
