@@ -1775,3 +1775,165 @@ def max_drawdown_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("run_max") - F.col("v")).cast("bigint").alias("max_drawdown_q"),
         F.max("run_max").cast("bigint").alias("peak_q"),
     )
+
+
+# ---- MAD family, banded per-group median form ---------------------------
+MEDIAN_BANDS = 32
+
+
+def _banded_group_median(
+    df: DataFrame, gcol: str, vcol: str, tie_col: str, out: str,
+    bands: int = MEDIAN_BANDS, checkpoint: bool = True,
+) -> DataFrame:
+    """Exact per-group rank-method median WITHOUT a per-group global
+    window — the per-group application of the _banded_rank idea
+    (operators/text.py), specialized to a single target rank so only
+    ONE band per group ever sees a window: approximate per-group
+    quantile boundaries split each group's values into {MEDIAN_BANDS}
+    value-range bands (band is a pure function of the value, so the
+    approximation shapes balance, never the answer); per-(group, band)
+    counts locate the band containing the group's median rank
+    ceil(n/2) plus its prefix offset (bounded driver state: G x B
+    counts); rows OUTSIDE each group's target band are filtered out
+    before the only window, which therefore ranks ~1/{MEDIAN_BANDS} of
+    one group per partition. The selected row is unique because the
+    (value, tie) order is total.
+
+    Returns a |G|-row frame [gcol, out], localCheckpointed (eager) so
+    downstream join-backs replay a tiny frame, not this plan (the
+    bm25_prf_topk materialize-the-small-thing rationale)."""
+    pcts = [i / bands for i in range(1, bands)]
+    gb = {
+        r[gcol]: sorted(set(r["bs"] or []))
+        for r in df.groupBy(gcol)
+        .agg(F.percentile_approx(vcol, pcts, 10000).alias("bs"))
+        .collect()
+    }
+    # Boundary/target literals go in as MAP + ARRAY constants with a
+    # single lookup expression (band = |{b : v >= b}| via a higher-order
+    # filter), NOT per-group CASE chains — G here can be types x hours,
+    # and a G x B nested-when tree blows past janino's 64 KB method
+    # limit while this form stays O(1) expression nodes.
+    b_entries = []
+    for g, bs in sorted(gb.items()):
+        b_entries += [
+            F.lit(g),
+            F.array(*[F.lit(int(b)) for b in bs]).cast("array<bigint>"),
+        ]
+    bmap = F.create_map(*b_entries)
+    band = F.size(F.filter(bmap[F.col(gcol)], lambda b: F.col(vcol) >= b))
+    banded = df.withColumn("_band", band.cast("int"))
+    cells = banded.groupBy(gcol, "_band").agg(F.count("*").alias("c")).collect()
+    counts: dict[str, dict[int, int]] = {}
+    for r in cells:
+        counts.setdefault(r[gcol], {})[r["_band"]] = r["c"]
+    keep_entries, tgt_entries = [], []
+    for g in sorted(counts):
+        n_g = sum(counts[g].values())
+        target = (n_g + 1) // 2  # ceil(0.5 * n): rank-method median
+        acc = 0
+        for b in sorted(counts[g]):
+            if acc + counts[g][b] >= target:
+                keep_entries += [F.lit(g), F.lit(b)]
+                tgt_entries += [F.lit(g), F.lit(target - acc)]
+                break
+            acc += counts[g][b]
+    keep_map = F.create_map(*keep_entries)
+    wr = W.partitionBy(gcol, "_band").orderBy(
+        F.col(vcol).asc(), F.col(tie_col).asc()
+    )
+    med = (
+        banded.filter(F.col("_band") == keep_map[F.col(gcol)])
+        .withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == F.create_map(*tgt_entries)[F.col(gcol)])
+        .select(gcol, F.col(vcol).alias(out))
+    )
+    # checkpoint=False is the plan-shape test hook only (consumers of a
+    # localCheckpoint see an RDD scan, hiding the window to assert on).
+    return med.localCheckpoint(eager=True) if checkpoint else med
+
+
+def _mad_registry():
+    from ..plans.registry import QUERIES
+
+    return QUERIES
+
+
+@register(
+    "mad_outliers_scalable",
+    lambda: _mad_registry()["mad_outliers"].oracle,
+)
+def mad_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of mad_outliers (same oracle — the hash gate
+    proves the rewrite): the exact form's two rank-window passes each
+    order an ENTIRE event_type in one task, which at 100 TB with a
+    handful of event types is a near-global sort per type. Both median
+    passes here go through _banded_group_median: the only windows rank
+    one value-range band of one group (~1/{MEDIAN_BANDS} of the rows),
+    boundary/count driver state is G x {MEDIAN_BANDS} bounded, and the
+    median join-backs broadcast |G|-row checkpointed frames. The final
+    aggregate is unchanged from the exact form (map-side combined)."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    )
+    med = _banded_group_median(qv, "event_type", "v", "event_id", "med")
+    dev = qv.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "v", "med",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+    )
+    mad = _banded_group_median(dev, "event_type", "d", "event_id", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("med").alias("median_q"),
+            F.max("mad").alias("mad_q"),
+            F.sum(F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "seasonal_outliers_scalable",
+    lambda: _mad_registry()["seasonal_outliers"].oracle,
+)
+def seasonal_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of seasonal_outliers (same oracle — the hash
+    gate proves the rewrite): the exact form's second pass ranks
+    residuals per event_type — with few event types that is a
+    near-global window per type (the round-11 verdict's last
+    unconverted member of the global-window family) — and its first
+    pass, though 24x narrower, still sorts a whole (event_type, hour)
+    cell in one task. Both convert to _banded_group_median: the
+    seasonal pass keys on a fused "type:hour" group string (G x 24
+    groups — driver state still bounded), the MAD pass on event_type;
+    every window sees one band of one group. Same final aggregate."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        "event_id",
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    ).withColumn("_g", F.format_string("%s:%d", F.col("event_type"), F.col("hr")))
+    smed = _banded_group_median(qv, "_g", "v", "event_id", "med")
+    dev = qv.join(F.broadcast(smed), "_g").select(
+        "event_type", "event_id", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = _banded_group_median(dev, "event_type", "d", "event_id", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("mad").alias("mad_q"),
+            F.sum(F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -505,3 +505,36 @@ def test_minhash_estimate_error_never_hints_broadcast(spark):
     # Same rule as the dedup verify plans: the signature and shingle
     # frames are doc-grain (unbounded) — no forced broadcast anywhere.
     assert "ResolvedHint" not in _analyzed(spark, "minhash_estimate_error")
+
+
+def test_banded_group_median_windows_are_banded(spark):
+    # The MAD family's 100 TB rewrite: the only window in a banded
+    # per-group median must partition by (group, _band) — an
+    # event_type-only window is the one-task-per-group sort the rewrite
+    # exists to remove (round-11 verdict watch item 1).
+    import re
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.operators.windows_sql import (
+        _banded_group_median,
+    )
+    from aws_lambda_redshift_loader_spark.session import table
+
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    df = _banded_group_median(
+        ev, "event_type", "v", "event_id", "med", checkpoint=False
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    found = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(?\d*\)? ?\*?\(?\d*\)? ?Window", line.strip()) or "Window" in line.split("(")[0]:
+            args = " ".join(l.strip() for l in lines[i : i + 4])
+            assert "_band" in args, f"unbanded window: {args[:160]}"
+            found += 1
+    assert found >= 1
