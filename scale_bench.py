@@ -141,6 +141,10 @@ QUERIES = [
     "bm25_prf_topk",  # two postings-restricted BM25 passes + expansion pick
     "seasonal_outliers",  # (type,hour)-partitioned rank medians + MAD
     "max_drawdown_by_user",  # cumulative-max window + same-key aggregate
+    # round-12 additions: the scalable rewrites earn their own points
+    "waiting_supplier_ranking_windowed",  # one-window Q21 (vs 3 self-joins)
+    "mad_outliers_scalable",  # banded per-group medians (one band ranked)
+    "seasonal_outliers_scalable",  # banded (type,hour) + type medians
 ]
 
 

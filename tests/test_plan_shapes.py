@@ -538,3 +538,15 @@ def test_banded_group_median_windows_are_banded(spark):
             assert "_band" in args, f"unbanded window: {args[:160]}"
             found += 1
     assert found >= 1
+
+
+def test_waiting_supplier_windowed_single_fact_pass(spark):
+    # The one-window Q21 rewrite exists to stop re-referencing the
+    # lineitem exchange three times: the plan must carry exactly one
+    # Window, no cartesian, no anti/semi self-join pair, and the
+    # supplier dim must broadcast.
+    plan = _formatted(spark, "waiting_supplier_ranking_windowed")
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" not in plan, "rewrite regressed to the anti-join form"
+    assert "BroadcastHashJoin" in plan

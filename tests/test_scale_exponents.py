@@ -57,6 +57,11 @@ BUDGETS = [
     # anti) — linear in fact volume (~10x at a clean 10x step); the gate
     # catches the decorrelation regressing to a nested-loop/cartesian
     ("waiting_supplier_ranking", 20.0),
+    # round-12 addition: the one-window Q21 rewrite measured ratio 1.22
+    # at the bench-scale 10x step (vs 12.55 for the r11 self-join form)
+    # — the tighter budget locks in that the window never regresses to
+    # re-referencing the fact exchange
+    ("waiting_supplier_ranking_windowed", 12.0),
 ]
 
 
