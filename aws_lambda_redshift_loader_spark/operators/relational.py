@@ -3283,3 +3283,115 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sz").cast("bigint").alias("min_class_size"),
         F.sum("sz").cast("bigint").alias("n_rows"),
     )
+
+
+L_DIV = 3  # minimum distinct sensitive values per equivalence class
+# floor(ln(L_DIV) * 1e6): the entropy-l-diversity threshold in quantized
+# micro-nats, computed once in Python and inlined into BOTH engines so
+# no runtime log() can diverge (the ndcg_eval_lsh literal pattern).
+LN_L_Q = 1098612
+
+
+@register(
+    "l_diversity_audit",
+    f"""
+    WITH rel AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / {K_ANON_BAL_BAND}) AS BIGINT) AS bal_band,
+             o.o_orderpriority AS sens
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, sens,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rel GROUP BY 1, 2, 3, 4
+    ),
+    sized AS (
+      SELECT *, CAST(SUM(cnt) OVER (
+               PARTITION BY c_nationkey, c_mktsegment, bal_band
+             ) AS BIGINT) AS sz
+      FROM cells
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(sz) AS BIGINT) AS sz,
+             CAST(SUM(CAST(floor(
+               (CAST(cnt AS DOUBLE) / sz)
+               * ln(CAST(sz AS DOUBLE) / cnt) * 1000000
+             ) AS BIGINT)) AS BIGINT) AS h_q
+      FROM sized GROUP BY 1, 2, 3
+    )
+    SELECT CAST({L_DIV} AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n_distinct < {L_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_distinct,
+           CAST(SUM(CASE WHEN n_distinct < {L_DIV} THEN sz ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(n_distinct) AS BIGINT) AS min_distinct,
+           CAST(SUM(CASE WHEN h_q < {LN_L_Q} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy,
+           CAST(MIN(h_q) AS BIGINT) AS min_entropy_q,
+           CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM classes
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the release gate that pairs with
+    k_anonymity_audit (same quasi-identifier machinery: nation, market
+    segment, {K_ANON_BAL_BAND}-wide balance band): a class can satisfy
+    k-anonymity yet still leak if every member shares one sensitive
+    value, so per equivalence class of the published customer-order
+    extract this measures (a) the count of DISTINCT sensitive values
+    (o_orderpriority) — distinct l-diversity — and (b) the class's
+    sensitive-value entropy in quantized micro-nats — entropy
+    l-diversity, H(class) >= ln(l) (Machanavajjhala et al.), with
+    ln(l) inlined as the Python-computed literal {LN_L_Q} so both
+    engines compare against the identical integer.
+
+    Scale: one shuffle to (QI, sensitive) grain (map-side combined),
+    one class-grain window over the already-collapsed cells frame, one
+    audit row out — no fact-side windows, no joins after the first.
+    Entropy terms quantize per-cell BEFORE the sum (floor(x*1e6)
+    BIGINT, the established log-statistic parity pattern), so the only
+    non-correctly-rounded op (ln) never feeds cross-engine arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rel = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / K_ANON_BAL_BAND).cast("bigint").alias("bal_band"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    cells = rel.groupBy("c_nationkey", "c_mktsegment", "bal_band", "sens").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wq = W.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+    sized = cells.withColumn("sz", F.sum("cnt").over(wq).cast("bigint"))
+    term_q = F.floor(
+        (F.col("cnt").cast("double") / F.col("sz"))
+        * F.log(F.col("sz").cast("double") / F.col("cnt"))
+        * 1000000
+    ).cast("bigint")
+    classes = sized.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("sz").cast("bigint").alias("sz"),
+        F.sum(term_q).cast("bigint").alias("h_q"),
+    )
+    return classes.agg(
+        F.lit(L_DIV).cast("bigint").alias("l"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("n_distinct") < L_DIV, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_distinct"),
+        F.sum(F.when(F.col("n_distinct") < L_DIV, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("n_distinct").cast("bigint").alias("min_distinct"),
+        F.sum(F.when(F.col("h_q") < LN_L_Q, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+        F.min("h_q").cast("bigint").alias("min_entropy_q"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )
