@@ -909,6 +909,91 @@ def _ivf_oracle() -> str:
     """
 
 
+def _ivf_refresh_oracle(refresh_at: int, epochs: int) -> str:
+    """Oracle for the centroid-REFRESHED IVF index (the streaming
+    maintenance query stream_incremental_ivf_refresh): the quantizer is
+    retrained mid-stream on the deterministic first refresh_at/epochs
+    id range (seed = first {IVF_CELLS} vectors + {IVF_TRAIN_ITERS}
+    Lloyd round over that prefix), then the WHOLE corpus is assigned
+    against the refreshed centroids — which is exactly the final state
+    of the re-bucketed postings store. Same probe/rescore epilogue as
+    _ivf_oracle."""
+    u = IVF_TRAIN_ITERS
+    return f"""
+    WITH {_QUANT_CTE},
+    bnd AS (
+      SELECT CAST({refresh_at} * ceil(COUNT(*) / {epochs}.0) AS BIGINT) AS b
+      FROM q
+    ),
+    qp AS (SELECT q.* FROM q, bnd WHERE q.vec_id < bnd.b),
+    cent0 AS (SELECT CAST(vec_id AS INT) AS cell, e AS s
+              FROM qp WHERE vec_id < {IVF_CELLS}),
+    score0 AS (
+      SELECT qp.vec_id, qp.e, c.cell,
+             list_dot_product(CAST(qp.e AS DOUBLE[]), CAST(c.s AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(qp.e AS DOUBLE[]), CAST(qp.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.s AS DOUBLE[]), CAST(c.s AS DOUBLE[])))) AS cos
+      FROM qp, cent0 c
+    ),
+    assign0 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell ASC) AS rk
+        FROM score0
+      ) WHERE rk = 1
+    ),
+    cent{u} AS (
+      SELECT cell, list(m ORDER BY dim) AS s FROM (
+        SELECT cell, u.i AS dim,
+               CAST(floor(CAST(SUM(e[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM assign0, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u
+        GROUP BY cell, u.i
+      ) GROUP BY cell
+    ),
+    scoref AS (
+      SELECT q.vec_id, q.e, c.cell,
+             list_dot_product(CAST(q.e AS DOUBLE[]), CAST(c.s AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.e AS DOUBLE[]), CAST(q.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.s AS DOUBLE[]), CAST(c.s AS DOUBLE[])))) AS cos
+      FROM q, cent{u} c
+    ),
+    assignf AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell ASC) AS rk
+        FROM scoref
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rk
+        FROM scoref WHERE vec_id < {N_QUERIES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assignf a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    rescored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM cands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
 @register("embedding_ivf_topk", _ivf_oracle())
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via an IVF (inverted-file) index: a coarse quantizer of

@@ -1602,6 +1602,175 @@ def _register_incremental_ivf() -> None:
 _register_incremental_ivf()
 
 
+# ---- IVF centroid refresh (mid-stream re-training + re-bucketing) -------
+# Round-12: every signature store compacts mid-stream, but the IVF
+# store's geometry was frozen at build. This query exercises the missing
+# maintenance operation: the quantizer deployed at stream start is
+# deliberately STALE (trained on the first 1/INC_IVF_EPOCHS id range —
+# all that exists at deploy time); at epoch INC_IVF_REFRESH_AT the
+# centroids are retrained on the deterministic ingested-so-far id range
+# and the accumulated postings are re-bucketed into a second store (the
+# simhash_epoch_with_compaction routing), which later epochs ingest
+# into. Final state == the whole corpus assigned against the refreshed
+# centroids — the batch recompute, which is the oracle.
+INC_IVF_REFRESH_AT = 2
+
+
+def _ivf_geometry(spark: SparkSession, sf_dir: str, upto_epochs: int):
+    """Quantizer trained on the deterministic first upto_epochs /
+    INC_IVF_EPOCHS vec_id range: seed = first IVF_CELLS vectors, the
+    standard Lloyd round(s) over that prefix. A pure function of
+    (sf_dir, upto_epochs) — re-derivable after any driver restart, so
+    replays need no stashed state; the SQL oracle reproduces it with
+    the same prefix restriction."""
+    import math
+
+    from ..operators.similarity import IVF_TRAIN_ITERS, _kmeans_centroids, _quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    b = upto_epochs * math.ceil(emb.count() / INC_IVF_EPOCHS)
+    return _kmeans_centroids(
+        spark, emb.filter(F.col("vec_id") < b), IVF_TRAIN_ITERS
+    )
+
+
+def ivf_epoch_with_refresh(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    store: str,
+    store2: str,
+    sf_dir: str,
+    geom: dict,
+) -> None:
+    """Epoch router for IVF maintenance WITH a mid-stream centroid
+    refresh (module-level so replay idempotence is directly testable —
+    the simhash_epoch_with_compaction pattern): epochs before
+    INC_IVF_REFRESH_AT assign with the stale deploy-time quantizer
+    into ``store``; when epoch INC_IVF_REFRESH_AT arrives, centroids
+    retrain on the ingested-so-far id prefix, the accumulated postings
+    re-bucket into ``store2`` (one O(prefix) map-only GEMM pass —
+    above the checkpoint's committed offset, so pre-refresh epochs
+    never replay into it), and that epoch plus every later one assigns
+    with the refreshed centroids into ``store2``.
+
+    Replay: routing is a pure function of epoch_id; both geometries are
+    pure functions of (sf_dir, epoch range) so a restarted driver
+    re-derives them; the re-bucket input (epochs < INC_IVF_REFRESH_AT
+    of ``store``) is frozen once those epochs commit, so re-running the
+    refresh rewrites identical content — idempotent under any replay
+    order (test-locked). ``geom`` is a driver-side memo only."""
+    from ..operators.similarity import _assign_cells
+
+    if epoch_id < INC_IVF_REFRESH_AT:
+        if "v1" not in geom:
+            geom["v1"] = _ivf_geometry(spark, sf_dir, 1)
+        ids, cent = geom["v1"]
+        _assign_cells(batch_df, ids, cent).write.mode("overwrite").parquet(
+            f"{store}/epoch={epoch_id}"
+        )
+        return
+    if "v2" not in geom:
+        geom["v2"] = _ivf_geometry(spark, sf_dir, INC_IVF_REFRESH_AT)
+    ids2, cent2 = geom["v2"]
+    if epoch_id == INC_IVF_REFRESH_AT or not _os_cc.path.isdir(f"{store2}/epoch=0"):
+        old = spark.read.parquet(store).select("vec_id", "e")
+        _assign_cells(old, ids2, cent2).write.mode("overwrite").parquet(
+            f"{store2}/epoch=0"
+        )
+    _assign_cells(batch_df, ids2, cent2).write.mode("overwrite").parquet(
+        f"{store2}/epoch={epoch_id}"
+    )
+
+
+def _register_incremental_ivf_refresh() -> None:
+    from ..operators.similarity import _ivf_refresh_oracle
+
+    @register(
+        "stream_incremental_ivf_refresh",
+        _ivf_refresh_oracle(INC_IVF_REFRESH_AT, INC_IVF_EPOCHS),
+    )
+    def stream_incremental_ivf_refresh(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming IVF maintenance with a mid-stream centroid refresh
+        (see block comment): stale deploy-time quantizer for the
+        pre-refresh epochs, retrain + re-bucket at epoch
+        INC_IVF_REFRESH_AT, refreshed quantizer afterwards; the final
+        probe runs against the refreshed store only. Hash-gated equal
+        to the batch recompute with the refreshed centroids
+        (_ivf_refresh_oracle) — completing maintenance coverage across
+        every incremental store kind (round-11 verdict item 4).
+
+        Scale: per epoch O(batch) assignment; the one-off re-bucket is
+        an O(ingested-prefix) map-only GEMM (the same bill the simhash
+        compaction pays); the store is never rescanned during ingest."""
+        from pyspark.sql.window import Window as W
+
+        from ..operators.similarity import (
+            N_QUERIES,
+            TOP_K,
+            _probe_postings,
+            _quantize,
+        )
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_ivfr_src_")
+        store = _e2e_tmpdir("alrs_ivfr_store_")
+        store2 = _e2e_tmpdir("alrs_ivfr_store2_")
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", _quantize("embedding").alias("e")
+        )
+        emb.repartitionByRange(INC_IVF_EPOCHS, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        geom: dict = {}
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ivf_epoch_with_refresh(
+                spark, batch_df, epoch_id, store, store2, sf_dir, geom
+            )
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_ivfr_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        ids2, cent2 = geom.get("v2") or _ivf_geometry(
+            spark, sf_dir, INC_IVF_REFRESH_AT
+        )
+        postings = spark.read.parquet(store2).select("vec_id", "e", "cell")
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        scored = _probe_postings(spark, postings, queries, ids2, cent2).drop("e")
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
+_register_incremental_ivf_refresh()
+
+
+
 # ---- Incremental lexical (BM25) index maintenance -----------------------
 # Third member of the incremental-index family (near-dup pair graph,
 # IVF postings, now the lexical inverted file): per micro-batch the

@@ -143,6 +143,7 @@ QUERIES = [
     "max_drawdown_by_user",  # cumulative-max window + same-key aggregate
     # round-12 additions: the scalable rewrites earn their own points
     "waiting_supplier_ranking_windowed",  # one-window Q21 (vs 3 self-joins)
+    "stream_incremental_ivf_refresh",  # mid-stream retrain + re-bucket
     "mad_outliers_scalable",  # banded per-group medians (one band ranked)
     "seasonal_outliers_scalable",  # banded (type,hour) + type medians
 ]
