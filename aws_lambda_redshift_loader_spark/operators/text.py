@@ -3515,6 +3515,29 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the expanded (still tiny) vocabulary. Two scans of the corpus
     token stream total — at 100 TB both passes prune to query-touched
     postings, which is the definition of an inverted-index workload."""
+    corpus, doclen, stats, qterms, expansion = _prf_frames(spark, sf_dir)
+    qterms2 = qterms.unionByName(expansion).distinct()
+    tf2 = _prf_tf(corpus, qterms2.select("token").distinct())
+    return _bm25_rank(tf2, qterms2, doclen, stats)
+
+
+def _prf_tf(corpus: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Postings-restricted term frequencies: the inverted-index prune —
+    only corpus token rows whose token is in the (tiny, broadcast)
+    vocabulary survive to the tf aggregate."""
+    return (
+        corpus.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def _prf_frames(spark: SparkSession, sf_dir: str):
+    """The PRF pipeline up through the expansion pick: returns (corpus
+    postings, doclen, stats, qterms, expansion). Factored out of
+    bm25_prf_topk so the scale_bench @probe instrument can count the
+    postings each pass's vocabulary prune actually touches with the
+    exact production frames."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
     corpus = toks.filter(F.col("doc_id") >= BM25_QUERY_MAX)
@@ -3529,14 +3552,7 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_toks"),
     )
 
-    def tf_of(vocab: DataFrame) -> DataFrame:
-        return (
-            corpus.join(F.broadcast(vocab), "token", "left_semi")
-            .groupBy("doc_id", "token")
-            .agg(F.count("*").cast("bigint").alias("tf"))
-        )
-
-    tf1 = tf_of(qterms.select("token").distinct())
+    tf1 = _prf_tf(corpus, qterms.select("token").distinct())
     pass1 = _bm25_rank(tf1, qterms, doclen, stats)
     # Feedback docs and expansion terms are tiny by construction
     # (queries x {PRF_FB_DOCS} / x {PRF_EXP_TERMS} rows) but sit at the
@@ -3581,6 +3597,4 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "token")
         .localCheckpoint(eager=True)
     )
-    qterms2 = qterms.unionByName(expansion).distinct()
-    tf2 = tf_of(qterms2.select("token").distinct())
-    return _bm25_rank(tf2, qterms2, doclen, stats)
+    return corpus, doclen, stats, qterms, expansion
