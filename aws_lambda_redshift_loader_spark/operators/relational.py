@@ -3395,3 +3395,445 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h_q").cast("bigint").alias("min_entropy_q"),
         F.sum("sz").cast("bigint").alias("n_rows"),
     )
+
+
+# ---- Round-12 TPC-H shapes (Q4 / Q2 / Q9 / Q16 / Q20 adapted) -----------
+LO_START, LO_END = "1995-01-01", "1995-07-01"  # Q4-adapted order window
+LO_LATE_DAYS = 75  # "late" = shipped more than this after the order date
+
+
+@register(
+    "late_order_priority_counts",
+    f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '{LO_START}'
+      AND o_orderdate < TIMESTAMP '{LO_END}'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL {LO_LATE_DAYS} DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted — no l_commitdate/l_receiptdate, so
+    "late" becomes shipped more than {LO_LATE_DAYS} days after the
+    order date): order count per priority among orders in a half-year
+    window having at least one late lineitem. The shape's point: a
+    correlated EXISTS whose predicate references BOTH sides — the semi
+    join carries a cross-table comparison, not just the key equality.
+
+    Scale: the date window prunes the orders scan (pushed filter); the
+    semi join shuffles on l_orderkey and never multiplies rows; the
+    final aggregate is a handful of priority groups (map-side
+    combined)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(LO_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(LO_END).cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LO_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+Q2_SIZE = 25  # Q2-adapted part-size filter
+Q2_REGION = "EUROPE"
+Q2_TOP = 20
+
+
+@register(
+    "min_cost_supplier",
+    f"""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey AND r_name = '{Q2_REGION}'
+    ),
+    sup AS (
+      SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+      FROM lineitem JOIN eu ON s_suppkey = l_suppkey
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    best AS (
+      SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS mincost FROM sup
+    )
+    SELECT s_acctbal, s_name, n_name,
+           CAST(p_partkey AS BIGINT) AS p_partkey, p_type,
+           CAST(cost AS DOUBLE) AS cost
+    FROM best JOIN part ON p_partkey = l_partkey AND p_size = {Q2_SIZE}
+    WHERE cost = mincost
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT {Q2_TOP}
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp, so "supply cost" becomes
+    the minimum observed lineitem price): for every size-{Q2_SIZE} part,
+    the {Q2_REGION} supplier(s) whose best price equals the part's
+    regional minimum, ranked by supplier balance. The shape's point:
+    the correlated MIN subquery shares the outer query's whole join
+    graph — decorrelated here as one window over the already-joined
+    aggregate, not a second scan of the join.
+
+    Scale: supplier⋈nation⋈region is dimension-sized and broadcasts
+    into the one lineitem pass; the (part, supplier) aggregate and the
+    per-part window share the l_partkey exchange; the part dim
+    broadcasts; the global top-{Q2_TOP} is a TakeOrdered, no global
+    sort."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    eu = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    sup = (
+        li.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(dec("l_extendedprice")).alias("cost"))
+    )
+    best = sup.withColumn(
+        "mincost", F.min("cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("mincost"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == Q2_SIZE)
+    return (
+        best.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_type",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(Q2_TOP)
+    )
+
+
+Q9_PART_SUBSTR = "widget"  # Q9-adapted part-name filter
+Q9_COST_FACTOR = 0.5  # stand-in supply cost: this fraction of retail price
+
+
+@register(
+    "product_profit_by_nation",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    - CAST(({Q9_COST_FACTOR} * p_retailprice) * l_quantity
+                           AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%{Q9_PART_SUBSTR}%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp, so supply cost is a fixed
+    {Q9_COST_FACTOR} fraction of the part's retail price): profit
+    (revenue minus cost) on '%{Q9_PART_SUBSTR}%' parts, grouped by the
+    supplier's nation and order year. The shape's point: a LIKE-filtered
+    part dimension gating a 5-table star whose aggregate subtracts two
+    measure expressions from DIFFERENT tables of the star.
+
+    Scale: part (LIKE-pruned), supplier, nation broadcast; the one
+    shuffle is orders⋈lineitem on orderkey; both profit terms quantize
+    to DECIMAL per row before the sum (order-independent), with the
+    double multiplies in a fixed, parenthesized order so both engines
+    round identically."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{Q9_PART_SUBSTR}%")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    amount = dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - dec(
+        (F.lit(Q9_COST_FACTOR) * F.col("p_retailprice")) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q16_EXCLUDED_BRAND = "Brand#45"
+Q16_EXCLUDED_TYPE_PREFIX = "MEDIUM"
+Q16_SIZES = [1, 4, 9, 14, 19, 24, 29, 34, 39]
+Q16_COMPLAINT_SUFFIX = "7"  # excluded-supplier name pattern
+
+
+@register(
+    "supplier_count_by_part",
+    f"""
+    SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+      AND p_type NOT LIKE '{Q16_EXCLUDED_TYPE_PREFIX}%'
+      AND p_size IN ({", ".join(str(z) for z in Q16_SIZES)})
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%{Q16_COMPLAINT_SUFFIX}')
+    GROUP BY 1, 2, 3
+    """,
+)
+def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted — no partsupp, so supplier-part
+    relationships come from lineitem; "complaint" suppliers are the
+    name-suffix pattern): distinct supplier count per (brand, type,
+    size) over a negated-predicate part filter, excluding a
+    subquery-defined supplier set. The shape's point: NOT-IN
+    decorrelated to an anti join UNDER a COUNT(DISTINCT) aggregate.
+
+    Scale: part (pruned by the negated predicates + IN list) and the
+    excluded-supplier frame broadcast; COUNT(DISTINCT) runs alone in
+    its aggregate (never mixed with an approx aggregate — the Expand
+    trap), two-phase on the (group, suppkey) grain."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+        & (~F.col("p_type").like(f"{Q16_EXCLUDED_TYPE_PREFIX}%"))
+        & (F.col("p_size").isin(Q16_SIZES))
+    )
+    excl = table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like(f"%{Q16_COMPLAINT_SUFFIX}")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excl),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+Q20_PREFIX = "red"  # Q20-adapted part-name prefix
+Q20_YEAR_START, Q20_YEAR_END = "1996-01-01", "1997-01-01"
+Q20_SHARE_NUM, Q20_SHARE_DEN = 3, 10  # dominance threshold: > 30% of the part
+
+
+@register(
+    "excess_shipping_suppliers",
+    f"""
+    WITH lp AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                                 AND p_name LIKE '{Q20_PREFIX}%'
+      WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
+        AND l_shipdate < TIMESTAMP '{Q20_YEAR_END}'
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty FROM lp
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey FROM w
+      WHERE qty * {Q20_SHARE_DEN} > part_qty * {Q20_SHARE_NUM}
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN dominant ON l_suppkey = s_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY s_name ASC
+    """,
+)
+def excess_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted — no partsupp availability, so "excess"
+    becomes supply dominance): suppliers who shipped more than
+    {Q20_SHARE_NUM}/{Q20_SHARE_DEN} of some '{Q20_PREFIX}%' part's total
+    {Q20_YEAR_START[:4]} volume. The shape's point: the semi-join chain
+    is driven by an AGGREGATE-derived threshold — a per-part total
+    computed from the same rows the candidate aggregate uses.
+
+    Scale: the part prefix + ship-year filters prune the fact scan; the
+    (part, supplier) aggregate and the per-part window share the
+    l_partkey exchange; the dominance test multiplies exact DECIMAL
+    sums by integer literals (no division, no doubles); the surviving
+    supplier set is dimension-sized and joins broadcast."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like(f"{Q20_PREFIX}%"))
+    lp = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+    )
+    w = lp.withColumn("part_qty", F.sum("qty").over(W.partitionBy("l_partkey")))
+    dominant = (
+        w.filter(F.col("qty") * Q20_SHARE_DEN > F.col("part_qty") * Q20_SHARE_NUM)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(dominant), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy(F.col("s_name").asc())
+    )
+
+
+T_CLOSE_2Q = 600000  # 2*TVD threshold in quantized micro units (t = 0.3)
+
+
+@register(
+    "t_closeness_audit",
+    f"""
+    WITH rel AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / {K_ANON_BAL_BAND}) AS BIGINT) AS bal_band,
+             o.o_orderpriority AS sens
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    gl AS (SELECT sens, CAST(COUNT(*) AS BIGINT) AS g FROM rel GROUP BY 1),
+    gt AS (SELECT CAST(SUM(g) AS BIGINT) AS gtot FROM gl),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, sens,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rel GROUP BY 1, 2, 3, 4
+    ),
+    sized AS (
+      SELECT *, CAST(SUM(cnt) OVER (
+               PARTITION BY c_nationkey, c_mktsegment, bal_band
+             ) AS BIGINT) AS sz
+      FROM cells
+    ),
+    terms AS (
+      SELECT s.c_nationkey, s.c_mktsegment, s.bal_band, s.sz, g.g, t.gtot,
+             CAST(floor(abs(CAST(s.cnt AS DOUBLE) / s.sz
+                            - CAST(g.g AS DOUBLE) / t.gtot) * 1000000)
+                  AS BIGINT) AS term_q
+      FROM sized s JOIN gl g USING (sens) CROSS JOIN gt t
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(SUM(term_q) AS BIGINT)
+               + CAST(floor(CAST(MAX(gtot) - SUM(g) AS DOUBLE)
+                            / MAX(gtot) * 1000000) AS BIGINT) AS tvd2_q,
+             CAST(MAX(sz) AS BIGINT) AS sz
+      FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT CAST({T_CLOSE_2Q} AS BIGINT) AS tvd2_threshold_q,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN tvd2_q > {T_CLOSE_2Q} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_far_classes,
+           CAST(SUM(CASE WHEN tvd2_q > {T_CLOSE_2Q} THEN sz ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MAX(tvd2_q) AS BIGINT) AS max_tvd2_q,
+           CAST(MIN(tvd2_q) AS BIGINT) AS min_tvd2_q,
+           CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM classes
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third member of the privacy-gate trio
+    (k_anonymity_audit, l_diversity_audit; Li et al. 2007): a class can
+    be k-anonymous AND l-diverse yet still leak when its sensitive
+    distribution diverges from the corpus-wide one, so per equivalence
+    class this measures the total-variation distance between the
+    class's o_orderpriority distribution and the global distribution.
+    Categorical TVD = 0.5·(Σ_present |p_s − q_s| + missing global
+    mass); emitted doubled and quantized (tvd2_q micro units) so the
+    whole statistic is integer arithmetic after one correctly-rounded
+    divide per term — no float sums cross engines.
+
+    Scale: one shuffle to (QI, sensitive) grain, a class-grain window
+    over the collapsed cells, a broadcast join to the |sensitive|-row
+    global frame, one audit row out."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rel = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / K_ANON_BAL_BAND).cast("bigint").alias("bal_band"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    gl = rel.groupBy("sens").agg(F.count("*").cast("bigint").alias("g"))
+    gt = gl.agg(F.sum("g").cast("bigint").alias("gtot"))
+    cells = rel.groupBy("c_nationkey", "c_mktsegment", "bal_band", "sens").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wq = W.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+    sized = cells.withColumn("sz", F.sum("cnt").over(wq).cast("bigint"))
+    terms = (
+        sized.join(F.broadcast(gl), "sens")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "sz",
+            "g",
+            "gtot",
+            F.floor(
+                F.abs(
+                    F.col("cnt").cast("double") / F.col("sz")
+                    - F.col("g").cast("double") / F.col("gtot")
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("term_q"),
+        )
+    )
+    classes = terms.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        (
+            F.sum("term_q").cast("bigint")
+            + F.floor(
+                (F.max("gtot") - F.sum("g")).cast("double")
+                / F.max("gtot")
+                * 1000000
+            ).cast("bigint")
+        ).alias("tvd2_q"),
+        F.max("sz").cast("bigint").alias("sz"),
+    )
+    return classes.agg(
+        F.lit(T_CLOSE_2Q).cast("bigint").alias("tvd2_threshold_q"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("tvd2_q") > T_CLOSE_2Q, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_far_classes"),
+        F.sum(F.when(F.col("tvd2_q") > T_CLOSE_2Q, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.max("tvd2_q").cast("bigint").alias("max_tvd2_q"),
+        F.min("tvd2_q").cast("bigint").alias("min_tvd2_q"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )

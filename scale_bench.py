@@ -146,6 +146,13 @@ QUERIES = [
     "stream_incremental_ivf_refresh",  # mid-stream retrain + re-bucket
     "mad_outliers_scalable",  # banded per-group medians (one band ranked)
     "seasonal_outliers_scalable",  # banded (type,hour) + type medians
+    "late_order_priority_counts",  # semi join w/ cross-table predicate
+    "min_cost_supplier",  # per-part min window sharing the agg exchange
+    "product_profit_by_nation",  # LIKE-gated 5-table star, 2-term measure
+    "supplier_count_by_part",  # anti join under COUNT(DISTINCT)
+    "excess_shipping_suppliers",  # agg-derived-threshold semi chain
+    "t_closeness_audit",  # QI-grain TVD vs broadcast global distribution
+    "l_diversity_audit",  # QI-grain distinct+entropy release gate
 ]
 
 

@@ -550,3 +550,26 @@ def test_waiting_supplier_windowed_single_fact_pass(spark):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" not in plan, "rewrite regressed to the anti-join form"
     assert "BroadcastHashJoin" in plan
+
+
+def test_late_order_semi_join_not_cartesian(spark):
+    # Q4 shape: the EXISTS carries a cross-table date comparison — the
+    # planner must keep the key equality as the join condition (hash
+    # semi join) with the date predicate as a residual, never degrade
+    # to a nested-loop over the fact table.
+    plan = _formatted(spark, "late_order_priority_counts")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["min_cost_supplier", "product_profit_by_nation", "supplier_count_by_part"],
+)
+def test_round12_stars_broadcast_dimensions(spark, name):
+    # The round-12 TPC-H shapes keep every dimension on the broadcast
+    # side; a cartesian or a shuffled dim join means a join condition
+    # (or a hint) got lost.
+    plan = _formatted(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
