@@ -2870,3 +2870,117 @@ def embedding_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+PI_ROUNDS = 2  # fixed power-iteration rounds (deterministic; unrolled oracle)
+PI_Y_SHIFT = 1024.0  # post-matvec rescale keeping A^T(Av) inside 2^53
+PI_V_SCALE = 1000  # per-round direction renormalization (max-abs -> 1000)
+
+
+def _pi_oracle() -> str:
+    """Unrolled {PI_ROUNDS}-round power-iteration CTE chain (the kmeans
+    pattern applied to the spectral family): v0 = all-{PI_V_SCALE}s,
+    each round computes y = A·v (per-vector dot), rescales by
+    {PI_Y_SHIFT}, z = Aᵀ·y (per-dimension sums), and renormalizes z to
+    max-abs {PI_V_SCALE} — every intermediate an exact BIGINT except
+    the two correctly-rounded double steps (the /1024 rescale and the
+    /max renormalization), which floor identically in both engines."""
+    u_lat = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u"
+    parts = [
+        f"""y1 AS (
+      SELECT vec_id,
+             CAST(floor(CAST(SUM(e[u.i]) * {PI_V_SCALE} AS DOUBLE)
+                        / {PI_Y_SHIFT}) AS BIGINT) AS yp
+      FROM q, {u_lat} GROUP BY vec_id
+    ),
+    z1 AS (
+      SELECT u.i AS dim, CAST(SUM(q.e[u.i] * y1.yp) AS BIGINT) AS z
+      FROM q JOIN y1 USING (vec_id), {u_lat} GROUP BY u.i
+    ),
+    v1 AS (
+      SELECT dim, CAST(floor(CAST(z AS DOUBLE)
+                             / GREATEST((SELECT MAX(ABS(z)) FROM z1), 1)
+                             * {PI_V_SCALE}) AS BIGINT) AS v
+      FROM z1
+    )"""
+    ]
+    for t in range(2, PI_ROUNDS + 1):
+        parts.append(
+            f"""y{t} AS (
+      SELECT q.vec_id,
+             CAST(floor(CAST(SUM(q.e[v{t - 1}.dim] * v{t - 1}.v) AS DOUBLE)
+                        / {PI_Y_SHIFT}) AS BIGINT) AS yp
+      FROM q, v{t - 1} GROUP BY q.vec_id
+    ),
+    z{t} AS (
+      SELECT u.i AS dim, CAST(SUM(q.e[u.i] * y{t}.yp) AS BIGINT) AS z
+      FROM q JOIN y{t} USING (vec_id), {u_lat} GROUP BY u.i
+    ),
+    v{t} AS (
+      SELECT dim, CAST(floor(CAST(z AS DOUBLE)
+                             / GREATEST((SELECT MAX(ABS(z)) FROM z{t}), 1)
+                             * {PI_V_SCALE}) AS BIGINT) AS v
+      FROM z{t}
+    )"""
+        )
+    chained = ",\n    ".join(parts)
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained}
+    SELECT CAST(dim AS INT) AS dim, v AS pc FROM v{PI_ROUNDS}
+    """
+
+
+@register("embedding_power_iteration", _pi_oracle())
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by {PI_ROUNDS}
+    fixed power-iteration rounds on the (uncentered) Gram matrix — the
+    spectral member of the iterative-algorithm family (PageRank = power
+    iteration on the transition matrix; k-means = alternating
+    assignment): v ← renormalize(Aᵀ(A·v)) from a deterministic all-ones
+    start. The leading direction is the whitening/PCA primitive an
+    embedding pipeline runs before quantization (OPQ's rotation,
+    ABTT's "all-but-the-top" debiasing).
+
+    Distributed shape: A·v is a map-only per-vector fold against the
+    broadcast 64-literal direction (no shuffle); Aᵀ·y is one
+    posexplode + map-side-combined groupBy to {DIM} rows; only the
+    {DIM}-row spectrum reaches the driver per round (the kmeans
+    pattern). Exactness: products stay integers — |y'| ≤ 2^20-ish after
+    the {PI_Y_SHIFT} rescale keeps Σ e·y' inside 2^53 up to ~10⁶
+    vectors per exact-arithmetic guarantee (a 100 TB run re-shards the
+    rescale, same as the kmeans floor-mean re-quantization); the two
+    double steps are single correctly-rounded ops floored on both
+    engines."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    v = [PI_V_SCALE] * DIM
+    for _ in range(PI_ROUNDS):
+        vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        y = F.aggregate(
+            F.zip_with(F.col("e"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        yp = F.floor(y.cast("double") / F.lit(PI_Y_SHIFT)).cast("long")
+        z_rows = (
+            emb.select(yp.alias("yp"), F.posexplode("e").alias("pos", "ev"))
+            .select((F.col("pos") + 1).alias("dim"), (F.col("ev") * F.col("yp")).alias("t"))
+            .groupBy("dim")
+            .agg(F.sum("t").cast("bigint").alias("z"))
+            .collect()
+        )
+        z = {r["dim"]: r["z"] for r in z_rows}
+        m = max(max(abs(x) for x in z.values()), 1)
+        v = [math.floor(z[d] / m * PI_V_SCALE) for d in range(1, DIM + 1)]
+    out = pd.DataFrame({"dim": list(range(1, DIM + 1)), "pc": v})
+    schema = T.StructType(
+        [T.StructField("dim", T.IntegerType()), T.StructField("pc", T.LongType())]
+    )
+    return spark.createDataFrame(out, schema=schema)

@@ -1107,6 +1107,60 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_graph_triangles(spark: SparkSession, sf_dir: str):
+    """(degree frame, per-node triangle counts) over the undirected
+    token co-occurrence graph — the degree-ordered enumeration shared
+    by triangle_count_token_graph (top-K report) and
+    clustering_coefficient_nodes (per-node ratio)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.split(norm_text("text"), " ").alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                "i -> struct(ws[i - 1] AS src, ws[i] AS dst))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    und = (
+        bigrams.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    with_deg = und.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(e3, (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")))
+        .select(F.col("e1.lo").alias("x"), F.col("e1.hi").alias("y"), F.col("e2.hi").alias("z"))
+    )
+    per_node = (
+        triangles.select(F.col("x").alias("node"))
+        .unionByName(triangles.select(F.col("y").alias("node")))
+        .unionByName(triangles.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return deg, per_node
+
+
 TRIANGLE_TOP = 25  # report the 25 most triangle-dense tokens
 
 
@@ -1181,52 +1235,7 @@ def triangle_count_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: degree aggregate, two shuffle joins on edge endpoints, one
     union-groupBy — all map-side combined; no iteration, no driver
     state."""
-    d = table(spark, sf_dir, "documents")
-    words = d.select(F.split(norm_text("text"), " ").alias("ws")).filter(F.size("ws") >= 2)
-    bigrams = words.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(ws) - 1, 1)), "
-                "i -> struct(ws[i - 1] AS src, ws[i] AS dst))"
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
-    und = (
-        bigrams.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("d"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
-    with_deg = und.join(da, "a").join(db, "b")
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = with_deg.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    triangles = (
-        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
-        .join(e3, (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")))
-        .select(F.col("e1.lo").alias("x"), F.col("e1.hi").alias("y"), F.col("e2.hi").alias("z"))
-    )
-    per_node = (
-        triangles.select(F.col("x").alias("node"))
-        .unionByName(triangles.select(F.col("y").alias("node")))
-        .unionByName(triangles.select(F.col("z").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
-    )
+    _deg, per_node = _token_graph_triangles(spark, sf_dir)
     from pyspark.sql.window import Window as W
 
     w = W.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
@@ -3598,3 +3607,81 @@ def _prf_frames(spark: SparkSession, sf_dir: str):
         .localCheckpoint(eager=True)
     )
     return corpus, doclen, stats, qterms, expansion
+
+
+@register(
+    "clustering_coefficient_nodes",
+    f"""
+    WITH {_PR_GRAPH_CTE},
+    undirected AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM undirected UNION ALL SELECT b FROM undirected
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi
+      FROM undirected u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    ),
+    triangles AS (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM oriented e1
+      JOIN oriented e2 ON e2.lo = e1.hi
+      JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (
+        SELECT x AS node FROM triangles
+        UNION ALL SELECT y FROM triangles
+        UNION ALL SELECT z FROM triangles
+      ) GROUP BY node
+    )
+    SELECT deg.node AS token, deg.d AS degree,
+           CAST(COALESCE(per_node.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(floor(CAST(2 * COALESCE(per_node.n_triangles, 0) * 1000000
+                           AS DOUBLE) / (deg.d * (deg.d - 1))) AS BIGINT)
+             AS clustering_q
+    FROM deg LEFT JOIN per_node ON per_node.node = deg.node
+    WHERE deg.d >= 2
+    """,
+)
+def clustering_coefficient_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per token — the per-node ratio form
+    of the triangle count (Watts–Strogatz): cc(v) = 2·tri(v) /
+    (d(v)·(d(v)−1)) for every node of degree ≥ 2, quantized to micro
+    units (the numerator and denominator are exact BIGINTs; one
+    correctly-rounded divide then floor — the established parity
+    pattern). Function-word hubs sit in dense neighborhoods (cc → 1);
+    bridge tokens connect otherwise-separate contexts (cc → 0) — the
+    standard graph feature for stopword/topic-boundary detection.
+
+    Scale: shares _token_graph_triangles with the top-K report — degree
+    aggregate + the degree-ordered two-join enumeration (per-node wedge
+    work O(out-degree²), out-degree bounded under the orientation), one
+    broadcast-sized left join at token-vocabulary grain."""
+    deg, per_node = _token_graph_triangles(spark, sf_dir)
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, deg["node"] == per_node["node"], "left")
+        .select(
+            deg["node"].alias("token"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.floor(
+                (2 * F.coalesce(F.col("n_triangles"), F.lit(0)) * 1000000)
+                .cast("double")
+                / (F.col("d") * (F.col("d") - 1))
+            )
+            .cast("bigint")
+            .alias("clustering_q"),
+        )
+    )

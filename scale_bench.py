@@ -153,6 +153,8 @@ QUERIES = [
     "excess_shipping_suppliers",  # agg-derived-threshold semi chain
     "t_closeness_audit",  # QI-grain TVD vs broadcast global distribution
     "l_diversity_audit",  # QI-grain distinct+entropy release gate
+    "clustering_coefficient_nodes",  # degree-ordered triangles, per-node ratio
+    "embedding_power_iteration",  # 2 matvec rounds, 64-row driver spectrum
 ]
 
 
