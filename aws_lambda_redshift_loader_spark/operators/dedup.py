@@ -2370,3 +2370,89 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(s.n_tokens * 1000000) div t0").alias("tokens_ppm_of_raw"),
         )
     )
+
+
+def _dedup_registry():
+    from ..plans.registry import QUERIES
+
+    return QUERIES
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    lambda: _dedup_registry()["ngram_jaccard_pairs"].oracle,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-filtering form of ngram_jaccard_pairs (same oracle —
+    the hash gate proves the two algorithms find the identical pair
+    set): AllPairs/PPJoin candidate generation (Bayardo et al. 2007,
+    Xiao et al. 2008) instead of the full inverted-index self-join.
+    Order every document's capped shingles by global rarity (df ASC,
+    shingle ASC — a total order), keep only the first
+    n − ceil(τ·n) + 1 of them (the PREFIX): any pair with Jaccard ≥ τ
+    must collide inside both prefixes under a shared global order, so
+    indexing prefixes alone is lossless while shrinking the self-join's
+    input by ~τ/(1+τ) and, crucially, concentrating it on RARE tokens —
+    frequent shingles (the quadratic buckets) land at the END of the
+    order and drop out of the index first.
+
+    Scale: one extra per-doc rank window (partitioned by doc_id — doc
+    grain, never global) on top of the base plan; the self-join runs on
+    the prefix subset; candidates verify by re-joining the full capped
+    sets restricted to candidate pairs (O(candidates × set size), the
+    same bill the LSH verify pays). Exact same hot-shingle cap as the
+    base form, so Jaccard is computed over identical sets."""
+    from pyspark.sql.window import Window as W
+
+    sh = _hashed_shingles(spark, sf_dir)
+    dfreq = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
+    )
+    capped = sh.join(dfreq, "shingle")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    wp = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        capped.withColumn("r", F.row_number().over(wp))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("r")
+            <= F.col("n_shingles")
+            - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_shingles"))
+            + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ca = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    cb = capped.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(ca, "doc_a")
+        .join(
+            cb,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

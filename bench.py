@@ -202,11 +202,30 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Uniform-inflation check (round-11 verdict item 7): per-query
+    # flagging catches SPIKES, but a multi-minute host-load wave
+    # inflates every query ~uniformly without tripping any flag. Compare
+    # the common-query-set total against the committed prior artifact so
+    # the operator sees the run-level premium before committing.
+    common = [n for n, t in timings.items() if t > 0 and prev.get(n, -1.0) > 0]
+    common_ratio = (
+        round(sum(timings[n] for n in common) / sum(prev[n] for n in common), 3)
+        if common
+        else None
+    )
+    if common_ratio is not None:
+        lvl = "UNIFORM-INFLATION WARNING" if common_ratio > 1.05 else "ok"
+        print(
+            f"# bench common-{len(common)} total vs committed prior: "
+            f"{common_ratio}x ({lvl})",
+            file=sys.stderr,
+        )
     with open(detail_path, "w") as fh:
         json.dump(
             {
                 "sf": sf,
                 "total_sec": total,
+                "common_set_vs_prior": common_ratio,
                 "queries": timings,
                 "flagged_reruns": reruns,
                 # Which queries built vs cache-hit the shared dedup pair

@@ -155,6 +155,7 @@ QUERIES = [
     "l_diversity_audit",  # QI-grain distinct+entropy release gate
     "clustering_coefficient_nodes",  # degree-ordered triangles, per-node ratio
     "embedding_power_iteration",  # 2 matvec rounds, 64-row driver spectrum
+    "prefix_filter_jaccard_pairs",  # PPJoin prefix index vs full index
 ]
 
 
