@@ -2401,7 +2401,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix subset; candidates verify by re-joining the full capped
     sets restricted to candidate pairs (O(candidates × set size), the
     same bill the LSH verify pays). Exact same hot-shingle cap as the
-    base form, so Jaccard is computed over identical sets."""
+    base form, so Jaccard is computed over identical sets.
+
+    Honest measurement (BENCH_SCALE): on THIS fixture the prefix form
+    is 1.4–2.5× slower than the full capped index (9.7→46.8 s vs
+    6.8→18.5 s at the 10× step) — the 31-token synthetic vocabulary
+    means the hot-shingle cap already removes every quadratic bucket,
+    so the prefix index only adds the rank window + verify re-join.
+    The algorithm's win appears on Zipfian corpora where capping is
+    unacceptable (frequent-token pairs must keep exact recall) — this
+    entry hash-proves the losslessness, not a fixture speedup (the
+    bloom_join_prune re-measurement precedent)."""
     from pyspark.sql.window import Window as W
 
     sh = _hashed_shingles(spark, sf_dir)
