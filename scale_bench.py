@@ -156,6 +156,7 @@ QUERIES = [
     "clustering_coefficient_nodes",  # degree-ordered triangles, per-node ratio
     "embedding_power_iteration",  # 2 matvec rounds, 64-row driver spectrum
     "prefix_filter_jaccard_pairs",  # PPJoin prefix index vs full index
+    "pareto_skyline_parts",  # two-phase skyline: local frontier + staircase
 ]
 
 
