@@ -3839,41 +3839,13 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pareto_skyline_parts",
-    """
-    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_name,
-           p.p_retailprice, CAST(p.p_size AS INT) AS p_size
-    FROM part p
-    WHERE NOT EXISTS (
-      SELECT 1 FROM part q
-      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
-        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
-    )
-    """,
-)
-def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline (Pareto-frontier) query — the preference-query operator
-    class (Börzsönyi et al. 2001): parts not dominated on the
-    (cheaper retail price, smaller size) criteria pair; coordinate ties
-    survive (identical points do not dominate each other), matching the
-    NOT-EXISTS definition the oracle states directly.
-
-    Distributed shape (the classic two-phase skyline): phase 1 computes
-    each Arrow batch's EXACT local skyline coordinates vectorized in
-    pandas (sort by price, per-price min size, exclusive running min) —
-    map-only, and every globally-dominated point is dominated by some
-    local skyline point, so the union is a lossless superset; phase 2
-    re-runs the same recurrence on the reduced coordinate set (per-price
-    min + one exclusive running-min window over the already-tiny
-    distinct-price frame — for 2-D criteria the frontier is the
-    monotone staircase, so no quadratic dominance join is ever needed);
-    the final frame is one broadcast coordinate join back to the dim.
-    The only unpartitioned window runs over phase-1 survivors, bounded
-    by the frontier size times the partition count, not the table."""
-    p = table(spark, sf_dir, "part")
-    pts = p.select("p_retailprice", "p_size")
-
+def _skyline_coords(pts: DataFrame) -> DataFrame:
+    """(price, ms) frontier coordinates of a (p_retailprice, p_size)
+    frame — the two-phase 2-D skyline shared by pareto_skyline_parts
+    (batch) and the incremental frontier store: phase 1 = exact local
+    frontier per Arrow batch (map-only, lossless superset), phase 2 =
+    the staircase recurrence over phase-1 survivors (per-price min +
+    one exclusive running-min window on the already-tiny frame)."""
     from pyspark.sql import types as T
 
     sk_schema = T.StructType(
@@ -3907,11 +3879,47 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced = pts.mapInPandas(local_sky, schema=sk_schema)
     g = reduced.groupBy("price").agg(F.min("size").alias("ms"))
     w = W.orderBy(F.col("price").asc()).rowsBetween(W.unboundedPreceding, -1)
-    coords = (
+    return (
         g.withColumn("rm", F.min("ms").over(w))
         .filter(F.col("rm").isNull() | (F.col("ms") < F.col("rm")))
         .select("price", "ms")
     )
+
+
+@register(
+    "pareto_skyline_parts",
+    """
+    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_name,
+           p.p_retailprice, CAST(p.p_size AS INT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query — the preference-query operator
+    class (Börzsönyi et al. 2001): parts not dominated on the
+    (cheaper retail price, smaller size) criteria pair; coordinate ties
+    survive (identical points do not dominate each other), matching the
+    NOT-EXISTS definition the oracle states directly.
+
+    Distributed shape (the classic two-phase skyline): phase 1 computes
+    each Arrow batch's EXACT local skyline coordinates vectorized in
+    pandas (sort by price, per-price min size, exclusive running min) —
+    map-only, and every globally-dominated point is dominated by some
+    local skyline point, so the union is a lossless superset; phase 2
+    re-runs the same recurrence on the reduced coordinate set (per-price
+    min + one exclusive running-min window over the already-tiny
+    distinct-price frame — for 2-D criteria the frontier is the
+    monotone staircase, so no quadratic dominance join is ever needed);
+    the final frame is one broadcast coordinate join back to the dim.
+    The only unpartitioned window runs over phase-1 survivors, bounded
+    by the frontier size times the partition count, not the table."""
+    p = table(spark, sf_dir, "part")
+    coords = _skyline_coords(p.select("p_retailprice", "p_size"))
     return (
         p.join(
             F.broadcast(coords),

@@ -2877,7 +2877,7 @@ PI_Y_SHIFT = 1024.0  # post-matvec rescale keeping A^T(Av) inside 2^53
 PI_V_SCALE = 1000  # per-round direction renormalization (max-abs -> 1000)
 
 
-def _pi_oracle() -> str:
+def _pi_ctes() -> str:
     """Unrolled {PI_ROUNDS}-round power-iteration CTE chain (the kmeans
     pattern applied to the spectral family): v0 = all-{PI_V_SCALE}s,
     each round computes y = A·v (per-vector dot), rescales by
@@ -2923,10 +2923,13 @@ def _pi_oracle() -> str:
       FROM z{t}
     )"""
         )
-    chained = ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def _pi_oracle() -> str:
     return f"""
     WITH {_QUANT_CTE},
-    {chained}
+    {_pi_ctes()}
     SELECT CAST(dim AS INT) AS dim, v AS pc FROM v{PI_ROUNDS}
     """
 
@@ -2984,3 +2987,85 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [T.StructField("dim", T.IntegerType()), T.StructField("pc", T.LongType())]
     )
     return spark.createDataFrame(out, schema=schema)
+
+
+def _pc_energy_oracle() -> str:
+    u_lat = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u"
+    return f"""
+    WITH {_QUANT_CTE},
+    {_pi_ctes()},
+    proj AS (
+      SELECT q.vec_id,
+             CAST(floor(CAST(SUM(q.e[v.dim] * v.v) AS DOUBLE)
+                        / {PI_Y_SHIFT}) AS BIGINT) AS yp
+      FROM q, v{PI_ROUNDS} v GROUP BY q.vec_id
+    ),
+    vn AS (SELECT CAST(SUM(v * v) AS BIGINT) AS v_norm2 FROM v{PI_ROUNDS}),
+    en AS (SELECT CAST(SUM(e[u.i] * e[u.i]) AS BIGINT) AS total_energy
+           FROM q, {u_lat}),
+    sp AS (SELECT CAST(SUM(yp * yp) AS BIGINT) AS sum_proj2 FROM proj)
+    SELECT v_norm2, sum_proj2, total_energy,
+           CAST(floor(CAST(sum_proj2 AS DOUBLE) * {PI_Y_SHIFT} * {PI_Y_SHIFT}
+                      / v_norm2 / total_energy * 1000000) AS BIGINT)
+             AS rayleigh_ppm
+    FROM vn, sp, en
+    """
+
+
+@register("pc_energy_ratio", _pc_energy_oracle())
+def pc_energy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh-quotient evaluation of the power-iteration direction —
+    the measurement instrument for embedding_power_iteration (the
+    ann_recall_eval pattern applied to the spectral family): the energy
+    of the corpus' rescaled projections onto the estimated direction as
+    a fraction of total embedding energy, in ppm. A direction that
+    captured nothing scores ~1/{DIM} of the energy; the leading
+    direction scores its eigenvalue share — this is the "variance
+    explained" number a PCA/whitening pipeline reports.
+
+    Exactness: projections reuse the iteration's own integer rescale
+    (floor((e·v)/{PI_Y_SHIFT}) — both engines floor the same
+    correctly-rounded divide), so yp², |v|², Σ|e|² are all exact
+    BIGINTs; the final ratio is a fixed-order chain of correctly-rounded
+    double ops floored at ppm scale. Scale: one map-only projection
+    pass + three 1-row aggregates; the direction itself is the 64-row
+    driver spectrum the iteration already maintains."""
+    import math
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    v_rows = embedding_power_iteration(spark, sf_dir).collect()
+    v = [r["pc"] for r in sorted(v_rows, key=lambda r: r["dim"])]
+    v_norm2 = sum(x * x for x in v)
+    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    yp = F.floor(dot.cast("double") / F.lit(PI_Y_SHIFT)).cast("long")
+    e2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("e"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    agg = emb.select(yp.alias("yp"), e2.alias("e2")).agg(
+        F.sum(F.col("yp") * F.col("yp")).cast("bigint").alias("sum_proj2"),
+        F.sum("e2").cast("bigint").alias("total_energy"),
+    )
+    return agg.select(
+        F.lit(int(v_norm2)).cast("bigint").alias("v_norm2"),
+        "sum_proj2",
+        "total_energy",
+        F.floor(
+            F.col("sum_proj2").cast("double")
+            * F.lit(PI_Y_SHIFT)
+            * F.lit(PI_Y_SHIFT)
+            / F.lit(int(v_norm2))
+            / F.col("total_energy")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("rayleigh_ppm"),
+    )

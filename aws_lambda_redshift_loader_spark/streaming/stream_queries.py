@@ -3542,3 +3542,107 @@ def _register_stream_cms() -> None:
 
 
 _register_stream_cms()
+
+
+# ---- Incremental skyline (Pareto-frontier) maintenance -------------------
+# Ninth store kind, and the smallest-state one: the 2-D frontier is a
+# monotone staircase, so per epoch the new frontier is
+# skyline(previous frontier ∪ arriving batch) — previous NON-frontier
+# points can never re-enter (dominated once, dominated forever), so the
+# store holds one tiny coordinate snapshot per epoch, not the corpus.
+INC_SKY_EPOCHS = 4
+
+
+def ingest_skyline_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One frontier-maintenance epoch (module-level so replay
+    idempotence is directly testable): new snapshot = staircase
+    recurrence over (epoch_id−1 snapshot ∪ the batch's coordinates),
+    written as this epoch's partition. The input pair — the frozen
+    previous snapshot and the frozen source file — makes the output a
+    pure function of epoch_id, so any replay rewrites identical bytes.
+
+    Scale: O(batch + frontier) per epoch; the corpus is never
+    rescanned, and the snapshot is bounded by the frontier size (tiny
+    for correlated 2-D data), not the ingested volume."""
+    from ..operators.relational import _skyline_coords
+
+    pts = batch_df.select("p_retailprice", "p_size")
+    if epoch_id > 0:
+        prev = spark.read.parquet(f"{store}/epoch={epoch_id - 1}").select(
+            F.col("price").alias("p_retailprice"),
+            F.col("ms").alias("p_size"),
+        )
+        pts = pts.unionByName(prev)
+    _skyline_coords(pts).write.mode("overwrite").parquet(
+        f"{store}/epoch={epoch_id}"
+    )
+
+
+def _register_incremental_skyline() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_skyline",
+        lambda: _REG["pareto_skyline_parts"].oracle,
+    )
+    def stream_incremental_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming Pareto-frontier maintenance (see block comment):
+        the part dimension splits into {INC_SKY_EPOCHS} range files ->
+        one per trigger -> per batch the frontier snapshot advances by
+        the staircase recurrence over (previous snapshot ∪ batch); the
+        final snapshot joined back to the dimension equals the batch
+        skyline — pareto_skyline_parts' NOT-EXISTS oracle, so the hash
+        gate proves incremental == batch. This is the dominance analog
+        of the monotone top-K store: state is the ANSWER's size, not
+        the corpus'.
+
+        Scale: per epoch O(batch + frontier); replay-idempotent
+        (pure function of epoch_id — test-locked)."""
+        tune(spark)
+        src = _e2e_tmpdir("alrs_sky_src_")
+        store = _e2e_tmpdir("alrs_sky_store_")
+
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        p.repartitionByRange(INC_SKY_EPOCHS, "p_partkey").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(p.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_skyline_epoch(spark, batch_df, epoch_id, store)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_sky_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        coords = spark.read.parquet(f"{store}/epoch={INC_SKY_EPOCHS - 1}")
+        return (
+            p.join(
+                F.broadcast(coords),
+                (F.col("p_retailprice") == F.col("price"))
+                & (F.col("p_size").cast("double") == F.col("ms")),
+            )
+            .select(
+                F.col("p_partkey").cast("bigint").alias("p_partkey"),
+                "p_name",
+                "p_retailprice",
+                F.col("p_size").cast("int").alias("p_size"),
+            )
+        )
+
+
+_register_incremental_skyline()

@@ -157,6 +157,8 @@ QUERIES = [
     "embedding_power_iteration",  # 2 matvec rounds, 64-row driver spectrum
     "prefix_filter_jaccard_pairs",  # PPJoin prefix index vs full index
     "pareto_skyline_parts",  # two-phase skyline: local frontier + staircase
+    "pc_energy_ratio",  # Rayleigh eval: map-only projection + 1-row aggs
+    "stream_incremental_skyline",  # frontier store: O(batch+frontier)/epoch
 ]
 
 

@@ -1044,3 +1044,56 @@ def test_ivf_midstream_centroid_refresh_replay_and_batch_equal(spark, tmp_path):
     assert posting_set() == before
     run_epoch(3)  # post-refresh tail replay
     assert posting_set() == before
+
+
+def test_incremental_skyline_replay_and_batch_equal(spark, tmp_path):
+    """Frontier maintenance: the epoch snapshot is a pure function of
+    (previous snapshot, frozen batch file), so replays on any side
+    rewrite identical content, and the final snapshot joined back to
+    the dimension equals the batch skyline."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.plans.registry import load_all
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_SKY_EPOCHS,
+        ingest_skyline_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    src = str(tmp_path / "src")
+    p.repartitionByRange(INC_SKY_EPOCHS, "p_partkey").write.parquet(src)
+    store = str(tmp_path / "store")
+    files = sorted(glob.glob(f"{src}/part-*"))
+    assert len(files) == INC_SKY_EPOCHS
+
+    def run_epoch(i):
+        ingest_skyline_epoch(spark, spark.read.parquet(files[i]), i, store)
+
+    for i in range(INC_SKY_EPOCHS):
+        run_epoch(i)
+
+    def frontier():
+        return {
+            (r["price"], r["ms"])
+            for r in spark.read.parquet(
+                f"{store}/epoch={INC_SKY_EPOCHS - 1}"
+            ).collect()
+        }
+
+    before = frontier()
+    batch = {
+        (r["p_retailprice"], float(r["p_size"]))
+        for r in load_all()["pareto_skyline_parts"]
+        .fn(spark, sf)
+        .select("p_retailprice", "p_size")
+        .distinct()
+        .collect()
+    }
+    assert before == batch, "incremental frontier != batch skyline coords"
+
+    run_epoch(1)  # mid-stream replay (reads frozen epoch-0 snapshot)
+    run_epoch(3)  # tail replay
+    assert frontier() == before
