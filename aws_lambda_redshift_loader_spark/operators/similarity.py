@@ -3069,3 +3069,136 @@ def pc_energy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rayleigh_ppm"),
     )
+
+
+def _gram_pc_oracle() -> str:
+    """Gram-matrix power-iteration oracle: G = AᵀA accumulated as exact
+    BIGINTs (the double-lateral pair expansion), then {PI_ROUNDS}
+    iteration rounds where z = G·v is EXACT integer arithmetic (HUGEINT
+    guard on the product sum) and only the renormalization divides —
+    CAST-to-DOUBLE of identical integers rounds identically in both
+    engines regardless of magnitude."""
+    u_lat_i = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) ui"
+    u_lat_j = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) uj"
+    parts = [
+        f"""gram AS (
+      SELECT ui.i AS gi, uj.i AS gj, CAST(SUM(e[ui.i] * e[uj.i]) AS BIGINT) AS g
+      FROM q, {u_lat_i}, {u_lat_j} GROUP BY ui.i, uj.i
+    ),
+    v0 AS (SELECT u.i AS dim, CAST({PI_V_SCALE} AS BIGINT) AS v
+           FROM LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u)"""
+    ]
+    for t in range(1, PI_ROUNDS + 1):
+        parts.append(
+            f"""z{t} AS (
+      SELECT gi AS dim, SUM(CAST(g AS HUGEINT) * v{t - 1}.v) AS z
+      FROM gram JOIN v{t - 1} ON v{t - 1}.dim = gj GROUP BY gi
+    ),
+    v{t} AS (
+      SELECT dim, CAST(floor(CAST(z AS DOUBLE)
+                             / CAST(GREATEST((SELECT MAX(ABS(z)) FROM z{t}), 1)
+                                    AS DOUBLE)
+                             * {PI_V_SCALE}) AS BIGINT) AS v
+      FROM z{t}
+    )"""
+        )
+    chained = ",\n    ".join(parts)
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained}
+    SELECT CAST(dim AS INT) AS dim, v AS pc FROM v{PI_ROUNDS}
+    """
+
+
+def _gram_partials(emb: DataFrame) -> DataFrame:
+    """Per-Arrow-batch partial Gram matrices: (gi, gj, g) with g the
+    batch's Σ e_i·e_j — ONE float64 GEMM per batch (exact: every
+    product ≤ 1e8 and every batch partial ≤ ~1e12, far inside 2^53),
+    emitted as {DIM}²-row partials for a map-side-combined global sum.
+    The mergeable-moment pattern: second moments are additive over any
+    row partition, which is what makes both the one-pass batch plan and
+    the epoch-partitioned streaming store exact."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    g_schema = T.StructType(
+        [
+            T.StructField("gi", T.IntegerType()),
+            T.StructField("gj", T.IntegerType()),
+            T.StructField("g", T.LongType()),
+        ]
+    )
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(1, DIM + 1)
+        gi = np.repeat(idx, DIM)
+        gj = np.tile(idx, DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            gram = mat.T @ mat
+            yield pd.DataFrame(
+                {"gi": gi, "gj": gj, "g": gram.reshape(-1).astype(np.int64)}
+            )
+
+    return (
+        emb.mapInPandas(partial, schema=g_schema)
+        .groupBy("gi", "gj")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+    )
+
+
+def _gram_iterate(g_rows) -> list[int]:
+    """{PI_ROUNDS} exact power-iteration rounds on a collected Gram
+    matrix: z = G·v in arbitrary-precision Python ints (no 2^53 window
+    to manage — the Spark side never overflows at any corpus size);
+    renormalization uses float(z)/float(m) explicitly so the two
+    separate IEEE roundings match the oracle's CAST-then-divide."""
+    import math
+
+    G = {(r["gi"], r["gj"]): r["g"] for r in g_rows}
+    v = [PI_V_SCALE] * DIM
+    for _ in range(PI_ROUNDS):
+        z = [
+            sum(G.get((i, j), 0) * v[j - 1] for j in range(1, DIM + 1))
+            for i in range(1, DIM + 1)
+        ]
+        m = max(max(abs(x) for x in z), 1)
+        v = [math.floor(float(x) / float(m) * PI_V_SCALE) for x in z]
+    return v
+
+
+@register("gram_power_iteration", _gram_pc_oracle())
+def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction via the GRAM MATRIX (one-pass form of
+    embedding_power_iteration): accumulate G = AᵀA once — a {DIM}²-cell
+    mergeable moment matrix, one GEMM per Arrow batch + one
+    map-side-combined sum — then iterate v ← renorm(G·v) entirely on
+    the driver in exact integer arithmetic. Compared to the per-round
+    matvec form, the corpus is scanned ONCE regardless of round count,
+    and the iteration itself has no rescale-induced quantization (G·v
+    is exact; only the per-round renormalization rounds).
+
+    Scale: the moment matrix is additive over any row partition — the
+    same property the streaming store (stream_incremental_gram_pc)
+    exploits; driver state is {DIM}² cells. Exactness: batch partials
+    stay inside the float64-exact window; the global sum is int64 on
+    the Spark side and HUGEINT-guarded in the oracle; Python iterates
+    in arbitrary precision with float()/float() renormalization
+    mirroring the oracle's CAST-then-divide."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    v = _gram_iterate(_gram_partials(emb).collect())
+    out = pd.DataFrame({"dim": list(range(1, DIM + 1)), "pc": v})
+    schema = T.StructType(
+        [T.StructField("dim", T.IntegerType()), T.StructField("pc", T.LongType())]
+    )
+    return spark.createDataFrame(out, schema=schema)

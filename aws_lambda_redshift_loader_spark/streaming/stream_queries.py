@@ -3646,3 +3646,104 @@ def _register_incremental_skyline() -> None:
 
 
 _register_incremental_skyline()
+
+
+# ---- Incremental moment-matrix (Gram) maintenance ------------------------
+# Tenth store kind, and the purest mergeable one: second moments are
+# additive over ANY row partition, so each epoch appends its batch's
+# 64x64 partial Gram and the standing principal direction re-derives
+# from the summed store at query time — the streaming form of a
+# PCA/whitening statistic over an embedding firehose.
+INC_GRAM_EPOCHS = 4
+
+
+def ingest_gram_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One moment-matrix epoch (module-level for the replay test): the
+    batch's partial Gram — one GEMM per Arrow batch, map-side-combined
+    to DIM² cells — overwrites this epoch's partition. A pure function
+    of the frozen batch file: replay rewrites identical bytes. O(batch)
+    work, DIM² output rows, no state read at all."""
+    from ..operators.similarity import _gram_partials
+
+    _gram_partials(batch_df).write.mode("overwrite").parquet(
+        f"{store}/epoch={epoch_id}"
+    )
+
+
+def _register_incremental_gram() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_gram_pc",
+        lambda: _REG["gram_power_iteration"].oracle,
+    )
+    def stream_incremental_gram_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming moment-matrix maintenance (see block comment): the
+        embedding corpus splits into {INC_GRAM_EPOCHS} range files ->
+        one per trigger -> per batch ingest_gram_epoch appends the
+        batch's DIM² partial Gram; at query time the store sums across
+        epochs (exact — moments are additive) and the driver runs the
+        same exact-integer power iteration as the batch plan. Hash-gated
+        equal to gram_power_iteration, proving store-summed == one-pass.
+
+        Scale: per epoch O(batch) GEMM + a DIM²-row write; the standing
+        query reads DIM²·epochs rows however large the corpus grows —
+        the moment store IS the sufficient statistic."""
+        from pyspark.sql import types as T
+
+        import pandas as pd
+
+        from ..operators.similarity import (
+            DIM,
+            _gram_iterate,
+            _quantize,
+        )
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_gram_src_")
+        store = _e2e_tmpdir("alrs_gram_store_")
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", _quantize("embedding").alias("e")
+        )
+        emb.repartitionByRange(INC_GRAM_EPOCHS, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_gram_epoch(spark, batch_df, epoch_id, store)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_gram_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        g_rows = (
+            spark.read.parquet(store)
+            .groupBy("gi", "gj")
+            .agg(F.sum("g").cast("bigint").alias("g"))
+            .collect()
+        )
+        v = _gram_iterate(g_rows)
+        out = pd.DataFrame({"dim": list(range(1, DIM + 1)), "pc": v})
+        schema = T.StructType(
+            [T.StructField("dim", T.IntegerType()), T.StructField("pc", T.LongType())]
+        )
+        return spark.createDataFrame(out, schema=schema)
+
+
+_register_incremental_gram()

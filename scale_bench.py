@@ -159,6 +159,8 @@ QUERIES = [
     "pareto_skyline_parts",  # two-phase skyline: local frontier + staircase
     "pc_energy_ratio",  # Rayleigh eval: map-only projection + 1-row aggs
     "stream_incremental_skyline",  # frontier store: O(batch+frontier)/epoch
+    "gram_power_iteration",  # one-pass DIM^2 moment matrix + driver iterate
+    "stream_incremental_gram_pc",  # mergeable moment store, DIM^2/epoch
 ]
 
 

@@ -1097,3 +1097,57 @@ def test_incremental_skyline_replay_and_batch_equal(spark, tmp_path):
     run_epoch(1)  # mid-stream replay (reads frozen epoch-0 snapshot)
     run_epoch(3)  # tail replay
     assert frontier() == before
+
+
+def test_incremental_gram_replay_and_batch_equal(spark, tmp_path):
+    """Moment-matrix store: each epoch's partial Gram is a pure function
+    of its frozen batch file (replay rewrites identical bytes), and the
+    store-summed matrix equals the one-pass batch Gram exactly —
+    moments are additive over any row partition."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        _gram_partials,
+        _quantize,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_GRAM_EPOCHS,
+        ingest_gram_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    src = str(tmp_path / "src")
+    emb.repartitionByRange(INC_GRAM_EPOCHS, "vec_id").write.parquet(src)
+    store = str(tmp_path / "store")
+    files = sorted(glob.glob(f"{src}/part-*"))
+    assert len(files) == INC_GRAM_EPOCHS
+
+    def run_epoch(i):
+        ingest_gram_epoch(spark, spark.read.parquet(files[i]), i, store)
+
+    for i in range(INC_GRAM_EPOCHS):
+        run_epoch(i)
+
+    def summed():
+        return {
+            (r["gi"], r["gj"]): r["g"]
+            for r in spark.read.parquet(store)
+            .groupBy("gi", "gj")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        }
+
+    before = summed()
+    batch = {
+        (r["gi"], r["gj"]): r["g"] for r in _gram_partials(emb).collect()
+    }
+    assert before == batch, "store-summed Gram != one-pass batch Gram"
+
+    run_epoch(0)
+    run_epoch(2)
+    assert summed() == before
