@@ -45,6 +45,10 @@ def main() -> None:
         "embedding_sq8_topk",
         "ann_refine_topk",
         "embedding_multiprobe_lsh",
+        # round-12: the mid-stream-refreshed IVF geometry — probes the
+        # epoch-maintained store whose quantizer retrained on the
+        # ingested prefix (vs embedding_ivf_topk's full-corpus train)
+        "stream_incremental_ivf_refresh",
     ):
         results[name] = round(len(exact & pairs(name)) / len(exact), 4)
 

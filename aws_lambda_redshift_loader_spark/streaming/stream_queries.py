@@ -1706,7 +1706,11 @@ def _register_incremental_ivf_refresh() -> None:
 
         Scale: per epoch O(batch) assignment; the one-off re-bucket is
         an O(ingested-prefix) map-only GEMM (the same bill the simhash
-        compaction pays); the store is never rescanned during ingest."""
+        compaction pays); the store is never rescanned during ingest.
+        Recall measured, not asserted (ANN_RECALL.json): 0.80 at
+        nprobe={{IVF_NPROBE}} — the honest cost of a quantizer trained
+        on the first half of the stream vs 0.90 for the full-corpus
+        batch geometry (embedding_ivf_topk)."""
         from pyspark.sql.window import Window as W
 
         from ..operators.similarity import (
