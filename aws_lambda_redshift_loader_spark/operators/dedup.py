@@ -2466,3 +2466,123 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@register(
+    "ppjoin_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_HASHED_SHINGLES_CTE},
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM hshingles GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM hshingles a JOIN hshingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PPJoin (Xiao et al. 2008) over the UNCAPPED shingle sets —
+    the exact threshold join for the case the hot-shingle cap cannot
+    cover: when recall on pairs that share only FREQUENT shingles must
+    be exact, the representation cannot drop them, so candidate
+    explosion has to be tamed by filters instead. Three lossless
+    prunes compose: (1) prefix filter — under a global (df, shingle)
+    rarity order, a ≥ τ pair must collide inside both documents' first
+    n − ceil(τ·n) + 1 shingles, so only prefixes are indexed and hot
+    shingles (which sort LAST) index only for documents whose prefix
+    is long enough to need them; (2) length filter — J ≥ τ forces
+    min(|A|,|B|) ≥ τ·max(|A|,|B|); (3) positional filter — at the
+    earliest shared prefix positions the remaining-suffix overlap
+    bound 1 + min(|A|−r_A, |B|−r_B) must reach the equivalent-overlap
+    threshold ceil(τ/(1+τ)·(|A|+|B|)). Survivors verify exactly
+    against the full sets. The oracle is the unfiltered exact join —
+    the hash gate proves all three prunes lossless.
+
+    Scale: the prefix self-join is the only candidate generator; the
+    pair-grain bound aggregate and the verify re-join are
+    O(candidates); no window is global (the rank is per-document).
+    Complements prefix_filter_jaccard_pairs (capped representation,
+    shared oracle with the capped base form) — this entry changes the
+    SEMANTICS to uncapped, which no capped plan can express."""
+    from pyspark.sql.window import Window as W
+
+    tau = JACCARD_THRESHOLD
+    sh = _hashed_shingles(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    wp = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("r", F.row_number().over(wp))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("r")
+            <= F.col("n_shingles") - F.ceil(F.lit(tau) * F.col("n_shingles")) + 1
+        )
+        .select("doc_id", "shingle", "r", F.col("n_shingles").alias("n"))
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    raw = pa.join(
+        pb,
+        (F.col("pa.shingle") == F.col("pb.shingle"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+    ).select(
+        F.col("pa.doc_id").alias("doc_a"),
+        F.col("pb.doc_id").alias("doc_b"),
+        F.col("pa.r").alias("ra"),
+        F.col("pb.r").alias("rb"),
+        F.col("pa.n").alias("na"),
+        F.col("pb.n").alias("nb"),
+    )
+    bounds = raw.groupBy("doc_a", "doc_b").agg(
+        F.min("ra").alias("min_ra"),
+        F.min("rb").alias("min_rb"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    min_overlap = F.ceil(
+        (F.col("na") + F.col("nb")) * F.lit(tau / (1.0 + tau))
+    )
+    cands = bounds.filter(
+        (F.least("na", "nb") >= F.lit(tau) * F.greatest("na", "nb"))
+        & (
+            1
+            + F.least(
+                F.col("na") - F.col("min_ra"), F.col("nb") - F.col("min_rb")
+            )
+            >= min_overlap
+        )
+    ).select("doc_a", "doc_b")
+    ca = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    cb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(ca, "doc_a")
+        .join(
+            cb,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sna"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("snb"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sna") + F.col("snb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

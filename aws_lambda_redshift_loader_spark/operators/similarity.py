@@ -3202,3 +3202,169 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [T.StructField("dim", T.IntegerType()), T.StructField("pc", T.LongType())]
     )
     return spark.createDataFrame(out, schema=schema)
+
+
+GRAM_DRIFT_STEPS = 4  # cumulative id-prefix checkpoints
+
+
+def _gram_drift_oracle() -> str:
+    """Unrolled oracle for the spectral-drift instrument: per-segment
+    Gram partials (one pass), then for each cumulative prefix k the
+    exact {PI_ROUNDS}-round iteration, then consecutive-direction
+    cosines — every intermediate exact BIGINT except the renormalize
+    and final-cosine double chains (fixed order, both engines)."""
+    E = GRAM_DRIFT_STEPS
+    u_lat_i = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) ui"
+    u_lat_j = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) uj"
+    parts = [
+        f"bnd AS (SELECT ceil(COUNT(*) / {E}.0) AS w FROM q)",
+        f"""gseg AS (
+      SELECT CAST(floor(q.vec_id / b.w) AS INT) AS seg, ui.i AS gi, uj.i AS gj,
+             CAST(SUM(e[ui.i] * e[uj.i]) AS BIGINT) AS g
+      FROM q, bnd b, {u_lat_i}, {u_lat_j} GROUP BY 1, 2, 3
+    )""",
+    ]
+    for k in range(1, E + 1):
+        parts.append(
+            f"""g{k} AS (
+      SELECT gi, gj, CAST(SUM(g) AS BIGINT) AS g FROM gseg
+      WHERE seg < {k} GROUP BY gi, gj
+    ),
+    k{k}v0 AS (SELECT u.i AS dim, CAST({PI_V_SCALE} AS BIGINT) AS v
+               FROM LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u)"""
+        )
+        for t in range(1, PI_ROUNDS + 1):
+            parts.append(
+                f"""k{k}z{t} AS (
+      SELECT gi AS dim, SUM(CAST(g AS HUGEINT) * p.v) AS z
+      FROM g{k} JOIN k{k}v{t - 1} p ON p.dim = gj GROUP BY gi
+    ),
+    k{k}v{t} AS (
+      SELECT dim, CAST(floor(CAST(z AS DOUBLE)
+                             / CAST(GREATEST((SELECT MAX(ABS(z)) FROM k{k}z{t}), 1)
+                                    AS DOUBLE)
+                             * {PI_V_SCALE}) AS BIGINT) AS v
+      FROM k{k}z{t}
+    )"""
+            )
+    selects = []
+    for k in range(2, E + 1):
+        selects.append(
+            f"""SELECT CAST({k} AS INT) AS step,
+             CAST(floor(
+               CAST((SELECT SUM(a.v * b.v) FROM k{k - 1}v{PI_ROUNDS} a
+                     JOIN k{k}v{PI_ROUNDS} b ON b.dim = a.dim) AS DOUBLE)
+               / (sqrt(CAST((SELECT SUM(v * v) FROM k{k - 1}v{PI_ROUNDS}) AS DOUBLE))
+                  * sqrt(CAST((SELECT SUM(v * v) FROM k{k}v{PI_ROUNDS}) AS DOUBLE)))
+               * 1000000) AS BIGINT) AS cos_q"""
+        )
+    chained = ",\n    ".join(parts)
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained}
+    {union}
+    """
+
+
+@register("gram_direction_drift", _gram_drift_oracle())
+def gram_direction_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral drift instrument — the PSI/KS drift-monitor idea
+    applied to the principal direction: at {GRAM_DRIFT_STEPS}
+    cumulative id-prefix checkpoints, re-derive the top direction from
+    the moment matrix and report the cosine between consecutive
+    checkpoints' directions (cos_q → 10⁶ means the spectral geometry
+    is stable; a drop tells an embedding pipeline its whitening/OPQ
+    rotation has gone stale — the signal that triggers
+    stream_incremental_ivf_refresh's retrain in production).
+
+    Scale: ONE corpus pass — per-SEGMENT partial Grams (the same GEMM
+    as gram_power_iteration, grouped by the segment key), cumulative
+    prefix sums and all {GRAM_DRIFT_STEPS} iterations on the driver
+    over {DIM}²-cell state; the corpus is never rescanned per
+    checkpoint. All driver math exact integers with the established
+    float()/float() renormalization."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    n = emb.count()
+    w = math.ceil(n / GRAM_DRIFT_STEPS)
+    seg = F.floor(F.col("vec_id") / w).cast("int").alias("seg")
+
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    g_schema = T2.StructType(
+        [
+            T2.StructField("seg", T2.IntegerType()),
+            T2.StructField("gi", T2.IntegerType()),
+            T2.StructField("gj", T2.IntegerType()),
+            T2.StructField("g", T2.LongType()),
+        ]
+    )
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(1, DIM + 1)
+        gi = np.repeat(idx, DIM)
+        gj = np.tile(idx, DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for s, grp in pdf.groupby("seg"):
+                mat = np.array(list(grp["e"]), dtype=np.float64)
+                gram = mat.T @ mat
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "seg": np.full(DIM * DIM, s, dtype=np.int32),
+                            "gi": gi,
+                            "gj": gj,
+                            "g": gram.reshape(-1).astype(np.int64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    gseg = (
+        emb.select(seg, "e")
+        .mapInPandas(partial, schema=g_schema)
+        .groupBy("seg", "gi", "gj")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+        .collect()
+    )
+    by_seg: dict[int, dict] = {}
+    for r in gseg:
+        by_seg.setdefault(r["seg"], {})[(r["gi"], r["gj"])] = r["g"]
+    dirs = []
+    cum: dict = {}
+    for k in range(1, GRAM_DRIFT_STEPS + 1):
+        for key, val in by_seg.get(k - 1, {}).items():
+            cum[key] = cum.get(key, 0) + val
+        rows = [{"gi": i, "gj": j, "g": g} for (i, j), g in cum.items()]
+        dirs.append(_gram_iterate(rows))
+    steps, cos_qs = [], []
+    for k in range(2, GRAM_DRIFT_STEPS + 1):
+        a, b = dirs[k - 2], dirs[k - 1]
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        cos_q = math.floor(
+            float(d) / (math.sqrt(float(na)) * math.sqrt(float(nb))) * 1000000
+        )
+        steps.append(k)
+        cos_qs.append(cos_q)
+    out = pd.DataFrame({"step": steps, "cos_q": cos_qs})
+    schema = T.StructType(
+        [T.StructField("step", T.IntegerType()), T.StructField("cos_q", T.LongType())]
+    )
+    return spark.createDataFrame(out, schema=schema)

@@ -161,6 +161,8 @@ QUERIES = [
     "stream_incremental_skyline",  # frontier store: O(batch+frontier)/epoch
     "gram_power_iteration",  # one-pass DIM^2 moment matrix + driver iterate
     "stream_incremental_gram_pc",  # mergeable moment store, DIM^2/epoch
+    "ppjoin_jaccard_pairs",  # uncapped prefix+length+positional filters
+    "gram_direction_drift",  # one pass, per-segment Grams, driver angles
 ]
 
 
