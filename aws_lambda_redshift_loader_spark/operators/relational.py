@@ -3933,3 +3933,69 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("int").alias("p_size"),
         )
     )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "column_profile_lineitem",
+    f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {", ".join(
+                 f'''CAST(COUNT({c}) AS BIGINT) AS nn_{c},
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c},
+             MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}''' for c in _PROFILE_COLS
+             )}
+      FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS column_name, n_rows,
+               CAST(n_rows - nn_{c} AS BIGINT) AS n_nulls,
+               nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value
+        FROM s''' for c in _PROFILE_COLS
+    )}
+    """,
+)
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile — the constraint-suite primitive of
+    data-quality frameworks (Deequ / Great Expectations): per measure
+    column of the fact table, row count, null count, exact distinct
+    count, min and max — the statistics a completeness/uniqueness/
+    range check asserts against before a load is accepted (the
+    data-plane face of the reference's per-batch MAXERROR budget).
+
+    Scale: ONE fact scan computes every per-column aggregate except
+    the distincts; each COUNT(DISTINCT) runs as its own two-phase
+    aggregate and the (1-row each) results join back — never mixed
+    into one Expand (the established Catalyst trap), never more than
+    {len(_PROFILE_COLS)} + 1 single-row frames. Output is one row per
+    profiled column (the unpivot of the 1-row stats frame)."""
+    li = table(spark, sf_dir, "lineitem")
+    base_aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        base_aggs += [
+            F.count(c).cast("bigint").alias(f"nn_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    stats = li.agg(*base_aggs)
+    for c in _PROFILE_COLS:
+        nd = li.agg(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+        stats = stats.crossJoin(F.broadcast(nd))
+    rows = [
+        stats.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).cast("bigint").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

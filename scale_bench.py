@@ -163,6 +163,7 @@ QUERIES = [
     "stream_incremental_gram_pc",  # mergeable moment store, DIM^2/epoch
     "ppjoin_jaccard_pairs",  # uncapped prefix+length+positional filters
     "gram_direction_drift",  # one pass, per-segment Grams, driver angles
+    "column_profile_lineitem",  # one fact scan + K separate distinct aggs
 ]
 
 

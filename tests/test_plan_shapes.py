@@ -573,3 +573,21 @@ def test_round12_stars_broadcast_dimensions(spark, name):
     plan = _formatted(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ppjoin_windows_are_per_document(spark):
+    # PPJoin's only window is the per-document rarity rank — a global
+    # (unpartitioned) window here would sort the whole shingle stream
+    # in one task.
+    import re
+
+    plan = _formatted(spark, "ppjoin_jaccard_pairs")
+    lines = plan.splitlines()
+    found = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            args = " ".join(l.strip() for l in lines[i : i + 4])
+            assert "doc_id" in args, f"non-per-doc window: {args[:160]}"
+            found += 1
+    assert found >= 1
+    assert "CartesianProduct" not in plan
