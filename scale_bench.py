@@ -688,6 +688,55 @@ def run_probe() -> None:
     finally:
         SQ.INC_STORE_BKTS = old_bkts
 
+    # Skyline frontier probe (round-12): stream_incremental_skyline
+    # claims O(batch + frontier) per epoch with state bounded by the
+    # ANSWER size. Bulk-load the whole part dimension as epoch 0 at 1x
+    # and 10x, then time one fixed small arriving batch as epoch 1 and
+    # record the snapshot row count — flat sec_epoch + frontier-sized
+    # snapshots while the dimension grows 10x is the evidence.
+    import tempfile as _tf
+
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_skyline_epoch,
+    )
+
+    entry = {}
+    for label, sf_dir in (("1x", SRC), ("10x", DST)):
+        base = _tf.mkdtemp(prefix=f"alrs_skyprobe_{label}_")
+        store = f"{base}/store"
+        parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+        ingest_skyline_epoch(spark, parts, 0, store)
+        batch = parts.orderBy("p_partkey").limit(32).select(
+            (F.col("p_partkey") + 10**9).alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        )
+        t0 = time.perf_counter()
+        ingest_skyline_epoch(spark, batch, 1, store)
+        dt = round(time.perf_counter() - t0, 3)
+        snap = spark.read.parquet(f"{store}/epoch=1").count()
+        corpus = parts.count()
+        entry[label] = {
+            "sec_epoch": dt,
+            "snapshot_rows": snap,
+            "corpus_rows": corpus,
+        }
+        print(f"# skyprobe stream_incremental_skyline {label}: {entry[label]}",
+              file=sys.stderr, flush=True)
+        import shutil as _sh
+
+        _sh.rmtree(base, ignore_errors=True)
+    r1, r10 = entry["1x"], entry["10x"]
+    results["stream_incremental_skyline@probe"] = {
+        **{f"{k}_1x": v for k, v in r1.items()},
+        **{f"{k}_10x": v for k, v in r10.items()},
+        "snapshot_ratio": round(r10["snapshot_rows"] / max(r1["snapshot_rows"], 1), 2),
+        "corpus_ratio": round(r10["corpus_rows"] / max(r1["corpus_rows"], 1), 2),
+        "sec_ratio": round(r10["sec_epoch"] / max(r1["sec_epoch"], 1e-9), 2),
+        "note": "fixed 32-row batch vs 1x/10x accumulated dimension: the "
+        "epoch reads (previous snapshot + batch) only — snapshot_rows is "
+        "frontier-sized and sec_epoch ~flat while the dimension grows 10x",
+    }
+
     # PRF postings-prune probe (round-11 verdict item 5's 'Done'
     # evidence): bm25_prf_topk claims both passes prune to query-touched
     # postings at scale. Queries are the fixed doc_id < BM25_QUERY_MAX
