@@ -3999,3 +3999,142 @@ def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _skyline3d_coords(pts: DataFrame) -> DataFrame:
+    """Frontier coordinates of a (p MIN, x MIN, d MAX) criteria triple —
+    the 3-D generalization of _skyline_coords, shared by
+    pareto_skyline_lineitem_3d (batch) and the 3-D incremental frontier
+    store. In 3-D the frontier is no longer a monotone staircase, so the
+    2-D running-min recurrence does not apply; the standard two-phase
+    shape is: phase 1 = EXACT local frontier per Arrow batch (map-only
+    — per-(x, d) cell min-p first, which is exact because a same-cell
+    higher p is strictly dominated, then the vectorized O(k²) dominance
+    matrix over the cell representatives); phase 2 = distinct over the
+    phase-1 survivor union (a lossless superset of the global frontier:
+    every globally-dominated point has a dominator inside its own batch
+    frontier, by transitivity) followed by the dominance LEFT-ANTI
+    self-join on that reduced set — broadcast, since the survivor union
+    is bounded by partitions × local-frontier size, never the table."""
+    from pyspark.sql import types as T
+
+    sk_schema = T.StructType(
+        [
+            T.StructField("p", T.DoubleType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("d", T.DoubleType()),
+        ]
+    )
+
+    def local_sky(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            g = (
+                pdf[["p", "x", "d"]]
+                .drop_duplicates()
+                .groupby(["x", "d"], as_index=False)["p"]
+                .min()
+            )
+            arr = g[["p", "x", "d"]].to_numpy(dtype="float64")
+            P, X, D = arr[:, 0:1], arr[:, 1:2], arr[:, 2:3]
+            # dom[i, j] = point j dominates point i (≤/≤/≥ with one strict)
+            dom = (
+                (P.T <= P)
+                & (X.T <= X)
+                & (D.T >= D)
+                & ((P.T < P) | (X.T < X) | (D.T > D))
+            )
+            keep = arr[~dom.any(axis=1)]
+            yield pd.DataFrame({"p": keep[:, 0], "x": keep[:, 1], "d": keep[:, 2]})
+
+    reduced = pts.select(
+        F.col("p").cast("double").alias("p"),
+        F.col("x").cast("double").alias("x"),
+        F.col("d").cast("double").alias("d"),
+    ).mapInPandas(local_sky, schema=sk_schema)
+    surv = reduced.distinct()
+    s, q = surv.alias("s"), surv.alias("q")
+    return s.join(
+        F.broadcast(q),
+        (F.col("q.p") <= F.col("s.p"))
+        & (F.col("q.x") <= F.col("s.x"))
+        & (F.col("q.d") >= F.col("s.d"))
+        & (
+            (F.col("q.p") < F.col("s.p"))
+            | (F.col("q.x") < F.col("s.x"))
+            | (F.col("q.d") > F.col("s.d"))
+        ),
+        "left_anti",
+    )
+
+
+_SKY3D_ORACLE = """
+    WITH c AS (
+      SELECT l_tax AS x, l_discount AS d, MIN(l_extendedprice) AS p
+      FROM lineitem GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT * FROM c t WHERE NOT EXISTS (
+        SELECT 1 FROM c q
+        WHERE q.p <= t.p AND q.x <= t.x AND q.d >= t.d
+          AND (q.p < t.p OR q.x < t.x OR q.d > t.d)
+      )
+    )
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l.l_linenumber AS INT) AS l_linenumber,
+           l.l_extendedprice, l.l_discount, l.l_tax
+    FROM lineitem l
+    JOIN f ON l.l_extendedprice = f.p AND l.l_tax = f.x AND l.l_discount = f.d
+    """
+
+
+@register("pareto_skyline_lineitem_3d", _SKY3D_ORACLE)
+def pareto_skyline_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-criteria skyline over the FACT table — line items not
+    dominated on (cheaper extended price, lower tax, higher discount).
+    The round-12 skyline covered the 2-D case, whose frontier is a
+    monotone staircase; with a third criterion that recurrence no
+    longer exists, so this entry implements the general shape the
+    preference-query literature prescribes (Börzsönyi et al. 2001):
+    local-frontier reduction per Arrow batch + dominance left-anti
+    self-join on the reduced survivor set (see _skyline3d_coords).
+
+    Oracle: the NOT-EXISTS dominance definition applied to the
+    per-(tax, discount) cell minimum-price representatives — an exact
+    reduction, because any row above its cell's minimum price is
+    strictly dominated by that minimum (equal tax, equal discount,
+    strictly cheaper), so the frontier of the cells IS the frontier of
+    the table; the join-back restores every line item (duplicates
+    included) carrying a frontier triple.
+
+    Scale: phase 1 is map-only over the fact scan (3 columns read);
+    the anti-join and the join-back both broadcast frames bounded by
+    the frontier/survivor size, not the table — the single wide-table
+    pass a 100 TB preference query needs."""
+    li = table(spark, sf_dir, "lineitem")
+    coords = _skyline3d_coords(
+        li.select(
+            F.col("l_extendedprice").alias("p"),
+            F.col("l_tax").alias("x"),
+            F.col("l_discount").alias("d"),
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(coords),
+            (F.col("l_extendedprice") == F.col("p"))
+            & (F.col("l_tax") == F.col("x"))
+            & (F.col("l_discount") == F.col("d")),
+        )
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+    )

@@ -918,6 +918,10 @@ def _ivf_refresh_oracle(refresh_at: int, epochs: int) -> str:
     against the refreshed centroids — which is exactly the final state
     of the re-bucketed postings store. Same probe/rescore epilogue as
     _ivf_oracle."""
+    # The retrain block below hand-unrolls exactly ONE Lloyd round
+    # (cent0 -> assign0 -> cent1); _ivf_geometry loops IVF_TRAIN_ITERS
+    # times, so the two silently disagree if the constant ever moves.
+    assert IVF_TRAIN_ITERS == 1, "unroll more rounds in _ivf_refresh_oracle"
     u = IVF_TRAIN_ITERS
     return f"""
     WITH {_QUANT_CTE},
@@ -2981,7 +2985,10 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         z = {r["dim"]: r["z"] for r in z_rows}
         m = max(max(abs(x) for x in z.values()), 1)
-        v = [math.floor(z[d] / m * PI_V_SCALE) for d in range(1, DIM + 1)]
+        # float()-then-divide mirrors the oracle's CAST(z AS DOUBLE) /
+        # CAST(m AS DOUBLE) (round each int first); int/int true division
+        # would diverge once |z| exceeds 2^53 — same rule as _gram_iterate.
+        v = [math.floor(float(z[d]) / float(m) * PI_V_SCALE) for d in range(1, DIM + 1)]
     out = pd.DataFrame({"dim": list(range(1, DIM + 1)), "pc": v})
     schema = T.StructType(
         [T.StructField("dim", T.IntegerType()), T.StructField("pc", T.LongType())]

@@ -1675,7 +1675,13 @@ def ivf_epoch_with_refresh(
     if "v2" not in geom:
         geom["v2"] = _ivf_geometry(spark, sf_dir, INC_IVF_REFRESH_AT)
     ids2, cent2 = geom["v2"]
-    if epoch_id == INC_IVF_REFRESH_AT or not _os_cc.path.isdir(f"{store2}/epoch=0"):
+    # Gate the re-bucket fallback on the _SUCCESS marker, not directory
+    # existence: Spark creates epoch=0/ before the write commits, so a
+    # crash mid-rebucket would otherwise leave a partial epoch=0 that a
+    # replay treats as complete and skips rewriting.
+    if epoch_id == INC_IVF_REFRESH_AT or not _os_cc.path.isfile(
+        f"{store2}/epoch=0/_SUCCESS"
+    ):
         old = spark.read.parquet(store).select("vec_id", "e")
         _assign_cells(old, ids2, cent2).write.mode("overwrite").parquet(
             f"{store2}/epoch=0"
@@ -3650,6 +3656,123 @@ def _register_incremental_skyline() -> None:
 
 
 _register_incremental_skyline()
+
+
+# ---- Incremental 3-D frontier maintenance --------------------------------
+# The 3-D sibling of the skyline store: same monotone-state argument
+# (dominated once, dominated forever — frontier(prev ∪ batch) is
+# order- and boundary-independent), but the snapshot recurrence runs
+# the general dominance anti-join (_skyline3d_coords) instead of the
+# 2-D staircase, which does not exist with a third criterion.
+INC_SKY3D_EPOCHS = 4
+
+
+def ingest_skyline3d_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One 3-D frontier-maintenance epoch (module-level so replay
+    idempotence is directly testable): new snapshot =
+    _skyline3d_coords(epoch_id−1 snapshot ∪ the batch's criteria
+    triples), written as this epoch's partition — a pure function of
+    (frozen previous snapshot, frozen source file), so any replay
+    rewrites identical bytes. O(batch + frontier) per epoch; the
+    corpus is never rescanned and the snapshot is frontier-sized."""
+    from ..operators.relational import _skyline3d_coords
+
+    pts = batch_df.select(
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_tax").alias("x"),
+        F.col("l_discount").alias("d"),
+    )
+    if epoch_id > 0:
+        prev = spark.read.parquet(f"{store}/epoch={epoch_id - 1}").select(
+            "p", "x", "d"
+        )
+        pts = pts.unionByName(prev)
+    _skyline3d_coords(pts).write.mode("overwrite").parquet(
+        f"{store}/epoch={epoch_id}"
+    )
+
+
+def _register_incremental_skyline3d() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_skyline3d",
+        lambda: _REG["pareto_skyline_lineitem_3d"].oracle,
+    )
+    def stream_incremental_skyline3d(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming 3-D Pareto-frontier maintenance (see block
+        comment): the fact table splits into {INC_SKY3D_EPOCHS} range
+        files -> one per trigger -> per batch the frontier snapshot
+        advances by frontier(previous snapshot ∪ batch) under the
+        general dominance anti-join; the final snapshot joined back to
+        the fact equals the batch 3-D skyline — the same NOT-EXISTS
+        oracle as pareto_skyline_lineitem_3d, so the hash gate proves
+        incremental == batch. State stays the ANSWER's size however
+        large the ingested volume grows.
+
+        Scale: per epoch O(batch + frontier); replay-idempotent (pure
+        function of epoch_id — test-locked, the skyline-store
+        pattern)."""
+        tune(spark)
+        src = _e2e_tmpdir("alrs_sky3d_src_")
+        store = _e2e_tmpdir("alrs_sky3d_store_")
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+        li.repartitionByRange(INC_SKY3D_EPOCHS, "l_orderkey").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(li.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_skyline3d_epoch(spark, batch_df, epoch_id, store)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_sky3d_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        coords = spark.read.parquet(
+            f"{store}/epoch={INC_SKY3D_EPOCHS - 1}"
+        ).select("p", "x", "d")
+        return (
+            li.join(
+                F.broadcast(coords),
+                (F.col("l_extendedprice") == F.col("p"))
+                & (F.col("l_tax") == F.col("x"))
+                & (F.col("l_discount") == F.col("d")),
+            )
+            .select(
+                F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+                F.col("l_linenumber").cast("int").alias("l_linenumber"),
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            )
+        )
+
+
+_register_incremental_skyline3d()
 
 
 # ---- Incremental moment-matrix (Gram) maintenance ------------------------

@@ -164,6 +164,9 @@ QUERIES = [
     "ppjoin_jaccard_pairs",  # uncapped prefix+length+positional filters
     "gram_direction_drift",  # one pass, per-segment Grams, driver angles
     "column_profile_lineitem",  # one fact scan + K separate distinct aggs
+    # round-13 additions
+    "pareto_skyline_lineitem_3d",  # local frontiers + dominance anti-join
+    "stream_incremental_skyline3d",  # 3-D frontier store, O(batch+frontier)
 ]
 
 
@@ -735,6 +738,52 @@ def run_probe() -> None:
         "note": "fixed 32-row batch vs 1x/10x accumulated dimension: the "
         "epoch reads (previous snapshot + batch) only — snapshot_rows is "
         "frontier-sized and sec_epoch ~flat while the dimension grows 10x",
+    }
+
+    # 3-D frontier probe (round-13): same claim for the general-dominance
+    # store — bulk-load the whole fact as epoch 0 at 1x and 10x, time one
+    # fixed small batch as epoch 1, record the snapshot size.
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_skyline3d_epoch,
+    )
+
+    entry = {}
+    for label, sf_dir in (("1x", SRC), ("10x", DST)):
+        base = _tf.mkdtemp(prefix=f"alrs_sky3dprobe_{label}_")
+        store = f"{base}/store"
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+        )
+        ingest_skyline3d_epoch(spark, li, 0, store)
+        batch = li.orderBy("l_orderkey").limit(32).select(
+            (F.col("l_orderkey") + 10**9).alias("l_orderkey"),
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+        t0 = time.perf_counter()
+        ingest_skyline3d_epoch(spark, batch, 1, store)
+        dt = round(time.perf_counter() - t0, 3)
+        snap = spark.read.parquet(f"{store}/epoch=1").count()
+        corpus = li.count()
+        entry[label] = {
+            "sec_epoch": dt,
+            "snapshot_rows": snap,
+            "corpus_rows": corpus,
+        }
+        print(f"# sky3dprobe stream_incremental_skyline3d {label}: {entry[label]}",
+              file=sys.stderr, flush=True)
+        import shutil as _sh
+
+        _sh.rmtree(base, ignore_errors=True)
+    r1, r10 = entry["1x"], entry["10x"]
+    results["stream_incremental_skyline3d@probe"] = {
+        **{f"{k}_1x": v for k, v in r1.items()},
+        **{f"{k}_10x": v for k, v in r10.items()},
+        "snapshot_ratio": round(r10["snapshot_rows"] / max(r1["snapshot_rows"], 1), 2),
+        "corpus_ratio": round(r10["corpus_rows"] / max(r1["corpus_rows"], 1), 2),
+        "sec_ratio": round(r10["sec_epoch"] / max(r1["sec_epoch"], 1e-9), 2),
+        "note": "fixed 32-row batch vs 1x/10x accumulated fact: the epoch "
+        "reads (previous snapshot + batch) only under the general dominance "
+        "anti-join — snapshot_rows stays frontier-sized at 10x",
     }
 
     # PRF postings-prune probe (round-11 verdict item 5's 'Done'

@@ -1151,3 +1151,56 @@ def test_incremental_gram_replay_and_batch_equal(spark, tmp_path):
     run_epoch(0)
     run_epoch(2)
     assert summed() == before
+
+
+def test_incremental_skyline3d_replay_and_batch_equal(spark, tmp_path):
+    """3-D frontier maintenance: same purity argument as the 2-D store
+    (snapshot = pure function of previous snapshot + frozen batch), but
+    the recurrence is the general dominance anti-join; the final
+    snapshot must equal the batch 3-D skyline's coordinate set."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.plans.registry import load_all
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_SKY3D_EPOCHS,
+        ingest_skyline3d_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+    src = str(tmp_path / "src")
+    li.repartitionByRange(INC_SKY3D_EPOCHS, "l_orderkey").write.parquet(src)
+    store = str(tmp_path / "store")
+    files = sorted(glob.glob(f"{src}/part-*"))
+    assert len(files) == INC_SKY3D_EPOCHS
+
+    def run_epoch(i):
+        ingest_skyline3d_epoch(spark, spark.read.parquet(files[i]), i, store)
+
+    for i in range(INC_SKY3D_EPOCHS):
+        run_epoch(i)
+
+    def frontier():
+        return {
+            (r["p"], r["x"], r["d"])
+            for r in spark.read.parquet(
+                f"{store}/epoch={INC_SKY3D_EPOCHS - 1}"
+            ).collect()
+        }
+
+    before = frontier()
+    batch = {
+        (r["l_extendedprice"], r["l_tax"], r["l_discount"])
+        for r in load_all()["pareto_skyline_lineitem_3d"]
+        .fn(spark, sf)
+        .select("l_extendedprice", "l_tax", "l_discount")
+        .distinct()
+        .collect()
+    }
+    assert before == batch, "incremental 3-D frontier != batch skyline coords"
+
+    run_epoch(1)  # mid-stream replay (reads frozen epoch-0 snapshot)
+    run_epoch(3)  # tail replay
+    assert frontier() == before
