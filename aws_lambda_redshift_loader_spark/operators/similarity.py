@@ -3352,15 +3352,34 @@ def gram_direction_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_seg: dict[int, dict] = {}
     for r in gseg:
         by_seg.setdefault(r["seg"], {})[(r["gi"], r["gj"])] = r["g"]
+    return _drift_series(spark, by_seg, GRAM_DRIFT_STEPS)
+
+
+def _drift_series(
+    spark: SparkSession, by_seg: dict[int, dict], steps: int
+) -> DataFrame:
+    """Driver tail shared by gram_direction_drift (batch, per-segment
+    partials from one corpus pass) and stream_gram_drift_monitor (the
+    store consumer, per-EPOCH partials read back from the moment
+    store): cumulative-prefix Gram sums per step, the exact-integer
+    power iteration per prefix, then the cosine between consecutive
+    directions quantized to micro-units with the established
+    float()/float() CAST-then-divide mirroring. All state is
+    DIM² × steps cells — bounded however large the corpus."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     dirs = []
     cum: dict = {}
-    for k in range(1, GRAM_DRIFT_STEPS + 1):
+    for k in range(1, steps + 1):
         for key, val in by_seg.get(k - 1, {}).items():
             cum[key] = cum.get(key, 0) + val
         rows = [{"gi": i, "gj": j, "g": g} for (i, j), g in cum.items()]
         dirs.append(_gram_iterate(rows))
-    steps, cos_qs = [], []
-    for k in range(2, GRAM_DRIFT_STEPS + 1):
+    step_ids, cos_qs = [], []
+    for k in range(2, steps + 1):
         a, b = dirs[k - 2], dirs[k - 1]
         d = sum(x * y for x, y in zip(a, b))
         na = sum(x * x for x in a)
@@ -3368,9 +3387,9 @@ def gram_direction_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos_q = math.floor(
             float(d) / (math.sqrt(float(na)) * math.sqrt(float(nb))) * 1000000
         )
-        steps.append(k)
+        step_ids.append(k)
         cos_qs.append(cos_q)
-    out = pd.DataFrame({"step": steps, "cos_q": cos_qs})
+    out = pd.DataFrame({"step": step_ids, "cos_q": cos_qs})
     schema = T.StructType(
         [T.StructField("step", T.IntegerType()), T.StructField("cos_q", T.LongType())]
     )

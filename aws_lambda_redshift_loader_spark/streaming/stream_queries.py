@@ -3799,6 +3799,92 @@ def ingest_gram_epoch(
     )
 
 
+_GRAM_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ensure_gram_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Stream the embedding corpus one id-segment per trigger through
+    ingest_gram_epoch once per session per fixture; returns the moment
+    store path. SHARED between stream_incremental_gram_pc (sums the
+    store) and stream_gram_drift_monitor (consumes per-epoch prefixes)
+    — one maintained pipeline, two consumers, the neardup-ingest
+    pattern.
+
+    The split is DETERMINISTIC id prefixes (segment = vec_id div
+    ceil(n / {INC_GRAM_EPOCHS}), files fed in segment order via
+    explicit mtimes), not sampled repartitionByRange boundaries: the
+    drift monitor's oracle is the batch gram_direction_drift CTE
+    restricted to id-prefix checkpoints, so epoch k must hold exactly
+    id-segment k. The sum-across-epochs consumer is boundary-
+    indifferent; the prefix consumer is what pins them."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    from ..operators import dedup as _dedup
+    from ..operators.similarity import _quantize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GRAM_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("gram_ingest_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("gram_ingest_build")
+
+    tune(spark)
+    staging = _e2e_tmpdir("alrs_gram_stage_")
+    src = _e2e_tmpdir("alrs_gram_src_")
+    store = _e2e_tmpdir("alrs_gram_store_")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    n = emb.count()
+    w = math.ceil(n / INC_GRAM_EPOCHS)
+    (
+        emb.withColumn("seg", F.floor(F.col("vec_id") / w).cast("int"))
+        .repartition(INC_GRAM_EPOCHS, "seg")
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(staging)
+    )
+    # Flatten to one file per segment with strictly increasing mtimes:
+    # FileStreamSource orders by timestamp, so epoch k ingests exactly
+    # id-segment k (partitionBy + repartition on seg puts each segment
+    # in one task => one file per segment dir).
+    base = 1_600_000_000
+    for k in range(INC_GRAM_EPOCHS):
+        fs = glob.glob(f"{staging}/seg={k}/part-*.parquet")
+        assert len(fs) == 1, f"segment {k}: expected one file, got {fs}"
+        dst = f"{src}/part-{k:05d}.parquet"
+        shutil.move(fs[0], dst)
+        os.utime(dst, (base + k, base + k))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_gram_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_gram_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _GRAM_MEMO[key] = store
+    return store
+
+
 def _register_incremental_gram() -> None:
     from ..plans.registry import QUERIES as _REG
 
@@ -3808,12 +3894,15 @@ def _register_incremental_gram() -> None:
     )
     def stream_incremental_gram_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming moment-matrix maintenance (see block comment): the
-        embedding corpus splits into {INC_GRAM_EPOCHS} range files ->
-        one per trigger -> per batch ingest_gram_epoch appends the
-        batch's DIM² partial Gram; at query time the store sums across
-        epochs (exact — moments are additive) and the driver runs the
-        same exact-integer power iteration as the batch plan. Hash-gated
-        equal to gram_power_iteration, proving store-summed == one-pass.
+        embedding corpus splits into {INC_GRAM_EPOCHS} deterministic
+        id-segment files -> one per trigger -> per batch
+        ingest_gram_epoch appends the batch's DIM² partial Gram; at
+        query time the store sums across epochs (exact — moments are
+        additive) and the driver runs the same exact-integer power
+        iteration as the batch plan. Hash-gated equal to
+        gram_power_iteration, proving store-summed == one-pass. The
+        ingest is SHARED with stream_gram_drift_monitor (see
+        _ensure_gram_ingest).
 
         Scale: per epoch O(batch) GEMM + a DIM²-row write; the standing
         query reads DIM²·epochs rows however large the corpus grows —
@@ -3822,43 +3911,9 @@ def _register_incremental_gram() -> None:
 
         import pandas as pd
 
-        from ..operators.similarity import (
-            DIM,
-            _gram_iterate,
-            _quantize,
-        )
+        from ..operators.similarity import DIM, _gram_iterate
 
-        tune(spark)
-        src = _e2e_tmpdir("alrs_gram_src_")
-        store = _e2e_tmpdir("alrs_gram_store_")
-
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-            "vec_id", _quantize("embedding").alias("e")
-        )
-        emb.repartitionByRange(INC_GRAM_EPOCHS, "vec_id").write.mode(
-            "overwrite"
-        ).parquet(src)
-        stream = (
-            spark.readStream.schema(emb.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_gram_epoch(spark, batch_df, epoch_id, store)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_gram_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-
+        store = _ensure_gram_ingest(spark, sf_dir)
         g_rows = (
             spark.read.parquet(store)
             .groupBy("gi", "gj")
@@ -3871,6 +3926,44 @@ def _register_incremental_gram() -> None:
             [T.StructField("dim", T.IntegerType()), T.StructField("pc", T.LongType())]
         )
         return spark.createDataFrame(out, schema=schema)
+
+    @register(
+        "stream_gram_drift_monitor",
+        lambda: _REG["gram_direction_drift"].oracle,
+    )
+    def stream_gram_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming spectral-drift monitor — the store consumer that
+        turns gram_direction_drift from a batch instrument into a
+        standing one: after each epoch the moment store holds that
+        segment's DIM² partial Gram, so the cumulative direction at
+        epoch k is re-derivable from the store's epoch≤k rows alone;
+        this query reads the fully-ingested store, reconstructs the
+        per-epoch cumulative directions, and emits the consecutive-
+        direction cosine series (the stale-rotation trigger that tells
+        stream_incremental_ivf_refresh WHEN to retrain — previously
+        taken on faith). Oracle = the batch drift CTE restricted to
+        id-prefix checkpoints, which the deterministic segment split
+        makes identical to epoch prefixes (hash gate proves
+        store-replayed == one-pass batch).
+
+        Scale: reads DIM²·epochs store rows — never the corpus; all
+        iteration state is the established bounded driver spectrum."""
+        from ..operators.similarity import GRAM_DRIFT_STEPS, _drift_series
+
+        assert GRAM_DRIFT_STEPS == INC_GRAM_EPOCHS, (
+            "drift checkpoints must equal store epochs for the shared oracle"
+        )
+        store = _ensure_gram_ingest(spark, sf_dir)
+        rows = (
+            spark.read.parquet(store)
+            .groupBy("epoch", "gi", "gj")
+            .agg(F.sum("g").cast("bigint").alias("g"))
+            .collect()
+        )
+        by_seg: dict[int, dict] = {}
+        for r in rows:
+            by_seg.setdefault(int(r["epoch"]), {})[(r["gi"], r["gj"])] = r["g"]
+        return _drift_series(spark, by_seg, GRAM_DRIFT_STEPS)
 
 
 _register_incremental_gram()
