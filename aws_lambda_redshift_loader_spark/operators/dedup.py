@@ -2468,6 +2468,68 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppjoin_candidates(sh: DataFrame, tau: float):
+    """Shared PPJoin candidate generator (prefix + length + positional
+    filters over UNCAPPED sets) used by ppjoin_jaccard_pairs and the
+    suffix-filtered ppjoin_plus_jaccard_pairs. Returns
+    (withdf, sizes, cands): the df-annotated posting frame, per-doc
+    set sizes, and the surviving candidate pairs carrying
+    (min_ra, min_rb, na, nb). Because both documents' shingle sets are
+    sorted under the SAME total (df, shingle) order, the per-pair
+    minimum colliding prefix ranks min_ra/min_rb are attained JOINTLY
+    by one token — the pair's earliest common token overall — which is
+    what both the positional filter here and the suffix filter
+    downstream decompose around."""
+    from pyspark.sql.window import Window as W
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    withdf = sh.join(dfreq, "shingle")
+    wp = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        withdf.withColumn("r", F.row_number().over(wp))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("r")
+            <= F.col("n_shingles") - F.ceil(F.lit(tau) * F.col("n_shingles")) + 1
+        )
+        .select("doc_id", "shingle", "r", F.col("n_shingles").alias("n"))
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    raw = pa.join(
+        pb,
+        (F.col("pa.shingle") == F.col("pb.shingle"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+    ).select(
+        F.col("pa.doc_id").alias("doc_a"),
+        F.col("pb.doc_id").alias("doc_b"),
+        F.col("pa.r").alias("ra"),
+        F.col("pb.r").alias("rb"),
+        F.col("pa.n").alias("na"),
+        F.col("pb.n").alias("nb"),
+    )
+    bounds = raw.groupBy("doc_a", "doc_b").agg(
+        F.min("ra").alias("min_ra"),
+        F.min("rb").alias("min_rb"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    min_overlap = F.ceil(
+        (F.col("na") + F.col("nb")) * F.lit(tau / (1.0 + tau))
+    )
+    cands = bounds.filter(
+        (F.least("na", "nb") >= F.lit(tau) * F.greatest("na", "nb"))
+        & (
+            1
+            + F.least(
+                F.col("na") - F.col("min_ra"), F.col("nb") - F.col("min_rb")
+            )
+            >= min_overlap
+        )
+    )
+    return withdf, sizes, cands
+
+
 @register(
     "ppjoin_jaccard_pairs",
     f"""
@@ -2515,55 +2577,10 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements prefix_filter_jaccard_pairs (capped representation,
     shared oracle with the capped base form) — this entry changes the
     SEMANTICS to uncapped, which no capped plan can express."""
-    from pyspark.sql.window import Window as W
-
     tau = JACCARD_THRESHOLD
     sh = _hashed_shingles(spark, sf_dir)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    wp = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    prefix = (
-        sh.join(dfreq, "shingle")
-        .withColumn("r", F.row_number().over(wp))
-        .join(sizes, "doc_id")
-        .filter(
-            F.col("r")
-            <= F.col("n_shingles") - F.ceil(F.lit(tau) * F.col("n_shingles")) + 1
-        )
-        .select("doc_id", "shingle", "r", F.col("n_shingles").alias("n"))
-    )
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    raw = pa.join(
-        pb,
-        (F.col("pa.shingle") == F.col("pb.shingle"))
-        & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-    ).select(
-        F.col("pa.doc_id").alias("doc_a"),
-        F.col("pb.doc_id").alias("doc_b"),
-        F.col("pa.r").alias("ra"),
-        F.col("pb.r").alias("rb"),
-        F.col("pa.n").alias("na"),
-        F.col("pb.n").alias("nb"),
-    )
-    bounds = raw.groupBy("doc_a", "doc_b").agg(
-        F.min("ra").alias("min_ra"),
-        F.min("rb").alias("min_rb"),
-        F.max("na").alias("na"),
-        F.max("nb").alias("nb"),
-    )
-    min_overlap = F.ceil(
-        (F.col("na") + F.col("nb")) * F.lit(tau / (1.0 + tau))
-    )
-    cands = bounds.filter(
-        (F.least("na", "nb") >= F.lit(tau) * F.greatest("na", "nb"))
-        & (
-            1
-            + F.least(
-                F.col("na") - F.col("min_ra"), F.col("nb") - F.col("min_rb")
-            )
-            >= min_overlap
-        )
-    ).select("doc_a", "doc_b")
+    _withdf, sizes, cands_b = _ppjoin_candidates(sh, tau)
+    cands = cands_b.select("doc_a", "doc_b")
     ca = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     cb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
     inter = (
@@ -2583,6 +2600,142 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+PPJ_SUFFIX_MAXDEPTH = 3  # recursion depth of the suffix-filter probe
+
+
+@register(
+    "ppjoin_plus_jaccard_pairs",
+    lambda: _dedup_registry()["ppjoin_jaccard_pairs"].oracle,
+)
+def ppjoin_plus_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin+ (Xiao et al. 2008, §5) — ppjoin_jaccard_pairs plus the
+    SUFFIX FILTER, the one member of the published algorithm the
+    round-12 entry left on the table. Same oracle (the unfiltered
+    exact join over UNCAPPED sets), so the hash gate proves all four
+    prunes lossless together.
+
+    Candidate generation is shared (_ppjoin_candidates: prefix +
+    length + positional). For each survivor, both documents' full
+    shingle sets travel as arrays SORTED UNDER THE SAME (df, shingle)
+    total order used for the prefixes; because min_ra/min_rb are
+    jointly attained by the pair's earliest common token w₀ (order
+    consistency — see _ppjoin_candidates), the overlap decomposes as
+    O = 1 + |suffix_a ∩ suffix_b| with the suffixes strictly after
+    w₀'s positions. The suffix filter lower-bounds the suffixes'
+    symmetric difference by recursive value-partitioning (depth
+    {PPJ_SUFFIX_MAXDEPTH}): split around the middle token w of one
+    suffix — tokens < w can only match tokens < w under a shared
+    total order, so H ≥ H(left halves) + H(right halves) + [w absent],
+    with the base case H ≥ abs(len difference). Pairs whose implied
+    overlap ceiling 1 + (|sa|+|sb|−H)/2 misses the equivalent-overlap
+    threshold ceil(τ/(1+τ)·(|x|+|y|)) are dropped WITHOUT touching
+    their full sets; survivors verify exactly in the same Arrow batch
+    (hash-set intersection over the already-local arrays), replacing
+    the posting re-join with a pair-local merge.
+
+    Scale: the probe is O(2^depth · log set-size) per candidate —
+    independent of set size up to the final exact merge, which only
+    survivors pay; arrays ship once per candidate pair (the same rows
+    the verify re-join would shuffle, shipped as contiguous Arrow
+    lists instead of exploded postings); no global window anywhere
+    (the rank is per-document, the kernel per-pair)."""
+    tau = JACCARD_THRESHOLD
+    sh = _hashed_shingles(spark, sf_dir)
+    withdf, sizes, cands = _ppjoin_candidates(sh, tau)
+    srt = F.sort_array(F.collect_list(F.struct("df", "shingle")))
+    arrs = (
+        withdf.groupBy("doc_id")
+        .agg(srt.alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.df").alias("dfs"),
+            F.col("s.shingle").alias("shs"),
+        )
+    )
+    paired = (
+        cands.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("dfs").alias("dfa"),
+                F.col("shs").alias("sha"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("dfs").alias("dfb"),
+                F.col("shs").alias("shb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "min_ra", "min_rb", "na", "nb",
+            "dfa", "sha", "dfb", "shb",
+        )
+    )
+    import math as _math
+
+    maxdepth = PPJ_SUFFIX_MAXDEPTH
+    tau_eq = tau / (1.0 + tau)
+
+    def suffix_verify(batches):
+        import pandas as pd
+        from bisect import bisect_left
+
+        def ham_lb(x, xl, xh, y, yl, yh, d):
+            lx, ly = xh - xl, yh - yl
+            if lx <= 0 or ly <= 0 or d <= 0:
+                return abs(lx - ly)
+            mid = yl + ly // 2
+            w = y[mid]
+            i = bisect_left(x, w, xl, xh)
+            has = i < xh and x[i] == w
+            return (
+                ham_lb(x, xl, i, y, yl, mid, d - 1)
+                + ham_lb(x, i + (1 if has else 0), xh, y, mid + 1, yh, d - 1)
+                + (0 if has else 1)
+            )
+
+        for pdf in batches:
+            out_a, out_b, out_n = [], [], []
+            for da, db, ra, rb, na, nb, dfa, sha, dfb, shb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["min_ra"], pdf["min_rb"],
+                pdf["na"], pdf["nb"], pdf["dfa"], pdf["sha"],
+                pdf["dfb"], pdf["shb"],
+            ):
+                min_ov = _math.ceil((int(na) + int(nb)) * tau_eq)
+                x = list(zip(dfa, sha))
+                y = list(zip(dfb, shb))
+                ra, rb = int(ra), int(rb)
+                h = ham_lb(x, ra, len(x), y, rb, len(y), maxdepth)
+                bound = 1 + ((len(x) - ra) + (len(y) - rb) - h) // 2
+                if bound < min_ov:
+                    continue
+                n_common = len(set(sha) & set(shb))
+                out_a.append(int(da))
+                out_b.append(int(db))
+                out_n.append(n_common)
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "n_common": out_n}
+            )
+
+    inter = paired.mapInPandas(
+        suffix_verify, schema="doc_a long, doc_b long, n_common long"
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sna"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("snb"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sna") + F.col("snb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

@@ -167,6 +167,8 @@ QUERIES = [
     # round-13 additions
     "pareto_skyline_lineitem_3d",  # local frontiers + dominance anti-join
     "stream_incremental_skyline3d",  # 3-D frontier store, O(batch+frontier)
+    "ppjoin_plus_jaccard_pairs",  # + suffix filter, pair-local Arrow verify
+    "stream_gram_drift_monitor",  # store-prefix directions, DIM^2/epoch read
 ]
 
 
