@@ -1779,73 +1779,160 @@ def max_drawdown_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- MAD family, banded per-group median form ---------------------------
 MEDIAN_BANDS = 32
+# Sketch accuracy for the band boundaries. Accuracy shapes BAND BALANCE
+# only, never the answer (the median is located exactly from the banded
+# counts whatever the boundaries are); r13 measured accuracy=10000 paying
+# ~1.1 s/pass of pure GK-compression CPU at sf0.1 over accuracy=1000 for
+# zero exactness benefit, so the default is the cheap one.
+MEDIAN_ACC = 1000
+
+
+def _group_quantile_bands(
+    df: DataFrame, gcol: str, vcol: str,
+    bands: int = MEDIAN_BANDS, accuracy: int = MEDIAN_ACC,
+) -> dict:
+    """Per-group approximate quantile boundaries (the band geometry fed
+    to _banded_group_median) as a driver dict — factored out so a
+    caller that already knows an approximate shape for a DERIVED column
+    (see _fold_boundaries) can skip this pass entirely."""
+    pcts = [i / bands for i in range(1, bands)]
+    return {
+        r[gcol]: sorted(set(r["bs"] or []))
+        for r in df.groupBy(gcol)
+        .agg(F.percentile_approx(vcol, pcts, accuracy).alias("bs"))
+        .collect()
+    }
+
+
+def _fold_boundaries(gb: dict, med_map: dict, key_of=None) -> dict:
+    """Approximate band boundaries for d = |v − med(group)| derived on
+    the DRIVER by folding each source group's v-quantile grid around
+    its own median — the MAD family's second median previously paid a
+    whole percentile_approx pass over the deviation frame to learn a
+    shape that is a pure function of state already collected (the
+    v-grid and the medians). Folding is approximate (the fold of
+    quantiles is not the quantiles of the fold), which is exactly as
+    much as band geometry needs: balance only, never the answer.
+    ``key_of`` maps a source group to its target group (the seasonal
+    pass medians per type:hour but MADs per type — the folded pools of
+    a type's 24 hours merge, then resample to MEDIAN_BANDS − 1)."""
+    pools: dict = {}
+    for g, bs in gb.items():
+        m = med_map.get(g)
+        if m is None:
+            continue
+        tg = key_of(g) if key_of is not None else g
+        pools.setdefault(tg, []).extend(abs(int(b) - int(m)) for b in bs)
+    out: dict = {}
+    for tg, pool in pools.items():
+        vals = sorted(set(pool))
+        if len(vals) > MEDIAN_BANDS - 1:
+            step = len(vals) / (MEDIAN_BANDS - 1)
+            vals = sorted({vals[int(i * step)] for i in range(MEDIAN_BANDS - 1)})
+        out[tg] = vals
+    return out
 
 
 def _banded_group_median(
     df: DataFrame, gcol: str, vcol: str, tie_col: str, out: str,
     bands: int = MEDIAN_BANDS, checkpoint: bool = True,
+    boundaries: dict | None = None,
 ) -> DataFrame:
     """Exact per-group rank-method median WITHOUT a per-group global
     window — the per-group application of the _banded_rank idea
-    (operators/text.py), specialized to a single target rank so only
-    ONE band per group ever sees a window: approximate per-group
-    quantile boundaries split each group's values into {MEDIAN_BANDS}
-    value-range bands (band is a pure function of the value, so the
-    approximation shapes balance, never the answer); per-(group, band)
-    counts locate the band containing the group's median rank
-    ceil(n/2) plus its prefix offset (bounded driver state: G x B
-    counts); rows OUTSIDE each group's target band are filtered out
-    before the only window, which therefore ranks ~1/{MEDIAN_BANDS} of
-    one group per partition. The selected row is unique because the
-    (value, tie) order is total.
+    (operators/text.py): approximate per-group quantile boundaries
+    split each group's values into {MEDIAN_BANDS} value-range bands
+    (band is a pure function of the value, so the approximation shapes
+    balance, never the answer); every big-data window partitions by
+    (group, band) and therefore ranks ~1/{MEDIAN_BANDS} of one group.
+    The selected row is unique because the (value, tie) order is total.
+
+    Round-13 shape (was: collect per-(group, band) counts, then a
+    second pass over the target band): ONE action — rank all bands,
+    derive each group's target (band, in-band rank) RELATIONALLY from
+    the per-band counts (a G×B-row frame; its prefix-sum window is
+    bounded by {MEDIAN_BANDS} rows per partition), and broadcast-join
+    it back. The ranked frame's shuffle exchange is reused between the
+    counts branch and the join, so the input is scanned and shuffled
+    once; there is NO per-median driver collect and NO G×B driver
+    state at all, and the band geometry rides a broadcast frame
+    instead of plan-bloating literal maps (the r9 INSET lesson).
 
     Returns a |G|-row frame [gcol, out], localCheckpointed (eager) so
     downstream join-backs replay a tiny frame, not this plan (the
-    bm25_prf_topk materialize-the-small-thing rationale)."""
-    pcts = [i / bands for i in range(1, bands)]
-    gb = {
-        r[gcol]: sorted(set(r["bs"] or []))
-        for r in df.groupBy(gcol)
-        .agg(F.percentile_approx(vcol, pcts, 10000).alias("bs"))
-        .collect()
-    }
-    # Boundary/target literals go in as MAP + ARRAY constants with a
-    # single lookup expression (band = |{b : v >= b}| via a higher-order
-    # filter), NOT per-group CASE chains — G here can be types x hours,
-    # and a G x B nested-when tree blows past janino's 64 KB method
-    # limit while this form stays O(1) expression nodes.
-    b_entries = []
-    for g, bs in sorted(gb.items()):
-        b_entries += [
-            F.lit(g),
-            F.array(*[F.lit(int(b)) for b in bs]).cast("array<bigint>"),
-        ]
-    bmap = F.create_map(*b_entries)
-    band = F.size(F.filter(bmap[F.col(gcol)], lambda b: F.col(vcol) >= b))
-    banded = df.withColumn("_band", band.cast("int"))
-    cells = banded.groupBy(gcol, "_band").agg(F.count("*").alias("c")).collect()
-    counts: dict[str, dict[int, int]] = {}
-    for r in cells:
-        counts.setdefault(r[gcol], {})[r["_band"]] = r["c"]
-    keep_entries, tgt_entries = [], []
-    for g in sorted(counts):
-        n_g = sum(counts[g].values())
-        target = (n_g + 1) // 2  # ceil(0.5 * n): rank-method median
-        acc = 0
-        for b in sorted(counts[g]):
-            if acc + counts[g][b] >= target:
-                keep_entries += [F.lit(g), F.lit(b)]
-                tgt_entries += [F.lit(g), F.lit(target - acc)]
-                break
-            acc += counts[g][b]
-    keep_map = F.create_map(*keep_entries)
+    bm25_prf_topk materialize-the-small-thing rationale). ``boundaries``
+    (a _group_quantile_bands-shaped dict) skips the boundary pass when
+    the caller already knows an approximate shape — geometry shapes
+    balance only, so ANY boundary set is correct; it must cover every
+    group present in ``df`` (rows of uncovered groups would drop at the
+    geometry join — both callers derive it from the same frame)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    gb = (
+        boundaries
+        if boundaries is not None
+        else _group_quantile_bands(df, gcol, vcol, bands)
+    )
+    spark = df.sparkSession
+    keys = sorted(gb)
+    bframe = spark.createDataFrame(
+        pd.DataFrame(
+            {gcol: keys, "_bs": [[int(b) for b in gb[g]] for g in keys]}
+        ),
+        schema=T.StructType(
+            [
+                df.schema[gcol],
+                T.StructField("_bs", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+    banded = (
+        df.join(F.broadcast(bframe), gcol)
+        .withColumn(
+            "_band",
+            F.size(F.filter(F.col("_bs"), lambda b: F.col(vcol) >= b)).cast(
+                "int"
+            ),
+        )
+        .drop("_bs")
+    )
     wr = W.partitionBy(gcol, "_band").orderBy(
         F.col(vcol).asc(), F.col(tie_col).asc()
     )
+    ranked = banded.withColumn("_rn", F.row_number().over(wr))
+    cells = ranked.groupBy(gcol, "_band").agg(F.max("_rn").alias("_c"))
+    wprev = (
+        W.partitionBy(gcol)
+        .orderBy(F.col("_band").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tgt = (
+        cells.withColumn(
+            "_cum_prev", F.coalesce(F.sum("_c").over(wprev), F.lit(0))
+        )
+        .withColumn(
+            "_n_g",
+            F.sum("_c").over(
+                W.partitionBy(gcol)
+                .orderBy(F.col("_band").asc())
+                .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+        )
+        .withColumn("_target", F.expr("(_n_g + 1) div 2"))
+        .filter(
+            (F.col("_cum_prev") < F.col("_target"))
+            & (F.col("_cum_prev") + F.col("_c") >= F.col("_target"))
+        )
+        .select(
+            gcol,
+            "_band",
+            (F.col("_target") - F.col("_cum_prev")).alias("_tgt_rn"),
+        )
+    )
     med = (
-        banded.filter(F.col("_band") == keep_map[F.col(gcol)])
-        .withColumn("_rn", F.row_number().over(wr))
-        .filter(F.col("_rn") == F.create_map(*tgt_entries)[F.col(gcol)])
+        ranked.join(F.broadcast(tgt), [gcol, "_band"])
+        .filter(F.col("_rn") == F.col("_tgt_rn"))
         .select(gcol, F.col(vcol).alias(out))
     )
     # checkpoint=False is the plan-shape test hook only (consumers of a
@@ -1879,12 +1966,21 @@ def mad_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
     )
-    med = _banded_group_median(qv, "event_type", "v", "event_id", "med")
+    gb = _group_quantile_bands(qv, "event_type", "v")
+    med = _banded_group_median(
+        qv, "event_type", "v", "event_id", "med", boundaries=gb
+    )
+    med_map = {r["event_type"]: r["med"] for r in med.collect()}
     dev = qv.join(F.broadcast(med), "event_type").select(
         "event_type", "event_id", "v", "med",
         F.abs(F.col("v") - F.col("med")).alias("d"),
     )
-    mad = _banded_group_median(dev, "event_type", "d", "event_id", "mad")
+    # The deviation medians reuse folded v-boundaries (driver-only) —
+    # one percentile_approx pass for the whole query, not two.
+    mad = _banded_group_median(
+        dev, "event_type", "d", "event_id", "mad",
+        boundaries=_fold_boundaries(gb, med_map),
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -1921,11 +2017,22 @@ def seasonal_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
     ).withColumn("_g", F.format_string("%s:%d", F.col("event_type"), F.col("hr")))
-    smed = _banded_group_median(qv, "_g", "v", "event_id", "med")
+    gb = _group_quantile_bands(qv, "_g", "v")
+    smed = _banded_group_median(
+        qv, "_g", "v", "event_id", "med", boundaries=gb
+    )
+    med_map = {r["_g"]: r["med"] for r in smed.collect()}
     dev = qv.join(F.broadcast(smed), "_g").select(
         "event_type", "event_id", F.abs(F.col("v") - F.col("med")).alias("d")
     )
-    mad = _banded_group_median(dev, "event_type", "d", "event_id", "mad")
+    # Residual-MAD boundaries fold the 24 hourly v-grids of each type
+    # around their own medians on the driver — no second boundary pass.
+    mad = _banded_group_median(
+        dev, "event_type", "d", "event_id", "mad",
+        boundaries=_fold_boundaries(
+            gb, med_map, key_of=lambda g: g.rsplit(":", 1)[0]
+        ),
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
