@@ -3685,3 +3685,101 @@ def clustering_coefficient_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_q"),
         )
     )
+
+
+# ---- Exact scorer AUC (Mann–Whitney rank-sum) ----------------------------
+AUC_SCORE_Q = 1000  # per-word stopword-hit rate quantized to 0..AUC_SCORE_Q
+
+
+def _auc_oracle() -> str:
+    return rf"""
+    WITH m AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             length(regexp_extract_all(lower(text), '{LANG_PATTERNS["en"]}'))
+               AS hits,
+             greatest(length(regexp_extract_all(text, '\S+')), 1) AS n_words
+      FROM documents
+    ),
+    q AS (
+      SELECT pos, CAST((hits * {AUC_SCORE_Q}) // n_words AS BIGINT) AS s_q
+      FROM m
+    ),
+    cells AS (
+      SELECT s_q, CAST(SUM(pos) AS BIGINT) AS n1, COUNT(*) AS n
+      FROM q GROUP BY s_q
+    ),
+    r AS (
+      SELECT s_q, n1, n,
+             COALESCE(SUM(n) OVER (ORDER BY s_q ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_lt
+      FROM cells
+    ),
+    agg AS (
+      SELECT CAST(SUM(n1 * (2 * cum_lt + n + 1)) AS BIGINT) AS ranksum2,
+             CAST(SUM(n1) AS BIGINT) AS n_pos,
+             CAST(SUM(n) AS BIGINT) AS n_tot
+      FROM r
+    )
+    SELECT n_pos, n_tot - n_pos AS n_neg,
+           CAST(((ranksum2 - n_pos * (n_pos + 1)) * 1000000)
+                // (2 * n_pos * (n_tot - n_pos)) AS BIGINT) AS auc_q
+    FROM agg
+    """
+
+
+@register("scorer_auc_eval", _auc_oracle())
+def scorer_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a scorer against labels — the
+    Mann–Whitney/rank-sum identity (AUC = P(score⁺ > score⁻) +
+    ½·P(tie)), evaluated here for the per-word English-stopword rate
+    predicting lang == 'en' (the langid_heuristic signal scored as a
+    retrieval-quality instrument, joining the calibration/NDCG eval
+    family). Tie handling is the proper mid-rank correction, computed
+    EXACTLY in integers: 2·ranksum = Σ_s n⁺(s)·(2·cum_lt(s) + n(s) + 1)
+    over DISTINCT quantized scores, then
+    AUC = (2·ranksum − 2·binom) / (2·n⁺·n⁻) quantized to micro-units
+    with integer division — no float ranks anywhere, bit-identical
+    cross-engine.
+
+    Scale: one map-only scoring pass, one groupBy on the quantized
+    score ({AUC_SCORE_Q + 1} cells max — quantization is what BOUNDS
+    the score frame), and a prefix-sum window over that bounded frame
+    (the banded-ECDF rationale from ks_two_sample_scalable: the window
+    input is cells, never rows). Caveat noted for honesty: the exact
+    integer 2·ranksum stays under 2^63 up to ~10⁹ docs per class;
+    beyond that the final ratio must quantize before the multiply."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        _matches(F.lower(F.col("text")), LANG_PATTERNS["en"]).alias("hits"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)), F.lit(1)
+        ).alias("n_words"),
+    )
+    q = m.select(
+        "pos", F.expr(f"CAST((hits * {AUC_SCORE_Q}) div n_words AS BIGINT)").alias("s_q")
+    )
+    cells = q.groupBy("s_q").agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        F.count("*").alias("n"),
+    )
+    w = W.orderBy(F.col("s_q").asc()).rowsBetween(W.unboundedPreceding, -1)
+    r = cells.withColumn(
+        "cum_lt", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    agg = r.agg(
+        F.sum(F.col("n1") * (2 * F.col("cum_lt") + F.col("n") + 1))
+        .cast("bigint")
+        .alias("ranksum2"),
+        F.sum("n1").cast("bigint").alias("n_pos"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+    )
+    return agg.select(
+        "n_pos",
+        (F.col("n_tot") - F.col("n_pos")).alias("n_neg"),
+        F.expr(
+            "CAST(((ranksum2 - n_pos * (n_pos + 1)) * 1000000)"
+            " div (2 * n_pos * (n_tot - n_pos)) AS BIGINT)"
+        ).alias("auc_q"),
+    )

@@ -2044,3 +2044,89 @@ def seasonal_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---- Exponentially-weighted moving average ------------------------------
+EWMA_LAGS = 16  # half-decay window: weight 2^(EWMA_LAGS-1-j) for lag j
+
+
+def _ewma_oracle() -> str:
+    wspec = "PARTITION BY user_id ORDER BY ts ASC, event_id ASC"
+    num = " + ".join(
+        f"COALESCE(lag(v, {j}) OVER ({wspec}), 0) * {1 << (EWMA_LAGS - 1 - j)}"
+        for j in range(EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(v, {j}) OVER ({wspec}) IS NOT NULL"
+        f" THEN {1 << (EWMA_LAGS - 1 - j)} ELSE 0 END"
+        for j in range(EWMA_LAGS)
+    )
+    return f"""
+    WITH qv AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * {ZSCORE_Q}) AS BIGINT) AS v
+      FROM events
+    ),
+    sm AS (
+      SELECT user_id, event_id, v,
+             CAST({num} AS BIGINT) AS num,
+             CAST({den} AS BIGINT) AS den
+      FROM qv
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           v AS value_q,
+           CAST((num * 1000000) // den AS BIGINT) AS ewma_q
+    FROM sm
+    """
+
+
+@register("ewma_smoothed_values", _ewma_oracle())
+def ewma_smoothed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the smoothing
+    primitive of every monitoring/anomaly stack, and a window shape the
+    frame families don't cover: POSITION-DEPENDENT weights inside the
+    frame (plain RANGE/ROWS frames weight uniformly). The truncated
+    half-decay form (α = 1/2, window {EWMA_LAGS}) keeps everything in
+    exact integers: y = Σⱼ x₍ₜ₋ⱼ₎·2^({EWMA_LAGS}−1−j) over available
+    lags, normalized by the matching weight sum and quantized to
+    micro-units with integer division — bit-identical cross-engine (no
+    float powers anywhere). Partial windows at each user's history
+    start renormalize over the lags that exist, matching the oracle's
+    CASE chain exactly.
+
+    Scale: ONE window pass partitioned by user (all {EWMA_LAGS} lag
+    expressions share the window spec, so Spark evaluates them in a
+    single Window operator with O(1) state per row — no frame rescan,
+    no collect_list materialization); everything after is map-only
+    integer arithmetic. At 100 TB this is the shape a per-entity
+    smoothing pass must have: no global window, state bounded by the
+    lag depth."""
+    ev = table(spark, sf_dir, "events")
+    qv = ev.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * ZSCORE_Q).cast("bigint").alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    num = None
+    den = None
+    for j in range(EWMA_LAGS):
+        wt = 1 << (EWMA_LAGS - 1 - j)
+        lj = F.lag("v", j).over(w) if j else F.col("v")
+        n_term = F.coalesce(lj, F.lit(0)) * F.lit(wt)
+        d_term = F.when(lj.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = n_term if num is None else num + n_term
+        den = d_term if den is None else den + d_term
+    sm = qv.select(
+        "user_id", "event_id", "v",
+        num.cast("bigint").alias("num"),
+        den.cast("bigint").alias("den"),
+    )
+    # Integer division, not `/` (which is a double divide in Spark and
+    # would round where the oracle's `//` truncates).
+    return sm.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("v").alias("value_q"),
+        F.expr("CAST((num * 1000000) div den AS BIGINT)").alias("ewma_q"),
+    )

@@ -169,6 +169,10 @@ QUERIES = [
     "stream_incremental_skyline3d",  # 3-D frontier store, O(batch+frontier)
     "ppjoin_plus_jaccard_pairs",  # + suffix filter, pair-local Arrow verify
     "stream_gram_drift_monitor",  # store-prefix directions, DIM^2/epoch read
+    "ewma_smoothed_values",  # 16-lag weighted frame, one window pass
+    "interval_overlap_incidents",  # grid-bucketized interval join, emit-once
+    "scorer_auc_eval",  # grouped rank-sum AUC, bounded score cells
+    "mad_outliers_scalable",  # re-measure post r13 single-action medians
 ]
 
 
