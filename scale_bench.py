@@ -173,6 +173,7 @@ QUERIES = [
     "interval_overlap_incidents",  # grid-bucketized interval join, emit-once
     "scorer_auc_eval",  # grouped rank-sum AUC, bounded score cells
     "mad_outliers_scalable",  # re-measure post r13 single-action medians
+    "ppr_copurchase_parts",  # personalized teleport, fact-sized graph
 ]
 
 
