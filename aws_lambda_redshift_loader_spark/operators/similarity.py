@@ -3224,7 +3224,11 @@ def _gram_drift_oracle() -> str:
     u_lat_i = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) ui"
     u_lat_j = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) uj"
     parts = [
-        f"bnd AS (SELECT ceil(COUNT(*) / {E}.0) AS w FROM q)",
+        # Width from the ID RANGE (max+1), not COUNT: identical on the
+        # dense driver fixtures, but on sparse/shifted id spaces the
+        # count-based width would leave ids beyond segment E-1 outside
+        # every checkpoint (r13: the 10x replica-shifted fixture).
+        f"bnd AS (SELECT ceil((MAX(vec_id) + 1) / {E}.0) AS w FROM q)",
         f"""gseg AS (
       SELECT CAST(floor(q.vec_id / b.w) AS INT) AS seg, ui.i AS gi, uj.i AS gj,
              CAST(SUM(e[ui.i] * e[uj.i]) AS BIGINT) AS g
@@ -3299,8 +3303,9 @@ def gram_direction_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize("embedding").alias("e")
     )
-    n = emb.count()
-    w = math.ceil(n / GRAM_DRIFT_STEPS)
+    # Width from the id RANGE, not the count — see _gram_drift_oracle.
+    mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    w = math.ceil((int(mx) + 1) / GRAM_DRIFT_STEPS)
     seg = F.floor(F.col("vec_id") / w).cast("int").alias("seg")
 
     import numpy as np

@@ -3840,8 +3840,11 @@ def _ensure_gram_ingest(spark: SparkSession, sf_dir: str) -> str:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _quantize("embedding").alias("e")
     )
-    n = emb.count()
-    w = math.ceil(n / INC_GRAM_EPOCHS)
+    # Width from the id RANGE (max+1), mirroring _gram_drift_oracle —
+    # every row lands in a segment < INC_GRAM_EPOCHS on ANY id layout,
+    # so the summed store always covers the whole corpus.
+    mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    w = math.ceil((int(mx) + 1) / INC_GRAM_EPOCHS)
     (
         emb.withColumn("seg", F.floor(F.col("vec_id") / w).cast("int"))
         .repartition(INC_GRAM_EPOCHS, "seg")
@@ -3854,11 +3857,23 @@ def _ensure_gram_ingest(spark: SparkSession, sf_dir: str) -> str:
     # id-segment k (partitionBy + repartition on seg puts each segment
     # in one task => one file per segment dir).
     base = 1_600_000_000
+    empty_src: str | None = None
     for k in range(INC_GRAM_EPOCHS):
         fs = glob.glob(f"{staging}/seg={k}/part-*.parquet")
-        assert len(fs) == 1, f"segment {k}: expected one file, got {fs}"
         dst = f"{src}/part-{k:05d}.parquet"
-        shutil.move(fs[0], dst)
+        if len(fs) == 1:
+            shutil.move(fs[0], dst)
+        else:
+            # Sparse vec_ids (e.g. replica-shifted fixtures) can leave a
+            # count-derived segment EMPTY — the batch oracle treats a
+            # missing segment as a no-op prefix step, so the stream must
+            # still emit an (empty) epoch k to keep epoch == segment.
+            assert not fs, f"segment {k}: expected at most one file, got {fs}"
+            if empty_src is None:
+                edir = _e2e_tmpdir("alrs_gram_empty_")
+                emb.limit(0).coalesce(1).write.mode("overwrite").parquet(edir)
+                empty_src = glob.glob(f"{edir}/part-*.parquet")[0]
+            shutil.copy(empty_src, dst)
         os.utime(dst, (base + k, base + k))
 
     stream = (
