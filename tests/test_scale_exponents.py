@@ -62,6 +62,20 @@ BUDGETS = [
     # — the tighter budget locks in that the window never regresses to
     # re-referencing the fact exchange
     ("waiting_supplier_ranking_windowed", 12.0),
+    # round-13 additions: the 3-D skyline's dominance anti-join runs on
+    # the survivor union (frontier-sized) — the gate catches it ever
+    # regressing to a quadratic pair join over the fact
+    ("pareto_skyline_lineitem_3d", 20.0),
+    # PPJoin+ suffix probe is O(2^depth·log n) per candidate; the gate
+    # catches the candidate set (or the pair-local verify) going
+    # quadratic once the prefix index stops pruning
+    ("ppjoin_plus_jaccard_pairs", 20.0),
+    # grid-bucketized interval join: emit-once equi-join on the hour
+    # grid — the gate catches a regression to the cross-join shape
+    ("interval_overlap_incidents", 20.0),
+    # one window pass, 16 lags sharing one spec — the gate catches the
+    # lag chain ever splitting into per-lag window operators
+    ("ewma_smoothed_values", 20.0),
 ]
 
 
