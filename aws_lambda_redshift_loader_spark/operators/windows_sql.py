@@ -2130,3 +2130,72 @@ def ewma_smoothed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("value_q"),
         F.expr("CAST((num * 1000000) div den AS BIGINT)").alias("ewma_q"),
     )
+
+
+# ---- Sliding exact median (order statistic in a moving frame) ------------
+MOVMED_FRAME = 15  # trailing orders per customer in the frame
+
+
+@register(
+    "moving_median_spend",
+    f"""
+    WITH q AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_q,
+             o_orderdate
+      FROM orders
+    ),
+    framed AS (
+      SELECT o_orderkey, o_custkey, price_q,
+             list(price_q) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN {MOVMED_FRAME - 1} PRECEDING AND CURRENT ROW
+             ) AS fr
+      FROM q
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           price_q,
+           CAST(list_sort(fr)[CAST((len(fr) + 1) // 2 AS INT)] AS BIGINT)
+             AS moving_median_q
+    FROM framed
+    """,
+)
+def moving_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING exact median — the order-statistic-in-a-moving-frame
+    window class (running medians for monitoring/robust baselines),
+    which no SUM/MIN/MAX frame can express: at each order, the
+    rank-method median of the customer's trailing {MOVMED_FRAME}
+    order totals. Implemented as collect_list over a bounded ROWS
+    frame + sort_array + element_at — the frame array is at most
+    {MOVMED_FRAME} elements, so per-row cost is O(F log F) with F a
+    CONSTANT, and partial frames at each customer's history start
+    median over what exists (matching the oracle's len(fr)-based
+    index). Prices quantize to int64 cents so the selected element is
+    bit-identical cross-engine.
+
+    Scale: ONE window pass partitioned by customer (never global);
+    frame state is F values per row in flight — the same cost class as
+    a rows-frame SUM times a constant. The contrast with
+    _banded_group_median is deliberate and documented: banding solves
+    the WHOLE-GROUP median at scale; a bounded moving frame needs no
+    banding because the frame itself is the bound."""
+    o = table(spark, sf_dir, "orders")
+    q = o.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_q"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-(MOVMED_FRAME - 1), W.currentRow)
+    )
+    fr = F.sort_array(F.collect_list("price_q").over(w))
+    med = F.element_at(fr, ((F.size(fr) + 1) / 2).cast("int"))
+    return q.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        "price_q",
+        med.cast("bigint").alias("moving_median_q"),
+    )
