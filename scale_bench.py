@@ -174,6 +174,7 @@ QUERIES = [
     "scorer_auc_eval",  # grouped rank-sum AUC, bounded score cells
     "mad_outliers_scalable",  # re-measure post r13 single-action medians
     "ppr_copurchase_parts",  # personalized teleport, fact-sized graph
+    "moving_median_spend",  # bounded-frame order statistic, one window pass
 ]
 
 
