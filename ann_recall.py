@@ -49,6 +49,9 @@ def main() -> None:
         # epoch-maintained store whose quantizer retrained on the
         # ingested prefix (vs embedding_ivf_topk's full-corpus train)
         "stream_incremental_ivf_refresh",
+        # round-13: graph-traversal ANN (beam over the cell-local kNN
+        # graph) — the non-quantization index family member
+        "embedding_graph_ann_topk",
     ):
         results[name] = round(len(exact & pairs(name)) / len(exact), 4)
 

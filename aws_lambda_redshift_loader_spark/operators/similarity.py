@@ -3399,3 +3399,326 @@ def _drift_series(
         [T.StructField("step", T.IntegerType()), T.StructField("cos_q", T.LongType())]
     )
     return spark.createDataFrame(out, schema=schema)
+
+
+# ---- Graph ANN (beam search over a kNN graph) -----------------------------
+# The one index class the ANN family lacked: graph TRAVERSAL
+# (HNSW/NSG-style). Build: a kNN graph from IVF-cell-local exact
+# neighborhoods (the production pattern — candidate generation bounded
+# by the quantizer, never all-pairs); search: fixed-round best-first
+# beam expansion from a global entry point.
+GANN_DEG = 8     # out-degree per node (bucket-local top-G)
+GANN_BEAM = 12   # beam width per query (> TOP_K)
+GANN_ROUNDS = 4  # fixed expansion rounds (unrolled in the oracle)
+# Each node joins the buckets of its GANN_BUILD_PROBE nearest cells when
+# the graph is built. Single-cell buckets leave the kNN graph
+# DISCONNECTED across cells (measured: recall 0.10 — the beam could
+# never leave the entry's component); multi-probe buckets create the
+# cross-cell edges a navigable graph needs, exactly how a production
+# build draws candidates from several coarse cells.
+GANN_BUILD_PROBE = IVF_NPROBE
+
+
+def _gann_cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(CAST({a}.e AS DOUBLE[]), CAST({b}.e AS DOUBLE[])) /"
+        f" (sqrt(list_dot_product(CAST({a}.e AS DOUBLE[]), CAST({a}.e AS DOUBLE[]))) *"
+        f" sqrt(list_dot_product(CAST({b}.e AS DOUBLE[]), CAST({b}.e AS DOUBLE[]))))"
+    )
+
+
+def _gann_oracle() -> str:
+    u = IVF_TRAIN_ITERS
+    parts = [
+        f"""passign AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell ASC) AS rk
+        FROM score{u}
+      ) WHERE rk <= {GANN_BUILD_PROBE}
+    ),
+    pairsg AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+             {_gann_cos_sql("a", "b")} AS cos
+      FROM passign a JOIN passign b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY cos DESC, dst ASC) AS rk
+        FROM pairsg
+      ) WHERE rk <= {GANN_DEG}
+    ),
+    graphe AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn
+      )
+    ),
+    f0 AS (
+      SELECT vec_id AS query_id, (SELECT MIN(vec_id) FROM q) AS node
+      FROM q WHERE vec_id < {N_QUERIES}
+    )"""
+    ]
+    for t in range(1, GANN_ROUNDS + 1):
+        parts.append(
+            f"""cand{t} AS (
+      SELECT query_id, node FROM f{t - 1}
+      UNION
+      SELECT f.query_id, e.dst AS node
+      FROM f{t - 1} f JOIN graphe e ON e.src = f.node
+    ),
+    sc{t} AS (
+      SELECT c.query_id, c.node, {_gann_cos_sql("a", "b")} AS cos
+      FROM cand{t} c
+      JOIN q a ON a.vec_id = c.query_id
+      JOIN q b ON b.vec_id = c.node
+    ),
+    f{t} AS (
+      SELECT query_id, node, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, node ASC) AS rk
+        FROM sc{t}
+      ) WHERE rk <= {GANN_BEAM}
+    )"""
+        )
+    chained = ",\n    ".join(_kmeans_ctes(u + 1) + parts)
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained}
+    SELECT query_id, node AS neighbor_id, cos AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, node ASC) AS rank
+      FROM f{GANN_ROUNDS} WHERE node <> query_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+def _probe_assign(emb: DataFrame, cent_ids, cent_mat, nprobe: int) -> DataFrame:
+    """(vec_id, e) → (vec_id, e, cell) MULTI-assignment: each vector
+    joins its top-``nprobe`` nearest cells (cos DESC, cell ASC — the
+    oracle's probe rank order; stable argsort over ascending cell ids
+    reproduces the tiebreak). Map-only, one GEMM per Arrow batch."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    c_norms = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((np.asarray(cent_ids), cent_mat, c_norms))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.LongType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, c_mat, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["e"]), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ c_mat.T) / (norms[:, None] * cn[None, :])
+            # ids are ascending, so a stable sort on -cos breaks cosine
+            # ties toward the lower cell id.
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            k = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "e": [e for e in pdf["e"] for _ in range(k)],
+                    "cell": ids[order].reshape(-1).astype("int32"),
+                }
+            )
+
+    return emb.mapInPandas(assign, schema=schema)
+
+
+def _gann_edges(probed: DataFrame) -> DataFrame:
+    """Multi-probed (vec_id, e, cell) → symmetrized top-{GANN_DEG} kNN
+    edges (src, dst). Per-BUCKET exact GEMM inside applyInPandas (the
+    candidate set is a probed cell's membership, bounded by occupancy,
+    never the corpus); per-bucket top-G pre-prunes losslessly (a pair
+    in the global per-src top-G is in its bucket's top-G, since the
+    bucket candidates are a subset); buckets then dedupe and a per-src
+    rank window (node grain, ≤ nprobe·G rows per src) picks the final
+    out-edges. Ties break (cos DESC, dst ASC) exactly as the oracle."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as W
+
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def knn_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"),
+                 "dst": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["e"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        srcs, dsts, coss = [], [], []
+        for i in range(n):
+            row = cos[i].copy()
+            row[i] = -np.inf  # exclude self
+            order = np.lexsort((ids, -row))
+            for j in order[: min(GANN_DEG, n - 1)]:
+                srcs.append(ids[i])
+                dsts.append(ids[j])
+                coss.append(row[j])
+        return pd.DataFrame({"src": srcs, "dst": dsts, "cos": coss})
+
+    cands = (
+        probed.groupBy("cell")
+        .applyInPandas(knn_bucket, schema=schema)
+        .dropDuplicates(["src", "dst"])
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    knn = (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GANN_DEG)
+        .select("src", "dst")
+    )
+    return knn.unionByName(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+
+
+def _gann_pair_scores(cands: DataFrame, emb: DataFrame) -> DataFrame:
+    """(query_id, node) + embeddings → + cosine, scored row-wise in one
+    vectorized pandas pass (fixed-order float64 dots over exact-int
+    components — identical to the oracle's list_dot_product chain)."""
+    from pyspark.sql import types as T
+
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    ne = emb.select(F.col("vec_id").alias("node"), F.col("e").alias("ne"))
+    joined = cands.join(F.broadcast(qe), "query_id").join(ne, "node")
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("node", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf["qe"]), dtype=np.float64)
+            b = np.array(list(pdf["ne"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", a, b)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "node": pdf["node"],
+                    "cos": dots / (na * nb),
+                }
+            )
+
+    return joined.mapInPandas(score, schema=schema)
+
+
+@register("embedding_graph_ann_topk", _gann_oracle())
+def embedding_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-TRAVERSAL ANN (HNSW/NSG family) — the index class the
+    quantization entries (LSH/IVF/PQ/OPQ/SQ8) don't cover: a kNN GRAPH
+    is built offline (exact top-{GANN_DEG} neighborhoods drawn from
+    MULTI-PROBED quantizer buckets — each node joins its
+    {GANN_BUILD_PROBE} nearest cells, which is both what bounds the
+    candidate set and what makes the graph NAVIGABLE across cells (the
+    single-cell build measured recall 0.10: disconnected components) —
+    then symmetrized), and each query runs {GANN_ROUNDS} fixed rounds of
+    best-first BEAM expansion from a global entry point (the minimum
+    vec_id): frontier ∪ its out-neighbors, scored, top-{GANN_BEAM}
+    kept. The query vector itself may ride the frontier as a perfect
+    hub; it is excluded from the final top-{TOP_K}. Fixed rounds make
+    the whole search an unrollable dataflow — the oracle chains the
+    quantizer training, the graph build, and all three expansions, so
+    training, graph, traversal, and ranking are ALL hash-gated.
+
+    Scale: the build is per-cell GEMM (applyInPandas over quantizer
+    cells — the occupancy the Lloyd round balances is exactly what
+    bounds it); each search round joins the edge list against a
+    BROADCAST frontier (beam × queries rows) and ranks per query over
+    ≤ beam·(1+degree) candidates — state per query is the beam, never
+    the corpus. Per-pair scoring is one vectorized row-wise GEMM pass
+    (exact float64 over quantized ints — the established parity rule).
+    Recall at this geometry is measured, not asserted (ANN_RECALL)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    edges = _gann_edges(
+        _probe_assign(emb, ids, cent, GANN_BUILD_PROBE)
+    ).localCheckpoint(eager=True)
+    entry = emb.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
+    frontier = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+        .withColumn("node", F.lit(int(entry)).cast("bigint"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("node").asc())
+    scored = None
+    for _ in range(GANN_ROUNDS):
+        cands = frontier.unionByName(
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select("query_id", F.col("dst").alias("node"))
+        ).dropDuplicates(["query_id", "node"])
+        scored = _gann_pair_scores(cands, emb)
+        frontier = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= GANN_BEAM)
+            .select("query_id", "node")
+        )
+    final = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= GANN_BEAM
+    )
+    return (
+        final.filter(F.col("node") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("node").asc()
+                )
+            )
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )

@@ -175,6 +175,7 @@ QUERIES = [
     "mad_outliers_scalable",  # re-measure post r13 single-action medians
     "ppr_copurchase_parts",  # personalized teleport, fact-sized graph
     "moving_median_spend",  # bounded-frame order statistic, one window pass
+    "embedding_graph_ann_topk",  # kNN-graph build + fixed-round beam search
 ]
 
 
