@@ -3610,9 +3610,17 @@ def _gann_pair_scores(cands: DataFrame, emb: DataFrame) -> DataFrame:
     components — identical to the oracle's list_dot_product chain)."""
     from pyspark.sql import types as T
 
-    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
     ne = emb.select(F.col("vec_id").alias("node"), F.col("e").alias("ne"))
-    joined = cands.join(F.broadcast(qe), "query_id").join(ne, "node")
+    # The candidate frame is beam x queries rows — broadcast IT against
+    # the corpus-sided embedding lookup, never the reverse (ne is the
+    # corpus; at scale this join must be a broadcast-hash probe into the
+    # big side's scan, not a shuffle of the corpus per beam round).
+    joined = ne.join(
+        F.broadcast(cands.join(F.broadcast(qe), "query_id")), "node"
+    )
 
     schema = T.StructType(
         [
