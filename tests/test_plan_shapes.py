@@ -591,3 +591,35 @@ def test_ppjoin_windows_are_per_document(spark):
             found += 1
     assert found >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_window_pass(spark):
+    # All 16 lag expressions share one window spec — the plan must carry
+    # exactly ONE Window operator (per-lag windows would rescan the
+    # partition 16 times).
+    plan = _formatted(spark, "ewma_smoothed_values")
+    n_windows = sum(
+        1 for line in plan.splitlines() if line.strip().lstrip("(*0123456789) ").startswith("Window")
+    )
+    assert n_windows == 1, f"expected one Window operator, saw {n_windows}"
+
+
+def test_interval_overlap_no_cartesian(spark):
+    # The grid-bucketized interval join exists to avoid the cross-join
+    # shape — the plan must contain no cartesian/nested-loop join.
+    plan = _formatted(spark, "interval_overlap_incidents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_ann_beam_rounds_broadcast_candidates(spark):
+    # Each beam round probes the corpus-sided embedding lookup with a
+    # BROADCAST of the (candidates x query-vector) frame; a shuffle of
+    # the corpus per round is the regression this pins. The edge list is
+    # localCheckpointed, so the remaining joins in the final plan are
+    # the per-round scoring joins.
+    plan = _formatted(spark, "embedding_graph_ann_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "a beam-round scoring join fell off the broadcast path"
+    )
