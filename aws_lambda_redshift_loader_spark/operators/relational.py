@@ -4041,14 +4041,26 @@ def _skyline3d_coords(pts: DataFrame) -> DataFrame:
             )
             arr = g[["p", "x", "d"]].to_numpy(dtype="float64")
             P, X, D = arr[:, 0:1], arr[:, 1:2], arr[:, 2:3]
-            # dom[i, j] = point j dominates point i (≤/≤/≥ with one strict)
-            dom = (
-                (P.T <= P)
-                & (X.T <= X)
-                & (D.T >= D)
-                & ((P.T < P) | (X.T < X) | (D.T > D))
-            )
-            keep = arr[~dom.any(axis=1)]
+            # dom[i, j] = point j dominates point i (≤/≤/≥ with one
+            # strict). The dominator axis is CHUNKED so memory stays
+            # k × 4096 booleans however near-continuous the criteria
+            # get (an unchunked k² matrix is ~100 MB at the default
+            # 10k-row Arrow batch; the frontier store reuses this
+            # helper on snapshot ∪ batch unions) — ADVICE r13.
+            k = arr.shape[0]
+            dominated = np.zeros(k, dtype=bool)
+            for lo in range(0, k, 4096):
+                Pj = P[lo : lo + 4096].T
+                Xj = X[lo : lo + 4096].T
+                Dj = D[lo : lo + 4096].T
+                dom = (
+                    (Pj <= P)
+                    & (Xj <= X)
+                    & (Dj >= D)
+                    & ((Pj < P) | (Xj < X) | (Dj > D))
+                )
+                dominated |= dom.any(axis=1)
+            keep = arr[~dominated]
             yield pd.DataFrame({"p": keep[:, 0], "x": keep[:, 1], "d": keep[:, 2]})
 
     reduced = pts.select(

@@ -3725,6 +3725,7 @@ def _auc_oracle() -> str:
            CAST(((ranksum2 - n_pos * (n_pos + 1)) * 1000000)
                 // (2 * n_pos * (n_tot - n_pos)) AS BIGINT) AS auc_q
     FROM agg
+    WHERE n_pos > 0 AND n_tot > n_pos
     """
 
 
@@ -3775,11 +3776,17 @@ def scorer_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n1").cast("bigint").alias("n_pos"),
         F.sum("n").cast("bigint").alias("n_tot"),
     )
-    return agg.select(
-        "n_pos",
-        (F.col("n_tot") - F.col("n_pos")).alias("n_neg"),
-        F.expr(
-            "CAST(((ranksum2 - n_pos * (n_pos + 1)) * 1000000)"
-            " div (2 * n_pos * (n_tot - n_pos)) AS BIGINT)"
-        ).alias("auc_q"),
+    # AUC is undefined on a one-class corpus (n⁺ or n⁻ = 0) and
+    # zero-division behavior differs cross-engine — both sides emit
+    # zero rows for that degenerate input instead (ADVICE r13).
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_tot") > F.col("n_pos")))
+        .select(
+            "n_pos",
+            (F.col("n_tot") - F.col("n_pos")).alias("n_neg"),
+            F.expr(
+                "CAST(((ranksum2 - n_pos * (n_pos + 1)) * 1000000)"
+                " div (2 * n_pos * (n_tot - n_pos)) AS BIGINT)"
+            ).alias("auc_q"),
+        )
     )

@@ -1863,9 +1863,11 @@ def _banded_group_median(
     bm25_prf_topk materialize-the-small-thing rationale). ``boundaries``
     (a _group_quantile_bands-shaped dict) skips the boundary pass when
     the caller already knows an approximate shape — geometry shapes
-    balance only, so ANY boundary set is correct; it must cover every
-    group present in ``df`` (rows of uncovered groups would drop at the
-    geometry join — both callers derive it from the same frame)."""
+    balance only, so ANY boundary set is correct; groups absent from it
+    default to a single band (empty boundary array) via the LEFT
+    geometry join, which is still exact — a missing key can skew
+    balance, never the median (ADVICE r13: an inner join here silently
+    dropped uncovered groups' rows, yielding a missing median)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1888,7 +1890,11 @@ def _banded_group_median(
         ),
     )
     banded = (
-        df.join(F.broadcast(bframe), gcol)
+        df.join(F.broadcast(bframe), gcol, "left")
+        .withColumn(
+            "_bs",
+            F.coalesce(F.col("_bs"), F.array().cast("array<bigint>")),
+        )
         .withColumn(
             "_band",
             F.size(F.filter(F.col("_bs"), lambda b: F.col(vcol) >= b)).cast(
