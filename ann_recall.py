@@ -52,6 +52,9 @@ def main() -> None:
         # round-13: graph-traversal ANN (beam over the cell-local kNN
         # graph) — the non-quantization index family member
         "embedding_graph_ann_topk",
+        # round-14: the HNSW layer hierarchy — sparse upper graph seeds
+        # the base beam, fewer base rounds at equal beam
+        "embedding_graph_ann_hier_topk",
     ):
         results[name] = round(len(exact & pairs(name)) / len(exact), 4)
 

@@ -3730,3 +3730,239 @@ def embedding_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---- Hierarchical graph ANN (HNSW-style layered entry) --------------------
+# The flat beam (embedding_graph_ann_topk) enters at the global min
+# vec_id and spends part of its 4 rounds just covering the distance
+# from that fixed entry to each query's neighborhood. The HNSW remedy
+# is a LAYER hierarchy: a sparse upper graph (every {GANN_UPPER_MOD}th
+# node, same multi-probe edge rule) is searched first with a narrow
+# beam, and its per-query result seeds the base-layer beam — so the
+# base search starts near the answer and needs fewer rounds.
+GANN_UPPER_MOD = 4     # upper layer = vec_id % MOD == 0 (1/MOD of nodes)
+# MOD=4 measured recall 0.96 at 2510 scored pairs vs the flat build's
+# 0.94 at 3015 (sf0.01); the sparser MOD=8 upper layer read 0.90 —
+# too-sparse upper graphs hand the base beam a worse seed than the
+# extra upper nodes cost (sweep recorded in ROADMAP r14).
+GANN_UPPER_BEAM = 4    # narrow upper-layer beam
+GANN_UPPER_ROUNDS = 2  # upper-layer expansion rounds
+GANN_SEEDS = 2         # upper results seeding the base-layer frontier
+GANN_HIER_ROUNDS = 3   # base rounds (flat needs {GANN_ROUNDS} from a cold entry)
+
+
+def _gann_graph_ctes(prefix: str, src_cte: str) -> str:
+    """The kNN-graph CTE triple (pairs → per-src top-{GANN_DEG} →
+    symmetrize) over a multi-probed assignment CTE — shared verbatim by
+    the base layer (src = passign) and the upper layer (src = the
+    upper-node restriction of passign), so both layers' builds are
+    provably the same rule."""
+    return f"""{prefix}pairs AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+             {_gann_cos_sql("a", "b")} AS cos
+      FROM {src_cte} a JOIN {src_cte} b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    {prefix}knn AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY cos DESC, dst ASC) AS rk
+        FROM {prefix}pairs
+      ) WHERE rk <= {GANN_DEG}
+    ),
+    {prefix}graph AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM {prefix}knn
+        UNION ALL SELECT dst, src FROM {prefix}knn
+      )
+    )"""
+
+
+def _gann_beam_ctes(
+    prefix: str, graph: str, f0: str, rounds: int, beam: int
+) -> list[str]:
+    """Unrolled beam-expansion CTE rounds (frontier ∪ out-neighbors →
+    score → top-``beam``), shared by the upper- and base-layer searches
+    of the hierarchical oracle; mirrors the flat oracle's loop."""
+    parts = []
+    for t in range(1, rounds + 1):
+        prev = f0 if t == 1 else f"{prefix}f{t - 1}"
+        parts.append(
+            f"""{prefix}cand{t} AS (
+      SELECT query_id, node FROM {prev}
+      UNION
+      SELECT f.query_id, e.dst AS node
+      FROM {prev} f JOIN {graph} e ON e.src = f.node
+    ),
+    {prefix}sc{t} AS (
+      SELECT c.query_id, c.node, {_gann_cos_sql("a", "b")} AS cos
+      FROM {prefix}cand{t} c
+      JOIN q a ON a.vec_id = c.query_id
+      JOIN q b ON b.vec_id = c.node
+    ),
+    {prefix}f{t} AS (
+      SELECT query_id, node, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, node ASC) AS rk
+        FROM {prefix}sc{t}
+      ) WHERE rk <= {beam}
+    )"""
+        )
+    return parts
+
+
+def _gann_hier_oracle() -> str:
+    u = IVF_TRAIN_ITERS
+    parts = [
+        f"""passign AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell ASC) AS rk
+        FROM score{u}
+      ) WHERE rk <= {GANN_BUILD_PROBE}
+    ),
+    upassign AS (
+      SELECT * FROM passign WHERE vec_id % {GANN_UPPER_MOD} = 0
+    ),
+    {_gann_graph_ctes("b", "passign")},
+    {_gann_graph_ctes("u", "upassign")},
+    uf0 AS (
+      SELECT vec_id AS query_id,
+             (SELECT MIN(vec_id) FROM q
+              WHERE vec_id % {GANN_UPPER_MOD} = 0) AS node
+      FROM q WHERE vec_id < {N_QUERIES}
+    )"""
+    ]
+    parts += _gann_beam_ctes(
+        "u", "ugraph", "uf0", GANN_UPPER_ROUNDS, GANN_UPPER_BEAM
+    )
+    parts.append(
+        f"""bf0 AS (
+      SELECT query_id, node FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, node ASC) AS rk
+        FROM uf{GANN_UPPER_ROUNDS}
+      ) WHERE rk <= {GANN_SEEDS}
+    )"""
+    )
+    parts += _gann_beam_ctes(
+        "b", "bgraph", "bf0", GANN_HIER_ROUNDS, GANN_BEAM
+    )
+    chained = ",\n    ".join(_kmeans_ctes(u + 1) + parts)
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained}
+    SELECT query_id, node AS neighbor_id, cos AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, node ASC) AS rank
+      FROM bf{GANN_HIER_ROUNDS} WHERE node <> query_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+def _gann_beam_rounds(
+    frontier: DataFrame, edges: DataFrame, emb: DataFrame, rounds: int, beam: int
+):
+    """Fixed-round best-first beam expansion shared by both layers of
+    the hierarchical search (and shape-identical to the flat query's
+    inline loop): frontier ∪ out-neighbors → vectorized pair scoring →
+    per-query top-``beam``. Each round joins the edge list against the
+    BROADCAST frontier (beam × queries rows) — the corpus side is never
+    shuffled per round. Returns (final frontier, last scored frame)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("node").asc())
+    scored = None
+    for _ in range(rounds):
+        cands = frontier.unionByName(
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select("query_id", F.col("dst").alias("node"))
+        ).dropDuplicates(["query_id", "node"])
+        scored = _gann_pair_scores(cands, emb)
+        frontier = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= beam)
+            .select("query_id", "node")
+        )
+    return frontier, scored
+
+
+@register("embedding_graph_ann_hier_topk", _gann_hier_oracle())
+def embedding_graph_ann_hier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL graph-traversal ANN — the HNSW layer structure the
+    flat entry (embedding_graph_ann_topk) lacks: a SPARSE UPPER GRAPH
+    over every {GANN_UPPER_MOD}th node (built by the SAME multi-probe
+    kNN rule, so navigability carries over) is searched first with a
+    narrow beam ({GANN_UPPER_ROUNDS} rounds × beam {GANN_UPPER_BEAM}
+    over 1/{GANN_UPPER_MOD} of the nodes), and its per-query top
+    {GANN_SEEDS} results seed the BASE-layer beam — which therefore
+    starts near the answer and runs {GANN_HIER_ROUNDS} rounds instead
+    of the flat build's {GANN_ROUNDS} from the cold global-min entry.
+    Training, BOTH graph builds, both layers' unrolled beam rounds, the
+    seed handoff, and the final ranking are ALL chained in one oracle —
+    hash-gated end to end.
+
+    Scale: the upper layer is where the hierarchy pays — its graph has
+    1/{GANN_UPPER_MOD} the nodes (per-cell GEMM over the same probed
+    buckets, restricted before the build, so the upper build costs
+    ~1/{GANN_UPPER_MOD}² of the base pairs), and every search round on
+    either layer broadcasts only the frontier (beam × queries rows)
+    against the corpus-sided lookup. Fewer base rounds at equal beam =
+    strictly fewer scored candidates per query than the flat search;
+    recall is measured, not asserted (ANN_RECALL: hier ≥ flat's 0.94
+    at fewer total scored pairs)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    edges = _gann_edges(
+        _probe_assign(emb, ids, cent, GANN_BUILD_PROBE)
+    ).localCheckpoint(eager=True)
+    upper = emb.filter(F.col("vec_id") % GANN_UPPER_MOD == 0)
+    uedges = _gann_edges(
+        _probe_assign(upper, ids, cent, GANN_BUILD_PROBE)
+    ).localCheckpoint(eager=True)
+
+    from pyspark.sql.window import Window as W
+
+    uentry = upper.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
+    ufrontier = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+        .withColumn("node", F.lit(int(uentry)).cast("bigint"))
+    )
+    _, uscored = _gann_beam_rounds(
+        ufrontier, uedges, emb, GANN_UPPER_ROUNDS, GANN_UPPER_BEAM
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("node").asc())
+    seeds = (
+        uscored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GANN_SEEDS)
+        .select("query_id", "node")
+    )
+    _, scored = _gann_beam_rounds(seeds, edges, emb, GANN_HIER_ROUNDS, GANN_BEAM)
+    final = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= GANN_BEAM
+    )
+    return (
+        final.filter(F.col("node") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("node").asc()
+                )
+            )
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )

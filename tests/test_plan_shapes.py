@@ -623,3 +623,16 @@ def test_graph_ann_beam_rounds_broadcast_candidates(spark):
     assert "SortMergeJoin" not in plan, (
         "a beam-round scoring join fell off the broadcast path"
     )
+
+
+def test_hier_graph_ann_beam_rounds_broadcast_candidates(spark):
+    # The hierarchical search inherits the flat query's contract on
+    # BOTH layers: every upper- and base-round scoring join broadcasts
+    # the frontier frame against the corpus-sided lookup (both edge
+    # lists are localCheckpointed, so these are the only joins left in
+    # the final plan).
+    plan = _formatted(spark, "embedding_graph_ann_hier_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "a beam-round scoring join fell off the broadcast path"
+    )
