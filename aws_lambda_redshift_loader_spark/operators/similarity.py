@@ -3686,27 +3686,27 @@ def embedding_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _gann_edges(
         _probe_assign(emb, ids, cent, GANN_BUILD_PROBE)
     ).localCheckpoint(eager=True)
+    return _gann_search(emb, edges)
+
+
+def _gann_search(emb: DataFrame, edges: DataFrame) -> DataFrame:
+    """Flat beam-search tail shared by embedding_graph_ann_topk (edges
+    built in-query) and stream_incremental_gann (edges resolved from
+    the epoch-maintained candidate store): entry = the global min
+    vec_id, {GANN_ROUNDS} rounds of frontier ∪ out-neighbors → score →
+    top-{GANN_BEAM}, then the final top-{TOP_K} excluding the query
+    vector itself. Factored so the streaming consumer provably runs
+    the batch query's own search over its maintained graph."""
+    from pyspark.sql.window import Window as W
+
     entry = emb.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
     frontier = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))
         .withColumn("node", F.lit(int(entry)).cast("bigint"))
     )
-    from pyspark.sql.window import Window as W
-
+    _, scored = _gann_beam_rounds(frontier, edges, emb, GANN_ROUNDS, GANN_BEAM)
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("node").asc())
-    scored = None
-    for _ in range(GANN_ROUNDS):
-        cands = frontier.unionByName(
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
-            .select("query_id", F.col("dst").alias("node"))
-        ).dropDuplicates(["query_id", "node"])
-        scored = _gann_pair_scores(cands, emb)
-        frontier = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= GANN_BEAM)
-            .select("query_id", "node")
-        )
     final = scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= GANN_BEAM
     )

@@ -3982,3 +3982,241 @@ def _register_incremental_gram() -> None:
 
 
 _register_incremental_gram()
+
+
+# ---- Incremental graph-ANN edge maintenance (12th store kind) -------------
+# The kNN graph behind embedding_graph_ann_topk, maintained per epoch:
+# insertion's candidate set is exactly the arriving node's probe
+# buckets (the neardup-store pattern applied to the graph build), so
+# each epoch pays one per-cell GEMM between the arrivals and the
+# touched cells' members-so-far — never an all-pairs or full-store
+# rebuild. Losslessness of the per-epoch prunes follows the same
+# subset argument the batch build documents (_gann_edges): a pair in
+# the FINAL per-src top-G is in the top-G of every candidate subset
+# containing it — per-cell-per-epoch, per-(src, epoch), and the final
+# global rank are each such subsets, so the resolved graph equals the
+# batch graph exactly, and the search over it is hash-gated against
+# embedding_graph_ann_topk's own oracle (training + build + traversal
+# + ranking).
+INC_GANN_EPOCHS = 4
+
+
+def _gann_delta_edges(members: DataFrame, epoch_id: int) -> DataFrame:
+    """Per-cell candidate-edge delta for one graph-ANN epoch:
+    ``members`` holds (vec_id, e, cell, epoch) for every posting in the
+    cells the batch probed, epochs ≤ epoch_id; rows with epoch ==
+    epoch_id are the arrivals. Per cell, ONE GEMM scores arrivals ×
+    members; each arrival emits its top-{GANN_DEG} out-edges over the
+    cell's membership-so-far, and each EXISTING member emits its
+    top-{GANN_DEG} over the arrivals (the back-edges insertion owes —
+    a new node can enter an old node's neighborhood). Cells then dedupe
+    and a per-src rank prunes the delta to top-{GANN_DEG} — all
+    lossless subset prunes (see block comment). Ties break
+    (cos DESC, dst ASC) exactly as the batch build and the oracle."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as W
+
+    from ..operators.similarity import GANN_DEG
+
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def delta(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        new_mask = (pdf["epoch"].to_numpy().astype("int64")) == epoch_id
+        if n < 2 or not new_mask.any():
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["e"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        new_idx = np.flatnonzero(new_mask)
+        old_idx = np.flatnonzero(~new_mask)
+        # arrivals × all members — the only GEMM this epoch pays here
+        cos_new = (mat[new_idx] @ mat.T) / (
+            norms[new_idx][:, None] * norms[None, :]
+        )
+        srcs: list = []
+        dsts: list = []
+        coss: list = []
+        for k, i in enumerate(new_idx):
+            row = cos_new[k].copy()
+            row[i] = -np.inf  # exclude self
+            order = np.lexsort((ids, -row))
+            for j in order[: min(GANN_DEG, n - 1)]:
+                srcs.append(ids[i])
+                dsts.append(ids[j])
+                coss.append(row[j])
+        if len(old_idx):
+            new_ids = ids[new_idx]
+            for j in old_idx:
+                row = cos_new[:, j]
+                order = np.lexsort((new_ids, -row))
+                for k in order[: min(GANN_DEG, len(new_idx))]:
+                    srcs.append(ids[j])
+                    dsts.append(new_ids[k])
+                    coss.append(row[k])
+        return pd.DataFrame({"src": srcs, "dst": dsts, "cos": coss})
+
+    cands = (
+        members.groupBy("cell")
+        .applyInPandas(delta, schema=schema)
+        .dropDuplicates(["src", "dst"])
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GANN_DEG)
+        .drop("rk")
+    )
+
+
+def ingest_gann_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    postings: str,
+    edges_dir: str,
+    ids,
+    cent,
+) -> None:
+    """One graph-ANN maintenance epoch (module-level so replay
+    idempotence is directly testable): multi-probe-assign the batch
+    against the frozen offline quantizer and overwrite this epoch's
+    postings segment (cell-sorted, small row groups — the signature-
+    store layout); then compute the candidate-edge delta from the
+    batch's own probed cells (the `cell isin` filter prunes the store
+    read to touched cells; epochs STRICTLY AFTER this one are excluded
+    so replay after later commits reproduces the original delta) and
+    overwrite this epoch's edge partition. Both writes are pure
+    functions of (frozen earlier store, frozen source file) —
+    idempotent under any replay order."""
+    from pyspark.sql import Observation
+
+    from ..operators.similarity import GANN_BUILD_PROBE, _probe_assign
+
+    obs = Observation()
+    _probe_assign(batch_df, ids, cent, GANN_BUILD_PROBE).observe(
+        obs, F.collect_set("cell").alias("cells")
+    ).sortWithinPartitions("cell").write.option(
+        "parquet.block.size", INC_STORE_BLOCK
+    ).mode("overwrite").parquet(f"{postings}/epoch={epoch_id}")
+    batch_cells = obs.get["cells"]
+    members = spark.read.parquet(postings).filter(
+        (F.col("epoch") <= epoch_id) & F.col("cell").isin(batch_cells)
+    )
+    _gann_delta_edges(members, epoch_id).write.mode("overwrite").parquet(
+        f"{edges_dir}/epoch={epoch_id}"
+    )
+
+
+def resolve_gann_graph(spark: SparkSession, edges_dir: str) -> DataFrame:
+    """Edge store → the standing kNN graph: per-src top-{GANN_DEG} over
+    the accumulated candidate deltas, then symmetrize — exactly the
+    batch build's final two steps, over a candidate set that provably
+    contains every batch-surviving pair (subset argument). The store
+    holds ≤ epochs × {GANN_DEG} rows per src, so the resolve is
+    answer-sized work, never a corpus rescan."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.similarity import GANN_DEG
+
+    cands = spark.read.parquet(edges_dir).dropDuplicates(["src", "dst"])
+    w = W.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    knn = (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GANN_DEG)
+        .select("src", "dst")
+    )
+    return knn.unionByName(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+
+
+def _register_incremental_gann() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_gann",
+        lambda: _REG["embedding_graph_ann_topk"].oracle,
+    )
+    def stream_incremental_gann(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming graph-ANN edge maintenance (see block comment) —
+        the twelfth incremental store kind: the embedding corpus splits
+        into {INC_GANN_EPOCHS} range files → one per trigger → per
+        epoch ingest_gann_epoch appends the batch's postings and the
+        candidate-edge delta drawn from the arrivals' OWN probe buckets
+        (back-edges from existing members included); at query time the
+        store resolves to the standing kNN graph (per-src top-G +
+        symmetrize) and the batch query's own beam search runs over it.
+        Hash-gated equal to embedding_graph_ann_topk — proving
+        incrementally-maintained graph == offline batch build across
+        training, build, traversal, and ranking.
+
+        Scale: per epoch one O(batch × touched-cell occupancy) GEMM +
+        an O(batch·G) edge write; the store read is pruned to the
+        batch's probed cells (`cell isin` + cell-sorted row groups);
+        the resolve is over ≤ epochs·G rows per src. Replay-idempotent
+        (pure function of epoch_id and frozen earlier segments —
+        test-locked)."""
+        from ..operators.similarity import (
+            IVF_TRAIN_ITERS,
+            _gann_search,
+            _kmeans_centroids,
+            _quantize,
+        )
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_gann_src_")
+        postings = _e2e_tmpdir("alrs_gann_post_")
+        edges_dir = _e2e_tmpdir("alrs_gann_edges_")
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", _quantize("embedding").alias("e")
+        )
+        ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+        emb.repartitionByRange(INC_GANN_EPOCHS, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_gann_epoch(
+                spark, batch_df, epoch_id, postings, edges_dir, ids, cent
+            )
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_gann_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        edges = resolve_gann_graph(spark, edges_dir).localCheckpoint(eager=True)
+        return _gann_search(emb, edges)
+
+
+_register_incremental_gann()

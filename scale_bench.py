@@ -842,6 +842,83 @@ def run_probe() -> None:
         "both PRF passes are inverted-index probes, not corpus scans",
     }
 
+    # Graph-ANN edge-store probe (round-14): insertion's candidate set
+    # is the arriving node's probe buckets, so per-epoch cost =
+    # arrivals × touched-cell occupancy. The cell count scales with the
+    # corpus (constant rows-per-cell — the √N rule a production IVF
+    # geometry holds, mirroring the signature stores' bucket scaling),
+    # so the pruned store read stays ~flat while the store grows 10x.
+    import aws_lambda_redshift_loader_spark.operators.similarity as SIM
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        ingest_gann_epoch,
+    )
+
+    entry = {}
+    old_cells = SIM.IVF_CELLS
+    try:
+        for label, sf_dir, n_cells in (("1x", SRC, 64), ("10x", DST, 640)):
+            SIM.IVF_CELLS = n_cells
+            base = _tf.mkdtemp(prefix=f"alrs_gannprobe_{label}_")
+            postings, edges_dir = f"{base}/post", f"{base}/edges"
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", SIM._quantize("embedding").alias("e")
+            )
+            ids, cent = SIM._kmeans_centroids(spark, emb, SIM.IVF_TRAIN_ITERS)
+            # epoch 0: the accumulated corpus (bulk ingest, untimed)
+            ingest_gann_epoch(spark, emb, 0, postings, edges_dir, ids, cent)
+            # epoch 1: one small arriving batch (ids shifted clear)
+            batch = emb.orderBy("vec_id").limit(16).select(
+                (F.col("vec_id") + 10**9).alias("vec_id"), "e"
+            )
+            t0 = time.perf_counter()
+            ingest_gann_epoch(spark, batch, 1, postings, edges_dir, ids, cent)
+            dt = round(time.perf_counter() - t0, 3)
+            bcells = [
+                r[0]
+                for r in SIM._probe_assign(
+                    batch, ids, cent, SIM.GANN_BUILD_PROBE
+                ).select("cell").distinct().collect()
+            ]
+            post = spark.read.parquet(postings)
+            scanned = post.filter(
+                (F.col("epoch") <= 1) & F.col("cell").isin(bcells)
+            ).count()
+            total = post.count()
+            entry[label] = {
+                "sec_epoch": dt,
+                "store_rows": total,
+                "scanned_rows": scanned,
+                "scan_frac": round(scanned / total, 4) if total else None,
+                "cells": n_cells,
+            }
+            print(
+                f"# gannprobe stream_incremental_gann {label}: {entry[label]}",
+                file=sys.stderr, flush=True,
+            )
+            import shutil as _sh
+
+            _sh.rmtree(base, ignore_errors=True)
+    finally:
+        SIM.IVF_CELLS = old_cells
+    r1, r10 = entry["1x"], entry["10x"]
+    results["stream_incremental_gann@probe"] = {
+        **{f"{k}_1x": v for k, v in r1.items()},
+        **{f"{k}_10x": v for k, v in r10.items()},
+        "scanned_ratio": (
+            round(r10["scanned_rows"] / r1["scanned_rows"], 2)
+            if r1["scanned_rows"]
+            else None
+        ),
+        "store_ratio": (
+            round(r10["store_rows"] / r1["store_rows"], 2)
+            if r1["store_rows"]
+            else None
+        ),
+        "note": "fixed 16-vector batch vs 1x/10x postings store, cells "
+        "scaled with the corpus (constant occupancy): scanned_ratio ~1 = "
+        "insertion reads the arrivals' probe buckets, not the store",
+    }
+
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in results.items() if k.endswith("probe")}))

@@ -1204,3 +1204,67 @@ def test_incremental_skyline3d_replay_and_batch_equal(spark, tmp_path):
     run_epoch(1)  # mid-stream replay (reads frozen epoch-0 snapshot)
     run_epoch(3)  # tail replay
     assert frontier() == before
+
+
+def test_incremental_gann_replay_and_batch_graph_equal(spark, tmp_path):
+    """Graph-ANN edge maintenance: the resolved store graph must equal
+    the batch multi-probe kNN graph exactly (every per-epoch prune is a
+    lossless subset of the batch candidate set), and replaying any
+    epoch — including after later epochs committed — must leave the
+    resolved graph unchanged (each delta reads only epochs ≤ its own,
+    so frozen inputs reproduce frozen outputs)."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        GANN_BUILD_PROBE,
+        IVF_TRAIN_ITERS,
+        _gann_edges,
+        _kmeans_centroids,
+        _probe_assign,
+        _quantize,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_GANN_EPOCHS,
+        ingest_gann_epoch,
+        resolve_gann_graph,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    src = str(tmp_path / "src")
+    emb.repartitionByRange(INC_GANN_EPOCHS, "vec_id").write.parquet(src)
+    postings = str(tmp_path / "postings")
+    edges_dir = str(tmp_path / "edges")
+    files = sorted(glob.glob(f"{src}/part-*"))
+    assert len(files) == INC_GANN_EPOCHS
+
+    def run_epoch(i):
+        ingest_gann_epoch(
+            spark, spark.read.parquet(files[i]), i, postings, edges_dir, ids, cent
+        )
+
+    for i in range(INC_GANN_EPOCHS):
+        run_epoch(i)
+
+    def graph():
+        return {
+            (r["src"], r["dst"])
+            for r in resolve_gann_graph(spark, edges_dir).collect()
+        }
+
+    before = graph()
+    batch = {
+        (r["src"], r["dst"])
+        for r in _gann_edges(
+            _probe_assign(emb, ids, cent, GANN_BUILD_PROBE)
+        ).collect()
+    }
+    assert before == batch, "resolved store graph != batch kNN graph"
+
+    run_epoch(1)  # mid-stream replay (later epochs already committed)
+    run_epoch(3)  # tail replay
+    assert graph() == before
