@@ -49,6 +49,11 @@ def main() -> None:
         # epoch-maintained store whose quantizer retrained on the
         # ingested prefix (vs embedding_ivf_topk's full-corpus train)
         "stream_incremental_ivf_refresh",
+        # round-14: refresh epoch derived from the measured drift
+        # series instead of a fixed constant (fires at the same epoch
+        # as the fixed variant on this fixture — the recall delta is 0
+        # BY MEASUREMENT, which is itself the point)
+        "stream_incremental_ivf_drift_refresh",
         # round-13: graph-traversal ANN (beam over the cell-local kNN
         # graph) — the non-quantization index family member
         "embedding_graph_ann_topk",

@@ -3214,12 +3214,12 @@ def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAM_DRIFT_STEPS = 4  # cumulative id-prefix checkpoints
 
 
-def _gram_drift_oracle() -> str:
-    """Unrolled oracle for the spectral-drift instrument: per-segment
-    Gram partials (one pass), then for each cumulative prefix k the
-    exact {PI_ROUNDS}-round iteration, then consecutive-direction
-    cosines — every intermediate exact BIGINT except the renormalize
-    and final-cosine double chains (fixed order, both engines)."""
+def _drift_ctes() -> tuple[list[str], str]:
+    """The spectral-drift CTE machinery (segment partials → cumulative-
+    prefix power iterations → consecutive-direction cosine UNION),
+    shared by _gram_drift_oracle (which SELECTs the series) and
+    _ivf_drift_refresh_oracle (which turns the series into the
+    refresh-epoch scalar). Returns (cte_parts, union_select)."""
     E = GRAM_DRIFT_STEPS
     u_lat_i = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) ui"
     u_lat_j = f"LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) uj"
@@ -3269,12 +3269,130 @@ def _gram_drift_oracle() -> str:
                   * sqrt(CAST((SELECT SUM(v * v) FROM k{k}v{PI_ROUNDS}) AS DOUBLE)))
                * 1000000) AS BIGINT) AS cos_q"""
         )
-    chained = ",\n    ".join(parts)
     union = "\n    UNION ALL\n    ".join(selects)
+    return parts, union
+
+
+def _gram_drift_oracle() -> str:
+    """Unrolled oracle for the spectral-drift instrument: per-segment
+    Gram partials (one pass), then for each cumulative prefix k the
+    exact {PI_ROUNDS}-round iteration, then consecutive-direction
+    cosines — every intermediate exact BIGINT except the renormalize
+    and final-cosine double chains (fixed order, both engines)."""
+    parts, union = _drift_ctes()
+    chained = ",\n    ".join(parts)
     return f"""
     WITH {_QUANT_CTE},
     {chained}
     {union}
+    """
+
+
+# Drift-triggered IVF refresh threshold (micro-unit cosine): retrain
+# when the consecutive-direction cosine drops below 0.90. Chosen from
+# the measured fixtures (r14): sf0.001/sf0.01 read step-2 cosines of
+# 0.8309/0.8620 → refresh fires at step 2 (the same epoch the fixed
+# INC_IVF_REFRESH_AT variant hardcodes); sf0.1 reads 0.9170 minimum →
+# no refresh — the trigger is genuinely data-derived, not a constant
+# in disguise.
+INC_IVF_DRIFT_COS_Q = 900000
+
+
+def _ivf_drift_refresh_oracle() -> str:
+    """Oracle for the DRIFT-TRIGGERED centroid refresh
+    (stream_incremental_ivf_drift_refresh): the drift CTE machinery
+    computes the consecutive-direction cosine series over cumulative
+    id-segment prefixes; the refresh step is the FIRST step whose
+    cosine falls below {INC_IVF_DRIFT_COS_Q} µ-units (COALESCE to 1 =
+    no refresh, deploy geometry stands); the quantizer then retrains on
+    the id prefix ingested through that step (RANGE-based width — the
+    drift series' own segmentation) and the whole corpus is assigned
+    against it — the final state of the re-bucketed store. Same
+    probe/rescore epilogue as _ivf_oracle; training, the drift series,
+    the trigger comparison, and the probe are ALL in one hash gate."""
+    assert IVF_TRAIN_ITERS == 1, "unroll more rounds in _ivf_drift_refresh_oracle"
+    u = IVF_TRAIN_ITERS
+    parts, union = _drift_ctes()
+    parts = parts + [
+        f"""drift AS (
+      {union}
+    ),
+    rsel AS (
+      SELECT COALESCE(MIN(step), 1) AS r FROM drift
+      WHERE cos_q < {INC_IVF_DRIFT_COS_Q}
+    ),
+    trainb AS (SELECT CAST(r.r * b.w AS BIGINT) AS tb FROM rsel r, bnd b),
+    qp AS (SELECT q.* FROM q, trainb WHERE q.vec_id < trainb.tb),
+    cent0 AS (SELECT CAST(vec_id AS INT) AS cell, e AS s
+              FROM qp WHERE vec_id < {IVF_CELLS}),
+    score0 AS (
+      SELECT qp.vec_id, qp.e, c.cell,
+             list_dot_product(CAST(qp.e AS DOUBLE[]), CAST(c.s AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(qp.e AS DOUBLE[]), CAST(qp.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.s AS DOUBLE[]), CAST(c.s AS DOUBLE[])))) AS cos
+      FROM qp, cent0 c
+    ),
+    assign0 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell ASC) AS rk
+        FROM score0
+      ) WHERE rk = 1
+    ),
+    cent{u} AS (
+      SELECT cell, list(m ORDER BY dim) AS s FROM (
+        SELECT cell, u.i AS dim,
+               CAST(floor(CAST(SUM(e[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM assign0, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) u
+        GROUP BY cell, u.i
+      ) GROUP BY cell
+    ),
+    scoref AS (
+      SELECT q.vec_id, q.e, c.cell,
+             list_dot_product(CAST(q.e AS DOUBLE[]), CAST(c.s AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.e AS DOUBLE[]), CAST(q.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.s AS DOUBLE[]), CAST(c.s AS DOUBLE[])))) AS cos
+      FROM q, cent{u} c
+    ),
+    assignf AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell ASC) AS rk
+        FROM scoref
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rk
+        FROM scoref WHERE vec_id < {N_QUERIES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assignf a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    rescored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM cands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    )"""
+    ]
+    chained = ",\n    ".join(parts)
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained}
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
     """
 
 

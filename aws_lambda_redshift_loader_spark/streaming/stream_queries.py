@@ -3800,49 +3800,39 @@ def ingest_gram_epoch(
 
 
 _GRAM_MEMO: dict[tuple[str, str], str] = {}
+_EMBSEG_MEMO: dict[tuple[str, str], str] = {}
 
 
-def _ensure_gram_ingest(spark: SparkSession, sf_dir: str) -> str:
-    """Stream the embedding corpus one id-segment per trigger through
-    ingest_gram_epoch once per session per fixture; returns the moment
-    store path. SHARED between stream_incremental_gram_pc (sums the
-    store) and stream_gram_drift_monitor (consumes per-epoch prefixes)
-    — one maintained pipeline, two consumers, the neardup-ingest
-    pattern.
-
-    The split is DETERMINISTIC id prefixes (segment = vec_id div
-    ceil(n / {INC_GRAM_EPOCHS}), files fed in segment order via
-    explicit mtimes), not sampled repartitionByRange boundaries: the
-    drift monitor's oracle is the batch gram_direction_drift CTE
-    restricted to id-prefix checkpoints, so epoch k must hold exactly
-    id-segment k. The sum-across-epochs consumer is boundary-
-    indifferent; the prefix consumer is what pins them."""
+def _ensure_emb_segment_split(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic id-segment split of the embedding corpus: one
+    parquet file per segment (segment = vec_id div ceil((max_id + 1) /
+    {INC_GRAM_EPOCHS})), mtimes strictly increasing so a
+    maxFilesPerTrigger=1 FileStreamSource ingests epoch k == segment k
+    exactly. Memoized per (session, fixture); SHARED by the gram
+    ingest (whose drift oracle is defined over id prefixes) and the
+    drift-triggered IVF refresh (whose retrain bound must equal the
+    ids ingested through the trigger epoch). Width derives from the id
+    RANGE, not COUNT (the r13 sparse-id lesson — see the gram block
+    comment)."""
     import glob
     import math
     import os
     import shutil
 
-    from ..operators import dedup as _dedup
     from ..operators.similarity import _quantize
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _GRAM_MEMO.get(key)
+    cached = _EMBSEG_MEMO.get(key)
     if cached is not None:
-        _dedup.MEMO_EVENTS.append("gram_ingest_hit")
         return cached
-    _dedup.MEMO_EVENTS.append("gram_ingest_build")
 
     tune(spark)
-    staging = _e2e_tmpdir("alrs_gram_stage_")
-    src = _e2e_tmpdir("alrs_gram_src_")
-    store = _e2e_tmpdir("alrs_gram_store_")
+    staging = _e2e_tmpdir("alrs_embseg_stage_")
+    src = _e2e_tmpdir("alrs_embseg_src_")
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _quantize("embedding").alias("e")
     )
-    # Width from the id RANGE (max+1), mirroring _gram_drift_oracle —
-    # every row lands in a segment < INC_GRAM_EPOCHS on ANY id layout,
-    # so the summed store always covers the whole corpus.
     mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     w = math.ceil((int(mx) + 1) / INC_GRAM_EPOCHS)
     (
@@ -3864,17 +3854,53 @@ def _ensure_gram_ingest(spark: SparkSession, sf_dir: str) -> str:
         if len(fs) == 1:
             shutil.move(fs[0], dst)
         else:
-            # Sparse vec_ids (e.g. replica-shifted fixtures) can leave a
-            # count-derived segment EMPTY — the batch oracle treats a
-            # missing segment as a no-op prefix step, so the stream must
-            # still emit an (empty) epoch k to keep epoch == segment.
+            # Sparse vec_ids can leave a segment EMPTY — emit an empty
+            # epoch k to keep epoch == segment (see gram block comment).
             assert not fs, f"segment {k}: expected at most one file, got {fs}"
             if empty_src is None:
-                edir = _e2e_tmpdir("alrs_gram_empty_")
+                edir = _e2e_tmpdir("alrs_embseg_empty_")
                 emb.limit(0).coalesce(1).write.mode("overwrite").parquet(edir)
                 empty_src = glob.glob(f"{edir}/part-*.parquet")[0]
             shutil.copy(empty_src, dst)
         os.utime(dst, (base + k, base + k))
+    _EMBSEG_MEMO[key] = src
+    return src
+
+
+def _ensure_gram_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Stream the embedding corpus one id-segment per trigger through
+    ingest_gram_epoch once per session per fixture; returns the moment
+    store path. SHARED between stream_incremental_gram_pc (sums the
+    store) and stream_gram_drift_monitor (consumes per-epoch prefixes)
+    — one maintained pipeline, two consumers, the neardup-ingest
+    pattern.
+
+    The split is DETERMINISTIC id prefixes (segment = vec_id div
+    ceil(n / {INC_GRAM_EPOCHS}), files fed in segment order via
+    explicit mtimes — _ensure_emb_segment_split, also shared by the
+    drift-triggered IVF refresh), not sampled repartitionByRange
+    boundaries: the
+    drift monitor's oracle is the batch gram_direction_drift CTE
+    restricted to id-prefix checkpoints, so epoch k must hold exactly
+    id-segment k. The sum-across-epochs consumer is boundary-
+    indifferent; the prefix consumer is what pins them."""
+    from ..operators import dedup as _dedup
+    from ..operators.similarity import _quantize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GRAM_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("gram_ingest_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("gram_ingest_build")
+
+    tune(spark)
+    store = _e2e_tmpdir("alrs_gram_store_")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    src = _ensure_emb_segment_split(spark, sf_dir)
 
     stream = (
         spark.readStream.schema(emb.schema)
@@ -4220,3 +4246,217 @@ def _register_incremental_gann() -> None:
 
 
 _register_incremental_gann()
+
+
+# ---- Drift-TRIGGERED IVF centroid refresh ---------------------------------
+# Round-13 built the observability (stream_gram_drift_monitor measures
+# the consecutive-direction cosine the fixed-epoch refresh takes on
+# faith); round-14 wires it: the refresh epoch is DERIVED from the
+# moment store's own drift series — retrain when the direction rotates
+# past the INC_IVF_DRIFT_COS_Q threshold, not at a hardcoded epoch.
+# The trigger is a pure function of the frozen id segments (the same
+# deterministic split the gram store ingests), so replays re-derive
+# the identical decision after any driver restart — the established
+# replay-safety contract, now covering a DATA-DEPENDENT maintenance
+# decision.
+
+
+def _drift_refresh_step(spark: SparkSession, sf_dir: str) -> int:
+    """First drift step whose consecutive-direction cosine falls below
+    {INC_IVF_DRIFT_COS_Q} µ-units (1 = never fires → the deploy-time
+    geometry stands). Consumes the SHARED moment store — the monitor's
+    series IS the trigger input, not a recomputation — and is a pure
+    function of sf_dir (deterministic segments, frozen epochs)."""
+    from ..operators.similarity import (
+        GRAM_DRIFT_STEPS,
+        INC_IVF_DRIFT_COS_Q,
+        _drift_series,
+    )
+
+    store = _ensure_gram_ingest(spark, sf_dir)
+    rows = (
+        spark.read.parquet(store)
+        .groupBy("epoch", "gi", "gj")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+        .collect()
+    )
+    by_seg: dict[int, dict] = {}
+    for r in rows:
+        by_seg.setdefault(int(r["epoch"]), {})[(r["gi"], r["gj"])] = r["g"]
+    series = _drift_series(spark, by_seg, GRAM_DRIFT_STEPS).collect()
+    fired = [r["step"] for r in series if r["cos_q"] < INC_IVF_DRIFT_COS_Q]
+    return min(fired) if fired else 1
+
+
+def _ivf_range_geometry(spark: SparkSession, sf_dir: str, steps: int):
+    """Quantizer trained on the RANGE-based id prefix of ``steps``
+    segments (width = ceil((max_id + 1) / {INC_IVF_EPOCHS}) — the
+    drift series' own segmentation, so 'ids ingested through the
+    trigger epoch' and 'ids the trainer sees' are the same set by
+    construction). Pure function of (sf_dir, steps)."""
+    import math
+
+    from ..operators.similarity import IVF_TRAIN_ITERS, _kmeans_centroids, _quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    w = math.ceil((int(mx) + 1) / INC_IVF_EPOCHS)
+    return _kmeans_centroids(
+        spark, emb.filter(F.col("vec_id") < steps * w), IVF_TRAIN_ITERS
+    )
+
+
+def ivf_epoch_with_drift_refresh(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    store: str,
+    store2: str,
+    sf_dir: str,
+    geom: dict,
+) -> None:
+    """Epoch router for the drift-TRIGGERED refresh (module-level so
+    replay idempotence is directly testable — the
+    ivf_epoch_with_refresh pattern with the refresh epoch R−1 derived
+    from the drift series instead of INC_IVF_REFRESH_AT): the drift
+    step R fires when the cumulative direction through segment R
+    rotates past the threshold against the direction through R−1 —
+    both of which exist once epoch R−1 commits, so that epoch is when
+    the retrain can deploy. Epochs before R−1 assign with the stale
+    deploy-time quantizer into ``store``; at epoch R−1 centroids
+    retrain on the ids ingested so far (R segments = ids < R·w), the
+    accumulated postings re-bucket into ``store2`` (gated on the
+    _SUCCESS marker for replay), and later epochs assign refreshed. If
+    the drift never crosses the threshold (R == 1) no refresh happens
+    and every epoch stays in ``store``.
+
+    Replay: R, both geometries, and the routing are pure functions of
+    (sf_dir, epoch_id) — a restarted driver re-derives them all;
+    ``geom`` is a driver-side memo only."""
+    from ..operators.similarity import _assign_cells
+
+    if "r" not in geom:
+        geom["r"] = _drift_refresh_step(spark, sf_dir)
+    R = geom["r"]
+    re_epoch = R - 1  # 0-based epoch at which the refresh deploys
+    if R == 1 or epoch_id < re_epoch:
+        if "v1" not in geom:
+            geom["v1"] = _ivf_range_geometry(spark, sf_dir, 1)
+        ids, cent = geom["v1"]
+        _assign_cells(batch_df, ids, cent).write.mode("overwrite").parquet(
+            f"{store}/epoch={epoch_id}"
+        )
+        return
+    if "v2" not in geom:
+        geom["v2"] = _ivf_range_geometry(spark, sf_dir, R)
+    ids2, cent2 = geom["v2"]
+    if epoch_id == re_epoch or not _os_cc.path.isfile(
+        f"{store2}/epoch=0/_SUCCESS"
+    ):
+        old = spark.read.parquet(store).select("vec_id", "e")
+        _assign_cells(old, ids2, cent2).write.mode("overwrite").parquet(
+            f"{store2}/epoch=0"
+        )
+    _assign_cells(batch_df, ids2, cent2).write.mode("overwrite").parquet(
+        f"{store2}/epoch={epoch_id}"
+    )
+
+
+def _register_incremental_ivf_drift_refresh() -> None:
+    from ..operators.similarity import _ivf_drift_refresh_oracle
+
+    @register(
+        "stream_incremental_ivf_drift_refresh",
+        _ivf_drift_refresh_oracle,
+    )
+    def stream_incremental_ivf_drift_refresh(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming IVF maintenance whose centroid refresh is
+        TRIGGERED BY MEASURED DRIFT (see block comment): the moment
+        store's consecutive-direction cosine series — the exact signal
+        stream_gram_drift_monitor emits — decides the retrain epoch;
+        the corpus streams in deterministic id segments (the shared
+        split, so 'ingested so far' is a provable id prefix), the
+        router re-buckets at the fired epoch, and the final probe runs
+        against whichever store the decision left authoritative.
+        Hash-gated against _ivf_drift_refresh_oracle, which chains the
+        drift series, the threshold comparison, the prefix retrain,
+        and the probe in ONE statement — the trigger itself is inside
+        the correctness gate.
+
+        Scale: the drift input is DIM²·epochs store rows (never the
+        corpus); per epoch O(batch) assignment; the one-off re-bucket
+        is the same O(ingested-prefix) bill the fixed-epoch variant
+        pays. Recall measured in ANN_RECALL (equal to the fixed
+        variant where both fire at the same epoch — which the sf0.01
+        fixture's series makes them do)."""
+        from pyspark.sql.window import Window as W
+
+        from ..operators.similarity import (
+            GRAM_DRIFT_STEPS,
+            N_QUERIES,
+            TOP_K,
+            _probe_postings,
+            _quantize,
+        )
+
+        assert INC_IVF_EPOCHS == INC_GRAM_EPOCHS == GRAM_DRIFT_STEPS, (
+            "drift steps, gram epochs, and IVF epochs must share the split"
+        )
+        tune(spark)
+        store = _e2e_tmpdir("alrs_ivfd_store_")
+        store2 = _e2e_tmpdir("alrs_ivfd_store2_")
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", _quantize("embedding").alias("e")
+        )
+        src = _ensure_emb_segment_split(spark, sf_dir)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        geom: dict = {}
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ivf_epoch_with_drift_refresh(
+                spark, batch_df, epoch_id, store, store2, sf_dir, geom
+            )
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_ivfd_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        R = geom.get("r")
+        if R is None:
+            R = _drift_refresh_step(spark, sf_dir)
+        if R == 1:
+            ids_f, cent_f = geom.get("v1") or _ivf_range_geometry(spark, sf_dir, 1)
+            postings = spark.read.parquet(store).select("vec_id", "e", "cell")
+        else:
+            ids_f, cent_f = geom.get("v2") or _ivf_range_geometry(spark, sf_dir, R)
+            postings = spark.read.parquet(store2).select("vec_id", "e", "cell")
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        scored = _probe_postings(spark, postings, queries, ids_f, cent_f).drop("e")
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
+_register_incremental_ivf_drift_refresh()

@@ -938,6 +938,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._DRIFT_MEMO.clear()
     _sq._SPLIT_MEMO.clear()
     _sq._GRAM_MEMO.clear()
+    _sq._EMBSEG_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     _tx._SURP_MEMO.clear()

@@ -1268,3 +1268,71 @@ def test_incremental_gann_replay_and_batch_graph_equal(spark, tmp_path):
     run_epoch(1)  # mid-stream replay (later epochs already committed)
     run_epoch(3)  # tail replay
     assert graph() == before
+
+
+def test_ivf_drift_refresh_replay_and_batch_equal(spark, tmp_path):
+    """Drift-TRIGGERED refresh (round-14): the refresh epoch is derived
+    from the moment store's drift series instead of a constant, and
+    must still be replay-safe — R, both geometries, and the routing
+    are pure functions of (sf_dir, epoch_id), so replaying epochs on
+    either side of the fired epoch (fresh geometry memo each call, the
+    restart path) leaves the refreshed store equal to the batch
+    recompute against the drift-chosen prefix geometry."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        _assign_cells,
+        _quantize,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_IVF_EPOCHS,
+        _drift_refresh_step,
+        _ensure_emb_segment_split,
+        _ivf_range_geometry,
+        ivf_epoch_with_drift_refresh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    # The router's prefix semantics require the deterministic id-segment
+    # split (epoch k == segment k), not sampled range boundaries.
+    src = _ensure_emb_segment_split(spark, sf)
+    store, store2 = (str(tmp_path / d) for d in ("store", "store2"))
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == INC_IVF_EPOCHS
+
+    R = _drift_refresh_step(spark, sf)
+    assert R == 2, f"sf0.001 drift series should fire at step 2, got {R}"
+
+    def run_epoch(i):
+        ivf_epoch_with_drift_refresh(
+            spark, spark.read.parquet(files[i]), i, store, store2, sf, {}
+        )
+
+    for i in range(INC_IVF_EPOCHS):
+        run_epoch(i)
+
+    def posting_set():
+        return {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(store2)
+            .select("vec_id", "cell")
+            .collect()
+        }
+
+    before = posting_set()
+    ids2, cent2 = _ivf_range_geometry(spark, sf, R)
+    batch = {
+        (r["vec_id"], r["cell"])
+        for r in _assign_cells(emb, ids2, cent2).select("vec_id", "cell").collect()
+    }
+    assert before == batch, "drift-refreshed incremental != batch recompute"
+
+    run_epoch(0)  # pre-refresh replay (stale quantizer, old store)
+    assert posting_set() == before
+    run_epoch(R - 1)  # the fired epoch (re-runs the re-bucket)
+    assert posting_set() == before
+    run_epoch(3)  # post-refresh tail replay
+    assert posting_set() == before
