@@ -2580,7 +2580,19 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = JACCARD_THRESHOLD
     sh = _hashed_shingles(spark, sf_dir)
     _withdf, sizes, cands_b = _ppjoin_candidates(sh, tau)
-    cands = cands_b.select("doc_a", "doc_b")
+    return _ppjoin_verify_rejoin(sh, sizes, cands_b)
+
+
+def _ppjoin_verify_rejoin(
+    sh: DataFrame, sizes: DataFrame, cands: DataFrame
+) -> DataFrame:
+    """PPJoin's POSTING RE-JOIN verify: candidates re-join both
+    documents' full posting lists and count common shingles with a
+    pair-grain aggregate — O(candidates × set size) shuffle, amortized
+    well when candidate DENSITY is high (each document's postings
+    shuffle once and serve many pairs via the exchange). One of the
+    two tails the adaptive entry chooses between."""
+    cands = cands.select("doc_a", "doc_b")
     ca = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     cb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
     inter = (
@@ -2647,6 +2659,19 @@ def ppjoin_plus_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = JACCARD_THRESHOLD
     sh = _hashed_shingles(spark, sf_dir)
     withdf, sizes, cands = _ppjoin_candidates(sh, tau)
+    return _ppjoin_verify_suffix(withdf, sizes, cands, tau)
+
+
+def _ppjoin_verify_suffix(
+    withdf: DataFrame, sizes: DataFrame, cands: DataFrame, tau: float
+) -> DataFrame:
+    """PPJoin+'s SUFFIX-FILTER + PAIR-LOCAL verify tail (see
+    ppjoin_plus_jaccard_pairs for the algorithm): candidates carry both
+    documents' (df, shingle)-sorted arrays into one Arrow kernel — the
+    recursive Hamming lower bound prunes, survivors verify with a local
+    hash-set intersection. Cheapest when candidate DENSITY is low (each
+    pair pays one bounded probe; no posting shuffle). One of the two
+    tails the adaptive entry chooses between."""
     srt = F.sort_array(F.collect_list(F.struct("df", "shingle")))
     arrs = (
         withdf.groupBy("doc_id")
@@ -2738,4 +2763,61 @@ def ppjoin_plus_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# Verify-strategy switch point: candidate pairs per corpus document.
+# Below it the pair-local Arrow verify (suffix filter) wins — each
+# candidate pays one bounded probe and no posting shuffle (r13
+# measured PPJoin+ 8.8 s vs PPJoin 11.7 s at 1x, where density is
+# ~0.5 pairs/doc); above it the posting re-join amortizes better —
+# each document's postings shuffle once and serve many pairs through
+# the exchange, while the array tail would ship a copy of both full
+# arrays PER PAIR (the r13 10x runs, ~5 pairs/doc after the star
+# replication, read within host variance — the crossover lives in
+# that regime).
+PPJ_ADAPTIVE_DENSITY = 2.0
+
+
+@register(
+    "adaptive_ppjoin_jaccard_pairs",
+    lambda: _dedup_registry()["ppjoin_jaccard_pairs"].oracle,
+)
+def adaptive_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-BASED verify for the set-similarity join: candidate
+    generation is the shared PPJoin prune stack (_ppjoin_candidates —
+    prefix + length + positional, uncapped sets), and the VERIFY
+    strategy is then chosen from the MEASURED candidate count — the
+    r13 scale runs showed the posting re-join (ppjoin_jaccard_pairs)
+    and the pair-local Arrow verify (ppjoin_plus_jaccard_pairs) each
+    winning in a different candidate-density regime, so neither
+    standing alone is the right plan everywhere. The count rides an
+    Observation on the candidate frame's localCheckpoint (the
+    established free-counter pattern — the checkpoint is wanted anyway
+    so the chosen tail replays a tiny frame, not the prune stack);
+    density = candidates / corpus docs (docs via parquet metadata
+    count, no scan) picks the tail against {PPJ_ADAPTIVE_DENSITY}.
+    Both tails are lossless over the same candidates, so the switch
+    CANNOT change the answer — the same uncapped exact-join oracle
+    hash-gates whichever path runs.
+
+    Scale: the decision input is one long (the observed count); the
+    checkpointed candidate frame is pair-grain (already pruned by
+    three filters); each tail's own scale story is documented at its
+    definition."""
+    from pyspark.sql import Observation
+
+    tau = JACCARD_THRESHOLD
+    sh = _hashed_shingles(spark, sf_dir)
+    withdf, sizes, cands = _ppjoin_candidates(sh, tau)
+    obs = Observation()
+    cands = cands.observe(
+        obs, F.count(F.lit(1)).alias("n_cands")
+    ).localCheckpoint(eager=True)
+    n_cands = obs.get["n_cands"]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    if n_cands <= PPJ_ADAPTIVE_DENSITY * n_docs:
+        return _ppjoin_verify_suffix(withdf, sizes, cands, tau)
+    return _ppjoin_verify_rejoin(
+        withdf.select("doc_id", "shingle"), sizes, cands
     )

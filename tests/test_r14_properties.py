@@ -98,3 +98,34 @@ def test_auc_one_class_corpus_empty_both_engines(spark, tmp_path):
         f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
     )
     assert len(con.execute(spec.oracle).fetchall()) == 0
+
+
+def test_adaptive_ppjoin_both_tails_equal(spark):
+    """The adaptive entry's oracle only gates the tail the density pick
+    actually runs — this pins BOTH tails to the same pair set on the
+    same candidates, so the switch provably cannot change the answer."""
+    from aws_lambda_redshift_loader_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _hashed_shingles,
+        _ppjoin_candidates,
+        _ppjoin_verify_rejoin,
+        _ppjoin_verify_suffix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sh = _hashed_shingles(spark, sf)
+    withdf, sizes, cands = _ppjoin_candidates(sh, JACCARD_THRESHOLD)
+    cands = cands.localCheckpoint(eager=True)
+    suffix = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in _ppjoin_verify_suffix(
+            withdf, sizes, cands, JACCARD_THRESHOLD
+        ).collect()
+    }
+    rejoin = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in _ppjoin_verify_rejoin(
+            withdf.select("doc_id", "shingle"), sizes, cands
+        ).collect()
+    }
+    assert suffix == rejoin and suffix, "verify tails disagree"
