@@ -122,6 +122,67 @@ def main() -> None:
         sum(r.ndcg for r in ndcg_rows) / len(ndcg_rows), 4
     )
 
+    # Graph-ANN scored-candidate accounting (round-14): the hierarchy's
+    # whole claim is BETTER recall at FEWER scored pairs, so the count
+    # is a standing instrument, not a one-off. Re-runs both searches
+    # with a count action per beam round (instrument-only cost).
+    from aws_lambda_redshift_loader_spark.operators import similarity as S
+
+    ids_c, cent_c = S._kmeans_centroids(spark, emb, S.IVF_TRAIN_ITERS)
+    edges_f = S._gann_edges(
+        S._probe_assign(emb, ids_c, cent_c, S.GANN_BUILD_PROBE)
+    ).localCheckpoint(eager=True)
+    upper = emb.filter(F.col("vec_id") % S.GANN_UPPER_MOD == 0)
+    edges_u = S._gann_edges(
+        S._probe_assign(upper, ids_c, cent_c, S.GANN_BUILD_PROBE)
+    ).localCheckpoint(eager=True)
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("node").asc()
+    )
+
+    def counted_beam(frontier, edg, rounds, beam):
+        total, scored = 0, None
+        for _ in range(rounds):
+            cands = (
+                frontier.unionByName(
+                    edg.join(F.broadcast(frontier), edg.src == frontier.node)
+                    .select("query_id", F.col("dst").alias("node"))
+                )
+                .dropDuplicates(["query_id", "node"])
+                .localCheckpoint(eager=True)
+            )
+            total += cands.count()
+            scored = S._gann_pair_scores(cands, emb).localCheckpoint(eager=True)
+            frontier = (
+                scored.withColumn("rk", F.row_number().over(wq))
+                .filter(F.col("rk") <= beam)
+                .select("query_id", "node")
+            )
+        return total, scored
+
+    def entry_frontier(pool):
+        e0 = pool.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
+        return (
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"))
+            .withColumn("node", F.lit(int(e0)).cast("bigint"))
+        )
+
+    flat_n, _ = counted_beam(
+        entry_frontier(emb), edges_f, S.GANN_ROUNDS, S.GANN_BEAM
+    )
+    u_n, uscored = counted_beam(
+        entry_frontier(upper), edges_u, S.GANN_UPPER_ROUNDS, S.GANN_UPPER_BEAM
+    )
+    seeds = (
+        uscored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= S.GANN_SEEDS)
+        .select("query_id", "node")
+    )
+    b_n, _ = counted_beam(seeds, edges_f, S.GANN_HIER_ROUNDS, S.GANN_BEAM)
+    results["embedding_graph_ann_topk.scored_pairs"] = flat_n
+    results["embedding_graph_ann_hier_topk.scored_pairs"] = u_n + b_n
+
     out = {
         "sf_dir": sf_dir,
         "top_k": TOP_K,
@@ -132,7 +193,10 @@ def main() -> None:
             "fraction of picks inside the exact top-POOL (diversity trades "
             "tail relevance by design); hybrid RRF blends lexical hits so "
             "its dense-recall is low BY DESIGN; LSH's high mean-NDCG vs "
-            "its 0.62 recall says what it does return is ordered right"
+            "its 0.62 recall says what it does return is ordered right; "
+            ".scored_pairs rows count beam-round candidate scorings — the "
+            "hierarchical entry must beat the flat build's recall at FEWER "
+            "of them"
         ),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ANN_RECALL.json")

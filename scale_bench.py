@@ -176,6 +176,12 @@ QUERIES = [
     "ppr_copurchase_parts",  # personalized teleport, fact-sized graph
     "moving_median_spend",  # bounded-frame order statistic, one window pass
     "embedding_graph_ann_topk",  # kNN-graph build + fixed-round beam search
+    # round-14 additions
+    "embedding_graph_ann_hier_topk",  # sparse upper layer seeds base beam
+    "stream_incremental_gann",  # per-epoch probe-bucket edge deltas
+    "stream_incremental_ivf_drift_refresh",  # drift-derived retrain epoch
+    "adaptive_ppjoin_jaccard_pairs",  # density-chosen verify tail
+    "entity_resolution_golden_records",  # pair graph + CC + survivorship
 ]
 
 

@@ -76,6 +76,15 @@ BUDGETS = [
     # one window pass, 16 lags sharing one spec — the gate catches the
     # lag chain ever splitting into per-lag window operators
     ("ewma_smoothed_values", 20.0),
+    # round-14 additions: the hierarchical ANN's upper layer is
+    # 1/GANN_UPPER_MOD of the nodes and both layers' searches broadcast
+    # only the frontier — the gate catches either graph build going
+    # all-pairs or a beam round shuffling the corpus
+    ("embedding_graph_ann_hier_topk", 20.0),
+    # density-chosen verify tail: whichever tail fires must stay
+    # candidate-bounded — the gate catches the switch mispricing a
+    # regime so badly that verify goes quadratic
+    ("adaptive_ppjoin_jaccard_pairs", 20.0),
 ]
 
 
@@ -101,6 +110,7 @@ def _run(spark, fn, sf_dir: str) -> float:
     _sq._DRIFT_MEMO.clear()
     _sq._SPLIT_MEMO.clear()
     _sq._GRAM_MEMO.clear()
+    _sq._EMBSEG_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     _tx._SURP_MEMO.clear()
