@@ -2468,18 +2468,13 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ppjoin_candidates(sh: DataFrame, tau: float):
-    """Shared PPJoin candidate generator (prefix + length + positional
-    filters over UNCAPPED sets) used by ppjoin_jaccard_pairs and the
-    suffix-filtered ppjoin_plus_jaccard_pairs. Returns
-    (withdf, sizes, cands): the df-annotated posting frame, per-doc
-    set sizes, and the surviving candidate pairs carrying
-    (min_ra, min_rb, na, nb). Because both documents' shingle sets are
-    sorted under the SAME total (df, shingle) order, the per-pair
-    minimum colliding prefix ranks min_ra/min_rb are attained JOINTLY
-    by one token — the pair's earliest common token overall — which is
-    what both the positional filter here and the suffix filter
-    downstream decompose around."""
+def _ppjoin_prefix(sh: DataFrame, tau: float):
+    """First half of the shared PPJoin candidate generator: the
+    df-annotated posting frame, per-doc set sizes, and the PREFIX frame
+    (each document's first n − ceil(τ·n) + 1 postings under the global
+    (df, shingle) rarity order). Split out so the adaptive entry can
+    checkpoint the prefix, read its collision statistics, and hand the
+    SAME frame to _ppjoin_bounds — one materialization, two uses."""
     from pyspark.sql.window import Window as W
 
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -2495,6 +2490,29 @@ def _ppjoin_candidates(sh: DataFrame, tau: float):
         )
         .select("doc_id", "shingle", "r", F.col("n_shingles").alias("n"))
     )
+    return withdf, sizes, prefix
+
+
+def _ppjoin_candidates(sh: DataFrame, tau: float):
+    """Shared PPJoin candidate generator (prefix + length + positional
+    filters over UNCAPPED sets) used by ppjoin_jaccard_pairs and the
+    suffix-filtered ppjoin_plus_jaccard_pairs. Returns
+    (withdf, sizes, cands): the df-annotated posting frame, per-doc
+    set sizes, and the surviving candidate pairs carrying
+    (min_ra, min_rb, na, nb). Because both documents' shingle sets are
+    sorted under the SAME total (df, shingle) order, the per-pair
+    minimum colliding prefix ranks min_ra/min_rb are attained JOINTLY
+    by one token — the pair's earliest common token overall — which is
+    what both the positional filter here and the suffix filter
+    downstream decompose around."""
+    withdf, sizes, prefix = _ppjoin_prefix(sh, tau)
+    return withdf, sizes, _ppjoin_bounds(prefix, tau)
+
+
+def _ppjoin_bounds(prefix: DataFrame, tau: float) -> DataFrame:
+    """Second half of the candidate generator: prefix self-join →
+    pair-grain (min_ra, min_rb, na, nb) bounds → length + positional
+    filters (see _ppjoin_candidates)."""
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     raw = pa.join(
         pb,
@@ -2527,7 +2545,7 @@ def _ppjoin_candidates(sh: DataFrame, tau: float):
             >= min_overlap
         )
     )
-    return withdf, sizes, cands
+    return cands
 
 
 @register(
@@ -2776,7 +2794,65 @@ def _ppjoin_verify_suffix(
 # arrays PER PAIR (the r13 10x runs, ~5 pairs/doc after the star
 # replication, read within host variance — the crossover lives in
 # that regime).
-PPJ_ADAPTIVE_DENSITY = 2.0
+# Verify-strategy switch point: ESTIMATED prefix-collision pairs per
+# corpus document — Σ_s C(df(s), 2) · (1−τ)² / |docs|, where df comes
+# from a deterministic 1/{PPJ_STATS_SAMPLE_MOD} document sample scaled
+# by 1/f² (collisions are pairwise) and (1−τ)² is the uniform-rank
+# approximation of both sides landing in their documents' prefixes.
+# Why an estimate and this value (every cheaper-decision route was
+# measured, r14, quiet host, 10x fixture): counting the TRUE
+# candidates first costs 17.6 s (the full prune stack — ~65% of a
+# complete fused run); the EXACT prefix statistic costs 16.0 s (the
+# per-doc rank window IS most of candidate generation); the full-df
+# statistic 9.6 s; the sampled statistic 1.6 s and reads 63.2 vs the
+# full pass's 63.3 — decision-grade at 1/6 the cost, and memoized per
+# (session, corpus) like every ANALYZE-style statistic here. Fixture
+# readings: 63.2 at sf0.1 AND its 10x star (replication preserves
+# density), 5.8 / 10.4 at sf0.01 / sf0.001. At density 63 the
+# pair-local tail WINS at 1x (8.8 s vs 11.7 s) and TIES at 10x
+# (25.3 s vs 25.6 s on identical checkpointed candidates; standalone
+# r13 pairs disagreed within host waves), so the threshold sits just
+# above it: the measured-winning tail fires on every measured regime,
+# and the re-join branch covers the extrapolated denser regime where
+# JVM-side join amortization must eventually beat per-pair
+# Python/Arrow work (the 1x-win → 10x-tie trend line is that
+# crossover approaching).
+PPJ_ADAPTIVE_RAW_DENSITY = 80.0
+PPJ_STATS_SAMPLE_MOD = 10  # ANALYZE sample: doc_id % MOD == 0
+
+_PPJ_STATS_MEMO: dict[tuple[str, str], float] = {}
+
+
+def _ppjoin_raw_density(spark: SparkSession, sf_dir: str) -> float:
+    """Sampled ANALYZE statistic for the verify-strategy switch (see
+    PPJ_ADAPTIVE_RAW_DENSITY): one tokenize pass over the deterministic
+    doc_id % {PPJ_STATS_SAMPLE_MOD} sample (the filter pushes to the
+    scan), one vocab-sized df aggregate, memoized per (session,
+    corpus) — the table-statistics model a cost-based optimizer
+    consults for free at plan time. MEMO_EVENTS-labeled so BENCH_DETAIL
+    attributes the build; scale instruments clear the memo, so
+    exponents price the cold pass."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PPJ_STATS_MEMO.get(key)
+    if cached is not None:
+        MEMO_EVENTS.append("ppj_stats_hit")
+        return cached
+    MEMO_EVENTS.append("ppj_stats_build")
+    tau = JACCARD_THRESHOLD
+    f = 1.0 / PPJ_STATS_SAMPLE_MOD
+    samp = _hashed_shingles(spark, sf_dir).filter(
+        F.col("doc_id") % PPJ_STATS_SAMPLE_MOD == 0
+    )
+    p2 = (
+        samp.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p2"))
+        .collect()[0]["p2"]
+    ) or 0
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    density = float(p2) / (f * f) * (1.0 - tau) ** 2 / max(n_docs, 1)
+    _PPJ_STATS_MEMO[key] = density
+    return density
 
 
 @register(
@@ -2785,38 +2861,32 @@ PPJ_ADAPTIVE_DENSITY = 2.0
 )
 def adaptive_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COST-BASED verify for the set-similarity join: candidate
-    generation is the shared PPJoin prune stack (_ppjoin_candidates —
-    prefix + length + positional, uncapped sets), and the VERIFY
-    strategy is then chosen from the MEASURED candidate count — the
-    r13 scale runs showed the posting re-join (ppjoin_jaccard_pairs)
-    and the pair-local Arrow verify (ppjoin_plus_jaccard_pairs) each
-    winning in a different candidate-density regime, so neither
-    standing alone is the right plan everywhere. The count rides an
-    Observation on the candidate frame's localCheckpoint (the
-    established free-counter pattern — the checkpoint is wanted anyway
-    so the chosen tail replays a tiny frame, not the prune stack);
-    density = candidates / corpus docs (docs via parquet metadata
-    count, no scan) picks the tail against {PPJ_ADAPTIVE_DENSITY}.
-    Both tails are lossless over the same candidates, so the switch
-    CANNOT change the answer — the same uncapped exact-join oracle
-    hash-gates whichever path runs.
+    generation is the shared PPJoin prune stack, and the VERIFY tail —
+    posting re-join (ppjoin_jaccard_pairs) vs pair-local suffix verify
+    (ppjoin_plus_jaccard_pairs) — is chosen from a SAMPLED index
+    statistic consulted before the plan is built, the classic
+    cost-based-optimizer move: decide from ANALYZE stats, never a dry
+    run. The chosen tail then runs as ONE fully-fused plan, identical
+    to the standalone entry it matches — the decision adds a memoized
+    ~1.6 s sampled df pass (10x, cold; free on every later query over
+    the same corpus). Every tempting shortcut was measured and
+    rejected with numbers (see PPJ_ADAPTIVE_RAW_DENSITY): counting
+    true candidates costs ~65% of a full run; checkpointing the
+    candidate frame to share it between decision and verify broke
+    AQE's whole-plan fusion and made BOTH branches slower than either
+    standalone entry. Both tails are lossless over the same
+    candidates, so the switch CANNOT change the answer — the same
+    uncapped exact-join oracle hash-gates whichever path runs, and the
+    both-tails-equal test pins the other branch.
 
-    Scale: the decision input is one long (the observed count); the
-    checkpointed candidate frame is pair-grain (already pruned by
-    three filters); each tail's own scale story is documented at its
-    definition."""
-    from pyspark.sql import Observation
-
+    Scale: the decision input is one vocab-sized aggregate over a
+    1/{PPJ_STATS_SAMPLE_MOD} document sample; each tail's own scale
+    story is documented at its definition."""
     tau = JACCARD_THRESHOLD
+    density = _ppjoin_raw_density(spark, sf_dir)
     sh = _hashed_shingles(spark, sf_dir)
     withdf, sizes, cands = _ppjoin_candidates(sh, tau)
-    obs = Observation()
-    cands = cands.observe(
-        obs, F.count(F.lit(1)).alias("n_cands")
-    ).localCheckpoint(eager=True)
-    n_cands = obs.get["n_cands"]
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    if n_cands <= PPJ_ADAPTIVE_DENSITY * n_docs:
+    if density <= PPJ_ADAPTIVE_RAW_DENSITY:
         return _ppjoin_verify_suffix(withdf, sizes, cands, tau)
     return _ppjoin_verify_rejoin(
         withdf.select("doc_id", "shingle"), sizes, cands

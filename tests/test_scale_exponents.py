@@ -104,6 +104,7 @@ def _run(spark, fn, sf_dir: str) -> float:
 
     dedup._PAIRS_MEMO.clear()
     dedup._CC_MEMO.clear()
+    dedup._PPJ_STATS_MEMO.clear()
     from aws_lambda_redshift_loader_spark.streaming import stream_queries as _sq
 
     _sq._INGEST_MEMO.clear()
