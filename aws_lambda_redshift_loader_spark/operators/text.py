@@ -3790,3 +3790,176 @@ def scorer_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc_q"),
         )
     )
+
+
+# ---- Training sequence packing (concatenate-and-split batch prep) --------
+# The batch-materialization step every LLM training pipeline runs after
+# curation: documents concatenate in a deterministic order and split
+# into fixed-length context windows (GPT-style packing WITH document
+# splitting — zero padding except the final window of each domain).
+# The plan query assigns every document its window coordinates; the
+# report query prices the packing (windows, boundary fragmentation,
+# tail padding) per language domain.
+PACK_SEQ_LEN = 512   # tokens per training sequence
+PACK_BUCKET = 64     # doc_ids per prefix-sum bucket (two-level cumsum)
+
+_PACK_PLAN_CTE = rf"""
+    toks AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+    plan AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS startpos
+      FROM nz
+    )"""
+
+
+def _pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document packing coordinates via a TWO-LEVEL prefix sum (the
+    scalable form of `SUM() OVER (PARTITION BY lang ORDER BY doc_id)`):
+    docs bucket by doc_id div {PACK_BUCKET}, the running sum windows
+    partition by (lang, bucket) — never a whole domain in one task —
+    and per-bucket totals (corpus/{PACK_BUCKET} rows) carry the
+    cross-bucket offsets through one tiny per-lang window + broadcast
+    join back (the banded-ECDF distributed-prefix-sum shape). The hash
+    gate against the single-window oracle proves two-level ==
+    one-window."""
+    bpe_pat = F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("text", bpe_pat, 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    toks = toks.withColumn(
+        "_bkt", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
+    )
+    w_in = (
+        W.partitionBy("lang", "_bkt")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = toks.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    btot = toks.groupBy("lang", "_bkt").agg(F.sum("n_tokens").alias("_bt"))
+    w_b = (
+        W.partitionBy("lang")
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    boff = btot.withColumn(
+        "_boff", F.coalesce(F.sum("_bt").over(w_b), F.lit(0))
+    ).select("lang", "_bkt", "_boff")
+    return (
+        within.join(F.broadcast(boff), ["lang", "_bkt"])
+        .withColumn(
+            "startpos", F.col("_boff") + F.col("_cum_in") - F.col("n_tokens")
+        )
+        .select("doc_id", "lang", "n_tokens", "startpos")
+    )
+
+
+@register(
+    "sequence_packing_plan",
+    f"""
+    WITH {_PACK_PLAN_CTE}
+    SELECT doc_id, lang, n_tokens,
+           startpos // {PACK_SEQ_LEN} AS first_seq,
+           startpos % {PACK_SEQ_LEN} AS first_off,
+           (startpos + n_tokens - 1) // {PACK_SEQ_LEN} AS last_seq,
+           (startpos + n_tokens - 1) // {PACK_SEQ_LEN}
+             - startpos // {PACK_SEQ_LEN} AS crossings
+    FROM plan
+    """,
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING SEQUENCE PACKING plan — concatenate-and-split batch
+    materialization: within each language domain, documents
+    concatenate in doc_id order and split into {PACK_SEQ_LEN}-token
+    windows (document splitting allowed — the zero-padding production
+    variant); each document gets its window coordinates (first_seq /
+    first_off / last_seq) and boundary-crossing count, which is
+    exactly what a loader needs to emit packed examples and what an
+    attention-masking auditor needs to price cross-document
+    contamination inside windows.
+
+    Scale: see _pack_plan — the running sum is TWO-LEVEL (per-(lang,
+    bucket) windows + a bucket-grain offset frame), so no task ever
+    sorts a whole domain; everything else is arithmetic on the
+    prefix. The oracle states the naive single window per domain —
+    the hash gate proves the distributed prefix sum equals it."""
+    C = PACK_SEQ_LEN
+    p = _pack_plan(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"startpos div {C}").alias("first_seq"),
+        (F.col("startpos") % C).alias("first_off"),
+        F.expr(f"(startpos + n_tokens - 1) div {C}").alias("last_seq"),
+        (
+            F.expr(f"(startpos + n_tokens - 1) div {C}")
+            - F.expr(f"startpos div {C}")
+        ).alias("crossings"),
+    )
+
+
+@register(
+    "sequence_packing_report",
+    f"""
+    WITH {_PACK_PLAN_CTE}
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + {PACK_SEQ_LEN} - 1) // {PACK_SEQ_LEN} AS BIGINT)
+             AS n_seqs,
+           CAST(SUM(CASE WHEN (startpos + n_tokens - 1) // {PACK_SEQ_LEN}
+                              > startpos // {PACK_SEQ_LEN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs,
+           CAST(SUM(CASE WHEN (startpos + n_tokens - 1) // {PACK_SEQ_LEN}
+                              > startpos // {PACK_SEQ_LEN}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS cross_rate,
+           CAST(({PACK_SEQ_LEN} - SUM(n_tokens) % {PACK_SEQ_LEN})
+                % {PACK_SEQ_LEN} AS BIGINT) AS tail_padding
+    FROM plan
+    GROUP BY lang
+    """,
+)
+def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency report per language domain: window count,
+    how many documents straddle a window boundary (the cross-document
+    attention-contamination rate the masking strategy must handle),
+    and the tail padding — which under split-packing is ONLY the last
+    window's remainder, the whole point of the scheme (padding-free
+    interior). One aggregate over the packing plan's prefix frame.
+
+    Scale: inherits _pack_plan's two-level prefix sum; the report
+    itself is a lang-grain aggregate (bounded by the domain count)."""
+    C = PACK_SEQ_LEN
+    p = _pack_plan(spark, sf_dir)
+    crossing = (
+        F.expr(f"(startpos + n_tokens - 1) div {C}")
+        > F.expr(f"startpos div {C}")
+    ).cast("int")
+    return (
+        p.withColumn("_x", crossing)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.expr(f"CAST((sum(n_tokens) + {C} - 1) div {C} AS BIGINT)").alias(
+                "n_seqs"
+            ),
+            F.sum("_x").cast("bigint").alias("crossing_docs"),
+            (F.sum("_x").cast("double") / F.count("*")).alias("cross_rate"),
+            F.expr(
+                f"CAST(({C} - sum(n_tokens) % {C}) % {C} AS BIGINT)"
+            ).alias("tail_padding"),
+        )
+    )

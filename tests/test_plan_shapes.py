@@ -636,3 +636,28 @@ def test_hier_graph_ann_beam_rounds_broadcast_candidates(spark):
     assert "SortMergeJoin" not in plan, (
         "a beam-round scoring join fell off the broadcast path"
     )
+
+
+def test_sequence_packing_prefix_sum_is_two_level(spark):
+    # The packing plan's running sum must never sort a whole language
+    # domain in one task: the doc-grain window partitions by
+    # (lang, _bkt); the only lang-only window is the bucket-offset
+    # pass, whose input is the bucket-grain totals frame (corpus /
+    # PACK_BUCKET rows). Assert every window over the doc-grain frame
+    # carries _bkt in its partitioning.
+    import re
+
+    from aws_lambda_redshift_loader_spark.operators.text import _pack_plan
+
+    df = _pack_plan(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    doc_grain_windows = 0
+    for i, line in enumerate(lines):
+        head = line.strip()
+        if re.match(r"^\(?\d*\)? ?\*?\(?\d*\)? ?Window", head) or "Window" in head.split("(")[0]:
+            args = " ".join(l.strip() for l in lines[i : i + 4])
+            if "n_tokens" in args and "_cum_in" in args:
+                assert "_bkt" in args, f"domain-wide doc window: {args[:160]}"
+                doc_grain_windows += 1
+    assert doc_grain_windows >= 1
