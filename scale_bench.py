@@ -182,6 +182,7 @@ QUERIES = [
     "stream_incremental_ivf_drift_refresh",  # drift-derived retrain epoch
     "adaptive_ppjoin_jaccard_pairs",  # density-chosen verify tail
     "entity_resolution_golden_records",  # pair graph + CC + survivorship
+    "sequence_packing_report",  # two-level distributed prefix sum
 ]
 
 
