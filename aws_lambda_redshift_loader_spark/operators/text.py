@@ -3819,6 +3819,20 @@ _PACK_PLAN_CTE = rf"""
     )"""
 
 
+def _pack_tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, lang, text) → positive BPE-ish token counts — the
+    packing unit shared by the batch plan and the incremental packing
+    store's per-epoch ingest."""
+    bpe_pat = F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    return df.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("text", bpe_pat, 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+
 def _pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document packing coordinates via a TWO-LEVEL prefix sum (the
     scalable form of `SUM() OVER (PARTITION BY lang ORDER BY doc_id)`):
@@ -3829,15 +3843,14 @@ def _pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back (the banded-ECDF distributed-prefix-sum shape). The hash
     gate against the single-window oracle proves two-level ==
     one-window."""
-    bpe_pat = F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.size(F.regexp_extract_all("text", bpe_pat, 0))
-        .cast("bigint")
-        .alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    return _pack_plan_frame(_pack_tokens(table(spark, sf_dir, "documents")))
+
+
+def _pack_plan_frame(toks: DataFrame) -> DataFrame:
+    """The two-level prefix sum over a (doc_id, lang, n_tokens) frame
+    (see _pack_plan); factored so the incremental packing store can run
+    the identical recurrence on one epoch's batch and offset it by the
+    stored per-domain totals."""
     toks = toks.withColumn(
         "_bkt", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
     )

@@ -4460,3 +4460,169 @@ def _register_incremental_ivf_drift_refresh() -> None:
 
 
 _register_incremental_ivf_drift_refresh()
+
+
+# ---- Incremental sequence-packing maintenance (13th store kind) -----------
+# The batch-materialization analog of the frontier stores, and the
+# FIRST ORDER-DEPENDENT one: packing concatenates documents in doc_id
+# order, so an arriving batch's window coordinates depend only on the
+# per-domain RUNNING TOKEN TOTALS — one row per language, the purest
+# O(1)-per-domain state any store here carries. Epoch k holds the k-th
+# ascending doc_id range (explicit mtimes pin file order, the gram
+# split's rule), each epoch offsets its within-batch prefix sum by the
+# stored totals, and the union over epochs equals the batch plan — the
+# same single-window oracle hash-gates it.
+INC_PACK_EPOCHS = 4
+
+_PACKSPLIT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ensure_doc_split_ordered(spark: SparkSession, sf_dir: str) -> str:
+    """Ascending-doc_id-range split of the documents corpus with
+    STRICTLY INCREASING mtimes, so a maxFilesPerTrigger=1 stream
+    ingests epoch k == range k (FileStreamSource orders by timestamp;
+    repartitionByRange writes part files in range order, and any AQE
+    coalescing merges CONTIGUOUS ranges, preserving ascending order).
+    The signature-store splits don't need this — their stores are
+    order-independent; the packing store is not."""
+    import glob
+    import os
+
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PACKSPLIT_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("pack_split_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("pack_split_build")
+    src = _e2e_tmpdir("alrs_packsplit_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    docs.repartitionByRange(INC_PACK_EPOCHS, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    base = 1_600_000_000
+    for k, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+        os.utime(f, (base + k, base + k))
+    _PACKSPLIT_MEMO[key] = src
+    return src
+
+
+def ingest_packing_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One packing-maintenance epoch (module-level for the replay
+    test): the batch runs the SAME two-level prefix-sum recurrence as
+    the batch plan (_pack_plan_frame), offset by the previous epoch's
+    per-domain totals (a broadcast of one row per language), and
+    writes this epoch's plan rows plus the advanced totals — both pure
+    functions of (frozen previous totals, frozen batch file), so any
+    replay rewrites identical bytes. State read per epoch = |domains|
+    rows; work = O(batch)."""
+    from ..operators.text import _pack_plan_frame, _pack_tokens
+
+    toks = _pack_tokens(batch_df)
+    plan = _pack_plan_frame(toks)
+    if epoch_id > 0:
+        prev = spark.read.parquet(f"{store}/totals/epoch={epoch_id - 1}")
+        plan = (
+            plan.join(
+                F.broadcast(prev.withColumnRenamed("total", "_prev")), "lang", "left"
+            )
+            .withColumn(
+                "startpos",
+                F.col("startpos") + F.coalesce(F.col("_prev"), F.lit(0)),
+            )
+            .drop("_prev")
+        )
+        base_totals = prev
+    else:
+        base_totals = spark.createDataFrame(
+            [], "lang string, total bigint"
+        )
+    plan.write.mode("overwrite").parquet(f"{store}/plan/epoch={epoch_id}")
+    batch_totals = toks.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("total")
+    )
+    (
+        base_totals.unionByName(batch_totals)
+        .groupBy("lang")
+        .agg(F.sum("total").cast("bigint").alias("total"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/totals/epoch={epoch_id}")
+    )
+
+
+def _register_incremental_packing() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_packing",
+        lambda: _REG["sequence_packing_plan"].oracle,
+    )
+    def stream_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming sequence-packing maintenance (see block comment) —
+        the thirteenth store kind and the first ORDER-DEPENDENT one:
+        documents stream in ascending id ranges, each epoch's window
+        coordinates derive from the stored per-domain running totals
+        (|languages| rows — the packing statistic IS the sufficient
+        state), and the accumulated plan equals the batch
+        sequence_packing_plan — the same single-window oracle proves
+        stream-maintained == batch. This is the production shape for
+        CONTINUOUS batch materialization: as curation emits documents,
+        their training-window coordinates are assignable immediately,
+        without repacking anything already placed.
+
+        Scale: per epoch O(batch) tokenize + the two-level prefix sum;
+        state read is one row per domain; replay-idempotent (pure
+        function of epoch_id and the frozen totals chain —
+        test-locked)."""
+        from ..operators.text import PACK_SEQ_LEN as C
+
+        tune(spark)
+        store = _e2e_tmpdir("alrs_pack_store_")
+        src = _ensure_doc_split_ordered(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_packing_epoch(spark, batch_df, epoch_id, store)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_pack_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        p = spark.read.parquet(f"{store}/plan").select(
+            "doc_id", "lang", "n_tokens", "startpos"
+        )
+        return p.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"startpos div {C}").alias("first_seq"),
+            (F.col("startpos") % C).alias("first_off"),
+            F.expr(f"(startpos + n_tokens - 1) div {C}").alias("last_seq"),
+            (
+                F.expr(f"(startpos + n_tokens - 1) div {C}")
+                - F.expr(f"startpos div {C}")
+            ).alias("crossings"),
+        )
+
+
+_register_incremental_packing()

@@ -183,6 +183,7 @@ QUERIES = [
     "adaptive_ppjoin_jaccard_pairs",  # density-chosen verify tail
     "entity_resolution_golden_records",  # pair graph + CC + survivorship
     "sequence_packing_report",  # two-level distributed prefix sum
+    "stream_incremental_packing",  # 13th store kind: O(1)-per-domain totals
 ]
 
 
@@ -947,6 +948,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._SPLIT_MEMO.clear()
     _sq._GRAM_MEMO.clear()
     _sq._EMBSEG_MEMO.clear()
+    _sq._PACKSPLIT_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     _tx._SURP_MEMO.clear()

@@ -112,6 +112,7 @@ def _run(spark, fn, sf_dir: str) -> float:
     _sq._SPLIT_MEMO.clear()
     _sq._GRAM_MEMO.clear()
     _sq._EMBSEG_MEMO.clear()
+    _sq._PACKSPLIT_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     _tx._SURP_MEMO.clear()

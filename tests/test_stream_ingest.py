@@ -1336,3 +1336,48 @@ def test_ivf_drift_refresh_replay_and_batch_equal(spark, tmp_path):
     assert posting_set() == before
     run_epoch(3)  # post-refresh tail replay
     assert posting_set() == before
+
+
+def test_incremental_packing_replay_and_batch_equal(spark, tmp_path):
+    """Packing maintenance (13th store kind, the order-dependent one):
+    each epoch's plan rows are a pure function of (frozen previous
+    totals, frozen batch file), so replays on any side rewrite
+    identical content, and the accumulated plan equals the batch
+    two-level prefix-sum plan row for row."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.text import _pack_plan
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_PACK_EPOCHS,
+        _ensure_doc_split_ordered,
+        ingest_packing_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = _ensure_doc_split_ordered(spark, sf)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == INC_PACK_EPOCHS
+    store = str(tmp_path / "store")
+
+    def run_epoch(i):
+        ingest_packing_epoch(spark, spark.read.parquet(files[i]), i, store)
+
+    for i in range(INC_PACK_EPOCHS):
+        run_epoch(i)
+
+    def plan_rows():
+        return {
+            (r["doc_id"], r["lang"], r["n_tokens"], r["startpos"])
+            for r in spark.read.parquet(f"{store}/plan").collect()
+        }
+
+    before = plan_rows()
+    batch = {
+        (r["doc_id"], r["lang"], r["n_tokens"], r["startpos"])
+        for r in _pack_plan(spark, sf).collect()
+    }
+    assert before == batch, "stream-maintained packing plan != batch plan"
+
+    run_epoch(1)  # mid-stream replay (reads frozen epoch-0 totals)
+    run_epoch(3)  # tail replay
+    assert plan_rows() == before
