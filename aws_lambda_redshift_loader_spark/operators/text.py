@@ -3976,3 +3976,88 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tail_padding"),
         )
     )
+
+
+@register(
+    "packed_sequence_manifest",
+    f"""
+    WITH {_PACK_PLAN_CTE},
+    spans AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(startpos AS BIGINT) AS startpos,
+             CAST(startpos // {PACK_SEQ_LEN} AS BIGINT) AS s0,
+             CAST((startpos + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS s1
+      FROM plan
+    ),
+    exploded AS (
+      SELECT s.lang, s.doc_id, u.seq_id,
+             CASE WHEN u.seq_id > s.s0 OR u.seq_id < s.s1 THEN 1 ELSE 0 END
+               AS is_fragment,
+             least((u.seq_id + 1) * {PACK_SEQ_LEN},
+                   s.startpos + s.n_tokens)
+               - greatest(u.seq_id * {PACK_SEQ_LEN}, s.startpos) AS seq_tokens
+      FROM spans s,
+           LATERAL (SELECT unnest(generate_series(s.s0, s.s1)) AS seq_id) u
+    )
+    SELECT lang, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_fragment) AS BIGINT) AS n_fragments,
+           CAST(SUM(seq_tokens) AS BIGINT) AS fill_tokens
+    FROM exploded
+    GROUP BY lang, seq_id
+    """,
+)
+def packed_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEQUENCE-grain inverse of sequence_packing_plan — the
+    manifest a training loader actually consumes: for every packed
+    window, how many documents compose it, how many of them are
+    boundary fragments (the rows an attention mask must fence), and
+    the fill (== {PACK_SEQ_LEN} everywhere except each domain's tail
+    window — split packing's zero-interior-padding invariant, visible
+    per row). Each document explodes onto the windows it spans —
+    fan-out is crossings+1, bounded by n_tokens/{PACK_SEQ_LEN}+1, so
+    the exploded frame is O(total tokens / seq_len + docs), the
+    manifest's own size.
+
+    Scale: inherits the two-level prefix sum; the explode is
+    token-volume-bounded (see above) and the final aggregate is
+    window-grain."""
+    C = PACK_SEQ_LEN
+    p = _pack_plan(spark, sf_dir)
+    spans = p.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "startpos",
+        F.expr(f"startpos div {C}").alias("s0"),
+        F.expr(f"(startpos + n_tokens - 1) div {C}").alias("s1"),
+    )
+    exploded = spans.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "startpos",
+        "s0",
+        "s1",
+        F.explode(F.sequence("s0", "s1")).alias("seq_id"),
+    ).select(
+        "lang",
+        "seq_id",
+        F.when(
+            (F.col("seq_id") > F.col("s0")) | (F.col("seq_id") < F.col("s1")), 1
+        )
+        .otherwise(0)
+        .alias("is_fragment"),
+        (
+            F.least(
+                (F.col("seq_id") + 1) * C,
+                F.col("startpos") + F.col("n_tokens"),
+            )
+            - F.greatest(F.col("seq_id") * C, F.col("startpos"))
+        ).alias("seq_tokens"),
+    )
+    return exploded.groupBy("lang", "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_fragment").cast("bigint").alias("n_fragments"),
+        F.sum("seq_tokens").cast("bigint").alias("fill_tokens"),
+    )
