@@ -4042,10 +4042,23 @@ def embedding_graph_ann_hier_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     uedges = _gann_edges(
         _probe_assign(upper, ids, cent, GANN_BUILD_PROBE)
     ).localCheckpoint(eager=True)
+    return _gann_hier_search(emb, edges, uedges)
 
+
+def _gann_hier_search(
+    emb: DataFrame, edges: DataFrame, uedges: DataFrame
+) -> DataFrame:
+    """Hierarchical beam-search tail shared by
+    embedding_graph_ann_hier_topk (both graphs built in-query) and
+    stream_incremental_gann_hier (both graphs resolved from the
+    epoch-maintained candidate stores): narrow upper search from the
+    min upper vec_id seeds the base beam, which runs
+    {GANN_HIER_ROUNDS} rounds; final top-{TOP_K} excludes the query
+    vector."""
     from pyspark.sql.window import Window as W
 
-    uentry = upper.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
+    upper_ids = emb.filter(F.col("vec_id") % GANN_UPPER_MOD == 0)
+    uentry = upper_ids.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
     ufrontier = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))

@@ -4626,3 +4626,128 @@ def _register_incremental_packing() -> None:
 
 
 _register_incremental_packing()
+
+
+def ingest_gann_hier_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    postings: str,
+    edges_dir: str,
+    uedges_dir: str,
+    ids,
+    cent,
+) -> None:
+    """One HIERARCHICAL graph-ANN maintenance epoch: the base layer
+    ingests exactly as ingest_gann_epoch (postings + base edge delta),
+    then the UPPER layer's delta runs the SAME candidate rule
+    restricted to upper nodes (vec_id % {GANN_UPPER_MOD} == 0) — upper
+    membership is a pure id predicate, so the upper candidate set is a
+    further subset of the base one and the same losslessness argument
+    resolves the upper store to the batch upper graph. Empty upper
+    deltas (a batch with no upper arrivals) still write their epoch
+    partition, keeping replay's epoch == partition invariant."""
+    from ..operators.similarity import GANN_UPPER_MOD
+
+    ingest_gann_epoch(
+        spark, batch_df, epoch_id, postings, edges_dir, ids, cent
+    )
+    upper_mask = F.col("vec_id") % GANN_UPPER_MOD == 0
+    ucells = [
+        r[0]
+        for r in spark.read.parquet(f"{postings}/epoch={epoch_id}")
+        .filter(upper_mask)
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    umembers = spark.read.parquet(postings).filter(
+        (F.col("epoch") <= epoch_id)
+        & F.col("cell").isin(ucells)
+        & upper_mask
+    )
+    _gann_delta_edges(umembers, epoch_id).write.mode("overwrite").parquet(
+        f"{uedges_dir}/epoch={epoch_id}"
+    )
+
+
+def _register_incremental_gann_hier() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_gann_hier",
+        lambda: _REG["embedding_graph_ann_hier_topk"].oracle,
+    )
+    def stream_incremental_gann_hier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming HIERARCHICAL graph-ANN maintenance — the full
+        production HNSW story assembled from this round's pieces: per
+        epoch the base edge store ingests the arrivals' probe-bucket
+        deltas AND the sparse upper layer maintains its own deltas
+        under the same rule restricted to every
+        {GANN_UPPER_MOD}th node; at query time BOTH stores resolve
+        (per-src top-G + symmetrize each) and the batch hierarchical
+        query's own two-layer search runs over them. Hash-gated
+        against embedding_graph_ann_hier_topk's oracle — training,
+        both incrementally-maintained graph builds, both layers'
+        beam rounds, the seed handoff, and the ranking, end to end.
+
+        Scale: the upper delta adds O(upper-batch × upper-occupancy)
+        GEMM per epoch on top of the base ingest (upper membership is
+        1/{GANN_UPPER_MOD} of nodes, so upper pairs are
+        ~1/{GANN_UPPER_MOD}² of base); the resolves stay answer-sized.
+        Replay-idempotent — the upper delta reads only epochs ≤ its
+        own (test-locked alongside the base store)."""
+        from ..operators.similarity import (
+            IVF_TRAIN_ITERS,
+            _gann_hier_search,
+            _kmeans_centroids,
+            _quantize,
+        )
+
+        tune(spark)
+        src = _e2e_tmpdir("alrs_gannh_src_")
+        postings = _e2e_tmpdir("alrs_gannh_post_")
+        edges_dir = _e2e_tmpdir("alrs_gannh_edges_")
+        uedges_dir = _e2e_tmpdir("alrs_gannh_uedges_")
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", _quantize("embedding").alias("e")
+        )
+        ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+        emb.repartitionByRange(INC_GANN_EPOCHS, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_gann_hier_epoch(
+                spark, batch_df, epoch_id, postings, edges_dir,
+                uedges_dir, ids, cent,
+            )
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_gannh_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        edges = resolve_gann_graph(spark, edges_dir).localCheckpoint(eager=True)
+        uedges = resolve_gann_graph(spark, uedges_dir).localCheckpoint(
+            eager=True
+        )
+        return _gann_hier_search(emb, edges, uedges)
+
+
+_register_incremental_gann_hier()

@@ -184,6 +184,7 @@ QUERIES = [
     "entity_resolution_golden_records",  # pair graph + CC + survivorship
     "sequence_packing_report",  # two-level distributed prefix sum
     "stream_incremental_packing",  # 13th store kind: O(1)-per-domain totals
+    "stream_incremental_gann_hier",  # both HNSW layers epoch-maintained
 ]
 
 

@@ -1381,3 +1381,68 @@ def test_incremental_packing_replay_and_batch_equal(spark, tmp_path):
     run_epoch(1)  # mid-stream replay (reads frozen epoch-0 totals)
     run_epoch(3)  # tail replay
     assert plan_rows() == before
+
+
+def test_incremental_gann_hier_upper_store_replay_and_batch_equal(spark, tmp_path):
+    """The hierarchical maintenance's UPPER edge store: resolved graph
+    must equal the batch upper-layer kNN graph (same multi-probe rule
+    restricted to every GANN_UPPER_MODth node — the subset argument
+    carries verbatim), and replaying epochs must not change it."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        GANN_BUILD_PROBE,
+        GANN_UPPER_MOD,
+        IVF_TRAIN_ITERS,
+        _gann_edges,
+        _kmeans_centroids,
+        _probe_assign,
+        _quantize,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_GANN_EPOCHS,
+        ingest_gann_hier_epoch,
+        resolve_gann_graph,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    src = str(tmp_path / "src")
+    emb.repartitionByRange(INC_GANN_EPOCHS, "vec_id").write.parquet(src)
+    postings, edges_dir, uedges_dir = (
+        str(tmp_path / d) for d in ("postings", "edges", "uedges")
+    )
+    files = sorted(glob.glob(f"{src}/part-*"))
+
+    def run_epoch(i):
+        ingest_gann_hier_epoch(
+            spark, spark.read.parquet(files[i]), i, postings,
+            edges_dir, uedges_dir, ids, cent,
+        )
+
+    for i in range(INC_GANN_EPOCHS):
+        run_epoch(i)
+
+    def ugraph():
+        return {
+            (r["src"], r["dst"])
+            for r in resolve_gann_graph(spark, uedges_dir).collect()
+        }
+
+    before = ugraph()
+    upper = emb.filter(F.col("vec_id") % GANN_UPPER_MOD == 0)
+    batch = {
+        (r["src"], r["dst"])
+        for r in _gann_edges(
+            _probe_assign(upper, ids, cent, GANN_BUILD_PROBE)
+        ).collect()
+    }
+    assert before == batch, "resolved upper store graph != batch upper graph"
+
+    run_epoch(1)
+    run_epoch(3)
+    assert ugraph() == before
