@@ -183,6 +183,53 @@ def main() -> None:
     results["embedding_graph_ann_topk.scored_pairs"] = flat_n
     results["embedding_graph_ann_hier_topk.scored_pairs"] = u_n + b_n
 
+    # Drift-threshold operating curve (round-14): the refresh trigger's
+    # threshold choice, priced — for each candidate threshold the fired
+    # step R follows from the (already deterministic) drift series
+    # WITHOUT re-streaming, and the recall is the R-prefix geometry's
+    # probe recall. Turns INC_IVF_DRIFT_COS_Q into a measured operating
+    # point instead of a constant taken on faith.
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        _probe_postings,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        _drift_refresh_step,
+        _ivf_range_geometry,
+    )
+    import aws_lambda_redshift_loader_spark.operators.similarity as _sim
+
+    geo_cache: dict[int, float] = {}
+    q_emb = emb.filter(F.col("vec_id") < N_QUERIES)
+    for thr in (850000, 900000, 930000, 960000):
+        old_thr = _sim.INC_IVF_DRIFT_COS_Q
+        _sim.INC_IVF_DRIFT_COS_Q = thr
+        try:
+            R = _drift_refresh_step(spark, sf_dir)
+        finally:
+            _sim.INC_IVF_DRIFT_COS_Q = old_thr
+        if R not in geo_cache:
+            ids_r, cent_r = _ivf_range_geometry(spark, sf_dir, R)
+            from aws_lambda_redshift_loader_spark.operators.similarity import (
+                _assign_cells,
+            )
+
+            postings_r = _assign_cells(emb, ids_r, cent_r)
+            scored_r = _probe_postings(spark, postings_r, q_emb, ids_r, cent_r)
+            wr = W.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )
+            got_r = {
+                (r.query_id, r.neighbor_id)
+                for r in scored_r.withColumn(
+                    "rk", F.row_number().over(wr)
+                )
+                .filter(F.col("rk") <= TOP_K)
+                .collect()
+            }
+            geo_cache[R] = round(len(exact & got_r) / len(exact), 4)
+        results[f"drift_curve.thr_{thr}.fired_step"] = R
+        results[f"drift_curve.thr_{thr}.recall"] = geo_cache[R]
+
     out = {
         "sf_dir": sf_dir,
         "top_k": TOP_K,
