@@ -2812,11 +2812,13 @@ def _ppjoin_verify_suffix(
 # pair-local tail WINS at 1x (8.8 s vs 11.7 s) and TIES at 10x
 # (25.3 s vs 25.6 s on identical checkpointed candidates; standalone
 # r13 pairs disagreed within host waves), so the threshold sits just
-# above it: the measured-winning tail fires on every measured regime,
-# and the re-join branch covers the extrapolated denser regime where
-# JVM-side join amortization must eventually beat per-pair
-# Python/Arrow work (the 1x-win → 10x-tie trend line is that
-# crossover approaching).
+# above it: the measured-winning tail fires on every measured regime.
+# The re-join regime is MEASURED too, not extrapolated: a vocab-16-
+# collapsed derived corpus reads estimator density 173.9 → the re-join
+# branch fires and WINS (1.5–2.3 s vs the suffix tail's 2.0–3.8 s over
+# two interleaved rounds — when every token collides, the suffix bound
+# rarely prunes and per-candidate Python work loses to the JVM join).
+# Both sides of the switch carry a datapoint (r14, ROADMAP).
 PPJ_ADAPTIVE_RAW_DENSITY = 80.0
 PPJ_STATS_SAMPLE_MOD = 10  # ANALYZE sample: doc_id % MOD == 0
 
