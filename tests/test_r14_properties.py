@@ -129,3 +129,171 @@ def test_adaptive_ppjoin_both_tails_equal(spark):
         ).collect()
     }
     assert suffix == rejoin and suffix, "verify tails disagree"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _spark():
+    from aws_lambda_redshift_loader_spark.session import get_spark
+
+    return get_spark("r14-props")
+
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # doc_id (dedup below)
+        st.sampled_from(["en", "de", "fr"]),
+        st.integers(min_value=1, max_value=2000),  # n_tokens
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pack_rows)
+def test_packing_two_level_equals_reference(rows):
+    """The two-level distributed prefix sum must equal the naive
+    per-domain running sum on ANY (doc_id, lang, n_tokens) frame —
+    including ids crossing bucket boundaries, sparse ids, and domains
+    missing from some buckets."""
+    import pandas as pd
+
+    from aws_lambda_redshift_loader_spark.operators.text import _pack_plan_frame
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "n_tokens"]).astype(
+            {"doc_id": "int64", "n_tokens": "int64"}
+        ),
+        "doc_id bigint, lang string, n_tokens bigint",
+    )
+    got = {
+        (r["doc_id"], r["startpos"])
+        for r in _pack_plan_frame(df).collect()
+    }
+    ref = {}
+    cum: dict[str, int] = {}
+    for doc_id, lang, n in sorted(rows):
+        ref[(doc_id, cum.get(lang, 0))] = True
+        cum[lang] = cum.get(lang, 0) + n
+    assert got == {k for k in ref}
+
+
+emb_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=300),
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=4, max_size=4),
+    ),
+    min_size=20,
+    max_size=60,
+    unique_by=lambda t: t[0],
+).filter(lambda rows: all(any(v != 0 for v in e) for _, e in rows))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(emb_rows, st.integers(min_value=0, max_value=3))
+def test_gann_store_equals_batch_graph_random(rows, split_seed):
+    """The incremental edge store's resolved graph must equal the batch
+    multi-probe kNN graph on RANDOM small embedding sets under an
+    arbitrary 3-way id split — the subset-prune losslessness argument,
+    exercised beyond the fixtures."""
+    import pandas as pd
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        GANN_BUILD_PROBE,
+        IVF_TRAIN_ITERS,
+        _gann_edges,
+        _kmeans_centroids,
+        _probe_assign,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        _gann_delta_edges,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    # tile the 4 generated components to the engine's DIM (64) and
+    # relabel ids contiguously (the quantizer seeds from vec_id <
+    # IVF_CELLS, which a sparse random id set might otherwise miss)
+    from aws_lambda_redshift_loader_spark.operators.similarity import DIM
+
+    rows = [
+        (k, (e * (DIM // len(e)))[:DIM])
+        for k, (_, e) in enumerate(sorted(rows))
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [i for i, _ in rows], "e": [e for _, e in rows]}
+        ),
+        "vec_id bigint, e array<bigint>",
+    )
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    batch_graph = {
+        (r["src"], r["dst"])
+        for r in _gann_edges(
+            _probe_assign(emb, ids, cent, GANN_BUILD_PROBE)
+        ).collect()
+    }
+
+    # arbitrary ordered 3-way split by (id + seed) mod 3 rank order
+    ordered = sorted(rows)
+    cuts = [len(ordered) // 3, 2 * len(ordered) // 3]
+    parts = [
+        ordered[: cuts[0]],
+        ordered[cuts[0] : cuts[1]],
+        ordered[cuts[1] :],
+    ]
+    if split_seed % 2:  # uneven alternative split
+        parts = [ordered[:5], ordered[5:7], ordered[7:]]
+    from pyspark.sql.window import Window as W
+
+    all_deltas = []
+    probed_epochs = []
+    for k, part in enumerate(parts):
+        if not part:
+            probed_epochs.append(None)
+            continue
+        pdfk = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": [i for i, _ in part], "e": [e for _, e in part]}
+            ),
+            "vec_id bigint, e array<bigint>",
+        )
+        probed = _probe_assign(pdfk, ids, cent, GANN_BUILD_PROBE).withColumn(
+            "epoch", F.lit(k)
+        )
+        probed_epochs.append(probed)
+        members = None
+        for j in range(k + 1):
+            if probed_epochs[j] is not None:
+                members = (
+                    probed_epochs[j]
+                    if members is None
+                    else members.unionByName(probed_epochs[j])
+                )
+        all_deltas.append(_gann_delta_edges(members, k))
+    cands = all_deltas[0]
+    for d in all_deltas[1:]:
+        cands = cands.unionByName(d)
+    w = W.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    from aws_lambda_redshift_loader_spark.operators.similarity import GANN_DEG
+
+    knn = (
+        cands.dropDuplicates(["src", "dst"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GANN_DEG)
+        .select("src", "dst")
+    )
+    resolved = {
+        (r["src"], r["dst"])
+        for r in knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    assert resolved == batch_graph
