@@ -4061,3 +4061,114 @@ def packed_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_fragment").cast("bigint").alias("n_fragments"),
         F.sum("seq_tokens").cast("bigint").alias("fill_tokens"),
     )
+
+
+@register(
+    "sequence_packing_nosplit_plan",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(doc_id // {PACK_BUCKET} AS BIGINT) AS bucket,
+             least(n_tokens, {PACK_SEQ_LEN}) AS n_eff,
+             row_number() OVER (PARTITION BY lang, doc_id // {PACK_BUCKET}
+                                ORDER BY doc_id) AS rn
+      FROM toks WHERE n_tokens > 0
+    ),
+    rec AS (
+      SELECT lang, bucket, rn, doc_id, n_tokens, n_eff,
+             CAST(0 AS BIGINT) AS win_local, CAST(0 AS BIGINT) AS "offset",
+             n_eff AS fill
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.lang, b.bucket, b.rn, b.doc_id, b.n_tokens, b.n_eff,
+             CASE WHEN r.fill + b.n_eff > {PACK_SEQ_LEN}
+                  THEN r.win_local + 1 ELSE r.win_local END,
+             CASE WHEN r.fill + b.n_eff > {PACK_SEQ_LEN}
+                  THEN CAST(0 AS BIGINT) ELSE r.fill END,
+             CASE WHEN r.fill + b.n_eff > {PACK_SEQ_LEN}
+                  THEN b.n_eff ELSE r.fill + b.n_eff END
+      FROM rec r
+      JOIN base b ON b.lang = r.lang AND b.bucket = r.bucket
+                 AND b.rn = r.rn + 1
+    )
+    SELECT doc_id, lang, bucket, win_local, "offset", n_eff,
+           CAST(CASE WHEN n_tokens > {PACK_SEQ_LEN} THEN 1 ELSE 0 END AS INT)
+             AS truncated
+    FROM rec
+    """,
+)
+def sequence_packing_nosplit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT sequence packing — the attention-clean complement of
+    sequence_packing_plan: documents never straddle a window (a doc
+    that doesn't fit starts the next one; docs over {PACK_SEQ_LEN}
+    tokens truncate, flagged), trading bounded padding for ZERO
+    cross-document fragments. Pure next-fit is an inherently
+    sequential recurrence, so the scalable form is BLOCK-ALIGNED
+    next-fit: windows never span a {PACK_BUCKET}-doc id bucket, making
+    every (lang, bucket) group independent — each is a BOUNDED
+    sequential fold (≤ {PACK_BUCKET} docs) inside one Arrow kernel,
+    embarrassingly parallel across buckets, at the cost of at most one
+    extra partial window per bucket vs the sequential ideal. This is
+    the parallel-loader production shape: alignment is what lets a
+    thousand workers pack independently. The oracle states the same
+    recurrence as a recursive CTE stepping rank-within-bucket — the
+    hash gate proves kernel fold == recurrence.
+
+    Scale: one tokenize pass + one shuffle to (lang, bucket) groups of
+    ≤ {PACK_BUCKET} rows; no window over more than a bucket; no
+    global state at all (buckets are self-aligned)."""
+    from pyspark.sql import types as T
+
+    C = PACK_SEQ_LEN
+    d = table(spark, sf_dir, "documents")
+    toks = _pack_tokens(d).withColumn(
+        "bucket", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("win_local", T.LongType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("n_eff", T.LongType()),
+            T.StructField("truncated", T.IntegerType()),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        win, fill = 0, 0
+        wins, offs, effs, truncs = [], [], [], []
+        for n in pdf["n_tokens"]:
+            n_eff = min(int(n), C)
+            if fill + n_eff > C and fill > 0:
+                win += 1
+                fill = 0
+            wins.append(win)
+            offs.append(fill)
+            effs.append(n_eff)
+            truncs.append(1 if int(n) > C else 0)
+            fill += n_eff
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "bucket": pdf["bucket"],
+                "win_local": wins,
+                "offset": offs,
+                "n_eff": effs,
+                "truncated": truncs,
+            }
+        )
+
+    return toks.groupBy("lang", "bucket").applyInPandas(pack, schema=schema)

@@ -185,6 +185,7 @@ QUERIES = [
     "sequence_packing_report",  # two-level distributed prefix sum
     "stream_incremental_packing",  # 13th store kind: O(1)-per-domain totals
     "stream_incremental_gann_hier",  # both HNSW layers epoch-maintained
+    "sequence_packing_nosplit_plan",  # block-aligned next-fit, bounded folds
 ]
 
 
