@@ -2205,3 +2205,68 @@ def moving_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_q",
         med.cast("bigint").alias("moving_median_q"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS prob_q
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV TRANSITION MATRIX over per-user event
+    sequences — the classic behavioral statistic (what follows what,
+    with what probability) behind next-event prediction features,
+    anomaly scoring, and funnel-shape discovery. Per user the events
+    order by (µs timestamp, event_id) — a total order identical in
+    both engines (Spark's nanos→µs truncation mirrors DuckDB's
+    TIMESTAMP_NS read; the id breaks µs ties) — lag() pairs each event
+    with its predecessor, and the (prev, next) counts row-normalize to
+    µ-unit integer probabilities (the established quantize-then-divide
+    parity rule).
+
+    Scale: the lag window partitions by user (bounded sequences, never
+    a global sort); the pair aggregate is map-side combined to
+    |event_type|² cells, and the normalizing window reads THAT
+    cell frame — bounded by the type vocabulary however large the
+    event volume grows."""
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.expr(
+            "CAST((n * 1000000) div SUM(n) OVER (PARTITION BY prev_type)"
+            " AS BIGINT)"
+        ).alias("prob_q"),
+    )
