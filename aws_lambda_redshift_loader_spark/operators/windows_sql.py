@@ -2270,3 +2270,84 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("prob_q"),
     )
+
+
+@register(
+    "transition_surprisal_users",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT user_id, prev_type, event_type
+      FROM seq WHERE prev_type IS NOT NULL
+    ),
+    pairs AS (
+      SELECT prev_type, event_type,
+             CAST(floor(ln(COUNT(*)) * 1e6) AS BIGINT) AS q_ln_pair
+      FROM trans GROUP BY prev_type, event_type
+    ),
+    prows AS (
+      SELECT prev_type,
+             CAST(floor(ln(COUNT(*)) * 1e6) AS BIGINT) AS q_ln_row
+      FROM trans GROUP BY prev_type
+    )
+    SELECT t.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(r.q_ln_row - p.q_ln_pair) // COUNT(*) AS BIGINT)
+             AS mean_surprisal_q
+    FROM trans t
+    JOIN pairs p ON p.prev_type = t.prev_type
+                AND p.event_type = t.event_type
+    JOIN prows r ON r.prev_type = t.prev_type
+    GROUP BY t.user_id
+    """,
+)
+def transition_surprisal_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user BEHAVIORAL ANOMALY score from the transition matrix:
+    each observed transition's surprisal −ln p(next|prev) =
+    ln c(prev·) − ln c(prev,next), averaged per user in µ-nats —
+    users whose event sequences keep taking globally-rare transitions
+    float to the top (the sequence-model analog of the corpus
+    surprisal scorers). Logs follow the established
+    quantized-ln-of-integer-count rule (floor(ln·10⁶) per TERM before
+    any sum — ln is not correctly rounded cross-engine; see the
+    surprisal block in operators/text.py).
+
+    Scale: the lag window is per-user (bounded sequences); both
+    statistic frames are |event_type|²-cell aggregates BROADCAST back
+    onto the transition stream — the corpus-sized side is never
+    shuffled; the final aggregate is user-grain."""
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("prev_type"),
+    )
+    trans = seq.filter(F.col("prev_type").isNotNull())
+    pairs = trans.groupBy("prev_type", "event_type").agg(
+        F.floor(F.ln(F.count("*")) * 1e6).cast("bigint").alias("q_ln_pair")
+    )
+    prows = trans.groupBy("prev_type").agg(
+        F.floor(F.ln(F.count("*")) * 1e6).cast("bigint").alias("q_ln_row")
+    )
+    return (
+        trans.join(F.broadcast(pairs), ["prev_type", "event_type"])
+        .join(F.broadcast(prows), "prev_type")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.expr(
+                "CAST(SUM(q_ln_row - q_ln_pair) div COUNT(*) AS BIGINT)"
+            ).alias("mean_surprisal_q"),
+        )
+    )
