@@ -186,6 +186,8 @@ QUERIES = [
     "stream_incremental_packing",  # 13th store kind: O(1)-per-domain totals
     "stream_incremental_gann_hier",  # both HNSW layers epoch-maintained
     "sequence_packing_nosplit_plan",  # block-aligned next-fit, bounded folds
+    "event_transition_matrix",  # user-partitioned lag + type^2-cell agg
+    "transition_surprisal_users",  # matrix broadcast back onto the stream
 ]
 
 
