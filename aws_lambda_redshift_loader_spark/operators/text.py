@@ -3883,11 +3883,12 @@ def _pack_plan_frame(toks: DataFrame) -> DataFrame:
     f"""
     WITH {_PACK_PLAN_CTE}
     SELECT doc_id, lang, n_tokens,
-           startpos // {PACK_SEQ_LEN} AS first_seq,
-           startpos % {PACK_SEQ_LEN} AS first_off,
-           (startpos + n_tokens - 1) // {PACK_SEQ_LEN} AS last_seq,
-           (startpos + n_tokens - 1) // {PACK_SEQ_LEN}
-             - startpos // {PACK_SEQ_LEN} AS crossings
+           CAST(startpos // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+           CAST(startpos % {PACK_SEQ_LEN} AS BIGINT) AS first_off,
+           CAST((startpos + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT)
+             AS last_seq,
+           CAST((startpos + n_tokens - 1) // {PACK_SEQ_LEN}
+             - startpos // {PACK_SEQ_LEN} AS BIGINT) AS crossings
     FROM plan
     """,
 )
@@ -4168,6 +4169,162 @@ def sequence_packing_nosplit_plan(spark: SparkSession, sf_dir: str) -> DataFrame
                 "offset": offs,
                 "n_eff": effs,
                 "truncated": truncs,
+            }
+        )
+
+    return toks.groupBy("lang", "bucket").applyInPandas(pack, schema=schema)
+
+
+PACK_FRAG_BUDGET = 6  # max document fragments per training window
+
+
+@register(
+    "sequence_packing_budget_plan",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(doc_id // {PACK_BUCKET} AS BIGINT) AS bucket,
+             row_number() OVER (PARTITION BY lang, doc_id // {PACK_BUCKET}
+                                ORDER BY doc_id) AS rn
+      FROM toks WHERE n_tokens > 0
+    ),
+    rec AS (
+      SELECT lang, bucket, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS start_p,
+             CAST(0 AS BIGINT) AS pad_before,
+             n_tokens AS end_p,
+             CAST(CASE WHEN n_tokens % {PACK_SEQ_LEN} = 0 THEN 0
+                       WHEN n_tokens // {PACK_SEQ_LEN} > 0 THEN 1
+                       ELSE 1 END AS BIGINT) AS frags
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.lang, b.bucket, b.rn, b.doc_id, b.n_tokens,
+             p.place_p,
+             p.place_p - r.end_p,
+             p.place_p + b.n_tokens,
+             CASE WHEN (p.place_p + b.n_tokens) % {PACK_SEQ_LEN} = 0
+                    THEN CAST(0 AS BIGINT)
+                  WHEN (p.place_p + b.n_tokens) // {PACK_SEQ_LEN}
+                       > p.place_p // {PACK_SEQ_LEN}
+                    THEN CAST(1 AS BIGINT)
+                  ELSE (CASE WHEN p.place_p % {PACK_SEQ_LEN} = 0
+                             THEN 0 ELSE r.frags END) + 1 END
+      FROM rec r
+      JOIN base b ON b.lang = r.lang AND b.bucket = r.bucket
+                 AND b.rn = r.rn + 1
+      CROSS JOIN LATERAL (SELECT CASE
+             WHEN r.frags >= {PACK_FRAG_BUDGET}
+                  AND r.end_p % {PACK_SEQ_LEN} > 0
+             THEN (r.end_p // {PACK_SEQ_LEN} + 1) * {PACK_SEQ_LEN}
+             ELSE r.end_p END AS place_p) p
+    )
+    SELECT doc_id, lang, bucket, n_tokens,
+           CAST(start_p // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+           CAST(start_p % {PACK_SEQ_LEN} AS BIGINT) AS first_off,
+           CAST((start_p + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT)
+             AS last_seq,
+           CAST(pad_before AS BIGINT) AS pad_before
+    FROM rec
+    """,
+)
+def sequence_packing_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENT-BUDGETED split packing — the quality-sensitive trainer
+    mode between sequence_packing_plan (zero padding, unbounded
+    fragments per window) and the no-split plan (zero fragments,
+    unbounded padding): documents still concatenate and split across
+    {PACK_SEQ_LEN}-token windows, but a window may hold at most
+    {PACK_FRAG_BUDGET} document fragments — once a window reaches the
+    budget, the rest of it pads out and the next document starts at the
+    next window boundary (bounding the attention-mask segment count per
+    window, which is what makes block-diagonal masking kernels cheap).
+    Each document reports its placement (first_seq / first_off /
+    last_seq, window ids bucket-local) and the padding injected ahead
+    of it by a budget trip.
+
+    The recurrence is order-dependent (a doc's position depends on how
+    many fragments its predecessors stacked into the current window),
+    so like the no-split plan it is BLOCK-ALIGNED: windows never span a
+    {PACK_BUCKET}-doc id bucket, every (lang, bucket) group is an
+    independent bounded fold (≤ {PACK_BUCKET} docs) in one Arrow
+    kernel, embarrassingly parallel across buckets. The oracle states
+    the same recurrence as a recursive CTE stepping rank-within-bucket
+    — the hash gate proves kernel fold == recurrence.
+
+    Scale: one tokenize pass + one shuffle into (lang, bucket) groups;
+    no window functions over more than a bucket; no global state.
+    Reference scope: batch preparation downstream of the loader's
+    ingest path (SURVEY §2 extension family; no reference analog —
+    cited as the packing family's third mode)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _pack_tokens(d).withColumn(
+        "bucket", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
+    )
+    return _budget_pack_fold(toks)
+
+
+def _budget_pack_fold(toks: DataFrame) -> DataFrame:
+    """The fragment-budget next-fit fold over a (doc_id, lang, bucket,
+    n_tokens) frame (see sequence_packing_budget_plan); factored so the
+    property suite can drive the identical recurrence on arbitrary
+    token frames."""
+    from pyspark.sql import types as T
+
+    C = PACK_SEQ_LEN
+    B = PACK_FRAG_BUDGET
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("first_seq", T.LongType()),
+            T.StructField("first_off", T.LongType()),
+            T.StructField("last_seq", T.LongType()),
+            T.StructField("pad_before", T.LongType()),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        end_p, frags = 0, 0
+        fseq, foff, lseq, pads = [], [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if frags >= B and end_p % C > 0:
+                place = (end_p // C + 1) * C
+            else:
+                place = end_p
+            fseq.append(place // C)
+            foff.append(place % C)
+            lseq.append((place + n - 1) // C)
+            pads.append(place - end_p)
+            new_end = place + n
+            if new_end % C == 0:
+                frags = 0
+            elif new_end // C > place // C:
+                frags = 1
+            else:
+                frags = (0 if place % C == 0 else frags) + 1
+            end_p = new_end
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "bucket": pdf["bucket"],
+                "n_tokens": pdf["n_tokens"],
+                "first_seq": fseq,
+                "first_off": foff,
+                "last_seq": lseq,
+                "pad_before": pads,
             }
         )
 

@@ -11,6 +11,7 @@ this test is where that strategy is enforced.
 from __future__ import annotations
 
 import math
+import re
 
 import duckdb
 import pytest
@@ -48,6 +49,79 @@ def _normalize(rows, colnames):
     return out
 
 
+# ---- typed-schema leg -----------------------------------------------------
+# fetchall()+repr is blind to engine-side TYPE leaks: DuckDB fetches
+# HUGEINT (window SUMs), DECIMAL, and INT32 (unnest) all as plain Python
+# numbers, so values compare equal locally while the DRIVER's typed hash
+# (arrow-side) fails — exactly the r14 sequence_packing_plan red pair.
+# So every oracle's DESCRIBE types must canonically equal the Spark
+# dtypes, modulo ONLY the documented driver-tolerated pairs below.
+
+
+def _canon_spark(dt: str) -> str:
+    dt = dt.strip().lower()
+    m = re.match(r"decimal\((\d+),(\d+)\)$", dt)
+    if m:
+        return f"dec(s={m.group(2)})"
+    m = re.match(r"array<(.*)>$", dt)
+    if m:
+        return f"arr<{_canon_spark(m.group(1))}>"
+    if dt.startswith("struct<"):
+        return "struct"
+    return {
+        "bigint": "i64", "int": "i32", "integer": "i32", "smallint": "i16",
+        "tinyint": "i8", "double": "f64", "float": "f32", "string": "str",
+        "boolean": "bool", "date": "date", "timestamp": "ts",
+        "timestamp_ntz": "ts", "binary": "bin",
+    }.get(dt, dt)
+
+
+def _canon_duck(dt: str) -> str:
+    dt = dt.strip()
+    m = re.match(r"DECIMAL\((\d+),(\d+)\)$", dt)
+    if m:
+        return f"dec(s={m.group(2)})"
+    if dt.endswith("[]"):
+        return f"arr<{_canon_duck(dt[:-2])}>"
+    if dt.startswith("STRUCT"):
+        return "struct"
+    return {
+        "BIGINT": "i64", "HUGEINT": "dec(s=0)", "INTEGER": "i32",
+        "SMALLINT": "i16", "TINYINT": "i8", "DOUBLE": "f64", "FLOAT": "f32",
+        "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+        "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+        "TIMESTAMP_NS": "ts", "BLOB": "bin",
+    }.get(dt, dt)
+
+
+# (query, column) pairs proven driver-hash-tolerated across 14 green
+# rounds (spark int vs duck BIGINT — both engines fetch plain ints).
+# Do NOT widen this list for a new query; cast the oracle instead.
+_TYPE_ALLOWLIST = {
+    ("string_functions", "text_len"),
+    ("window_ranking_family", "rnk"),
+    ("window_ranking_family", "drnk"),
+    ("window_topk_per_group", "rn"),
+}
+
+
+def _assert_types_match(name, spark_dtypes, con, oracle):
+    duck_types = {
+        r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle}").fetchall()
+    }
+    leaks = []
+    for col, sdt in spark_dtypes:
+        if col not in duck_types or (name, col) in _TYPE_ALLOWLIST:
+            continue
+        a, b = _canon_spark(sdt), _canon_duck(duck_types[col])
+        if a != b:
+            leaks.append(f"{col}: spark={sdt} duck={duck_types[col]} ({a} vs {b})")
+    assert not leaks, (
+        f"{name}: oracle type leak (driver's typed hash WILL differ even "
+        f"if values match — CAST in the oracle): {leaks}"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_match(spark, name):
     from aws_lambda_redshift_loader_spark.session import release_persisted
@@ -59,6 +133,7 @@ def test_oracle_match(spark, name):
     release_persisted()  # drop the query's own deferred persist()s
 
     con = _duck(SF_ORACLE)
+    _assert_types_match(name, sdf.dtypes, con, spec.oracle)
     res = con.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
