@@ -3025,3 +3025,123 @@ def entity_resolution_golden_records(spark: SparkSession, sf_dir: str) -> DataFr
             "canonical_source", "canonical_lang", "n_chars_max",
         )
     )
+
+
+@register(
+    "entity_resolution_weighted_survivorship",
+    f"""
+    WITH RECURSIVE {_KEEP_BEST_CTES},
+    memw AS (
+      SELECT mb.cluster_id, mb.doc_id, d.source, d.lang,
+             CAST(floor(mb.quality_score * 1000000) AS BIGINT) AS ql
+      FROM membership mb JOIN documents d ON d.doc_id = mb.doc_id
+    ),
+    wsrc AS (
+      SELECT cluster_id, source,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY SUM(ql) DESC, source ASC) AS sr
+      FROM memw GROUP BY cluster_id, source
+    ),
+    wlang AS (
+      SELECT cluster_id, lang,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY SUM(ql) DESC, lang ASC) AS lr
+      FROM memw GROUP BY cluster_id, lang
+    ),
+    eagg AS (
+      SELECT cluster_id, COUNT(*) AS n_members, MIN(doc_id) AS entity_key,
+             SUM(ql) AS total_quality_q, MAX(ql) AS best_quality_q
+      FROM memw GROUP BY cluster_id
+    )
+    SELECT a.cluster_id,
+           CAST(a.n_members AS BIGINT) AS n_members,
+           CAST(a.entity_key AS BIGINT) AS entity_key,
+           s.source AS weighted_source,
+           l.lang AS weighted_lang,
+           CAST(a.total_quality_q AS BIGINT) AS total_quality_q,
+           CAST(a.best_quality_q AS BIGINT) AS best_quality_q
+    FROM eagg a
+    JOIN wsrc s ON s.cluster_id = a.cluster_id AND s.sr = 1
+    JOIN wlang l ON l.cluster_id = a.cluster_id AND l.lr = 1
+    WHERE a.n_members >= 2
+    """,
+)
+def entity_resolution_weighted_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUALITY-WEIGHTED survivorship — the production-shaped refinement
+    of entity_resolution_golden_records' most-frequent merge rule: each
+    member votes for its source / lang with its QUALITY SCORE as the
+    vote weight (weighted-reliability rule — three junk mirrors no
+    longer outvote one high-quality original), and the entity carries
+    its total and best member quality as curation-facing stats. Votes
+    sum PER-TERM QUANTIZED (floor(q·1e6) BIGINT per member BEFORE the
+    SUM — the established pattern for every float statistic), so the
+    weighted argmax is exact and cross-engine deterministic; ties break
+    on the value ascending.
+
+    Scale: identical frame shapes to the modal rule — two cluster×value
+    aggregates plus one cluster-grain aggregate over the memoized pair
+    graph's CC labels; cluster sizes are bounded by the band geometry,
+    so no window partition degenerates.
+
+    Reference scope: curation extension (no reference analog —
+    reference keeps whole files, `index.js` ledger semantics; this
+    assembles field-level survivors)."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators import text as _text
+
+    d = table(spark, sf_dir, "documents")
+    clusters = dedup_connected_components(spark, sf_dir)
+    quality = _text.quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    memw = (
+        d.select("doc_id", "source", "lang")
+        .join(clusters.withColumnRenamed("cluster_id", "cc_id"), "doc_id", "left")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.coalesce(F.col("cc_id"), F.col("doc_id")).alias("cluster_id"),
+            F.floor(F.col("quality_score") * 1000000.0)
+            .cast("bigint")
+            .alias("ql"),
+        )
+    )
+    ws = W.partitionBy("cluster_id").orderBy(
+        F.col("w").desc(), F.col("source").asc()
+    )
+    wsrc = (
+        memw.groupBy("cluster_id", "source")
+        .agg(F.sum("ql").alias("w"))
+        .withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") == 1)
+        .select("cluster_id", F.col("source").alias("weighted_source"))
+    )
+    wl = W.partitionBy("cluster_id").orderBy(
+        F.col("w").desc(), F.col("lang").asc()
+    )
+    wlang = (
+        memw.groupBy("cluster_id", "lang")
+        .agg(F.sum("ql").alias("w"))
+        .withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") == 1)
+        .select("cluster_id", F.col("lang").alias("weighted_lang"))
+    )
+    eagg = memw.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("entity_key"),
+        F.sum("ql").cast("bigint").alias("total_quality_q"),
+        F.max("ql").cast("bigint").alias("best_quality_q"),
+    )
+    return (
+        eagg.filter(F.col("n_members") >= 2)
+        .join(wsrc, "cluster_id")
+        .join(wlang, "cluster_id")
+        .select(
+            "cluster_id", "n_members", "entity_key",
+            "weighted_source", "weighted_lang",
+            "total_quality_q", "best_quality_q",
+        )
+    )
