@@ -3088,13 +3088,23 @@ def entity_resolution_weighted_survivorship(
     Reference scope: curation extension (no reference analog —
     reference keeps whole files, `index.js` ledger semantics; this
     assembles field-level survivors)."""
-    from pyspark.sql.window import Window as W
-
     from ..operators import text as _text
 
     d = table(spark, sf_dir, "documents")
     clusters = dedup_connected_components(spark, sf_dir)
     quality = _text.quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    return _weighted_survivorship_frame(d, clusters, quality)
+
+
+def _weighted_survivorship_frame(
+    d: DataFrame, clusters: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """The weighted-survivorship pass over ANY (doc_id, cluster_id)
+    label frame (see entity_resolution_weighted_survivorship); factored
+    so the incremental ER entry can run the identical merge rules over
+    the store-resolved labels."""
+    from pyspark.sql.window import Window as W
+
     memw = (
         d.select("doc_id", "source", "lang")
         .join(clusters.withColumnRenamed("cluster_id", "cc_id"), "doc_id", "left")

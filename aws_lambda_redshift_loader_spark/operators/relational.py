@@ -1798,6 +1798,116 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ROUNDS = 4  # synchronous label-propagation rounds (unrolled oracle)
+
+_LPA_EDGES_CTE = """items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pe AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+    ),
+    eu AS (
+      SELECT pa AS src, pb AS dst, w FROM pe
+      UNION ALL
+      SELECT pb AS src, pa AS dst, w FROM pe
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM eu)"""
+
+
+def _lpa_round_cte(r: int) -> str:
+    """Unrolled synchronous LPA round r: support-weighted neighbor
+    label vote, ties to the smallest label."""
+    return f"""c{r} AS (
+      SELECT e.src AS node, l.label, SUM(e.w) AS wt
+      FROM eu e JOIN l{r} l ON l.node = e.dst
+      GROUP BY e.src, l.label
+    ),
+    l{r + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY wt DESC, label ASC) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "label_propagation_copurchase",
+    f"""
+    WITH {_LPA_EDGES_CTE},
+    {", ".join(_lpa_round_cte(r) for r in range(LPA_ROUNDS))}
+    SELECT CAST(node AS BIGINT) AS part_key,
+           CAST(label AS BIGINT) AS community
+    FROM l{LPA_ROUNDS}
+    """,
+)
+def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph via SYNCHRONOUS
+    label propagation (Raghavan et al. 2007, made deterministic):
+    every part starts labeled with its own key; each of {LPA_ROUNDS}
+    rounds every node adopts the label carrying the highest
+    SUPPORT-WEIGHTED vote among its neighbors (ties to the smallest
+    label). Fixed synchronous rounds make the algorithm a pure
+    function of the graph — no traversal order, no randomness — so
+    the unrolled-CTE oracle hash-gates it exactly; the async
+    converge-to-fixpoint production variant runs the identical
+    per-round plan in a loop (the PageRank-loop pattern).
+
+    Scale: the basket self-join fans out C(items_per_order, 2) per
+    order — bounded by basket size, not corpus size; each round is
+    one edge-labels join (shuffle on node id) + one map-side-combined
+    weighted count + a per-node top-1 window whose partitions are
+    node-degree-sized. Labels stay BIGINT keys; vote weights are
+    integer supports — no float reductions anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    eu = pe.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionByName(
+        pe.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+    )
+    eu = eu.localCheckpoint(eager=True)  # root of every round's DAG
+    labels = eu.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql.window import Window as W
+
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            eu.join(labels, eu.dst == labels.node)
+            .groupBy(F.col("src").alias("n"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        wv = W.partitionBy("n").orderBy(F.col("wt").desc(), F.col("label").asc())
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n").alias("node"), "label")
+        )
+    return labels.select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.col("label").cast("bigint").alias("community"),
+    )
+
+
 FUZZY_MAX_DIST = 1
 FUZZY_DEL_CAP = 40  # deletion positions considered (max name length seen)
 

@@ -4177,11 +4177,7 @@ def sequence_packing_nosplit_plan(spark: SparkSession, sf_dir: str) -> DataFrame
 
 PACK_FRAG_BUDGET = 6  # max document fragments per training window
 
-
-@register(
-    "sequence_packing_budget_plan",
-    f"""
-    WITH RECURSIVE toks AS (
+_BUDGET_PLAN_CTES = f"""toks AS (
       SELECT doc_id, lang,
              CAST(length(regexp_extract_all(text,
                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
@@ -4223,7 +4219,13 @@ PACK_FRAG_BUDGET = 6  # max document fragments per training window
                   AND r.end_p % {PACK_SEQ_LEN} > 0
              THEN (r.end_p // {PACK_SEQ_LEN} + 1) * {PACK_SEQ_LEN}
              ELSE r.end_p END AS place_p) p
-    )
+    )"""
+
+
+@register(
+    "sequence_packing_budget_plan",
+    f"""
+    WITH RECURSIVE {_BUDGET_PLAN_CTES}
     SELECT doc_id, lang, bucket, n_tokens,
            CAST(start_p // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
            CAST(start_p % {PACK_SEQ_LEN} AS BIGINT) AS first_off,
@@ -4268,34 +4270,44 @@ def sequence_packing_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _budget_pack_fold(toks)
 
 
-def _budget_pack_fold(toks: DataFrame) -> DataFrame:
+def _budget_pack_fold(toks: DataFrame, with_state: bool = False) -> DataFrame:
     """The fragment-budget next-fit fold over a (doc_id, lang, bucket,
     n_tokens) frame (see sequence_packing_budget_plan); factored so the
     property suite can drive the identical recurrence on arbitrary
-    token frames."""
+    token frames, and so the incremental store can seed each (lang,
+    bucket) group's state: optional `init_end_p` / `init_frags` columns
+    (constant within a group) start the fold mid-bucket — absent, the
+    fold starts fresh, exactly the batch plan. With ``with_state`` the
+    output carries the group's FINAL (end_p, frags) on every row —
+    what the store persists to continue a boundary bucket next epoch."""
     from pyspark.sql import types as T
 
     C = PACK_SEQ_LEN
     B = PACK_FRAG_BUDGET
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("bucket", T.LongType()),
-            T.StructField("n_tokens", T.LongType()),
-            T.StructField("first_seq", T.LongType()),
-            T.StructField("first_off", T.LongType()),
-            T.StructField("last_seq", T.LongType()),
-            T.StructField("pad_before", T.LongType()),
+    fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("first_seq", T.LongType()),
+        T.StructField("first_off", T.LongType()),
+        T.StructField("last_seq", T.LongType()),
+        T.StructField("pad_before", T.LongType()),
+    ]
+    if with_state:
+        fields += [
+            T.StructField("fin_end_p", T.LongType()),
+            T.StructField("fin_frags", T.LongType()),
         ]
-    )
+    schema = T.StructType(fields)
 
     def pack(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id")
-        end_p, frags = 0, 0
+        end_p = int(pdf["init_end_p"].iloc[0]) if "init_end_p" in pdf.columns else 0
+        frags = int(pdf["init_frags"].iloc[0]) if "init_frags" in pdf.columns else 0
         fseq, foff, lseq, pads = [], [], [], []
         for n in pdf["n_tokens"]:
             n = int(n)
@@ -4315,17 +4327,104 @@ def _budget_pack_fold(toks: DataFrame) -> DataFrame:
             else:
                 frags = (0 if place % C == 0 else frags) + 1
             end_p = new_end
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "lang": pdf["lang"],
-                "bucket": pdf["bucket"],
-                "n_tokens": pdf["n_tokens"],
-                "first_seq": fseq,
-                "first_off": foff,
-                "last_seq": lseq,
-                "pad_before": pads,
-            }
-        )
+        out = {
+            "doc_id": pdf["doc_id"],
+            "lang": pdf["lang"],
+            "bucket": pdf["bucket"],
+            "n_tokens": pdf["n_tokens"],
+            "first_seq": fseq,
+            "first_off": foff,
+            "last_seq": lseq,
+            "pad_before": pads,
+        }
+        if with_state:
+            out["fin_end_p"] = [end_p] * len(pdf)
+            out["fin_frags"] = [frags] * len(pdf)
+        return pd.DataFrame(out)
 
     return toks.groupBy("lang", "bucket").applyInPandas(pack, schema=schema)
+
+
+@register(
+    "packed_budget_manifest",
+    f"""
+    WITH RECURSIVE {_BUDGET_PLAN_CTES},
+    spans AS (
+      SELECT lang, bucket, doc_id, n_tokens,
+             CAST(start_p AS BIGINT) AS start_p,
+             CAST(start_p // {PACK_SEQ_LEN} AS BIGINT) AS s0,
+             CAST((start_p + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS s1
+      FROM rec
+    ),
+    exploded AS (
+      SELECT s.lang, s.bucket, s.doc_id, u.seq_id,
+             CASE WHEN u.seq_id > s.s0 OR u.seq_id < s.s1 THEN 1 ELSE 0 END
+               AS is_fragment,
+             least((u.seq_id + 1) * {PACK_SEQ_LEN},
+                   s.start_p + s.n_tokens)
+               - greatest(u.seq_id * {PACK_SEQ_LEN}, s.start_p) AS seq_tokens
+      FROM spans s,
+           LATERAL (SELECT unnest(generate_series(s.s0, s.s1)) AS seq_id) u
+    )
+    SELECT lang, bucket, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_fragment) AS BIGINT) AS n_fragments,
+           CAST(SUM(seq_tokens) AS BIGINT) AS fill_tokens,
+           CAST({PACK_SEQ_LEN} - SUM(seq_tokens) AS BIGINT) AS pad_tokens
+    FROM exploded
+    GROUP BY lang, bucket, seq_id
+    """,
+)
+def packed_budget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOW-grain inverse of sequence_packing_budget_plan — what
+    the loader consumes under the fragment budget: per packed window
+    its document count, fragment count (provably ≤ {PACK_FRAG_BUDGET}
+    by the budget invariant — visible per row), fill, and padding.
+    Unlike split packing's manifest (padding only in each domain's tail
+    window), budget padding appears mid-stream wherever a window hit
+    the fragment cap — pad_tokens is exactly the attention-efficiency
+    price of the bounded mask segment count, per window.
+
+    Scale: inherits the block-aligned budget fold; each document
+    explodes onto the windows it spans (fan-out crossings+1, bounded by
+    n_tokens/{PACK_SEQ_LEN}+1), so the exploded frame is O(total
+    tokens / seq_len + docs); the final aggregate is window-grain."""
+    C = PACK_SEQ_LEN
+    d = table(spark, sf_dir, "documents")
+    toks = _pack_tokens(d).withColumn(
+        "bucket", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
+    )
+    p = _budget_pack_fold(toks).withColumn(
+        "start_p", F.col("first_seq") * C + F.col("first_off")
+    )
+    exploded = p.select(
+        "lang",
+        "bucket",
+        "n_tokens",
+        "start_p",
+        F.col("first_seq").alias("s0"),
+        F.col("last_seq").alias("s1"),
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    ).select(
+        "lang",
+        "bucket",
+        "seq_id",
+        F.when(
+            (F.col("seq_id") > F.col("s0")) | (F.col("seq_id") < F.col("s1")), 1
+        )
+        .otherwise(0)
+        .alias("is_fragment"),
+        (
+            F.least(
+                (F.col("seq_id") + 1) * C,
+                F.col("start_p") + F.col("n_tokens"),
+            )
+            - F.greatest(F.col("seq_id") * C, F.col("start_p"))
+        ).alias("seq_tokens"),
+    )
+    return exploded.groupBy("lang", "bucket", "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_fragment").cast("bigint").alias("n_fragments"),
+        F.sum("seq_tokens").cast("bigint").alias("fill_tokens"),
+        (C - F.sum("seq_tokens")).cast("bigint").alias("pad_tokens"),
+    )

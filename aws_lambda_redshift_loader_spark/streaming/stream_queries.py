@@ -4662,6 +4662,191 @@ def _register_incremental_packing() -> None:
 _register_incremental_packing()
 
 
+# ---- Incremental BUDGET-packing maintenance (14th store kind) -------------
+# The fragment-budgeted plan is block-aligned — every (lang, bucket)
+# folds independently — and doc_ids arrive ascending, so the ONLY fold
+# a future epoch can continue is each language's LAST bucket: the
+# sufficient state is one row per language, (last_bucket, end_p,
+# frags). Earlier buckets are closed forever the moment a higher id
+# lands. Epoch k seeds its boundary groups from the stored state and
+# starts every other group fresh — the identical _budget_pack_fold
+# recurrence — so the accumulated plan equals the batch budget plan,
+# hash-gated on the same recursive-CTE oracle.
+
+
+def ingest_budget_packing_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One budget-packing maintenance epoch (module-level for the
+    replay test): seed each (lang, bucket) group's fold with the
+    stored per-language boundary state (broadcast of |languages|
+    rows; applies only when the group IS the stored last bucket),
+    run the batch through the SAME fragment-budget fold as the batch
+    plan, and write this epoch's plan rows plus the advanced state
+    (each language's max-bucket final (end_p, frags), languages
+    absent from the batch carried forward). Pure function of (frozen
+    previous state, frozen batch file) — replay-idempotent."""
+    from ..operators.text import PACK_BUCKET, _budget_pack_fold, _pack_tokens
+
+    toks = _pack_tokens(batch_df).withColumn(
+        "bucket", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
+    )
+    if epoch_id > 0:
+        prev = spark.read.parquet(f"{store}/state/epoch={epoch_id - 1}")
+        toks = (
+            toks.join(F.broadcast(prev), "lang", "left")
+            .withColumn(
+                "init_end_p",
+                F.when(
+                    F.col("bucket") == F.col("last_bucket"), F.col("st_end_p")
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            )
+            .withColumn(
+                "init_frags",
+                F.when(
+                    F.col("bucket") == F.col("last_bucket"), F.col("st_frags")
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            )
+            .drop("last_bucket", "st_end_p", "st_frags")
+        )
+    else:
+        prev = spark.createDataFrame(
+            [], "lang string, last_bucket bigint, st_end_p bigint, st_frags bigint"
+        )
+        toks = toks.withColumn("init_end_p", F.lit(0).cast("bigint")).withColumn(
+            "init_frags", F.lit(0).cast("bigint")
+        )
+
+    plan = _budget_pack_fold(toks, with_state=True).localCheckpoint(eager=True)
+    plan.drop("fin_end_p", "fin_frags").write.mode("overwrite").parquet(
+        f"{store}/plan/epoch={epoch_id}"
+    )
+    last = plan.groupBy("lang").agg(F.max("bucket").alias("last_bucket"))
+    new_state = (
+        plan.join(F.broadcast(last), ["lang"])
+        .filter(F.col("bucket") == F.col("last_bucket"))
+        .select(
+            "lang",
+            "last_bucket",
+            F.col("fin_end_p").alias("st_end_p"),
+            F.col("fin_frags").alias("st_frags"),
+        )
+        .dropDuplicates(["lang"])
+    )
+    carried = prev.join(new_state.select("lang"), "lang", "left_anti")
+    new_state.unionByName(carried).write.mode("overwrite").parquet(
+        f"{store}/state/epoch={epoch_id}"
+    )
+
+
+def _register_incremental_budget_packing() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_budget_packing",
+        lambda: _REG["sequence_packing_budget_plan"].oracle,
+    )
+    def stream_incremental_budget_packing(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming FRAGMENT-BUDGET packing maintenance (see block
+        comment) — the fourteenth store kind, extending the
+        order-dependent line the 13th opened: documents stream in
+        ascending id ranges (the shared memoized ordered split), each
+        epoch seeds only its boundary (lang, bucket) groups from one
+        stored row per language and folds everything else fresh, and
+        the accumulated plan equals the batch
+        sequence_packing_budget_plan — the recursive-CTE oracle
+        hash-gates stream-maintained == batch. The production story:
+        as curation emits documents, their budget-constrained window
+        coordinates are assignable immediately, with the attention-
+        mask fragment cap enforced mid-stream.
+
+        Scale: per epoch O(batch) tokenize + the block-aligned fold;
+        state read/write is |languages| rows; replay-idempotent
+        (pure function of epoch_id and the frozen state chain —
+        test-locked)."""
+        tune(spark)
+        store = _e2e_tmpdir("alrs_bpack_store_")
+        src = _ensure_doc_split_ordered(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_budget_packing_epoch(spark, batch_df, epoch_id, store)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_bpack_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        return spark.read.parquet(f"{store}/plan").select(
+            "doc_id", "lang", "bucket", "n_tokens",
+            "first_seq", "first_off", "last_seq", "pad_before",
+        )
+
+
+_register_incremental_budget_packing()
+
+
+def _register_incremental_er() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_er",
+        lambda: _REG["entity_resolution_weighted_survivorship"].oracle,
+    )
+    def stream_incremental_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """INCREMENTAL ENTITY RESOLUTION — golden records served from
+        the standing stores: the shared near-dup ingest maintains the
+        warm-start CC label store per epoch, and this read resolves
+        the labels and runs the quality-weighted survivorship pass
+        (the identical _weighted_survivorship_frame merge rules:
+        per-member quantized quality votes for source/lang, total/best
+        quality, min-id entity key) over them. Incremental ER is the
+        production composition — entities whose membership grows as
+        documents stream in, golden records re-derivable at any epoch
+        without re-blocking the corpus — and the hash gate proves the
+        store-served records equal the batch blocking→verify→CC→
+        survivorship composite.
+
+        Scale: read cost is the label-store scan + broadcast remap
+        (no CC at read time) plus the survivorship's cluster-grain
+        aggregates; maintenance is the shared ingest's measured
+        O(delta) per epoch (the memo bill-payer pattern — this entry
+        adds no ingest of its own)."""
+        from ..operators import text as _text
+        from ..operators.dedup import _weighted_survivorship_frame
+
+        _, _, _, _, cc_dir = _ensure_neardup_ingest(spark, sf_dir)
+        labels = resolve_incremental_labels(spark, cc_dir).select(
+            "doc_id", "cluster_id"
+        )
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        quality = _text._quality_of(d).select("doc_id", "quality_score")
+        return _weighted_survivorship_frame(d, labels, quality)
+
+
+_register_incremental_er()
+
+
 def ingest_gann_hier_epoch(
     spark: SparkSession,
     batch_df: DataFrame,

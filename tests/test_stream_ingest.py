@@ -1446,3 +1446,72 @@ def test_incremental_gann_hier_upper_store_replay_and_batch_equal(spark, tmp_pat
     run_epoch(1)
     run_epoch(3)
     assert ugraph() == before
+
+
+def test_incremental_budget_packing_replay_and_batch_equal(spark, tmp_path):
+    """Budget-packing maintenance (14th store kind): each epoch's plan
+    rows are a pure function of (frozen previous per-language boundary
+    state, frozen batch file), so replays rewrite identical content,
+    and the accumulated plan equals the batch fragment-budget plan row
+    for row — including mid-bucket continuations across epoch
+    boundaries."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.text import (
+        PACK_BUCKET,
+        _budget_pack_fold,
+        _pack_tokens,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_PACK_EPOCHS,
+        _ensure_doc_split_ordered,
+        ingest_budget_packing_epoch,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    src = _ensure_doc_split_ordered(spark, sf)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == INC_PACK_EPOCHS
+    store = str(tmp_path / "store")
+
+    def run_epoch(i):
+        ingest_budget_packing_epoch(spark, spark.read.parquet(files[i]), i, store)
+
+    for i in range(INC_PACK_EPOCHS):
+        run_epoch(i)
+
+    def plan_rows():
+        return {
+            (r["doc_id"], r["first_seq"], r["first_off"], r["last_seq"],
+             r["pad_before"])
+            for r in spark.read.parquet(f"{store}/plan").collect()
+        }
+
+    before = plan_rows()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    toks = _pack_tokens(docs).withColumn(
+        "bucket", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
+    )
+    batch = {
+        (r["doc_id"], r["first_seq"], r["first_off"], r["last_seq"],
+         r["pad_before"])
+        for r in _budget_pack_fold(toks).collect()
+    }
+    assert before == batch, "stream-maintained budget plan != batch plan"
+
+    # at least one bucket must straddle an epoch boundary, else the
+    # state-continuation path is untested (125-doc ranges vs 64-doc
+    # buckets guarantee it on this fixture)
+    bounds = set()
+    for f in files:
+        ids = [r["doc_id"] for r in spark.read.parquet(f).select("doc_id").collect()]
+        bounds.add(min(ids) // PACK_BUCKET)
+        bounds.add(max(ids) // PACK_BUCKET)
+    assert len(bounds) < 2 * INC_PACK_EPOCHS, "no bucket straddles an epoch"
+
+    run_epoch(1)  # mid-stream replay (reads frozen epoch-0 state)
+    run_epoch(3)  # tail replay
+    assert plan_rows() == before
