@@ -1798,6 +1798,124 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RULES_TOP = 30  # association rules kept (by lift)
+RULES_MIN_SUPPORT = 2  # pair-support floor before confidence/lift
+
+
+@register(
+    "association_rules_lift",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+           FROM items),
+    isup AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM items
+      GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    rules AS (
+      SELECT r.ante, r.cons, r.support,
+             r.support * 1000000 // sa.s AS confidence_ppm,
+             (r.support * 1000000 // sa.s) * nb.n_baskets // sc.s AS lift_ppm
+      FROM (
+        SELECT part_a AS ante, part_b AS cons, support FROM pairs
+        UNION ALL
+        SELECT part_b AS ante, part_a AS cons, support FROM pairs
+      ) r
+      JOIN isup sa ON sa.l_partkey = r.ante
+      JOIN isup sc ON sc.l_partkey = r.cons
+      CROSS JOIN nb
+      WHERE r.support >= {RULES_MIN_SUPPORT}
+    )
+    SELECT ante, cons, support,
+           CAST(confidence_ppm AS BIGINT) AS confidence_ppm,
+           CAST(lift_ppm AS BIGINT) AS lift_ppm,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, confidence_ppm DESC,
+                                   ante ASC, cons ASC) AS rank
+      FROM rules
+    ) WHERE rank <= {RULES_TOP}
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the market baskets — the step after
+    copurchase_pairs' frequent pairs: every directed rule ante→cons
+    with pair support ≥ {RULES_MIN_SUPPORT} scored by confidence
+    (support(a,b)/support(a)) and lift
+    (confidence / baseline P(cons)), top-{RULES_TOP} by lift. All
+    ratios are ppm-quantized INTEGER divisions (support·1e6 // s —
+    floor semantics agree cross-engine on positive ints), so the
+    ranking is exact.
+
+    Scale: the basket self-join fans out C(basket, 2) per order
+    (bounded by basket size); item supports are one map-side-combined
+    aggregate; the rule frame is pair-grain and the final top-k is a
+    single scalable window (rank ≤ {RULES_TOP} prunes early under
+    AQE's TopK)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select("l_orderkey").distinct().count()
+    isup = items.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= RULES_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("ante"), F.col("part_b").alias("cons"), "support"
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("ante"), F.col("part_a").alias("cons"), "support"
+        )
+    )
+    sa = isup.select(F.col("l_partkey").alias("ante"), F.col("s").alias("sa"))
+    sc = isup.select(F.col("l_partkey").alias("cons"), F.col("s").alias("sc"))
+    scored = (
+        rules.join(sa, "ante")
+        .join(sc, "cons")
+        .select(
+            "ante",
+            "cons",
+            "support",
+            F.expr("support * 1000000 div sa").cast("bigint").alias("confidence_ppm"),
+            # two-step floor (conf_ppm first) keeps every intermediate
+            # < 2^63 at any basket count — one-step support·1e6·N
+            # overflows int64 on ~1e9-basket corpora
+            F.expr(f"(support * 1000000 div sa) * {n_baskets} div sc")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(
+        F.col("lift_ppm").desc(), F.col("confidence_ppm").desc(),
+        F.col("ante").asc(), F.col("cons").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RULES_TOP)
+        .select("ante", "cons", "support", "confidence_ppm", "lift_ppm", "rank")
+    )
+
+
 LPA_ROUNDS = 4  # synchronous label-propagation rounds (unrolled oracle)
 
 _LPA_EDGES_CTE = """items AS (
@@ -1865,6 +1983,17 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted count + a per-node top-1 window whose partitions are
     node-degree-sized. Labels stay BIGINT keys; vote weights are
     integer supports — no float reductions anywhere."""
+    eu, labels = _lpa_frames(spark, sf_dir)
+    return labels.select(
+        F.col("node").cast("bigint").alias("part_key"),
+        F.col("label").cast("bigint").alias("community"),
+    )
+
+
+def _lpa_frames(spark: SparkSession, sf_dir: str):
+    """(both-direction weighted edge frame, converged LPA labels) for
+    the co-purchase graph — shared by the community listing and the
+    modularity audit (identical rounds, one implementation)."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
@@ -1902,9 +2031,88 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("n").alias("node"), "label")
         )
-    return labels.select(
-        F.col("node").cast("bigint").alias("part_key"),
-        F.col("label").cast("bigint").alias("community"),
+    return eu, labels
+
+
+@register(
+    "community_modularity",
+    f"""
+    WITH {_LPA_EDGES_CTE},
+    {", ".join(_lpa_round_cte(r) for r in range(LPA_ROUNDS))},
+    lab AS (SELECT node, label FROM l{LPA_ROUNDS}),
+    s2m AS (SELECT CAST(SUM(w) AS BIGINT) AS s FROM eu),
+    ein AS (
+      SELECT ls.label AS community, CAST(SUM(e.w) AS BIGINT) AS internal_w
+      FROM eu e
+      JOIN lab ls ON ls.node = e.src
+      JOIN lab ld ON ld.node = e.dst
+      WHERE ls.label = ld.label
+      GROUP BY ls.label
+    ),
+    deg AS (
+      SELECT ls.label AS community, CAST(SUM(e.w) AS BIGINT) AS degree_w,
+             CAST(COUNT(DISTINCT e.src) AS BIGINT) AS n_nodes
+      FROM eu e JOIN lab ls ON ls.node = e.src
+      GROUP BY ls.label
+    )
+    SELECT d.community,
+           d.n_nodes,
+           CAST(COALESCE(i.internal_w, 0) AS BIGINT) AS internal_w,
+           d.degree_w,
+           CAST(COALESCE(i.internal_w, 0) * 1000000 // m.s
+                - d.degree_w * (d.degree_w * 1000000 // m.s) // m.s
+                AS BIGINT) AS contrib_ppm
+    FROM deg d
+    LEFT JOIN ein i ON i.community = d.community
+    CROSS JOIN s2m m
+    """,
+)
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY audit of the label-propagation communities —
+    the quality number that tells you whether the partition is real
+    structure or noise: per community, Q-contribution
+    in_c/2m − (deg_c/2m)², on the same support-weighted co-purchase
+    graph and the same {LPA_ROUNDS} LPA rounds (shared _lpa_frames).
+    Both ratios are ppm-quantized INTEGER divisions; the expected-edges
+    square is TWO-STEP (deg·(deg·1e6//2m)//2m) so every intermediate
+    stays < 2^63 up to ~10^12 total edge weight. Positive contributions
+    mark communities denser than chance — summing the column is the
+    partition's Q (ppm).
+
+    Scale: two broadcast-joinable label lookups against the edge frame
+    (labels are node-grain — at part-catalog size, far below the edge
+    count), then community-grain aggregates; no new shuffle beyond the
+    LPA rounds themselves."""
+    eu, labels = _lpa_frames(spark, sf_dir)
+    lab_s = labels.select(F.col("node").alias("src"), F.col("label").alias("cs"))
+    lab_d = labels.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
+    both = eu.join(lab_s, "src").join(lab_d, "dst")
+    ein = (
+        both.filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.sum("w").cast("bigint").alias("internal_w"))
+    )
+    deg = both.groupBy(F.col("cs").alias("community")).agg(
+        F.sum("w").cast("bigint").alias("degree_w"),
+        F.countDistinct("src").cast("bigint").alias("n_nodes"),
+    )
+    s2m = eu.agg(F.sum("w").cast("bigint").alias("s"))
+    return (
+        deg.join(ein, "community", "left")
+        .withColumn("internal_w", F.coalesce("internal_w", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(s2m))
+        .select(
+            "community",
+            "n_nodes",
+            "internal_w",
+            "degree_w",
+            F.expr(
+                "internal_w * 1000000 div s"
+                " - degree_w * (degree_w * 1000000 div s) div s"
+            )
+            .cast("bigint")
+            .alias("contrib_ppm"),
+        )
     )
 
 

@@ -4428,3 +4428,236 @@ def packed_budget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("seq_tokens").cast("bigint").alias("fill_tokens"),
         (C - F.sum("seq_tokens")).cast("bigint").alias("pad_tokens"),
     )
+
+
+@register(
+    "packing_mask_density_report",
+    f"""
+    WITH RECURSIVE {_BUDGET_PLAN_CTES},
+    spans AS (
+      SELECT lang, bucket, doc_id, n_tokens,
+             CAST(start_p AS BIGINT) AS start_p,
+             CAST(start_p // {PACK_SEQ_LEN} AS BIGINT) AS s0,
+             CAST((start_p + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS s1
+      FROM rec
+    ),
+    exploded AS (
+      SELECT s.lang, s.bucket, u.seq_id,
+             least((u.seq_id + 1) * {PACK_SEQ_LEN},
+                   s.start_p + s.n_tokens)
+               - greatest(u.seq_id * {PACK_SEQ_LEN}, s.start_p) AS seq_tokens
+      FROM spans s,
+           LATERAL (SELECT unnest(generate_series(s.s0, s.s1)) AS seq_id) u
+    ),
+    win AS (
+      SELECT lang, bucket, seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frags,
+             CAST(SUM(seq_tokens) AS BIGINT) AS fill,
+             CAST(SUM(seq_tokens * seq_tokens) AS BIGINT) AS sq
+      FROM exploded GROUP BY lang, bucket, seq_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(n_frags) AS BIGINT) AS n_fragments,
+           CAST(SUM(sq * 1000000 // {PACK_SEQ_LEN * PACK_SEQ_LEN})
+                // COUNT(*) AS BIGINT) AS mean_density_ppm,
+           CAST(SUM(fill * 1000000 // {PACK_SEQ_LEN})
+                // COUNT(*) AS BIGINT) AS mean_fill_ppm
+    FROM win
+    GROUP BY lang
+    """,
+)
+def packing_mask_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTENTION-MASK efficiency audit of the fragment-budgeted packing:
+    under block-diagonal (document-fenced) masking, a window whose fill
+    splits into fragments of lengths f_i admits Σ f_i² of its
+    {PACK_SEQ_LEN}² attention pairs — this report prices that per
+    language domain: window count, fragment count, mean mask density
+    (Σ f_i² / C² per window, ppm) and mean fill (padding's complement).
+    Density is exactly what the budget buys: fewer, larger fragments
+    per window raise Σ f_i² at the price of the padding mean_fill_ppm
+    exposes — the two columns are the tradeoff, per domain, in one
+    scan. Per-window ratios quantize FIRST (integer ppm per window,
+    every intermediate < 2⁶³ at any corpus size), then average — the
+    established two-step floor, identical in both engines.
+
+    Scale: inherits the block-aligned fold; the explode is
+    token-volume-bounded (crossings+1 per doc); both aggregates are
+    window- then domain-grain."""
+    C = PACK_SEQ_LEN
+    d = table(spark, sf_dir, "documents")
+    toks = _pack_tokens(d).withColumn(
+        "bucket", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
+    )
+    p = _budget_pack_fold(toks).withColumn(
+        "start_p", F.col("first_seq") * C + F.col("first_off")
+    )
+    exploded = p.select(
+        "lang",
+        "bucket",
+        "n_tokens",
+        "start_p",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    ).select(
+        "lang",
+        "bucket",
+        "seq_id",
+        (
+            F.least(
+                (F.col("seq_id") + 1) * C,
+                F.col("start_p") + F.col("n_tokens"),
+            )
+            - F.greatest(F.col("seq_id") * C, F.col("start_p"))
+        ).alias("seq_tokens"),
+    )
+    win = exploded.groupBy("lang", "bucket", "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_frags"),
+        F.sum("seq_tokens").cast("bigint").alias("fill"),
+        F.sum(F.col("seq_tokens") * F.col("seq_tokens"))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    return win.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum("n_frags").cast("bigint").alias("n_fragments"),
+        F.expr(f"sum(sq * 1000000 div {C * C}) div count(*)")
+        .cast("bigint")
+        .alias("mean_density_ppm"),
+        F.expr(f"sum(fill * 1000000 div {C}) div count(*)")
+        .cast("bigint")
+        .alias("mean_fill_ppm"),
+    )
+
+
+BUDGET_MULT = 3  # total training-token budget = 3x the corpus
+BUDGET_MAX_EPOCHS = 4  # per-domain repetition cap (data-constrained scaling)
+
+
+@register(
+    "data_budget_allocation",
+    f"""
+    WITH sizes AS (
+      SELECT lang,
+             CAST(SUM(CAST(length(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST({BUDGET_MULT} * SUM(n_tokens) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM sizes
+    ),
+    r0 AS (
+      SELECT s.lang, s.n_tokens,
+             CAST({BUDGET_MAX_EPOCHS} * s.n_tokens AS BIGINT) AS cap,
+             least(CAST({BUDGET_MAX_EPOCHS} * s.n_tokens AS BIGINT),
+                   tot.t // tot.k) AS a
+      FROM sizes s CROSS JOIN tot
+    ),
+    t1 AS (
+      SELECT CAST((SELECT t FROM tot)
+               - COALESCE(SUM(CASE WHEN a >= cap THEN cap END), 0) AS BIGINT)
+               AS t,
+             CAST(COALESCE(SUM(CASE WHEN a < cap THEN 1 END), 0) AS BIGINT)
+               AS k
+      FROM r0
+    ),
+    r1 AS (
+      SELECT r.lang, r.n_tokens, r.cap,
+             CASE WHEN r.a >= r.cap THEN r.cap
+                  WHEN t1.k > 0 THEN least(r.cap, t1.t // t1.k)
+                  ELSE r.a END AS a
+      FROM r0 r CROSS JOIN t1
+    ),
+    t2 AS (
+      SELECT CAST((SELECT t FROM tot)
+               - COALESCE(SUM(CASE WHEN a >= cap THEN cap END), 0) AS BIGINT)
+               AS t,
+             CAST(COALESCE(SUM(CASE WHEN a < cap THEN 1 END), 0) AS BIGINT)
+               AS k
+      FROM r1
+    ),
+    r2 AS (
+      SELECT r.lang, r.n_tokens, r.cap,
+             CASE WHEN r.a >= r.cap THEN r.cap
+                  WHEN t2.k > 0 THEN least(r.cap, t2.t // t2.k)
+                  ELSE r.a END AS a
+      FROM r1 r CROSS JOIN t2
+    )
+    SELECT lang, n_tokens, cap AS cap_tokens, CAST(a AS BIGINT) AS alloc_tokens,
+           CAST(a * 1000 // n_tokens AS BIGINT) AS epochs_milli,
+           CAST(CASE WHEN a >= cap THEN 1 ELSE 0 END AS INT) AS capped
+    FROM r2
+    """,
+)
+def data_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONSTRAINED training budget allocation (the
+    epochs-per-domain planning step of Muennighoff et al. 2023's
+    setting): given a total token budget of {BUDGET_MULT}x the corpus
+    and a per-domain repetition cap of {BUDGET_MAX_EPOCHS} epochs,
+    allocate tokens by MAX-MIN-FAIR WATERFILLING — equal shares,
+    domains that hit their cap leave the pool, their surplus
+    redistributes equally among the rest (two unrolled rounds; the
+    fixture exercises both the capped and redistribution branches).
+    Output per domain: its cap, its allocation, the resulting epoch
+    count (milli-epochs — a·1000//n stays < 2^63 at any corpus size),
+    and the capped flag. Every step is BIGINT arithmetic — no float
+    shares, no reduction-order ambiguity.
+
+    Scale: one tokenize pass collapses to |languages| rows; everything
+    after is arithmetic on that tiny frame (broadcast scalars), so the
+    allocator costs one corpus scan regardless of rounds."""
+    C = BUDGET_MAX_EPOCHS
+    toks = _pack_tokens(table(spark, sf_dir, "documents"))
+    sizes = toks.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    tot = sizes.agg(
+        (F.lit(BUDGET_MULT) * F.sum("n_tokens")).cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    r = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("cap", (F.lit(C) * F.col("n_tokens")).cast("bigint"))
+        .withColumn("a", F.least(F.col("cap"), F.expr("t div k")))
+        .select("lang", "n_tokens", "cap", "a", "t")
+    )
+    for _ in range(2):
+        tr = r.agg(
+            (
+                F.first("t")
+                - F.coalesce(
+                    F.sum(F.when(F.col("a") >= F.col("cap"), F.col("cap"))),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("tr"),
+            F.coalesce(
+                F.sum(F.when(F.col("a") < F.col("cap"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("kr"),
+        )
+        r = (
+            r.crossJoin(F.broadcast(tr))
+            .withColumn(
+                "a",
+                F.when(F.col("a") >= F.col("cap"), F.col("cap"))
+                .when(
+                    F.col("kr") > 0,
+                    F.least(F.col("cap"), F.expr("tr div kr")),
+                )
+                .otherwise(F.col("a")),
+            )
+            .select("lang", "n_tokens", "cap", "a", "t")
+        )
+    return r.select(
+        "lang",
+        "n_tokens",
+        F.col("cap").alias("cap_tokens"),
+        F.col("a").cast("bigint").alias("alloc_tokens"),
+        F.expr("a * 1000 div n_tokens").cast("bigint").alias("epochs_milli"),
+        F.when(F.col("a") >= F.col("cap"), 1).otherwise(0).cast("int").alias("capped"),
+    )

@@ -4589,6 +4589,54 @@ def ingest_packing_epoch(
     )
 
 
+# The packing store is consumed by the plan entry AND the stream-served
+# manifest — one ingest per (session, corpus), the bill-payer pattern.
+_PACKSTORE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ensure_packing_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Run (once per session per corpus) the order-dependent packing
+    maintenance stream (ascending id ranges through
+    ingest_packing_epoch) and return the store path. Memoized."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PACKSTORE_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("pack_ingest_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("pack_ingest_build")
+
+    store = _e2e_tmpdir("alrs_pack_store_")
+    src = _ensure_doc_split_ordered(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_packing_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_pack_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _PACKSTORE_MEMO[key] = store
+    return store
+
+
 def _register_incremental_packing() -> None:
     from ..plans.registry import QUERIES as _REG
 
@@ -4616,32 +4664,7 @@ def _register_incremental_packing() -> None:
         from ..operators.text import PACK_SEQ_LEN as C
 
         tune(spark)
-        store = _e2e_tmpdir("alrs_pack_store_")
-        src = _ensure_doc_split_ordered(spark, sf_dir)
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "lang", "text"
-        )
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_packing_epoch(spark, batch_df, epoch_id, store)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_pack_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-
+        store = _ensure_packing_ingest(spark, sf_dir)
         p = spark.read.parquet(f"{store}/plan").select(
             "doc_id", "lang", "n_tokens", "startpos"
         )
@@ -4660,6 +4683,76 @@ def _register_incremental_packing() -> None:
 
 
 _register_incremental_packing()
+
+
+def _register_stream_packed_manifest() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_packed_manifest",
+        lambda: _REG["packed_sequence_manifest"].oracle,
+    )
+    def stream_packed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The loader-facing WINDOW-grain manifest served from the
+        INCREMENTAL packing store (the stream_cluster_sizes pattern
+        applied to batch materialization): resolve the store's
+        standing plan rows and aggregate docs / fragments / fill per
+        packed sequence — what a continuously-fed training loader
+        polls between epochs, without re-tokenizing or re-packing
+        anything. Hash-gated on the batch manifest's oracle, proving
+        the store-served manifest equals the full recompute. Shares
+        the session's packing ingest via _ensure_packing_ingest (one
+        build, two consumers).
+
+        Scale: read cost is the store scan + the token-volume-bounded
+        explode (crossings+1 per doc) + a window-grain aggregate;
+        maintenance is the shared ingest's O(batch) per epoch."""
+        from ..operators.text import PACK_SEQ_LEN as C
+
+        tune(spark)
+        store = _ensure_packing_ingest(spark, sf_dir)
+        p = spark.read.parquet(f"{store}/plan").select(
+            "lang", "doc_id", "n_tokens", "startpos"
+        )
+        spans = p.select(
+            "lang",
+            "n_tokens",
+            "startpos",
+            F.expr(f"startpos div {C}").alias("s0"),
+            F.expr(f"(startpos + n_tokens - 1) div {C}").alias("s1"),
+        )
+        exploded = spans.select(
+            "lang",
+            "n_tokens",
+            "startpos",
+            "s0",
+            "s1",
+            F.explode(F.sequence("s0", "s1")).alias("seq_id"),
+        ).select(
+            "lang",
+            "seq_id",
+            F.when(
+                (F.col("seq_id") > F.col("s0")) | (F.col("seq_id") < F.col("s1")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_fragment"),
+            (
+                F.least(
+                    (F.col("seq_id") + 1) * C,
+                    F.col("startpos") + F.col("n_tokens"),
+                )
+                - F.greatest(F.col("seq_id") * C, F.col("startpos"))
+            ).alias("seq_tokens"),
+        )
+        return exploded.groupBy("lang", "seq_id").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_fragment").cast("bigint").alias("n_fragments"),
+            F.sum("seq_tokens").cast("bigint").alias("fill_tokens"),
+        )
+
+
+_register_stream_packed_manifest()
 
 
 # ---- Incremental BUDGET-packing maintenance (14th store kind) -------------
