@@ -1876,8 +1876,17 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
         )
         .agg(F.count("*").cast("bigint").alias("support"))
-        .filter(F.col("support") >= RULES_MIN_SUPPORT)
     )
+    return _rules_from_supports(pairs, isup, n_baskets)
+
+
+def _rules_from_supports(
+    pairs: DataFrame, isup: DataFrame, n_baskets: int
+) -> DataFrame:
+    """Confidence/lift scoring + top-k over (part_a, part_b, support)
+    pair supports and (l_partkey, s) item supports — factored so the
+    incremental support store serves the identical rule computation."""
+    pairs = pairs.filter(F.col("support") >= RULES_MIN_SUPPORT)
     rules = pairs.select(
         F.col("part_a").alias("ante"), F.col("part_b").alias("cons"), "support"
     ).unionByName(

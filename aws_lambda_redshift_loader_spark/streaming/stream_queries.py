@@ -4940,6 +4940,157 @@ def _register_incremental_er() -> None:
 _register_incremental_er()
 
 
+# ---- Incremental association-rule supports (15th store kind) --------------
+# The first MERGEABLE-MULTI-STATISTIC store: association rules need
+# three additive statistics — pair supports, item supports, basket
+# count — and all three are sums of per-basket contributions, so epochs
+# split on WHOLE BASKETS (l_orderkey ranges) write independent deltas
+# that resolve by summation (the gram moment store's algebra, carried
+# to three statistics at once). Resolve = sum each store + the batch
+# query's own _rules_from_supports scoring — hash-gated on the batch
+# oracle.
+INC_RULES_EPOCHS = 4
+
+_BASKETSPLIT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ensure_basket_split(spark: SparkSession, sf_dir: str) -> str:
+    """l_orderkey-range split of lineitem's (basket, item) projection —
+    whole baskets per file, so every epoch's pair delta is complete."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BASKETSPLIT_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("basket_split_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("basket_split_build")
+    src = _e2e_tmpdir("alrs_basketsplit_")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    li.repartitionByRange(INC_RULES_EPOCHS, "l_orderkey").write.mode(
+        "overwrite"
+    ).parquet(src)
+    _BASKETSPLIT_MEMO[key] = src
+    return src
+
+
+def ingest_rules_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One support-maintenance epoch (module-level for the replay
+    test): the batch's whole baskets contribute pair-support, item-
+    support, and basket-count DELTAS — three independent additive
+    aggregates, each written to its own epoch partition. Pure function
+    of the frozen batch file alone (no cross-epoch state at all — the
+    purest mergeable store here), so replays rewrite identical bytes."""
+    items = batch_df.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/pairs/epoch={epoch_id}")
+    )
+    (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/items/epoch={epoch_id}")
+    )
+    (
+        items.agg(
+            F.countDistinct("l_orderkey").cast("bigint").alias("n")
+        )
+        .write.mode("overwrite")
+        .parquet(f"{store}/baskets/epoch={epoch_id}")
+    )
+
+
+def _register_incremental_rules() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_incremental_assoc_rules",
+        lambda: _REG["association_rules_lift"].oracle,
+    )
+    def stream_incremental_assoc_rules(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming association-rule maintenance (see block comment) —
+        the fifteenth store kind and the first mergeable MULTI-
+        statistic one: baskets stream in whole-order ranges, each
+        epoch writes pair/item/basket-count deltas (no cross-epoch
+        state), and the resolved sums feed the batch query's own
+        confidence/lift scoring (_rules_from_supports) — hash-gated
+        equal to association_rules_lift. The production shape for a
+        continuously-fed recommender: supports advance per batch,
+        rules re-rank from store sums without rescanning history.
+
+        Scale: per epoch one C(basket,2)-bounded self-join + two
+        map-side-combined aggregates over the batch alone; resolve
+        is three epoch-partition sums (pair-grain at most) + the
+        top-{{RULES_TOP}} window; replay-idempotent (stateless epochs
+        — test-locked)."""
+        from ..operators.relational import _rules_from_supports
+
+        tune(spark)
+        store = _e2e_tmpdir("alrs_rules_store_")
+        src = _ensure_basket_split(spark, sf_dir)
+        li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        ).schema
+        stream = (
+            spark.readStream.schema(li_schema)
+            .option("pathGlobFilter", "part-*")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def update(batch_df: DataFrame, epoch_id: int) -> None:
+            ingest_rules_epoch(spark, batch_df, epoch_id, store)
+
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(update)
+                .option("checkpointLocation", _e2e_tmpdir("alrs_rules_ckpt_"))
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        pairs = (
+            spark.read.parquet(f"{store}/pairs")
+            .groupBy("part_a", "part_b")
+            .agg(F.sum("c").cast("bigint").alias("support"))
+        )
+        isup = (
+            spark.read.parquet(f"{store}/items")
+            .groupBy("l_partkey")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        n_baskets = (
+            spark.read.parquet(f"{store}/baskets")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .collect()[0]["n"]
+        )
+        return _rules_from_supports(pairs, isup, int(n_baskets))
+
+
+_register_incremental_rules()
+
+
 def ingest_gann_hier_epoch(
     spark: SparkSession,
     batch_df: DataFrame,

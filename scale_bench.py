@@ -188,6 +188,17 @@ QUERIES = [
     "sequence_packing_nosplit_plan",  # block-aligned next-fit, bounded folds
     "event_transition_matrix",  # user-partitioned lag + type^2-cell agg
     "transition_surprisal_users",  # matrix broadcast back onto the stream
+    # round-15 additions (stream_packed_manifest / stream_incremental_er
+    # are omitted per the stream_cluster_sizes rationale: store-read
+    # consumers whose maintenance cost is the shared ingest, already
+    # measured by their stream_incremental_* producer rows)
+    "sequence_packing_budget_plan",  # block-aligned fragment-budget fold
+    "stream_incremental_budget_packing",  # 14th store: 1 state row/lang
+    "packed_budget_manifest",  # budget fold + token-bounded explode
+    "entity_resolution_weighted_survivorship",  # quantized quality votes
+    "label_propagation_copurchase",  # fixed sync LPA rounds, basket graph
+    "association_rules_lift",  # basket self-join + integer lift top-k
+    "stream_incremental_assoc_rules",  # 15th store: stateless mergeable deltas
 ]
 
 

@@ -661,3 +661,36 @@ def test_sequence_packing_prefix_sum_is_two_level(spark):
                 assert "_bkt" in args, f"domain-wide doc window: {args[:160]}"
                 doc_grain_windows += 1
     assert doc_grain_windows >= 1
+
+
+def test_budget_pack_fold_groups_by_lang_and_bucket(spark):
+    # The fragment-budget fold must stay BLOCK-ALIGNED: the Arrow
+    # kernel's exchange hashes on (lang, bucket), never lang alone — a
+    # lang-only grouping would put a whole domain's sequential fold in
+    # one task.
+    plan = _formatted(spark, "sequence_packing_budget_plan")
+    assert "FlatMapGroupsInPandas" in plan
+    seen = False
+    for chunk in plan.split("Arguments: ")[1:]:
+        head = chunk.split("\n")[0]
+        if "hashpartitioning" in head and "lang" in head:
+            assert "bucket" in head, f"lang-only fold exchange: {head[:160]}"
+            seen = True
+    assert seen, "no (lang, bucket) exchange found for the fold"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "label_propagation_copurchase",
+        "community_modularity",
+        "association_rules_lift",
+        "data_budget_allocation",
+    ],
+)
+def test_round15_graph_queries_no_cartesian(spark, name):
+    # Basket self-joins key on l_orderkey; LPA/modularity label lookups
+    # key on node ids; allocator cross-joins are 1-row broadcast
+    # scalars. None of these may degrade to a real cartesian.
+    plan = _formatted(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} went cartesian"

@@ -1515,3 +1515,68 @@ def test_incremental_budget_packing_replay_and_batch_equal(spark, tmp_path):
     run_epoch(1)  # mid-stream replay (reads frozen epoch-0 state)
     run_epoch(3)  # tail replay
     assert plan_rows() == before
+
+
+def test_incremental_rules_replay_and_batch_equal(spark, tmp_path):
+    """Association-rule support maintenance (15th store kind, the
+    stateless mergeable one): epochs are pure functions of their own
+    whole-basket batch, the resolved sums equal the batch supports,
+    and replaying any epoch leaves the store identical."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_RULES_EPOCHS,
+        _ensure_basket_split,
+        ingest_rules_epoch,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    src = _ensure_basket_split(spark, sf)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == INC_RULES_EPOCHS
+    store = str(tmp_path / "store")
+
+    def run_epoch(i):
+        ingest_rules_epoch(spark, spark.read.parquet(files[i]), i, store)
+
+    for i in range(INC_RULES_EPOCHS):
+        run_epoch(i)
+
+    def support_rows():
+        pairs = {
+            (r["part_a"], r["part_b"], r["s"])
+            for r in spark.read.parquet(f"{store}/pairs")
+            .groupBy("part_a", "part_b")
+            .agg(F.sum("c").alias("s"))
+            .collect()
+        }
+        nb = spark.read.parquet(f"{store}/baskets").agg(
+            F.sum("n").alias("n")
+        ).collect()[0]["n"]
+        return pairs, nb
+
+    before, nb_before = support_rows()
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    batch = {
+        (r["part_a"], r["part_b"], r["s"])
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("s"))
+        .collect()
+    }
+    assert before == batch, "stream-maintained pair supports != batch"
+    assert nb_before == items.select("l_orderkey").distinct().count()
+
+    run_epoch(0)
+    run_epoch(2)
+    assert support_rows() == (before, nb_before)
