@@ -1790,10 +1790,15 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
+    # TakeOrdered top-k first (distributed), rank window only over the
+    # K-row result — a bare global row_number funnels all pairs into
+    # one task (caught by the 10x WindowExec warning, r15).
+    top = pairs.orderBy(
+        F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(COPURCHASE_TOP)
     w = W.orderBy(F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc())
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= COPURCHASE_TOP)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("part_a", "part_b", "support", "rank")
     )
 
@@ -1912,6 +1917,13 @@ def _rules_from_supports(
             .alias("lift_ppm"),
         )
     )
+    # Global top-k as orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-K + driver merge), THEN the rank window over the K-row result —
+    # a bare global row_number would move every scored pair to one task.
+    top = scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("confidence_ppm").desc(),
+        F.col("ante").asc(), F.col("cons").asc(),
+    ).limit(RULES_TOP)
     from pyspark.sql.window import Window as W
 
     w = W.orderBy(
@@ -1919,8 +1931,7 @@ def _rules_from_supports(
         F.col("ante").asc(), F.col("cons").asc(),
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= RULES_TOP)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("ante", "cons", "support", "confidence_ppm", "lift_ppm", "rank")
     )
 

@@ -694,3 +694,16 @@ def test_round15_graph_queries_no_cartesian(spark, name):
     # scalars. None of these may degrade to a real cartesian.
     plan = _formatted(spark, name)
     assert "CartesianProduct" not in plan, f"{name} went cartesian"
+
+
+@pytest.mark.parametrize(
+    "name", ["association_rules_lift", "copurchase_pairs"]
+)
+def test_global_topk_is_take_ordered(spark, name):
+    # Global top-k must plan TakeOrderedAndProject (per-partition top-K
+    # + driver merge); the rank window runs only over the K-row result.
+    # A bare global row_number funnels every scored pair into one task
+    # (the 10x WindowExec single-partition warning, r15).
+    df = SPECS[name].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, f"{name}: top-k lost the TakeOrdered path"

@@ -85,6 +85,19 @@ BUDGETS = [
     # candidate-bounded — the gate catches the switch mispricing a
     # regime so badly that verify goes quadratic
     ("adaptive_ppjoin_jaccard_pairs", 20.0),
+    # round-15 additions: the basket self-join fans out C(basket, 2)
+    # per order — the gate catches it regressing to a part-grain pair
+    # join (quadratic in catalog size); lift scoring is pair-grain
+    ("association_rules_lift", 20.0),
+    # synchronous LPA: each round is one edge-label join + a per-node
+    # top-1 window — the gate catches a round shuffling label frames
+    # quadratically (e.g. the vote join going nested-loop) on the
+    # graph's inherently linear edge volume
+    ("label_propagation_copurchase", 20.0),
+    # the budget fold is block-aligned (lang, bucket) — the gate
+    # catches it degenerating to one whole-domain sequential task
+    # (shows up as a superlinear wall-clock tail at 10x)
+    ("sequence_packing_budget_plan", 20.0),
 ]
 
 
