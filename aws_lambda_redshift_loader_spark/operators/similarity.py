@@ -4097,3 +4097,66 @@ def _gann_hier_search(
             "rank",
         )
     )
+
+
+def _ivf_occupancy_oracle() -> str:
+    u = IVF_TRAIN_ITERS
+    chained = ",\n    ".join(_kmeans_ctes(u + 1))
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained},
+    occ AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assign{u} GROUP BY cell
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM occ
+    )
+    SELECT CAST(o.cell AS INT) AS cell, o.n_vecs,
+           CAST(o.n_vecs * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST((o.n_vecs * 1000000 // t.total) * t.n_cells AS BIGINT)
+             AS hot_ppm
+    FROM occ o CROSS JOIN tot t
+    """
+
+
+@register("ivf_occupancy_report", _ivf_occupancy_oracle())
+def ivf_occupancy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BALANCE audit — the operational health check every
+    inverted-file deployment runs: per cell its posting count, corpus
+    share, and hot factor (occupancy relative to perfectly uniform,
+    ppm; 1,000,000 = exactly even, a cell at 3,000,000 does 3x the
+    uniform probe work). Skewed cells are the IVF failure mode —
+    probes of a hot cell scan a corpus fraction the nprobe/cells
+    arithmetic no longer bounds — and this report is the signal the
+    drift-triggered refresh (stream_incremental_ivf_drift_refresh)
+    exists to fix. Same trained quantizer + assignment as
+    embedding_ivf_topk (the chain its hash gate already proves);
+    ratios are two-step integer ppm.
+
+    Scale: one broadcast-centroid assignment pass (map-only GEMM) +
+    a cell-grain aggregate ({IVF_CELLS} rows) + one broadcast scalar
+    — the audit costs one corpus scan."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    occ = (
+        _assign_cells(emb, ids, cent)
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+    tot = occ.agg(
+        F.sum("n_vecs").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vecs",
+        F.expr("n_vecs * 1000000 div total").cast("bigint").alias("share_ppm"),
+        F.expr("(n_vecs * 1000000 div total) * n_cells")
+        .cast("bigint")
+        .alias("hot_ppm"),
+    )

@@ -2351,3 +2351,125 @@ def transition_surprisal_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal_q"),
         )
     )
+
+
+@register(
+    "conversion_attribution",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS journey
+      FROM events
+    ),
+    purch AS (
+      SELECT user_id, journey, value_cents
+      FROM ordered WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, journey, event_type,
+             row_number() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS rn_f,
+             row_number() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts DESC, event_id DESC) AS rn_l
+      FROM ordered WHERE event_type <> 'purchase'
+    ),
+    att AS (
+      SELECT 'first_touch' AS model, p.user_id, p.journey, p.value_cents,
+             COALESCE(t.event_type, '(direct)') AS touch_type
+      FROM purch p
+      LEFT JOIN touches t ON t.user_id = p.user_id
+                         AND t.journey = p.journey AND t.rn_f = 1
+      UNION ALL
+      SELECT 'last_touch', p.user_id, p.journey, p.value_cents,
+             COALESCE(t.event_type, '(direct)')
+      FROM purch p
+      LEFT JOIN touches t ON t.user_id = p.user_id
+                         AND t.journey = p.journey AND t.rn_l = 1
+    )
+    SELECT model, touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents
+    FROM att
+    GROUP BY model, touch_type
+    """,
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-analytics CONVERSION ATTRIBUTION — first-touch and
+    last-touch credit per journey: each user's event stream splits
+    into journeys at purchase boundaries (journey id = count of PRIOR
+    purchases, an exclusive running sum), every purchase credits the
+    journey's first and last non-purchase touch (purchases with no
+    preceding touch since the previous conversion credit '(direct)'),
+    and revenue aggregates per (model, touch type). Purchase values
+    quantize to cents PER EVENT before any SUM (quantize-then-sum),
+    and every window orders by (ts, event_id) — the engines' shared
+    total order.
+
+    Scale: all three windows partition by user (or user, journey) —
+    bounded sequences, never a global sort; the attribution joins key
+    on (user, journey) and the final aggregate is
+    |models|x|event types| cells, map-side combined."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    wj = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wj),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    purch = ordered.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey", "value_cents"
+    )
+    wf = W.partitionBy("user_id", "journey").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wl = W.partitionBy("user_id", "journey").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    touches = (
+        ordered.filter(F.col("event_type") != "purchase")
+        .withColumn("rn_f", F.row_number().over(wf))
+        .withColumn("rn_l", F.row_number().over(wl))
+        .select("user_id", "journey", "event_type", "rn_f", "rn_l")
+    )
+    first = touches.filter(F.col("rn_f") == 1).select(
+        "user_id", "journey", F.col("event_type").alias("touch_type")
+    )
+    last = touches.filter(F.col("rn_l") == 1).select(
+        "user_id", "journey", F.col("event_type").alias("touch_type")
+    )
+
+    def credit(model: str, tdf: DataFrame) -> DataFrame:
+        return (
+            purch.join(tdf, ["user_id", "journey"], "left")
+            .select(
+                F.lit(model).alias("model"),
+                F.coalesce(F.col("touch_type"), F.lit("(direct)")).alias(
+                    "touch_type"
+                ),
+                "value_cents",
+            )
+        )
+
+    att = credit("first_touch", first).unionByName(credit("last_touch", last))
+    return att.groupBy("model", "touch_type").agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.sum("value_cents").cast("bigint").alias("value_cents"),
+    )
