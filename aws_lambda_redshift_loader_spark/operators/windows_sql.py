@@ -2473,3 +2473,129 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_conversions"),
         F.sum("value_cents").cast("bigint").alias("value_cents"),
     )
+
+
+PATHS_TOP = 20  # converting journey paths kept
+
+
+@register(
+    "journey_path_counts",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS journey
+      FROM events
+    ),
+    purch AS (
+      SELECT user_id, journey, value_cents
+      FROM ordered WHERE event_type = 'purchase'
+    ),
+    paths AS (
+      SELECT user_id, journey,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ordered WHERE event_type <> 'purchase'
+      GROUP BY user_id, journey
+    ),
+    joined AS (
+      SELECT COALESCE(t.path, '(direct)') AS path, p.value_cents
+      FROM purch p
+      LEFT JOIN paths t ON t.user_id = p.user_id AND t.journey = p.journey
+    ),
+    agg AS (
+      SELECT path,
+             CAST(COUNT(*) AS BIGINT) AS n_conversions,
+             CAST(SUM(value_cents) AS BIGINT) AS value_cents
+      FROM joined GROUP BY path
+    )
+    SELECT path, n_conversions, value_cents, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_conversions DESC,
+                                   value_cents DESC, path ASC) AS rank
+      FROM agg
+    ) WHERE rank <= {PATHS_TOP}
+    """,
+)
+def journey_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERTING-PATH mining — the sequence-analytics complement of
+    conversion_attribution: each converted journey's full touch
+    sequence ('view>click>signup', ordered by the engines' shared
+    (ts, event_id) total order) aggregated into the top-{PATHS_TOP}
+    paths by conversions and revenue. This is the funnel-DISCOVERY
+    query (which paths actually convert) where funnel_conversion
+    measures a path stated up front. Path assembly is array_sort over
+    (ts, event_id, type) structs — deterministic, no collect_list
+    order reliance; revenue quantizes to cents per event before
+    summing.
+
+    Scale: journeys and paths build inside per-user windows and a
+    (user, journey)-grain aggregate — bounded sequences, never a
+    global sort; path cardinality is capped by journey length ^
+    |event types| in principle but by observed-journey count in
+    practice, and only path-grain aggregates reach the final
+    TakeOrdered top-k."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    wj = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wj),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    purch = ordered.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey", "value_cents"
+    )
+    paths = (
+        ordered.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "journey")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    agg = (
+        purch.join(paths, ["user_id", "journey"], "left")
+        .select(
+            F.coalesce(F.col("path"), F.lit("(direct)")).alias("path"),
+            "value_cents",
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.sum("value_cents").cast("bigint").alias("value_cents"),
+        )
+    )
+    top = agg.orderBy(
+        F.col("n_conversions").desc(), F.col("value_cents").desc(),
+        F.col("path").asc(),
+    ).limit(PATHS_TOP)
+    w = W.orderBy(
+        F.col("n_conversions").desc(), F.col("value_cents").desc(),
+        F.col("path").asc(),
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "path", "n_conversions", "value_cents", "rank"
+    )
