@@ -126,8 +126,15 @@ def _run(spark, fn, sf_dir: str) -> float:
     _sq._GRAM_MEMO.clear()
     _sq._EMBSEG_MEMO.clear()
     _sq._PACKSPLIT_MEMO.clear()
+    _sq._GANNBASE_MEMO.clear()
+    _sq._PACKSTORE_MEMO.clear()
+    _sq._IVFSTORE_MEMO.clear()
+    _sq._BASKETSPLIT_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
+    from aws_lambda_redshift_loader_spark.operators import relational as _rel
+
+    _rel._LPA_MEMO.clear()
     _tx._SURP_MEMO.clear()
     _tx._NB_MEMO.clear()
     _tx._DSIR_MEMO.clear()
