@@ -4661,3 +4661,123 @@ def data_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("a * 1000 div n_tokens").cast("bigint").alias("epochs_milli"),
         F.when(F.col("a") >= F.col("cap"), 1).otherwise(0).cast("int").alias("capped"),
     )
+
+
+WARMUP_K = 40  # windows served to the curriculum warmup stage
+
+
+@register(
+    "curriculum_warmup_windows",
+    rf"""
+    WITH RECURSIVE {_BUDGET_PLAN_CTES},
+    ql AS (
+      SELECT doc_id,
+             CAST(floor((
+               (CAST(length(regexp_extract_all(lower(text),
+                     '\b(the|and|of|to|a|in|is)\b')) AS DOUBLE) /
+                greatest(length(regexp_extract_all(text, '\S+')), 1)) * 2.0
+               - (CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / length(text)) * 3.0
+               + (CASE WHEN greatest(length(regexp_extract_all(text, '\S+')), 1)
+                       BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+             ) * 1000000) AS BIGINT) AS ql
+      FROM documents
+    ),
+    spans AS (
+      SELECT r.lang, r.bucket, r.doc_id, r.n_tokens, q.ql,
+             CAST(r.start_p AS BIGINT) AS start_p,
+             CAST(r.start_p // {PACK_SEQ_LEN} AS BIGINT) AS s0,
+             CAST((r.start_p + r.n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS s1
+      FROM rec r JOIN ql q ON q.doc_id = r.doc_id
+    ),
+    exploded AS (
+      SELECT s.lang, s.bucket, u.seq_id, s.ql,
+             least((u.seq_id + 1) * {PACK_SEQ_LEN},
+                   s.start_p + s.n_tokens)
+               - greatest(u.seq_id * {PACK_SEQ_LEN}, s.start_p) AS seq_tokens
+      FROM spans s,
+           LATERAL (SELECT unnest(generate_series(s.s0, s.s1)) AS seq_id) u
+    ),
+    win AS (
+      SELECT lang, bucket, CAST(seq_id AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frags,
+             CAST(SUM(seq_tokens) AS BIGINT) AS fill_tokens,
+             CAST(SUM(ql * seq_tokens) // SUM(seq_tokens) AS BIGINT)
+               AS window_quality_q
+      FROM exploded GROUP BY lang, bucket, seq_id
+    )
+    SELECT lang, bucket, seq_id, n_frags, fill_tokens, window_quality_q,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY window_quality_q DESC,
+                                   lang ASC, bucket ASC, seq_id ASC) AS rank
+      FROM win
+    ) WHERE rank <= {WARMUP_K}
+    """,
+)
+def curriculum_warmup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM composition over the packed batches — the
+    quality-first warmup stage some trainers run before the uniform
+    pass: every fragment-budgeted window scored by the TOKEN-WEIGHTED
+    mean quality of the documents composing it (per-doc floor(q·1e6)
+    BIGINT, Σ ql·tokens // Σ tokens — two-step integer, exact), and
+    the top-{WARMUP_K} cleanest windows ranked for the warmup batch.
+    Composes three standing pieces (budget fold, window explode,
+    quality scorer) into the loader-facing curriculum artifact.
+
+    Scale: one tokenize + one quality pass over documents, the
+    token-bounded explode, a window-grain aggregate, and a TakeOrdered
+    global top-k — no global sort, no window over more than a bucket."""
+    C = PACK_SEQ_LEN
+    d = table(spark, sf_dir, "documents")
+    toks = _pack_tokens(d).withColumn(
+        "bucket", F.expr(f"doc_id div {PACK_BUCKET}").cast("bigint")
+    )
+    ql = _quality_of(d).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 1000000.0).cast("bigint").alias("ql"),
+    )
+    p = (
+        _budget_pack_fold(toks)
+        .withColumn("start_p", F.col("first_seq") * C + F.col("first_off"))
+        .join(ql, "doc_id")
+    )
+    exploded = p.select(
+        "lang",
+        "bucket",
+        "ql",
+        "n_tokens",
+        "start_p",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    ).select(
+        "lang",
+        "bucket",
+        "seq_id",
+        "ql",
+        (
+            F.least(
+                (F.col("seq_id") + 1) * C,
+                F.col("start_p") + F.col("n_tokens"),
+            )
+            - F.greatest(F.col("seq_id") * C, F.col("start_p"))
+        ).alias("seq_tokens"),
+    )
+    win = exploded.groupBy("lang", "bucket", "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_frags"),
+        F.sum("seq_tokens").cast("bigint").alias("fill_tokens"),
+        F.expr("sum(ql * seq_tokens) div sum(seq_tokens)")
+        .cast("bigint")
+        .alias("window_quality_q"),
+    )
+    order = [
+        F.col("window_quality_q").desc(),
+        F.col("lang").asc(),
+        F.col("bucket").asc(),
+        F.col("seq_id").asc(),
+    ]
+    top = win.orderBy(*order).limit(WARMUP_K)
+    w = W.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "lang", "bucket", "seq_id", "n_frags", "fill_tokens",
+        "window_quality_q", "rank",
+    )
