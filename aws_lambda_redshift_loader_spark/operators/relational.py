@@ -4825,3 +4825,84 @@ def ppr_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("p_partkey"),
         F.col("r").alias("ppr_q"),
     )
+
+
+@register(
+    "weighted_median_price_by_nation",
+    """
+    WITH src AS (
+      SELECT n.n_name AS nation, l.l_extendedprice AS price,
+             CAST(l.l_quantity AS BIGINT) AS w
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    grains AS (
+      SELECT nation, price, CAST(SUM(w) AS BIGINT) AS w
+      FROM src GROUP BY nation, price
+    ),
+    cum AS (
+      SELECT nation, price, w,
+             CAST(SUM(w) OVER (PARTITION BY nation ORDER BY price
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+             CAST(SUM(w) OVER (PARTITION BY nation) AS BIGINT) AS tot
+      FROM grains
+    )
+    SELECT nation,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           MIN(price) FILTER (WHERE 2 * c >= tot) AS weighted_median_price
+    FROM cum
+    GROUP BY nation
+    """,
+)
+def weighted_median_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN — the order statistic the plain median family
+    (exact percentiles, moving/banded medians) doesn't cover: per
+    supplier nation, the quantity-weighted median extended price (the
+    lower weighted median: smallest price whose cumulative weight
+    reaches half the total — exact, no interpolation, so the DECIMAL
+    price value itself is the answer and hash-compares bit-exactly).
+
+    Scale: the fact rows collapse FIRST to (nation, price) grains
+    (map-side combined — the window never sees raw lineitem), the
+    running sum partitions by nation over the price-grain frame, and
+    the final aggregate is nation-grain. For a group whose PRICE GRAIN
+    itself outgrows a partition, the banded-ECDF machinery
+    (ks_two_sample_scalable's distributed prefix sum) is the drop-in —
+    the grain collapse makes that unnecessary at any realistic price
+    cardinality."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # nation is constant-size (broadcast always); supplier grows with
+    # SF — no hint, AQE picks broadcast at fixture scale and shuffle
+    # join when the dim outgrows the threshold
+    src = li.join(sup, li.l_suppkey == sup.s_suppkey).join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    )
+    grains = src.groupBy(F.col("n_name").alias("nation"), "price").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    from pyspark.sql.window import Window as W
+
+    wc = (
+        W.partitionBy("nation")
+        .orderBy(F.col("price").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grains.select(
+        "nation",
+        "price",
+        F.sum("w").over(wc).cast("bigint").alias("c"),
+        F.sum("w").over(W.partitionBy("nation")).cast("bigint").alias("tot"),
+    )
+    return cum.groupBy("nation").agg(
+        F.max("tot").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("c") >= F.col("tot"), F.col("price"))).alias(
+            "weighted_median_price"
+        ),
+    )

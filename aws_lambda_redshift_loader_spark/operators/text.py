@@ -4781,3 +4781,49 @@ def curriculum_warmup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "bucket", "seq_id", "n_frags", "fill_tokens",
         "window_quality_q", "rank",
     )
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH base AS ({_LANGID_ORACLE}),
+    cells AS (
+      SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY labeled_lang, predicted_lang
+    )
+    SELECT labeled_lang, predicted_lang, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY labeled_lang)
+                AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN labeled_lang = predicted_lang THEN 1 ELSE 0 END
+                AS INT) AS is_correct
+    FROM cells
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the language-ID heuristic — the evaluation
+    query that turns langid_heuristic's per-document predictions into
+    the per-label quality picture (which languages it confuses with
+    which, per-label recall in ppm). The statistic frame is
+    |labels|x|labels| cells, so the normalizing window reads a
+    bounded frame however large the corpus.
+
+    Scale: one map-only scoring pass (langid's plan) + a
+    map-side-combined cell aggregate; nothing downstream sees more
+    than the label vocabulary squared."""
+    pred = langid_heuristic(spark, sf_dir)
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 div SUM(n) OVER (PARTITION BY labeled_lang)"
+            " AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.when(F.col("labeled_lang") == F.col("predicted_lang"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_correct"),
+    )
