@@ -4906,3 +4906,63 @@ def weighted_median_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
             "weighted_median_price"
         ),
     )
+
+
+@register(
+    "supplier_hhi_by_part_brand",
+    """
+    WITH rev AS (
+      SELECT p.p_brand AS brand, l.l_suppkey AS suppkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    tot AS (
+      SELECT brand, CAST(SUM(rev_c) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY brand
+    )
+    SELECT r.brand, t.n_suppliers, t.t AS total_rev_cents,
+           CAST(SUM((r.rev_c * 10000 // t.t) * (r.rev_c * 10000 // t.t))
+                AS BIGINT) AS hhi_pb
+    FROM rev r JOIN tot t ON t.brand = r.brand
+    GROUP BY r.brand, t.n_suppliers, t.t
+    """,
+)
+def supplier_hhi_by_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN concentration index per part brand — the
+    supply-risk complement of spend_gini_by_nation's inequality
+    measure: per brand, each supplier's revenue share (basis points,
+    integer) squared and summed. 10⁸ = a brand sourced from one
+    supplier; low values = diversified supply. Shares quantize to
+    basis points BEFORE squaring (rev·10⁴ // total — every
+    intermediate < 2⁶³ at any revenue volume; cents themselves are
+    exact DECIMAL→BIGINT), so the index is reproducible to the digit.
+
+    Scale: one fact×part join collapsed to (brand, supplier) grains
+    (map-side combined), then two brand-grain aggregates — nothing
+    after the first groupBy exceeds catalog cardinality."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("rev_c"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
+        .agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    )
+    tot = rev.groupBy("brand").agg(
+        F.sum("rev_c").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    return (
+        rev.join(tot, "brand")
+        .groupBy("brand", "n_suppliers", F.col("t").alias("total_rev_cents"))
+        .agg(
+            F.expr("CAST(SUM((rev_c * 10000 div t) * (rev_c * 10000 div t)) AS BIGINT)")
+            .alias("hhi_pb")
+        )
+    )

@@ -4827,3 +4827,94 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_correct"),
     )
+
+
+ZIPF_K = 100  # head tokens fitted
+ZIPF_QZ = 1000  # milli-nat quantization (keeps the OLS sums < 2^63)
+
+
+@register(
+    "zipf_slope_tokens",
+    rf"""
+    WITH toks AS (
+      SELECT u.token
+      FROM (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS token) u
+    ),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY token
+    ),
+    head AS (
+      SELECT token, f,
+             row_number() OVER (ORDER BY f DESC, token ASC) AS r
+      FROM freq
+      ORDER BY f DESC, token ASC LIMIT {ZIPF_K}
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(r) * {ZIPF_QZ}) AS BIGINT) AS x,
+             CAST(floor(ln(f) * {ZIPF_QZ}) AS BIGINT) AS y
+      FROM head
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT k AS k_tokens,
+           CAST((sx * sy - k * sxy) // (k * sxx - sx * sx) AS BIGINT)
+             AS zipf_exponent_int,
+           CAST(((sx * sy - k * sxy) % (k * sxx - sx * sx)) * 1000000
+                // (k * sxx - sx * sx) AS BIGINT) AS zipf_exponent_frac_ppm
+    FROM s
+    """,
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF EXPONENT of the token frequency head — the corpus-shape
+    statistic next to lexical_entropy and vocab_growth_curve: ordinary
+    least squares of ln(freq) on ln(rank) over the top-{ZIPF_K}
+    tokens, reported as the POSITIVE exponent s in freq ∝ rank^(−s)
+    (natural text sits near 1; synthetic or de-duplicated corpora
+    drift). Both logarithms quantize per term (floor(ln·{ZIPF_QZ})
+    BIGINT — milli-nats keep every OLS sum < 2⁶³ at any corpus size),
+    the negated slope splits into an integer part and a POSITIVE
+    remainder scaled to ppm (both operands positive, so `div`'s
+    truncation and `//`'s floor agree — the negative-division
+    semantics difference between the engines never arises).
+
+    Scale: one tokenize pass to token-grain counts (map-side
+    combined), a TakeOrdered top-{ZIPF_K} head, and closed-form OLS
+    over {ZIPF_K} rows — the fit costs one corpus scan."""
+    from pyspark.sql.window import Window as W
+
+    QZ = ZIPF_QZ
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(norm_text("text"), " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("f"))
+    head = freq.orderBy(F.col("f").desc(), F.col("token").asc()).limit(ZIPF_K)
+    w = W.orderBy(F.col("f").desc(), F.col("token").asc())
+    pts = head.withColumn("r", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("r").cast("double")) * QZ).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * QZ).cast("bigint").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        F.col("k").alias("k_tokens"),
+        F.expr("CAST((sx * sy - k * sxy) div (k * sxx - sx * sx) AS BIGINT)")
+        .alias("zipf_exponent_int"),
+        F.expr(
+            "CAST(((sx * sy - k * sxy) % (k * sxx - sx * sx)) * 1000000"
+            " div (k * sxx - sx * sx) AS BIGINT)"
+        ).alias("zipf_exponent_frac_ppm"),
+    )
