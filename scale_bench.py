@@ -199,6 +199,16 @@ QUERIES = [
     "label_propagation_copurchase",  # fixed sync LPA rounds, basket graph
     "association_rules_lift",  # basket self-join + integer lift top-k
     "stream_incremental_assoc_rules",  # 15th store: stateless mergeable deltas
+    # round-15 late additions (stream_ivf_occupancy omitted per the
+    # store-read-consumer rationale; langid_confusion is a map+agg over
+    # langid's measured plan)
+    "conversion_attribution",  # journey windows + (user, journey) joins
+    "journey_path_counts",  # path assembly + TakeOrdered top-k
+    "curriculum_warmup_windows",  # budget fold x quality x explode
+    "weighted_median_price_by_nation",  # grain collapse + running weight
+    "supplier_hhi_by_part_brand",  # share-squared concentration agg
+    "zipf_slope_tokens",  # token head TakeOrdered + closed-form OLS
+    "ivf_occupancy_report",  # broadcast-centroid assignment pass
 ]
 
 
