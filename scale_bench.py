@@ -209,6 +209,19 @@ QUERIES = [
     "supplier_hhi_by_part_brand",  # share-squared concentration agg
     "zipf_slope_tokens",  # token head TakeOrdered + closed-form OLS
     "ivf_occupancy_report",  # broadcast-centroid assignment pass
+    # round-16 additions: the seven r15 queries the r15 verdict flagged
+    # as exponent-less. Three are store-read consumers previously
+    # omitted per the stream_cluster_sizes rationale (maintenance cost
+    # lives in the producer rows); the verdict asked for explicit points
+    # anyway so the "every r15 exponent measured" claim holds without an
+    # asterisk — their full cost here includes the shared ingest build.
+    "community_modularity",  # two label joins + community-grain aggs
+    "langid_confusion",  # map+agg over langid's measured plan
+    "data_budget_allocation",  # per-lang totals + waterfilling fold
+    "stream_incremental_er",  # ER store read (pays shared pair ingest)
+    "stream_ivf_occupancy",  # IVF store read (pays shared IVF ingest)
+    "stream_packed_manifest",  # packing store read (pays shared ingest)
+    "packing_mask_density_report",  # packing plan + mask-density agg
 ]
 
 

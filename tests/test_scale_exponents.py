@@ -98,6 +98,16 @@ BUDGETS = [
     # catches it degenerating to one whole-domain sequential task
     # (shows up as a superlinear wall-clock tail at 10x)
     ("sequence_packing_budget_plan", 20.0),
+    # round-16 additions (r15 verdict item 1): the modularity epilogue
+    # is two node-grain label joins against the edge frame + community-
+    # grain aggregates — the gate catches either label join regressing
+    # to a shuffle of the edge frame per LPA round or the epilogue
+    # going pair-quadratic
+    ("community_modularity", 20.0),
+    # ER store read: resolve is epoch-partition sums at entity grain —
+    # the gate catches the survivorship read rescanning history
+    # per-epoch (quadratic in epoch count x corpus)
+    ("stream_incremental_er", 20.0),
 ]
 
 
