@@ -2000,9 +2000,10 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the basket self-join fans out C(items_per_order, 2) per
     order — bounded by basket size, not corpus size; each round is
     one edge-labels join (shuffle on node id) + one map-side-combined
-    weighted count + a per-node top-1 window whose partitions are
-    node-degree-sized. Labels stay BIGINT keys; vote weights are
-    integer supports — no float reductions anywhere."""
+    weighted count + a per-node top-1 max_by AGGREGATE (partial
+    top-1 map-side, no sort — the r16 rewrite of the row_number
+    window). Labels stay BIGINT keys; vote weights are integer
+    supports — no float reductions anywhere."""
     eu, labels = _lpa_frames(spark, sf_dir)
     return labels.select(
         F.col("node").cast("bigint").alias("part_key"),
@@ -2052,26 +2053,40 @@ def _lpa_frames(spark: SparkSession, sf_dir: str):
         pe.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
     )
     eu = eu.localCheckpoint(eager=True)  # root of every round's DAG
+    labels = _lpa_label_rounds(eu)
+    _LPA_MEMO[key] = (eu, labels)
+    return _LPA_MEMO[key]
+
+
+def _lpa_label_rounds(eu: DataFrame) -> DataFrame:
+    """{LPA_ROUNDS} synchronous LPA rounds over a both-direction
+    weighted edge frame (src, dst, w) → converged (node, label) frame
+    (localCheckpointed). Shared by the batch co-purchase communities
+    (_lpa_frames) and the store-served modularity monitor
+    (streaming.stream_queries.stream_community_modularity), which
+    rebuilds the edge frame from the assoc-rules store's pair sums."""
     labels = eu.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    from pyspark.sql.window import Window as W
-
     for _ in range(LPA_ROUNDS):
         votes = (
             eu.join(labels, eu.dst == labels.node)
             .groupBy(F.col("src").alias("n"), "label")
             .agg(F.sum("w").alias("wt"))
         )
-        wv = W.partitionBy("n").orderBy(F.col("wt").desc(), F.col("label").asc())
-        labels = (
-            votes.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select(F.col("n").alias("node"), "label")
+        # Per-node top-1 as a max_by AGGREGATE, not a row_number window
+        # (r16 A/B at sf0.1: 5.41 s vs 5.88 s full build, labels
+        # identical): the aggregate partial-combines map-side, so the
+        # final exchange carries at most one row per (node, map
+        # partition) instead of every vote row, and nothing sorts.
+        # max of (wt, -label) == ORDER BY wt DESC, label ASC — exact
+        # (no ties: (n, label) is unique in votes).
+        labels = votes.groupBy(F.col("n").alias("node")).agg(
+            F.max_by(
+                "label", F.struct(F.col("wt"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
-    labels = labels.localCheckpoint(eager=True)
-    _LPA_MEMO[key] = (eu, labels)
-    return _LPA_MEMO[key]
+    return labels.localCheckpoint(eager=True)
 
 
 @register(
@@ -2122,8 +2137,20 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two broadcast-joinable label lookups against the edge frame
     (labels are node-grain — at part-catalog size, far below the edge
     count), then community-grain aggregates; no new shuffle beyond the
-    LPA rounds themselves."""
+    LPA rounds themselves. Measured 1x->10x exponent 0.95 (the LPA
+    rounds' inherently linear edge volume — the same ceiling as
+    label_propagation_copurchase's 0.97), CI-gated in
+    tests/test_scale_exponents.py."""
     eu, labels = _lpa_frames(spark, sf_dir)
+    return _modularity_frame(eu, labels)
+
+
+def _modularity_frame(eu: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman-Q epilogue over (edge frame, converged labels) — the
+    community-grain modularity contributions. Shared by the batch
+    audit (community_modularity) and the store-served monitor
+    (stream_community_modularity), which feeds it the assoc-rules
+    store's resolved pair sums instead of the batch basket join."""
     lab_s = labels.select(F.col("node").alias("src"), F.col("label").alias("cs"))
     lab_d = labels.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
     both = eu.join(lab_s, "src").join(lab_d, "dst")
@@ -2153,6 +2180,78 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("contrib_ppm"),
         )
+    )
+
+
+@register(
+    "community_conductance",
+    f"""
+    WITH {_LPA_EDGES_CTE},
+    {", ".join(_lpa_round_cte(r) for r in range(LPA_ROUNDS))},
+    lab AS (SELECT node, label FROM l{LPA_ROUNDS}),
+    j AS (
+      SELECT ls.label AS cs, ld.label AS cd, e.w, e.src
+      FROM eu e
+      JOIN lab ls ON ls.node = e.src
+      JOIN lab ld ON ld.node = e.dst
+    ),
+    agg AS (
+      SELECT cs AS community,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+             CAST(SUM(w) AS BIGINT) AS volume_w,
+             CAST(COALESCE(SUM(CASE WHEN cs <> cd THEN w END), 0) AS BIGINT)
+               AS cut_w
+      FROM j GROUP BY cs
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS s FROM eu)
+    SELECT community, n_nodes, cut_w, volume_w,
+           CAST(CASE WHEN least(volume_w, t.s - volume_w) = 0 THEN 0
+                ELSE cut_w * 1000000 // least(volume_w, t.s - volume_w)
+                END AS BIGINT) AS conductance_ppm
+    FROM agg CROSS JOIN tot t
+    """,
+)
+def community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDUCTANCE audit of the label-propagation communities — the
+    cut-quality complement to community_modularity (Kannan, Vempala &
+    Vetta 2004's cluster-quality measure): per community, the fraction
+    of its incident edge weight that LEAVES it,
+    φ(c) = cut(c) / min(vol(c), 2m − vol(c)), on the same
+    support-weighted co-purchase graph and the same {LPA_ROUNDS}
+    LPA rounds (shared _lpa_frames memo — one loop, three readers).
+    Modularity rewards density vs chance; conductance exposes the
+    leaky communities modularity can still score well. ppm-quantized
+    INTEGER division (cut·1e6 stays < 2^63 up to ~9·10^12 total edge
+    weight); a community owning the whole graph (denominator 0)
+    reports 0.
+
+    Scale: one (src, dst)-label lookup pass over the edge frame
+    (labels node-grain, broadcast-joinable) + community-grain
+    aggregates; no new shuffle beyond the shared LPA rounds."""
+    eu, labels = _lpa_frames(spark, sf_dir)
+    lab_s = labels.select(F.col("node").alias("src"), F.col("label").alias("cs"))
+    lab_d = labels.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
+    both = eu.join(lab_s, "src").join(lab_d, "dst")
+    agg = both.groupBy(F.col("cs").alias("community")).agg(
+        F.countDistinct("src").cast("bigint").alias("n_nodes"),
+        F.sum("w").cast("bigint").alias("volume_w"),
+        F.coalesce(
+            F.sum(F.when(F.col("cs") != F.col("cd"), F.col("w"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("cut_w"),
+    )
+    tot = eu.agg(F.sum("w").cast("bigint").alias("s"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "community",
+        "n_nodes",
+        "cut_w",
+        "volume_w",
+        F.expr(
+            "CAST(CASE WHEN least(volume_w, s - volume_w) = 0 THEN 0"
+            " ELSE cut_w * 1000000 div least(volume_w, s - volume_w)"
+            " END AS BIGINT)"
+        ).alias("conductance_ppm"),
     )
 
 

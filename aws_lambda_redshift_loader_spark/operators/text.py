@@ -4608,11 +4608,21 @@ def data_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one tokenize pass collapses to |languages| rows; everything
     after is arithmetic on that tiny frame (broadcast scalars), so the
     allocator costs one corpus scan regardless of rounds."""
-    C = BUDGET_MAX_EPOCHS
     toks = _pack_tokens(table(spark, sf_dir, "documents"))
     sizes = toks.groupBy("lang").agg(
         F.sum("n_tokens").cast("bigint").alias("n_tokens")
     )
+    return _waterfill(sizes)
+
+
+def _waterfill(sizes: DataFrame) -> DataFrame:
+    """Max-min-fair waterfilling epilogue over a (lang, n_tokens)
+    frame — the arithmetic half of data_budget_allocation, shared by
+    the batch allocator and the store-served monitor
+    (streaming.stream_queries.stream_data_budget_allocation), which
+    feeds it the packing store's per-language totals instead of a
+    fresh tokenize pass."""
+    C = BUDGET_MAX_EPOCHS
     tot = sizes.agg(
         (F.lit(BUDGET_MULT) * F.sum("n_tokens")).cast("bigint").alias("t"),
         F.count("*").cast("bigint").alias("k"),

@@ -5094,6 +5094,58 @@ def ingest_rules_epoch(
     )
 
 
+# The rules store is consumed by the rules entry AND the store-served
+# modularity monitor — one ingest per (session, corpus), the memoized
+# bill-payer pattern (_ensure_gann_ingest's r15 precedent, measured
+# there at ~19% of the pair's cost).
+_RULESSTORE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ensure_rules_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Run (once per session per corpus) the basket-range support
+    maintenance stream (whole-basket ranges through
+    ingest_rules_epoch) and return the store path. Memoized —
+    stream_incremental_assoc_rules and stream_community_modularity
+    share one ingest."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _RULESSTORE_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("rules_ingest_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("rules_ingest_build")
+
+    store = _e2e_tmpdir("alrs_rules_store_")
+    src = _ensure_basket_split(spark, sf_dir)
+    li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).schema
+    stream = (
+        spark.readStream.schema(li_schema)
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_rules_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_rules_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _RULESSTORE_MEMO[key] = store
+    return store
+
+
 def _register_incremental_rules() -> None:
     from ..plans.registry import QUERIES as _REG
 
@@ -5122,32 +5174,7 @@ def _register_incremental_rules() -> None:
         from ..operators.relational import _rules_from_supports
 
         tune(spark)
-        store = _e2e_tmpdir("alrs_rules_store_")
-        src = _ensure_basket_split(spark, sf_dir)
-        li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-            "l_orderkey", "l_partkey"
-        ).schema
-        stream = (
-            spark.readStream.schema(li_schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_rules_epoch(spark, batch_df, epoch_id, store)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_rules_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-
+        store = _ensure_rules_ingest(spark, sf_dir)
         pairs = (
             spark.read.parquet(f"{store}/pairs")
             .groupBy("part_a", "part_b")
@@ -5287,3 +5314,105 @@ def _register_incremental_gann_hier() -> None:
 
 
 _register_incremental_gann_hier()
+
+
+def _register_stream_community_modularity() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_community_modularity",
+        lambda: _REG["community_modularity"].oracle,
+    )
+    def stream_community_modularity(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """STORE-SERVED community-quality monitor — Newman modularity
+        over the co-purchase graph REBUILT from the assoc-rules
+        store's pair-support sums (the 15th store kind, shared ingest
+        with stream_incremental_assoc_rules via _ensure_rules_ingest:
+        the resolved pair supports ARE the co-purchase edge weights,
+        so the graph loop closes the way stream_ivf_occupancy closed
+        IVF's). Labels are RECOMPUTED at read time — the r15
+        incremental-LPA impossibility note stands: a label flip can
+        cascade graph-wide, so converged labels are not a mergeable
+        per-epoch statistic; what the store buys is never re-scanning
+        lineitem or re-running the basket self-join (the edge frame
+        resolves from pair-grain epoch deltas). Hash-gated on the
+        batch community_modularity oracle: store-resolved edges ==
+        batch edges, same synchronous LPA rounds
+        (relational._lpa_label_rounds), same Newman-Q epilogue
+        (relational._modularity_frame).
+
+        Scale: resolve is one pair-grain epoch-partition sum; the LPA
+        rounds and the modularity epilogue are the batch query's own
+        measured plans (exponents 0.97 / 0.95 — the graph's inherent
+        linear edge volume); maintenance is the shared ingest's
+        O(whole-basket batch) per epoch."""
+        from ..operators.relational import (
+            _lpa_label_rounds,
+            _modularity_frame,
+        )
+
+        tune(spark)
+        store = _ensure_rules_ingest(spark, sf_dir)
+        pe = (
+            spark.read.parquet(f"{store}/pairs")
+            .groupBy("part_a", "part_b")
+            .agg(F.sum("c").cast("bigint").alias("w"))
+        )
+        eu = pe.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"
+        ).unionByName(
+            pe.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "w"
+            )
+        )
+        eu = eu.localCheckpoint(eager=True)  # root of every round's DAG
+        labels = _lpa_label_rounds(eu)
+        return _modularity_frame(eu, labels)
+
+
+_register_stream_community_modularity()
+
+
+def _register_stream_budget_allocation() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_data_budget_allocation",
+        lambda: _REG["data_budget_allocation"].oracle,
+    )
+    def stream_data_budget_allocation(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """STORE-SERVED training-budget allocation — the max-min-fair
+        waterfilling allocator (text._waterfill, the arithmetic half
+        of data_budget_allocation) fed from the PACKING store's
+        per-language token totals (the 13th store kind, shared ingest
+        with stream_incremental_packing / stream_packed_manifest via
+        _ensure_packing_ingest) instead of a fresh corpus tokenize.
+        The production loop this closes: as curation streams documents
+        in, the per-domain token totals advance one |languages|-row
+        state write per epoch, and the data-constrained epoch plan
+        (Muennighoff et al. 2023 setting) re-derives from the latest
+        totals row WITHOUT rescanning any text. Hash-gated on the
+        batch data_budget_allocation oracle: the store's last-epoch
+        totals equal the batch tokenize's per-language sums.
+
+        Scale: read cost is one |languages|-row store partition scan
+        (the epoch argmax collect is one row) + arithmetic on that
+        tiny frame; maintenance is the shared ingest's O(batch)
+        tokenize per epoch — this entry adds no ingest of its own."""
+        from ..operators.text import _waterfill
+
+        tune(spark)
+        store = _ensure_packing_ingest(spark, sf_dir)
+        tot = spark.read.parquet(f"{store}/totals")
+        last = tot.agg(F.max("epoch").alias("e")).collect()[0]["e"]
+        sizes = tot.filter(F.col("epoch") == last).select(
+            "lang", F.col("total").cast("bigint").alias("n_tokens")
+        )
+        return _waterfill(sizes)
+
+
+_register_stream_budget_allocation()

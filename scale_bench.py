@@ -991,6 +991,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._PACKSTORE_MEMO.clear()
     _sq._IVFSTORE_MEMO.clear()
     _sq._BASKETSPLIT_MEMO.clear()
+    _sq._RULESSTORE_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel
