@@ -4675,12 +4675,11 @@ def _waterfill(sizes: DataFrame) -> DataFrame:
 
 WARMUP_K = 40  # windows served to the curriculum warmup stage
 
-
-@register(
-    "curriculum_warmup_windows",
-    rf"""
-    WITH RECURSIVE {_BUDGET_PLAN_CTES},
-    ql AS (
+# The quality-scored fragment-budget WINDOW frame (lang, bucket, seq_id,
+# n_frags, fill_tokens, window_quality_q) — the shared front half of
+# curriculum_warmup_windows (global top-K) and
+# curriculum_budget_selection (per-language token-budget prefix).
+_WARMUP_WIN_CTES = rf"""ql AS (
       SELECT doc_id,
              CAST(floor((
                (CAST(length(regexp_extract_all(lower(text),
@@ -4715,7 +4714,14 @@ WARMUP_K = 40  # windows served to the curriculum warmup stage
              CAST(SUM(ql * seq_tokens) // SUM(seq_tokens) AS BIGINT)
                AS window_quality_q
       FROM exploded GROUP BY lang, bucket, seq_id
-    )
+    )"""
+
+
+@register(
+    "curriculum_warmup_windows",
+    rf"""
+    WITH RECURSIVE {_BUDGET_PLAN_CTES},
+    {_WARMUP_WIN_CTES}
     SELECT lang, bucket, seq_id, n_frags, fill_tokens, window_quality_q,
            CAST(rank AS INT) AS rank
     FROM (
@@ -4738,6 +4744,26 @@ def curriculum_warmup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one tokenize + one quality pass over documents, the
     token-bounded explode, a window-grain aggregate, and a TakeOrdered
     global top-k — no global sort, no window over more than a bucket."""
+    win = _warmup_window_frame(spark, sf_dir)
+    order = [
+        F.col("window_quality_q").desc(),
+        F.col("lang").asc(),
+        F.col("bucket").asc(),
+        F.col("seq_id").asc(),
+    ]
+    top = win.orderBy(*order).limit(WARMUP_K)
+    w = W.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "lang", "bucket", "seq_id", "n_frags", "fill_tokens",
+        "window_quality_q", "rank",
+    )
+
+
+def _warmup_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-scored fragment-budget window frame (lang, bucket,
+    seq_id, n_frags, fill_tokens, window_quality_q) — Spark twin of
+    _WARMUP_WIN_CTES, shared by curriculum_warmup_windows and
+    curriculum_budget_selection."""
     C = PACK_SEQ_LEN
     d = table(spark, sf_dir, "documents")
     toks = _pack_tokens(d).withColumn(
@@ -4772,24 +4798,128 @@ def curriculum_warmup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("seq_id") * C, F.col("start_p"))
         ).alias("seq_tokens"),
     )
-    win = exploded.groupBy("lang", "bucket", "seq_id").agg(
+    return exploded.groupBy("lang", "bucket", "seq_id").agg(
         F.count("*").cast("bigint").alias("n_frags"),
         F.sum("seq_tokens").cast("bigint").alias("fill_tokens"),
         F.expr("sum(ql * seq_tokens) div sum(seq_tokens)")
         .cast("bigint")
         .alias("window_quality_q"),
     )
-    order = [
-        F.col("window_quality_q").desc(),
-        F.col("lang").asc(),
-        F.col("bucket").asc(),
+
+
+SEL_QBAND = 10_000  # ppm of window quality per selection band
+WARMUP_FRAC_DIV = 2  # warmup stage draws alloc_tokens/this per language
+
+
+def _budget_selection_oracle() -> str:
+    from ..plans.registry import QUERIES as _REG
+
+    alloc = _REG["data_budget_allocation"].oracle
+    return rf"""
+    WITH RECURSIVE {_BUDGET_PLAN_CTES},
+    {_WARMUP_WIN_CTES},
+    alloc AS ({alloc}),
+    sel AS (
+      SELECT w.lang, w.bucket, w.seq_id, w.n_frags, w.fill_tokens,
+             w.window_quality_q,
+             CAST(a.alloc_tokens // {WARMUP_FRAC_DIV} AS BIGINT)
+               AS warmup_tokens,
+             SUM(w.fill_tokens) OVER (
+               PARTITION BY w.lang
+               ORDER BY w.window_quality_q DESC, w.bucket ASC, w.seq_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM win w JOIN alloc a USING (lang)
+    )
+    SELECT lang, bucket, seq_id, n_frags, fill_tokens, window_quality_q,
+           warmup_tokens,
+           CAST(CASE WHEN cum > warmup_tokens THEN 1 ELSE 0 END AS INT)
+             AS straddles
+    FROM sel WHERE cum - fill_tokens < warmup_tokens
+    """
+
+
+@register("curriculum_budget_selection", _budget_selection_oracle)
+def curriculum_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARMUP BATCHES UNDER THE BUDGET CAPS — the composition
+    data_budget_allocation and curriculum_warmup_windows exist to
+    serve: per language, packed training windows are drawn in QUALITY
+    order (best first) until the language's max-min-fair token
+    allocation is exhausted — the production warmup plan for a
+    data-constrained run. The warmup stage draws HALF of each
+    language's allocation (warmup_tokens = alloc_tokens // 
+    {WARMUP_FRAC_DIV}) — the high-quality opening fraction before the
+    uniform pass: a window is taken while the tokens drawn before it
+    are strictly under warmup_tokens, and the window that crosses the
+    cap is taken and flagged `straddles`. Languages whose half-
+    allocation still exceeds their corpus select every window — the
+    fixture exercises both the full-selection and strict-prefix
+    branches (and the straddle flag) at sf0.001 and sf0.01.
+
+    Scale: the oracle's naive form is a per-language running sum over
+    EVERY window — a one-task-per-language funnel at corpus scale. The
+    Spark plan is BANDED (the dsir_topk_scalable pattern): windows
+    group into {SEL_QBAND}-ppm quality bands; per-(lang, band) token
+    totals (a tiny frame) locate each language's threshold band via a
+    band-grain running sum; bands above it select whole, bands below
+    drop, and only the ONE straddling band per language ranks
+    window-grain (its partition is band-sized, not corpus-sized).
+    Banding by truncating division is order-consistent with the
+    quality sort, so banded selection == the oracle's naive prefix."""
+    win = _warmup_window_frame(spark, sf_dir)
+    toks = _pack_tokens(table(spark, sf_dir, "documents"))
+    sizes = toks.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    alloc = _waterfill(sizes).select(
+        "lang",
+        F.expr(f"alloc_tokens div {WARMUP_FRAC_DIV}")
+        .cast("bigint")
+        .alias("warmup_tokens"),
+    )
+
+    wb = win.withColumn(
+        "band", F.expr(f"window_quality_q div {SEL_QBAND}").cast("bigint")
+    )
+    bands = wb.groupBy("lang", "band").agg(
+        F.sum("fill_tokens").cast("bigint").alias("bt")
+    )
+    wband = W.partitionBy("lang").orderBy(F.col("band").desc())
+    bands = (
+        bands.withColumn(
+            "cum_bt", F.sum("bt").over(wband).cast("bigint")
+        )
+        .withColumn("base", (F.col("cum_bt") - F.col("bt")).cast("bigint"))
+        .join(F.broadcast(alloc), "lang")
+    )
+    # Whole bands strictly inside the budget; the one straddling band
+    # per language; everything else drops before any window-grain work.
+    full = bands.filter(F.col("cum_bt") <= F.col("warmup_tokens")).select(
+        "lang", "band", "base", "warmup_tokens", F.lit(1).alias("whole")
+    )
+    edge = bands.filter(
+        (F.col("base") < F.col("warmup_tokens"))
+        & (F.col("cum_bt") > F.col("warmup_tokens"))
+    ).select("lang", "band", "base", "warmup_tokens", F.lit(0).alias("whole"))
+    picked = wb.join(full.unionByName(edge), ["lang", "band"])
+    wsel = W.partitionBy("lang", "band").orderBy(
+        F.col("window_quality_q").desc(), F.col("bucket").asc(),
         F.col("seq_id").asc(),
-    ]
-    top = win.orderBy(*order).limit(WARMUP_K)
-    w = W.orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+    )
+    sel = picked.withColumn(
+        "cum",
+        (F.col("base") + F.sum("fill_tokens").over(wsel)).cast("bigint"),
+    ).filter(
+        (F.col("whole") == 1)
+        | (F.col("cum") - F.col("fill_tokens") < F.col("warmup_tokens"))
+    )
+    return sel.select(
         "lang", "bucket", "seq_id", "n_frags", "fill_tokens",
-        "window_quality_q", "rank",
+        "window_quality_q",
+        F.col("warmup_tokens").cast("bigint").alias("warmup_tokens"),
+        F.when(F.col("cum") > F.col("warmup_tokens"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("straddles"),
     )
 
 
