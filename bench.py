@@ -109,6 +109,14 @@ def main() -> None:
     from aws_lambda_redshift_loader_spark.operators import dedup as _dedup
 
     memo_labels: dict[str, list[str]] = {}
+    # Host-load accounting (round-15 verdict item 5): flagged_reruns
+    # makes per-query SPIKES self-describing, but a wave that inflates
+    # the whole run uniformly was only legible via ROADMAP prose. Sample
+    # the 1-min loadavg at start, after every query, and at end, and
+    # put (start, end, max) in the artifact header so a reader of any
+    # BENCH_r{N} can adjudicate a hot run from the artifact alone.
+    load_start = round(os.getloadavg()[0], 2)
+    load_max = load_start
     for name in sorted(specs):
         print(f"# bench running {name}", file=sys.stderr, flush=True)
         n_events = len(_dedup.MEMO_EVENTS)
@@ -144,6 +152,7 @@ def main() -> None:
 
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
+        load_max = max(load_max, round(os.getloadavg()[0], 2))
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
@@ -226,6 +235,16 @@ def main() -> None:
                 "sf": sf,
                 "total_sec": total,
                 "common_set_vs_prior": common_ratio,
+                # 1-min loadavg: sampled at start, after every query
+                # (max retained), and at close. On this 32-cpu box the
+                # bench itself sustains roughly the high-20s-to-low-30s;
+                # start/max far above that = external wave, read totals
+                # accordingly (see flagged_reruns for which queries).
+                "load_1m": {
+                    "start": load_start,
+                    "end": round(os.getloadavg()[0], 2),
+                    "max": load_max,
+                },
                 "queries": timings,
                 "flagged_reruns": reruns,
                 # Which queries built vs cache-hit the shared dedup pair
