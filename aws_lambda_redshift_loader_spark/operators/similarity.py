@@ -1042,6 +1042,238 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.25  # cosine radius of the range query
+
+
+def _range_search_oracle() -> str:
+    """embedding_range_search oracle: _ivf_oracle's probe/cands/rescore
+    chain verbatim, with the top-k rank epilogue replaced by the radius
+    threshold (kept separate so editing one query never re-tiers the
+    other in the verification rotation)."""
+    u = IVF_TRAIN_ITERS
+    chained = ",\n    ".join(_kmeans_ctes(u + 1))
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained},
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rk
+        FROM score{u} WHERE vec_id < {N_QUERIES}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign{u} a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    rescored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM cands cd
+      JOIN q a ON a.vec_id = cd.query_id
+      JOIN q b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM rescored WHERE cosine >= {RANGE_TAU}
+    """
+
+
+@register("embedding_range_search", _range_search_oracle())
+def embedding_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) SEARCH over the IVF index — the other standard
+    vector-store read next to top-k: every probed-cell neighbor within
+    cosine ≥ {RANGE_TAU} of each query vector, however many or few
+    qualify (dedup radii, recall sweeps, and similarity-threshold
+    retrieval want the whole ball, not a fixed k). Shares the entire
+    trained index front-end with embedding_ivf_topk (_ivf_scored:
+    k-means quantizer, map-only GEMM assignment, top-{IVF_NPROBE}
+    probe, exact integer-quantized rescoring) — the epilogue is a
+    threshold filter instead of a rank window, so there is NO window
+    at all: map-only from the candidate join onward.
+
+    Scale: identical to the IVF top-k plan minus its per-query rank —
+    candidates stay cell-bounded; the threshold pushes into the scored
+    frame before anything shuffles. Cosines are doubles derived from
+    exact integer dots (both engines bit-identical), so the >= compare
+    can never disagree."""
+    scored = _ivf_scored(spark, sf_dir).drop("e")
+    return scored.filter(F.col("cosine") >= RANGE_TAU).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+
+
+SWEEP_PROBES = (1, 2, 4)  # nprobe operating points swept
+
+
+def _nprobe_sweep_oracle() -> str:
+    u = IVF_TRAIN_ITERS
+    chained = ",\n    ".join(_kmeans_ctes(u + 1))
+    cos = (
+        "list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /"
+        " (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *"
+        "  sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[]))))"
+    )
+    parts = []
+    for p in SWEEP_PROBES:
+        parts.append(f"""probe{p} AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell ASC) AS rk
+        FROM score{u} WHERE vec_id < {N_QUERIES}
+      ) WHERE rk <= {p}
+    ),
+    top{p} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT r.query_id, r.neighbor_id,
+               row_number() OVER (PARTITION BY r.query_id
+                                  ORDER BY r.cosine DESC, r.neighbor_id ASC)
+                 AS rank
+        FROM (
+          SELECT cd.query_id, cd.neighbor_id, {cos} AS cosine
+          FROM (SELECT p.query_id, a.vec_id AS neighbor_id
+                FROM probe{p} p
+                JOIN assign{u} a ON a.cell = p.cell
+                                AND a.vec_id <> p.query_id) cd
+          JOIN q a ON a.vec_id = cd.query_id
+          JOIN q b ON b.vec_id = cd.neighbor_id
+        ) r
+      ) WHERE rank <= {TOP_K}
+    ),
+    hit{p} AS (
+      SELECT CAST({p} AS INT) AS nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top{p} t JOIN btop b USING (query_id, neighbor_id)
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM hit{p}" for p in SWEEP_PROBES)
+    return f"""
+    WITH {_QUANT_CTE},
+    {chained},
+    bpairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cosine
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    btop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC)
+                 AS rank
+        FROM bpairs
+      ) WHERE rank <= {TOP_K}
+    ),
+    {", ".join(parts)},
+    uall AS ({union})
+    SELECT nprobe, CAST({N_QUERIES} AS BIGINT) AS n_queries, hits,
+           CAST(hits * 1000000 // ({N_QUERIES} * {TOP_K}) AS BIGINT)
+             AS recall_ppm
+    FROM uall
+    """
+
+
+@register("ivf_nprobe_recall_sweep", _nprobe_sweep_oracle())
+def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe-vs-recall OPERATING CURVE — the index-tuning artifact
+    next to ann_recall_eval (codec recall) and lsh_threshold_sweep
+    (LSH s-curve): for nprobe in {SWEEP_PROBES}, exact recall@{TOP_K}
+    of the probed IVF search against the brute-force ground truth,
+    pooled over the {N_QUERIES} query vectors. One trained index, one
+    candidate pass at the LARGEST nprobe with each candidate tagged by
+    its cell's probe rank — the smaller operating points are rank
+    filters over the same frame, so the sweep costs one probe, not
+    |{SWEEP_PROBES}| probes.
+
+    Scale: the candidate join is the IVF plan's own cell-bounded
+    probe; per-point top-k windows partition by query over
+    cell-bounded candidates; the recall join touches
+    {N_QUERIES}·{TOP_K} rows. Each operating point emits exactly one
+    row (count aggregates run per point, so a zero-hit point still
+    reports 0 — matching the oracle's COUNT form)."""
+    from pyspark.sql import Row
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    assigned = _assign_cells(emb, ids, cent)
+    spark_ids = [int(i) for i in ids]
+    cent_rows = [
+        Row(cell=int(cid), ce=[int(v) for v in cent[i]])
+        for i, cid in enumerate(spark_ids)
+    ]
+    cents = spark.createDataFrame(cent_rows)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    qscore = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qe",
+        "cell",
+        (
+            _dot(F.col("qe"), F.col("ce")).cast("double")
+            / (
+                F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+                * F.sqrt(_dot(F.col("ce"), F.col("ce")).cast("double"))
+            )
+        ).alias("cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    probes = (
+        qscore.withColumn("prk", F.row_number().over(wq).cast("int"))
+        .filter(F.col("prk") <= max(SWEEP_PROBES))
+        .select("query_id", "qe", F.col("cell").alias("qcell"), "prk")
+    )
+    cands = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "prk",
+        (
+            _dot(F.col("qe"), F.col("e")).cast("double")
+            / (
+                F.sqrt(_dot(F.col("qe"), F.col("qe")).cast("double"))
+                * F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
+            )
+        ).alias("cosine"),
+    )
+    cands = cands.localCheckpoint(eager=True)  # one probe pass, |SWEEP| readers
+    btop = embedding_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    points = []
+    for p in SWEEP_PROBES:
+        top = (
+            cands.filter(F.col("prk") <= p)
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        points.append(
+            top.join(btop, ["query_id", "neighbor_id"]).agg(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.count("*").cast("bigint").alias("hits"),
+            )
+        )
+    out = points[0]
+    for df in points[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "nprobe",
+        "n_queries",
+        "hits",
+        F.expr(f"CAST(hits * 1000000 div ({N_QUERIES} * {TOP_K}) AS BIGINT)")
+        .alias("recall_ppm"),
+    )
+
+
 def _probe_postings(
     spark: SparkSession, assigned: DataFrame, queries_emb: DataFrame, ids, cent
 ) -> DataFrame:

@@ -5058,3 +5058,162 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (k * sxx - sx * sx) AS BIGINT)"
         ).alias("zipf_exponent_frac_ppm"),
     )
+
+
+COV_K = 100  # head tokens on the coverage curve
+
+
+@register(
+    "vocab_coverage_curve",
+    rf"""
+    WITH toks AS (
+      SELECT u.token
+      FROM (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS token) u
+    ),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM freq),
+    head AS (
+      SELECT token, f,
+             row_number() OVER (ORDER BY f DESC, token ASC) AS r
+      FROM freq
+      ORDER BY f DESC, token ASC LIMIT {COV_K}
+    ),
+    cum AS (
+      SELECT r, token, f,
+             CAST(SUM(f) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_f
+      FROM head
+    )
+    SELECT CAST(r AS INT) AS rank, token,
+           f AS token_count, cum_f,
+           CAST(cum_f * 1000000 // t.t AS BIGINT) AS coverage_ppm
+    FROM cum CROSS JOIN tot t
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — the tokenizer-sizing statistic next
+    to zipf_slope_tokens and vocab_growth_curve: for the top-{COV_K}
+    corpus tokens by frequency, the cumulative fraction of ALL token
+    occurrences the head covers at each rank (how much of the stream a
+    K-entry vocabulary explains — where this curve flattens is where a
+    vocab/merge-table stops paying). Coverage is ppm-quantized integer
+    division of exact BIGINT counts.
+
+    Scale: one tokenize pass to token-grain counts (map-side
+    combined), a TakeOrdered top-{COV_K} head, one 1-row total, and
+    the running sum windows over {COV_K} rows only — never the
+    vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("f"))
+    tot = freq.agg(F.sum("f").cast("bigint").alias("t"))
+    head = freq.orderBy(F.col("f").desc(), F.col("token").asc()).limit(COV_K)
+    w = W.orderBy(F.col("f").desc(), F.col("token").asc())
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        head.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum_f", F.sum("f").over(wcum).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "token",
+            F.col("f").alias("token_count"),
+            "cum_f",
+            F.expr("CAST(cum_f * 1000000 div t AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
+# Character classes profiled per language: ASCII letters, digits,
+# whitespace, sentence punctuation — identical regex character classes
+# in both engines (single-char classes, no engine-specific syntax).
+_CCLS = [
+    ("letter", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", r"[\s]"),
+    ("punct", "[.,;:!?]"),
+]
+
+
+@register(
+    "char_class_profile",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_all,
+             {", ".join(
+               f"CAST(length(text) - length(regexp_replace(text, '{pat}', '', 'g')) AS BIGINT) AS n_{name}"
+               for name, pat in _CCLS
+             )}
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_all) AS BIGINT) AS total_chars,
+           {", ".join(
+             f"CAST(SUM(n_{name}) * 1000000 // SUM(n_all) AS BIGINT) AS {name}_ppm"
+             for name, _ in _CCLS
+           )},
+           CAST((SUM(n_all) - {" - ".join(f"SUM(n_{name})" for name, _ in _CCLS)})
+                * 1000000 // SUM(n_all) AS BIGINT) AS other_ppm
+    FROM per GROUP BY lang
+    """,
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-CLASS PROFILE per language — the charset QA artifact
+    next to langid_heuristic and the quality scorers: per-language ppm
+    shares of ASCII letters, digits, whitespace, and sentence
+    punctuation (plus the `other` remainder — the non-ASCII mass that
+    separates Latin-script from CJK corpora and flags mojibake or
+    markup contamination when it moves). Counts are per-document
+    length deltas under single-character-class regex deletion
+    (identical semantics in both engines), summed as BIGINT and
+    ppm-quantized against total characters.
+
+    Scale: map-only per-document counting (each document is scanned a
+    constant number of times by the JVM regex engine, no Python), then
+    one map-side-combined aggregate to |languages| rows."""
+    d = table(spark, sf_dir, "documents")
+    cols = [
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), pat, ""))
+        )
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in _CCLS
+    ]
+    per = d.select(
+        "lang", F.length("text").cast("bigint").alias("n_all"), *cols
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_all").cast("bigint").alias("total_chars"),
+    ]
+    sums = {name: F.sum(f"n_{name}") for name, _ in _CCLS}
+    agg = per.groupBy("lang").agg(
+        *aggs, *[s.cast("bigint").alias(f"s_{n}") for n, s in sums.items()]
+    )
+    other_sql = " - ".join([f"total_chars"] + [f"s_{name}" for name, _ in _CCLS])
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        *[
+            F.expr(f"CAST(s_{name} * 1000000 div total_chars AS BIGINT)").alias(
+                f"{name}_ppm"
+            )
+            for name, _ in _CCLS
+        ],
+        F.expr(
+            f"CAST(({other_sql}) * 1000000 div total_chars AS BIGINT)"
+        ).alias("other_ppm"),
+    )

@@ -2599,3 +2599,125 @@ def journey_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "path", "n_conversions", "value_cents", "rank"
     )
+
+
+@register(
+    "cusum_changepoint_events",
+    """
+    WITH ev AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS v_c
+      FROM events WHERE value >= 0
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_c) AS BIGINT) AS s
+      FROM ev GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type, e.event_id, e.ts, m.n,
+             CAST(m.s // m.n AS BIGINT) AS mean_c,
+             CAST(SUM(e.v_c) OVER w
+                  - (row_number() OVER w) * (m.s // m.n) AS BIGINT) AS cusum
+      FROM ev e JOIN m ON m.event_type = e.event_type
+      WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events, mean_c,
+           CAST(event_id AS BIGINT) AS cp_event_id,
+           CAST(abs(cusum) AS BIGINT) AS max_abs_cusum
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(cusum) DESC, ts ASC,
+                                            event_id ASC) AS rk
+      FROM c
+    ) WHERE rk = 1
+    """,
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT per event type — the classic mean-shift
+    detector (Page 1954) next to seasonal_outliers and
+    value_outliers_zscore: per type, the cumulative sum of deviations
+    from the type's mean value S_i = Σ_{j≤i}(v_j − mean) over the
+    (ts, event_id) time order, and the event at argmax |S_i| — the
+    most likely mean-shift point (ties to the earliest event). Values
+    are per-event cents-quantized BEFORE any sum, the mean is the
+    TRUNCATED integer mean s div n (all sums non-negative under the
+    value ≥ 0 guard, so both engines' division semantics agree), and
+    S_i = running_sum − i·mean needs only a running sum and a running
+    count — no per-row subtraction column.
+
+    Scale: the oracle's per-type window is a one-task-per-type funnel
+    at event-stream scale, so the Spark plan runs the DISTRIBUTED
+    PREFIX SUM shape (ks_two_sample_scalable's pattern, banded by
+    calendar day): per-(type, day) sums and counts collect to
+    calendar-bounded driver state, offsets broadcast back as a literal
+    map, and the running sum/count windows partition by (type, day) —
+    day-sized tasks however large the stream. The per-type argmax is a
+    max_by aggregate (map-side partial), not a sort."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value") >= 0).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v_c").cast("bigint").alias("s"),
+    )
+    banded = ev.withColumn("_day", F.to_date("ts"))
+    cells = (
+        banded.groupBy("event_type", "_day")
+        .agg(F.sum("v_c").alias("ds"), F.count("*").alias("dn"))
+        .collect()
+    )
+    offs: dict[str, tuple[int, int]] = {}
+    acc: dict[str, tuple[int, int]] = {}
+    for r in sorted(cells, key=lambda r: (r["event_type"], r["_day"])):
+        k = f"{r['event_type']}:{r['_day']}"
+        sa, na = acc.get(r["event_type"], (0, 0))
+        offs[k] = (sa, na)
+        acc[r["event_type"]] = (sa + r["ds"], na + r["dn"])
+    map_s = F.create_map(
+        *[x for k in sorted(offs) for x in (F.lit(k), F.lit(offs[k][0]))]
+    )
+    map_n = F.create_map(
+        *[x for k in sorted(offs) for x in (F.lit(k), F.lit(offs[k][1]))]
+    )
+    wcum = W.partitionBy("event_type", "_day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    # NB: %s on a DateType renders the internal day count — cast first.
+    key = F.format_string(
+        "%s:%s", F.col("event_type"), F.col("_day").cast("string")
+    )
+    cum = banded.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (map_s[key] + F.sum("v_c").over(wcum)).cast("bigint").alias("run_s"),
+        (map_n[key] + F.count("*").over(wcum)).cast("bigint").alias("run_i"),
+    )
+    scored = cum.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        "n",
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_c"),
+        F.expr("CAST(abs(run_s - run_i * (s div n)) AS BIGINT)").alias(
+            "abs_cusum"
+        ),
+    )
+    return scored.groupBy("event_type").agg(
+        F.first("n").alias("n_events"),
+        F.first("mean_c").alias("mean_c"),
+        F.max_by(
+            F.col("event_id").cast("bigint"),
+            F.struct(
+                F.col("abs_cusum"),
+                (-F.unix_micros("ts")).alias("nts"),
+                (-F.col("event_id")).alias("nid"),
+            ),
+        ).alias("cp_event_id"),
+        F.max("abs_cusum").cast("bigint").alias("max_abs_cusum"),
+    )
