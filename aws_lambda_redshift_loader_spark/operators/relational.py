@@ -2255,6 +2255,141 @@ def community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NODEJ_SUPPORT = 2  # repeat-co-purchase edge floor (the graph sparsifier)
+NODEJ_TOP = 50  # most-similar pairs reported
+
+
+@register(
+    "copurchase_node_jaccard",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pe AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+    ),
+    se AS (SELECT pa, pb FROM pe WHERE w >= {NODEJ_SUPPORT}),
+    eu AS (
+      SELECT pa AS src, pb AS dst FROM se
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM se
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM eu GROUP BY src),
+    cn AS (
+      SELECT x.src AS part_a, y.src AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS common_n
+      FROM eu x JOIN eu y ON x.dst = y.dst AND x.src < y.src
+      GROUP BY part_a, part_b
+    ),
+    j AS (
+      SELECT c.part_a, c.part_b, c.common_n,
+             da.d AS deg_a, db.d AS deg_b,
+             CAST(c.common_n * 1000000
+                  // (da.d + db.d - c.common_n) AS BIGINT) AS jaccard_ppm
+      FROM cn c
+      JOIN deg da ON da.node = c.part_a
+      JOIN deg db ON db.node = c.part_b
+    )
+    SELECT part_a, part_b, common_n, deg_a, deg_b, jaccard_ppm,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY jaccard_ppm DESC,
+                                   part_a ASC, part_b ASC) AS rank
+      FROM j
+      ORDER BY jaccard_ppm DESC, part_a ASC, part_b ASC
+      LIMIT {NODEJ_TOP}
+    )
+    """,
+)
+def copurchase_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NODE-SIMILARITY join on the co-purchase graph — neighborhood
+    Jaccard (SimRank's cheap one-hop cousin, the standard
+    related-items signal next to association_rules_lift's directional
+    confidence): two parts are similar when their REPEAT-co-purchase
+    neighbor sets overlap, J = |N(a)∩N(b)| / |N(a)∪N(b)|, reported as
+    the top-{NODEJ_TOP} pairs by ppm-quantized Jaccard. The graph is
+    SPARSIFIED first: only edges with support ≥ {NODEJ_SUPPORT}
+    (repeat co-purchases) participate — one-off baskets are noise for
+    similarity, and the floor is the scale knob (a production deploy
+    raises it with basket volume, exactly like association rules'
+    support floor — the thresholded degree is bounded by repeat-buying
+    structure, not corpus size).
+
+    Scale: common neighbors enumerate by wedges through shared
+    neighbors — one self-equi-join on the SPARSIFIED edge frame
+    (fan-out Σ deg², bounded by the support floor), map-side-combined
+    to pair grain; degrees broadcast back; the global top-k is
+    TakeOrdered (per-partition heap), with the rank window over the
+    {NODEJ_TOP}-row result only."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .filter(F.col("w") >= NODEJ_SUPPORT)
+    )
+    eu = pe.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        pe.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    eu = eu.localCheckpoint(eager=True)  # wedge join + two degree reads
+    deg = eu.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    x, y = eu.alias("x"), eu.alias("y")
+    cn = (
+        x.join(
+            y,
+            (F.col("x.dst") == F.col("y.dst"))
+            & (F.col("x.src") < F.col("y.src")),
+        )
+        .groupBy(
+            F.col("x.src").alias("part_a"), F.col("y.src").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("common_n"))
+    )
+    da = deg.select(F.col("node").alias("part_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("d").alias("deg_b"))
+    # No broadcast hint on the degree frames: node grain is catalog
+    # grain (unbounded at 100 TB) — AQE broadcasts when actually small,
+    # the same policy as _modularity_frame's label joins.
+    j = (
+        cn.join(da, "part_a")
+        .join(db, "part_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "CAST(common_n * 1000000 div (deg_a + deg_b - common_n)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    order = [
+        F.col("jaccard_ppm").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ]
+    top = j.orderBy(*order).limit(NODEJ_TOP)
+    w = W.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "part_a", "part_b", "common_n", "deg_a", "deg_b", "jaccard_ppm",
+        "rank",
+    )
+
+
 FUZZY_MAX_DIST = 1
 FUZZY_DEL_CAP = 40  # deletion positions considered (max name length seen)
 

@@ -5028,14 +5028,21 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one tokenize pass to token-grain counts (map-side
     combined), a TakeOrdered top-{ZIPF_K} head, and closed-form OLS
     over {ZIPF_K} rows — the fit costs one corpus scan."""
-    from pyspark.sql.window import Window as W
-
-    QZ = ZIPF_QZ
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(norm_text("text"), " ")).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("f"))
+    return _zipf_epilogue(freq)
+
+
+def _zipf_epilogue(freq: DataFrame) -> DataFrame:
+    """OLS Zipf fit over a (token, f) frequency frame — shared by the
+    batch zipf_slope_tokens and the token-store-served
+    stream_zipf_slope (streaming.stream_queries)."""
+    from pyspark.sql.window import Window as W
+
+    QZ = ZIPF_QZ
     head = freq.orderBy(F.col("f").desc(), F.col("token").asc()).limit(ZIPF_K)
     w = W.orderBy(F.col("f").desc(), F.col("token").asc())
     pts = head.withColumn("r", F.row_number().over(w)).select(
@@ -5112,6 +5119,13 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
     freq = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("f"))
+    return _coverage_epilogue(freq)
+
+
+def _coverage_epilogue(freq: DataFrame) -> DataFrame:
+    """Coverage-curve epilogue over a (token, f) frequency frame —
+    shared by the batch vocab_coverage_curve and the token-store-served
+    stream_vocab_coverage (streaming.stream_queries)."""
     tot = freq.agg(F.sum("f").cast("bigint").alias("t"))
     head = freq.orderBy(F.col("f").desc(), F.col("token").asc()).limit(COV_K)
     w = W.orderBy(F.col("f").desc(), F.col("token").asc())

@@ -222,6 +222,16 @@ QUERIES = [
     "stream_ivf_occupancy",  # IVF store read (pays shared IVF ingest)
     "stream_packed_manifest",  # packing store read (pays shared ingest)
     "packing_mask_density_report",  # packing plan + mask-density agg
+    # round-16 new queries
+    "community_conductance",  # third LPA-memo reader, cut/volume aggs
+    "stream_community_modularity",  # rules-store pairs + read-time LPA
+    "stream_data_budget_allocation",  # packing-store totals + waterfill
+    "curriculum_budget_selection",  # banded per-lang budget prefix
+    "vocab_coverage_curve",  # token counts + TakeOrdered head
+    "char_class_profile",  # regex-deletion deltas, |lang| rows
+    "embedding_range_search",  # IVF probe + threshold, no window
+    "ivf_nprobe_recall_sweep",  # one probe pass, 3 rank filters
+    "cusum_changepoint_events",  # day-banded prefix sum + max_by argmax
 ]
 
 

@@ -699,11 +699,52 @@ def test_round15_graph_queries_no_cartesian(spark, name):
 @pytest.mark.parametrize(
     "name", ["association_rules_lift", "copurchase_pairs"]
 )
-def test_global_topk_is_take_ordered(spark, name):
+def test_rules_topk_is_take_ordered(spark, name):
     # Global top-k must plan TakeOrderedAndProject (per-partition top-K
     # + driver merge); the rank window runs only over the K-row result.
     # A bare global row_number funnels every scored pair into one task
     # (the 10x WindowExec single-partition warning, r15).
+    # (r16: renamed — this redefinition of test_global_topk_is_take_ordered
+    # was SHADOWING the round-11 parametrization at module scope, so
+    # returned_item_ranking / large_order_customers silently stopped
+    # being collected.)
     df = SPECS[name].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan, f"{name}: top-k lost the TakeOrdered path"
+
+
+def test_range_search_has_no_window(spark):
+    # The radius query's epilogue is a threshold filter over the scored
+    # candidates — a rank window sneaking in would re-introduce the
+    # per-query sort the range form exists to avoid.
+    plan = _formatted(spark, "embedding_range_search")
+    assert "Window" not in plan, "range search grew a window"
+
+
+def test_budget_selection_windows_are_banded(spark):
+    # curriculum_budget_selection's window-grain ranking must partition
+    # by (lang, band) — a window partitioned by lang alone is the
+    # one-task-per-language funnel the banded rewrite exists to avoid.
+    plan = _formatted(spark, "curriculum_budget_selection")
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        parts = [p.strip().split("#")[0] for p in spec.split(",")]
+        if "lang" in parts:
+            assert "band" in parts, (
+                f"budget-selection window partitions by lang alone: {spec}"
+            )
+
+
+def test_cusum_windows_are_day_banded(spark):
+    # The CUSUM running sums must partition by (event_type, _day) — the
+    # distributed-prefix-sum shape; event_type alone is a funnel.
+    plan = _formatted(spark, "cusum_changepoint_events")
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        parts = [p.strip().split("#")[0] for p in spec.split(",")]
+        if "event_type" in parts:
+            assert "_day" in parts, (
+                f"cusum window partitions by type alone: {spec}"
+            )

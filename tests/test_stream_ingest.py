@@ -1580,3 +1580,57 @@ def test_incremental_rules_replay_and_batch_equal(spark, tmp_path):
     run_epoch(0)
     run_epoch(2)
     assert support_rows() == (before, nb_before)
+
+
+def test_incremental_token_counts_replay_and_batch_equal(spark, tmp_path):
+    """Token-frequency maintenance (16th store kind, stateless
+    mergeable at token grain): epochs are pure functions of their own
+    batch, the resolved sums equal the batch token counts, and
+    replaying any epoch leaves the store identical."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_TOK_EPOCHS,
+        _ensure_doc_split,
+        ingest_token_counts_epoch,
+    )
+    from aws_lambda_redshift_loader_spark.functions.scalar import norm_text
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    src = _ensure_doc_split(spark, sf, INC_TOK_EPOCHS)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == INC_TOK_EPOCHS
+    store = str(tmp_path / "store")
+
+    def run_epoch(i):
+        ingest_token_counts_epoch(
+            spark, spark.read.parquet(files[i]), i, store
+        )
+
+    for i in range(INC_TOK_EPOCHS):
+        run_epoch(i)
+
+    def resolved():
+        return {
+            (r["token"], r["f"])
+            for r in spark.read.parquet(f"{store}/counts")
+            .groupBy("token")
+            .agg(F.sum("c").cast("bigint").alias("f"))
+            .collect()
+        }
+
+    before = resolved()
+    batch = {
+        (r["token"], r["f"])
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .collect()
+    }
+    assert before == batch, "stream-maintained token counts != batch"
+
+    run_epoch(0)  # head replay
+    run_epoch(2)  # mid replay
+    assert resolved() == before
