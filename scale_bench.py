@@ -232,6 +232,9 @@ QUERIES = [
     "embedding_range_search",  # IVF probe + threshold, no window
     "ivf_nprobe_recall_sweep",  # one probe pass, 3 rank filters
     "cusum_changepoint_events",  # day-banded prefix sum + max_by argmax
+    "copurchase_node_jaccard",  # sparsified wedge join + TakeOrdered
+    "stream_vocab_coverage",  # token-store read (pays shared ingest)
+    "stream_zipf_slope",  # token-store read, second reader
 ]
 
 
@@ -1002,6 +1005,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._IVFSTORE_MEMO.clear()
     _sq._BASKETSPLIT_MEMO.clear()
     _sq._RULESSTORE_MEMO.clear()
+    _sq._TOKSTORE_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel
