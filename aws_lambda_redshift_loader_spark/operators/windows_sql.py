@@ -2671,32 +2671,28 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v_c").alias("ds"), F.count("*").alias("dn"))
         .collect()
     )
-    offs: dict[str, tuple[int, int]] = {}
+    # Offsets ride back as a BROADCAST-joined frame, not a create_map
+    # literal: the (type, day) grid is calendar-bounded but grows with
+    # the stream's time span — a 20k-entry literal map blows codegen
+    # out of whole-stage compilation, a tiny broadcast join never does.
+    off_rows = []
     acc: dict[str, tuple[int, int]] = {}
     for r in sorted(cells, key=lambda r: (r["event_type"], r["_day"])):
-        k = f"{r['event_type']}:{r['_day']}"
         sa, na = acc.get(r["event_type"], (0, 0))
-        offs[k] = (sa, na)
+        off_rows.append((r["event_type"], r["_day"], sa, na))
         acc[r["event_type"]] = (sa + r["ds"], na + r["dn"])
-    map_s = F.create_map(
-        *[x for k in sorted(offs) for x in (F.lit(k), F.lit(offs[k][0]))]
-    )
-    map_n = F.create_map(
-        *[x for k in sorted(offs) for x in (F.lit(k), F.lit(offs[k][1]))]
+    offs = spark.createDataFrame(
+        off_rows, "event_type string, _day date, off_s long, off_n long"
     )
     wcum = W.partitionBy("event_type", "_day").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
-    # NB: %s on a DateType renders the internal day count — cast first.
-    key = F.format_string(
-        "%s:%s", F.col("event_type"), F.col("_day").cast("string")
-    )
-    cum = banded.select(
+    cum = banded.join(F.broadcast(offs), ["event_type", "_day"]).select(
         "event_type",
         "event_id",
         "ts",
-        (map_s[key] + F.sum("v_c").over(wcum)).cast("bigint").alias("run_s"),
-        (map_n[key] + F.count("*").over(wcum)).cast("bigint").alias("run_i"),
+        (F.col("off_s") + F.sum("v_c").over(wcum)).cast("bigint").alias("run_s"),
+        (F.col("off_n") + F.count("*").over(wcum)).cast("bigint").alias("run_i"),
     )
     scored = cum.join(F.broadcast(m), "event_type").select(
         "event_type",
