@@ -108,6 +108,16 @@ BUDGETS = [
     # the gate catches the survivorship read rescanning history
     # per-epoch (quadratic in epoch count x corpus)
     ("stream_incremental_er", 20.0),
+    # round-16 additions: the CUSUM runs a day-banded distributed
+    # prefix sum — the gate catches it regressing to one task per
+    # event type (a per-type global sort shows up as a superlinear
+    # wall-clock tail once a type's whole stream funnels through one
+    # partition)
+    ("cusum_changepoint_events", 20.0),
+    # the budget selection ranks window-grain ONLY inside each
+    # language's single threshold band — the gate catches the banding
+    # collapsing to a per-language global running sum
+    ("curriculum_budget_selection", 20.0),
 ]
 
 
