@@ -1105,6 +1105,79 @@ def embedding_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_BENCH = 32  # vec_id < this = the held-out benchmark set
+CONTAM_TAU = 0.30  # cosine floor for a contamination flag
+
+
+@register(
+    "semantic_contamination_check",
+    f"""
+    WITH {_QUANT_CTE},
+    sc AS (
+      SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+             list_dot_product(CAST(c.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(c.e AS DOUBLE[]), CAST(c.e AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cosine
+      FROM q c JOIN q b ON b.vec_id < {CONTAM_BENCH}
+                       AND c.vec_id >= {CONTAM_BENCH}
+    )
+    SELECT corpus_id, bench_id, cosine
+    FROM (
+      SELECT corpus_id, bench_id, cosine,
+             row_number() OVER (PARTITION BY corpus_id
+                                ORDER BY cosine DESC, bench_id ASC) AS rk
+      FROM sc WHERE cosine >= {CONTAM_TAU}
+    ) WHERE rk = 1
+    """,
+)
+def semantic_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark-contamination check — the embedding-space
+    complement to benchmark_contamination's word-n-gram overlap (the
+    decontamination pass production corpora run before training, per
+    the GPT-3/Llama methodology): vectors with vec_id < {CONTAM_BENCH}
+    are the held-out benchmark set; every CORPUS vector whose cosine
+    to any benchmark vector reaches {CONTAM_TAU} is flagged with its
+    best-matching benchmark item (ties to the lower benchmark id) —
+    paraphrased or near-duplicate eval leakage that exact n-gram
+    matching misses.
+
+    Scale: the benchmark side is SMALL by construction (a fixed eval
+    suite), so it broadcasts and the corpus NEVER shuffles — one
+    map-side scoring pass ({CONTAM_BENCH}x in-flight expansion), the
+    threshold filter applied before any exchange, and the per-corpus
+    top-1 is a max_by aggregate whose map-side partials collapse the
+    expansion back to at most one row per corpus vector per
+    partition. Cosines are doubles from exact integer dots — the
+    threshold compare and the tie-break are bit-identical in both
+    engines."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    bench = emb.filter(F.col("vec_id") < CONTAM_BENCH).select(
+        F.col("vec_id").alias("bench_id"), F.col("e").alias("be")
+    )
+    corpus = emb.filter(F.col("vec_id") >= CONTAM_BENCH).select(
+        F.col("vec_id").alias("corpus_id"), "e"
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "corpus_id",
+        "bench_id",
+        (
+            _dot(F.col("e"), F.col("be")).cast("double")
+            / (
+                F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
+                * F.sqrt(_dot(F.col("be"), F.col("be")).cast("double"))
+            )
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= CONTAM_TAU)
+    return scored.groupBy("corpus_id").agg(
+        F.max_by(
+            "bench_id", F.struct(F.col("cosine"), (-F.col("bench_id")).alias("nb"))
+        ).alias("bench_id"),
+        F.max("cosine").alias("cosine"),
+    ).select("corpus_id", "bench_id", "cosine")
+
+
 SWEEP_PROBES = (1, 2, 4)  # nprobe operating points swept
 
 

@@ -2710,6 +2710,124 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deltas are comparable and integer-exact.
 DISAGREE_K = 50
 
+# Rank-biased overlap (Webber, Moffat & Zobel 2010): the standard
+# top-weighted similarity between two rankings — here the two quality
+# scorers' orderings. p fixes how fast attention decays down the list;
+# the geometric weights are precomputed in Python as exact BIGINT
+# fixed-point (floor(p^(d-1)·1e12)) and injected as literals into BOTH
+# engines, so no engine ever evaluates pow() (not correctly-rounded).
+RBO_DEPTH = 100
+RBO_P = 0.9  # documentation only — the weights below are the contract
+_RBO_W = [int((RBO_P ** (d - 1)) * 10**12) for d in range(1, RBO_DEPTH + 1)]
+
+
+def _rbo_oracle() -> str:
+    wts = ", ".join(f"({d}, {w})" for d, w in enumerate(_RBO_W, start=1))
+    return rf"""
+    WITH {_SURPRISAL_CTES},
+    {_GOPHER_LABELS_CTE},
+    {_NB_SCORE_CTES},
+    s_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY
+               CAST(n_tokens * q_ln_total - sum_q AS DOUBLE) / n_tokens ASC,
+               doc_id ASC) AS r_s
+      FROM per_doc, tot
+    ),
+    n_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score ASC, doc_id ASC) AS r_n
+      FROM l_scored
+    ),
+    m AS (
+      SELECT s.doc_id, greatest(s.r_s, n.r_n) AS md
+      FROM s_ranked s JOIN n_ranked n ON n.doc_id = s.doc_id
+      WHERE greatest(s.r_s, n.r_n) <= {RBO_DEPTH}
+    ),
+    rbo_w AS (SELECT * FROM (VALUES {wts}) AS t(d, w)),
+    xd AS (
+      SELECT t.d, t.w, CAST(COUNT(mm.md) AS BIGINT) AS x
+      FROM rbo_w t LEFT JOIN m mm ON mm.md <= t.d
+      GROUP BY t.d, t.w
+    ),
+    s AS (
+      SELECT CAST(SUM(w * x // d) AS BIGINT) AS ssum,
+             CAST(MAX(CASE WHEN d = {RBO_DEPTH} THEN x END) AS BIGINT)
+               AS overlap_at_depth
+      FROM xd
+    )
+    SELECT CAST({RBO_DEPTH} AS INT) AS depth,
+           overlap_at_depth,
+           CAST(ssum // 10000000 AS BIGINT) AS rbo_ppm
+    FROM s
+    """
+
+
+@register("rbo_scorer_agreement", _rbo_oracle())
+def rbo_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP between the two quality scorers' rankings —
+    the top-weighted agreement statistic (Webber, Moffat & Zobel 2010)
+    complementing scorer_disagreement_select's per-document triage:
+    RBO@{RBO_DEPTH} = (1−p)·Σ_d p^(d−1)·X_d/d where X_d is the overlap
+    of the two top-d prefixes (truncated prefix form; the residual
+    extrapolation is omitted — monitoring wants the comparable prefix
+    statistic). A falling RBO between the unsupervised surprisal
+    scorer and the learned NB scorer is the drift alarm on the scorer
+    pair itself. The geometric weights are exact BIGINT fixed-point
+    literals shared by both engines; X_d derives from each common
+    document's worse rank m = max(r_s, r_n) (in both top-d prefixes ⟺
+    m ≤ d), so one ≤{RBO_DEPTH}-row frame carries the whole curve;
+    every sum is integer.
+
+    Scale: only the top-{RBO_DEPTH} of each ranking can contribute, so
+    BOTH rank prefixes come from orderBy().limit() (TakeOrdered —
+    per-partition heaps, no global window anywhere, unlike the exact
+    disagreement query); the depth join is {RBO_DEPTH}×{RBO_DEPTH}
+    rows; the scorer plans themselves are the shared memoized
+    surprisal/NB passes."""
+    DEPTH = RBO_DEPTH
+    s_order = [
+        (F.col("surprisal_q").cast("double") / F.col("n_tokens")).asc(),
+        F.col("doc_id").asc(),
+    ]
+    s_top = (
+        _doc_surprisal(spark, sf_dir)
+        .orderBy(*s_order)
+        .limit(DEPTH)
+        .withColumn("r_s", F.row_number().over(W.orderBy(*s_order)).cast("bigint"))
+        .select("doc_id", "r_s")
+    )
+    n_order = [F.col("score").asc(), F.col("doc_id").asc()]
+    n_top = (
+        _nb_scored(spark, sf_dir)
+        .orderBy(*n_order)
+        .limit(DEPTH)
+        .withColumn("r_n", F.row_number().over(W.orderBy(*n_order)).cast("bigint"))
+        .select("doc_id", "r_n")
+    )
+    m = s_top.join(n_top, "doc_id").select(
+        F.greatest("r_s", "r_n").alias("md")
+    )
+    wts = spark.createDataFrame(
+        list(enumerate(_RBO_W, start=1)), "d long, w long"
+    )
+    xd = (
+        wts.join(F.broadcast(m), F.col("md") <= F.col("d"), "left")
+        .groupBy("d", "w")
+        .agg(F.count("md").cast("bigint").alias("x"))
+    )
+    s = xd.agg(
+        F.sum(F.expr("w * x div d")).cast("bigint").alias("ssum"),
+        F.max(F.when(F.col("d") == DEPTH, F.col("x")))
+        .cast("bigint")
+        .alias("overlap_at_depth"),
+    )
+    return s.select(
+        F.lit(DEPTH).cast("int").alias("depth"),
+        "overlap_at_depth",
+        F.expr("CAST(ssum div 10000000 AS BIGINT)").alias("rbo_ppm"),
+    )
+
 
 @register(
     "scorer_disagreement_select",

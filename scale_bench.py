@@ -235,6 +235,8 @@ QUERIES = [
     "copurchase_node_jaccard",  # sparsified wedge join + TakeOrdered
     "stream_vocab_coverage",  # token-store read (pays shared ingest)
     "stream_zipf_slope",  # token-store read, second reader
+    "semantic_contamination_check",  # broadcast-bench map scoring
+    "rbo_scorer_agreement",  # two TakeOrdered prefixes + 100-row curve
 ]
 
 
