@@ -5551,3 +5551,138 @@ def _register_token_store_readers() -> None:
 
 
 _register_token_store_readers()
+
+
+# ---- Incremental contamination flags (17th store kind) --------------------
+# The decontamination gate's PRODUCTION shape: the benchmark set is
+# fixed before ingest (an eval suite), corpus embeddings stream in, and
+# each epoch writes the flagged arrivals (corpus vectors within
+# CONTAM_TAU of any benchmark vector, with their best match) as an
+# append-only delta — a pure function of (static benchmark, frozen
+# batch), so the store is stateless mergeable at flag grain and replays
+# rewrite identical bytes. Resolve is a plain union: each corpus vector
+# arrives in exactly one epoch.
+_CONTAMSTORE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def ingest_contamination_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    store: str,
+    bench: DataFrame,
+) -> None:
+    """One contamination-gate epoch (module-level for the replay test):
+    score the batch's corpus vectors against the broadcast benchmark
+    set, keep rows at or above the flag threshold, reduce to the
+    per-vector best match, and write this epoch's flag delta."""
+    from ..operators.similarity import CONTAM_BENCH, CONTAM_TAU, _dot
+
+    corpus = batch_df.filter(F.col("vec_id") >= CONTAM_BENCH).select(
+        F.col("vec_id").alias("corpus_id"), "e"
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "corpus_id",
+        "bench_id",
+        (
+            _dot(F.col("e"), F.col("be")).cast("double")
+            / (
+                F.sqrt(_dot(F.col("e"), F.col("e")).cast("double"))
+                * F.sqrt(_dot(F.col("be"), F.col("be")).cast("double"))
+            )
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= CONTAM_TAU)
+    (
+        scored.groupBy("corpus_id")
+        .agg(
+            F.max_by(
+                "bench_id",
+                F.struct(F.col("cosine"), (-F.col("bench_id")).alias("nb")),
+            ).alias("bench_id"),
+            F.max("cosine").alias("cosine"),
+        )
+        .select("corpus_id", "bench_id", "cosine")
+        .write.mode("overwrite")
+        .parquet(f"{store}/flags/epoch={epoch_id}")
+    )
+
+
+def _contam_bench_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import CONTAM_BENCH, _quantize
+
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < CONTAM_BENCH)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            _quantize("embedding").alias("be"),
+        )
+    )
+
+
+def _register_stream_contamination() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_semantic_contamination",
+        lambda: _REG["semantic_contamination_check"].oracle,
+    )
+    def stream_semantic_contamination(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """INCREMENTAL semantic decontamination — the 17th store kind:
+        corpus embeddings stream in id segments (the shared memoized
+        split), each epoch scores ONLY its arrivals against the fixed
+        broadcast benchmark set and appends the flagged rows, and the
+        accumulated flags equal the batch semantic_contamination_check
+        — hash-gated on the same oracle. This is the shape a live
+        ingest pipeline actually wants: leakage flagged the moment a
+        document arrives, never a corpus rescan, and the store is a
+        pure union (stateless mergeable at flag grain — the purest
+        store algebra here alongside assoc-rules and token counts).
+
+        Scale: per epoch one O(batch) broadcast scoring pass (the
+        corpus never shuffles; the threshold filters before any
+        exchange; max_by partials collapse the bench expansion);
+        resolve is one read of the flag deltas; replay-idempotent
+        (pure function of the static benchmark + the frozen batch —
+        test-locked)."""
+        tune(spark)
+        key = (spark.sparkContext.applicationId, sf_dir)
+        store = _CONTAMSTORE_MEMO.get(key)
+        if store is None:
+            store = _e2e_tmpdir("alrs_contam_store_")
+            src = _ensure_emb_segment_split(spark, sf_dir)
+            bench = _contam_bench_frame(spark, sf_dir)
+            stream = (
+                spark.readStream.schema("vec_id long, e array<long>")
+                .option("pathGlobFilter", "part-*")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+            def update(batch_df: DataFrame, epoch_id: int) -> None:
+                ingest_contamination_epoch(
+                    spark, batch_df, epoch_id, store, bench
+                )
+
+            with _stream_shuffle(spark):
+                q = (
+                    stream.writeStream.foreachBatch(update)
+                    .option(
+                        "checkpointLocation", _e2e_tmpdir("alrs_contam_ckpt_")
+                    )
+                    .start()
+                )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            _CONTAMSTORE_MEMO[key] = store
+
+        return spark.read.parquet(f"{store}/flags").select(
+            "corpus_id", "bench_id", "cosine"
+        )
+
+
+_register_stream_contamination()

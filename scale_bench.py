@@ -237,6 +237,7 @@ QUERIES = [
     "stream_zipf_slope",  # token-store read, second reader
     "semantic_contamination_check",  # broadcast-bench map scoring
     "rbo_scorer_agreement",  # two TakeOrdered prefixes + 100-row curve
+    "stream_semantic_contamination",  # 17th store: per-epoch flag deltas
 ]
 
 
@@ -1008,6 +1009,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._BASKETSPLIT_MEMO.clear()
     _sq._RULESSTORE_MEMO.clear()
     _sq._TOKSTORE_MEMO.clear()
+    _sq._CONTAMSTORE_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel

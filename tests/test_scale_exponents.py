@@ -152,6 +152,7 @@ def _run(spark, fn, sf_dir: str) -> float:
     _sq._BASKETSPLIT_MEMO.clear()
     _sq._RULESSTORE_MEMO.clear()
     _sq._TOKSTORE_MEMO.clear()
+    _sq._CONTAMSTORE_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel

@@ -1634,3 +1634,54 @@ def test_incremental_token_counts_replay_and_batch_equal(spark, tmp_path):
     run_epoch(0)  # head replay
     run_epoch(2)  # mid replay
     assert resolved() == before
+
+
+def test_incremental_contamination_replay_and_batch_equal(spark, tmp_path):
+    """Contamination-flag maintenance (17th store kind, stateless
+    mergeable at flag grain): epochs are pure functions of (static
+    benchmark, own batch), the union of flag deltas equals the batch
+    semantic_contamination_check, and replaying any epoch leaves the
+    store identical."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.similarity import (
+        semantic_contamination_check,
+    )
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        _contam_bench_frame,
+        _ensure_emb_segment_split,
+        ingest_contamination_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = _ensure_emb_segment_split(spark, sf)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert files
+    store = str(tmp_path / "store")
+    bench = _contam_bench_frame(spark, sf)
+
+    def run_epoch(i):
+        ingest_contamination_epoch(
+            spark, spark.read.parquet(files[i]), i, store, bench
+        )
+
+    for i in range(len(files)):
+        run_epoch(i)
+
+    def resolved():
+        return {
+            (r["corpus_id"], r["bench_id"], r["cosine"])
+            for r in spark.read.parquet(f"{store}/flags").collect()
+        }
+
+    before = resolved()
+    batch = {
+        (r["corpus_id"], r["bench_id"], r["cosine"])
+        for r in semantic_contamination_check(spark, sf).collect()
+    }
+    assert before == batch, "stream-maintained flags != batch gate"
+    assert before, "vacuous: no contamination flagged on the fixture"
+
+    run_epoch(0)
+    run_epoch(len(files) - 1)
+    assert resolved() == before
