@@ -20,7 +20,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.scalar import dec
 from ..plans.registry import register
-from ..session import table
+from ..session import defer_unpersist, table
 
 SESSION_GAP_MIN = 30
 
@@ -2810,19 +2810,24 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("day").alias("pd"))
     )
     mx = ev.agg(F.max("day").alias("m"))
-    lab = (
-        u.join(p, "user_id", "left")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.date_trunc("week", F.col("fd")).cast("date").alias("cohort_week"),
-            F.when(
-                F.col("pd").isNull(), F.datediff(F.col("m"), F.col("fd"))
-            )
-            .otherwise(F.datediff(F.col("pd"), F.col("fd")))
-            .cast("bigint")
-            .alias("t_days"),
-            F.when(F.col("pd").isNull(), 1).otherwise(0).alias("cen"),
+    return _km_curve_from_user_times(u.join(p, "user_id", "left"), mx)
+
+
+def _km_curve_from_user_times(up: DataFrame, mx: DataFrame) -> DataFrame:
+    """Kaplan–Meier epilogue over a user-times frame (user_id, fd
+    first-event day, pd nullable first-conversion day) and a 1-row
+    observation-end frame (m) — shared by the batch
+    kaplan_meier_conversion and the min-merge-store-served
+    stream_kaplan_meier (streaming.stream_queries)."""
+    lab = up.crossJoin(F.broadcast(mx)).select(
+        F.date_trunc("week", F.col("fd")).cast("date").alias("cohort_week"),
+        F.when(
+            F.col("pd").isNull(), F.datediff(F.col("m"), F.col("fd"))
         )
+        .otherwise(F.datediff(F.col("pd"), F.col("fd")))
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("pd").isNull(), 1).otherwise(0).alias("cen"),
     )
     g = lab.groupBy("cohort_week", "t_days").agg(
         F.sum(1 - F.col("cen")).cast("bigint").alias("converted"),
@@ -2865,4 +2870,321 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "converted",
         "censored",
         F.sum("term").over(wcum).cast("bigint").alias("km_ln_q"),
+    )
+
+
+MARKOV_VI_ROUNDS = 16  # unrolled value-iteration rounds (truncated contract)
+MARKOV_TARGET = "purchase"  # the absorbing conversion state
+
+
+def _markov_absorption_oracle() -> str:
+    rounds = []
+    for k in range(MARKOV_VI_ROUNDS):
+        rounds.append(f"""e{k + 1} AS (
+      SELECT t.prev_type AS typ,
+             CAST(1000 + COALESCE(SUM(t.p_ppm * COALESCE(e.v, 0)
+                                      // 1000000), 0) AS BIGINT) AS v
+      FROM pm t LEFT JOIN e{k} e ON e.typ = t.event_type
+                                AND t.event_type <> '{MARKOV_TARGET}'
+      GROUP BY t.prev_type
+    )""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    ),
+    pm AS (
+      SELECT prev_type, event_type,
+             CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type)
+                  AS BIGINT) AS p_ppm
+      FROM pairs
+    ),
+    e0 AS (SELECT DISTINCT prev_type AS typ, CAST(0 AS BIGINT) AS v
+           FROM pm WHERE prev_type <> '{MARKOV_TARGET}'),
+    {", ".join(rounds)},
+    conv AS (
+      SELECT prev_type AS typ, p_ppm AS conv_p_ppm
+      FROM pm WHERE event_type = '{MARKOV_TARGET}'
+    )
+    SELECT e.typ AS event_type,
+           e.v AS expected_steps_milli,
+           CAST(COALESCE(c.conv_p_ppm, 0) AS BIGINT) AS conv_p_ppm
+    FROM e{MARKOV_VI_ROUNDS} e LEFT JOIN conv c ON c.typ = e.typ
+    """
+
+
+@register("markov_absorption_time", _markov_absorption_oracle())
+def markov_absorption_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-PASSAGE TIME to conversion in the behavioral Markov chain
+    — the absorbing-chain statistic built on event_transition_matrix:
+    from each event type, the expected number of events until the next
+    '{MARKOV_TARGET}' (for the {MARKOV_TARGET} row itself: the
+    RECURRENCE time to the next one), estimated by
+    {MARKOV_VI_ROUNDS} rounds of integer value iteration
+    E ← 1 + P·E with E({MARKOV_TARGET}) pinned to 0 — the truncated
+    fixed-round contract (the LPA-rounds pattern: a pure function of
+    the chain, unrolled identically in the oracle). Probabilities are
+    the matrix's own ppm integers; expectations accumulate in
+    milli-steps; every multiply-divide is BIGINT — both engines run
+    the identical recurrence. Alongside each expectation: the one-step
+    conversion probability (ppm).
+
+    Scale: the distributed work is the lag window (user-partitioned,
+    bounded sequences) + the |types|²-cell aggregate; the chain solve
+    runs on that bounded cell table collected to the driver (the
+    doremi/kmeans bounded-driver-state pattern — O(100) event types at
+    any corpus size) and the result frame derives from the cell frame
+    by a broadcast join."""
+    seq = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pm = pairs.select(
+        "prev_type",
+        "event_type",
+        F.expr(
+            "CAST(n * 1000000 div SUM(n) OVER (PARTITION BY prev_type)"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    ).persist()
+    defer_unpersist(pm)
+    # Bounded collect: |event types|^2 cells (see scale note).
+    cells = pm.collect()
+    p: dict[str, dict[str, int]] = {}
+    for r in cells:
+        p.setdefault(r["prev_type"], {})[r["event_type"]] = int(r["p_ppm"])
+    types = sorted(p)
+    e = {t: 0 for t in types}
+    for _ in range(MARKOV_VI_ROUNDS):
+        e = {
+            i: 1000
+            + sum(
+                pij * (e.get(j, 0) if j != MARKOV_TARGET else 0) // 1_000_000
+                for j, pij in p[i].items()
+            )
+            for i in types
+        }
+    edf = spark.createDataFrame(
+        [(t, int(e[t]), int(p[t].get(MARKOV_TARGET, 0))) for t in types],
+        "event_type string, expected_steps_milli long, conv_p_ppm long",
+    )
+    # Tie the result to the distributed cell frame (one row per type).
+    base = pm.select(F.col("prev_type").alias("event_type")).distinct()
+    return base.join(F.broadcast(edf), "event_type").select(
+        "event_type", "expected_steps_milli", "conv_p_ppm"
+    )
+
+
+@register(
+    "logrank_conversion_ab",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_type, value, CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    u AS (SELECT user_id, MIN(day) AS fd FROM ev GROUP BY user_id),
+    p AS (
+      SELECT user_id, MIN(day) AS pd
+      FROM ev WHERE event_type = 'purchase' AND value >= {KM_VALUE_FLOOR}
+      GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(day) AS m FROM ev),
+    lab AS (
+      SELECT CAST(u.user_id % 2 AS INT) AS grp,
+             CASE WHEN p.pd IS NULL THEN mx.m - u.fd
+                  ELSE p.pd - u.fd END AS t,
+             CASE WHEN p.pd IS NULL THEN 1 ELSE 0 END AS cen
+      FROM u LEFT JOIN p ON p.user_id = u.user_id CROSS JOIN mx
+    ),
+    g AS (
+      SELECT CAST(t AS BIGINT) AS t_days,
+             CAST(SUM(CASE WHEN grp = 1 AND cen = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 1 AND cen = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = 0 AND cen = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d0,
+             CAST(SUM(CASE WHEN grp = 0 AND cen = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c0
+      FROM lab GROUP BY t_days
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1t,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0t
+      FROM lab
+    ),
+    r AS (
+      SELECT g.*,
+             CAST(tot.n1t - COALESCE(SUM(g.d1 + g.c1) OVER (ORDER BY g.t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1,
+             CAST(tot.n0t - COALESCE(SUM(g.d0 + g.c0) OVER (ORDER BY g.t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n0
+      FROM g CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT d1, d0, n1, n0, n1 + n0 AS n, d1 + d0 AS d,
+             CAST(d1 * 1000000 - (d1 + d0) * n1 * 1000000 // (n1 + n0)
+                  AS BIGINT) AS oe_q,
+             CAST((d1 + d0)
+                  * ((n1 * 1000000 // (n1 + n0))
+                     * ((n1 + n0 - n1) * 1000000 // (n1 + n0)) // 1000000)
+                  * (CASE WHEN n1 + n0 - 1 = 0 THEN 0
+                          ELSE (n1 + n0 - (d1 + d0)) * 1000000
+                               // (n1 + n0 - 1) END)
+                  // 1000000 AS BIGINT) AS v_q
+      FROM r WHERE d1 + d0 > 0
+    ),
+    s AS (
+      SELECT CAST(SUM(oe_q) AS BIGINT) AS oe_q,
+             CAST(SUM(v_q) AS BIGINT) AS var_q,
+             CAST(SUM(d1) AS BIGINT) AS events1,
+             CAST(SUM(d0) AS BIGINT) AS events0
+      FROM terms
+    )
+    SELECT tot.n1t AS n_group1, tot.n0t AS n_group0,
+           s.events1, s.events0, s.oe_q, s.var_q,
+           CAST(CASE WHEN s.var_q = 0 THEN 0 ELSE floor(
+             (CAST(s.oe_q AS DOUBLE) / 1000000)
+             * (CAST(s.oe_q AS DOUBLE) / 1000000)
+             / (CAST(s.var_q AS DOUBLE) / 1000000) * 1000) END AS BIGINT)
+             AS logrank_z2_milli
+    FROM s CROSS JOIN tot
+    """,
+)
+def logrank_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST between two exposure groups' time-to-conversion
+    curves — the censoring-aware A/B significance test that pairs with
+    kaplan_meier_conversion (Mantel 1966; comparing raw conversion
+    rates ignores that censored users had less time to convert): users
+    hash-assign to groups by id parity (the dataset_split_assign
+    pattern — on this fixture the groups are exchangeable, so the
+    statistic should sit near zero; the OPERATOR is the deliverable),
+    share the KM clock (first event → first value-≥{KM_VALUE_FLOOR}
+    purchase, censored at observation end), and at every conversion
+    time the observed group-1 conversions compare against the
+    hypergeometric expectation, with the matching variance. All terms
+    are stepwise ppm-quantized BIGINT (each factor ≤ 1e6 before the
+    next multiply, so nothing overflows up to ~1e9 users); the final
+    χ² forms from the two exact integer sums via correctly-rounded
+    double multiply/divide only (no pow, no ln), emitted as
+    milli-units.
+
+    Scale: user-grain aggregates (map-side combined) collapse to a
+    conversion-time-grain frame bounded by the observation calendar —
+    the running at-risk sums and the term sums never see user-grain
+    rows."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    u = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
+    p = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= KM_VALUE_FLOOR)
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("pd"))
+    )
+    mx = ev.agg(F.max("day").alias("m"))
+    lab = (
+        u.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+            F.when(
+                F.col("pd").isNull(), F.datediff(F.col("m"), F.col("fd"))
+            )
+            .otherwise(F.datediff(F.col("pd"), F.col("fd")))
+            .cast("bigint")
+            .alias("t_days"),
+            F.when(F.col("pd").isNull(), 1).otherwise(0).alias("cen"),
+        )
+    )
+    g = lab.groupBy("t_days").agg(
+        F.sum(F.when((F.col("grp") == 1) & (F.col("cen") == 0), 1).otherwise(0))
+        .cast("bigint").alias("d1"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("cen") == 1), 1).otherwise(0))
+        .cast("bigint").alias("c1"),
+        F.sum(F.when((F.col("grp") == 0) & (F.col("cen") == 0), 1).otherwise(0))
+        .cast("bigint").alias("d0"),
+        F.sum(F.when((F.col("grp") == 0) & (F.col("cen") == 1), 1).otherwise(0))
+        .cast("bigint").alias("c0"),
+    )
+    tot = lab.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1t"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0t"),
+    )
+    # The running at-risk window runs over the conversion-time grain —
+    # bounded by the observation calendar, never user-grain (see note).
+    wprev = W.orderBy(F.col("t_days").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (
+            F.col("n1t")
+            - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(wprev), F.lit(0))
+        ).cast("bigint").alias("n1"),
+        (
+            F.col("n0t")
+            - F.coalesce(F.sum(F.col("d0") + F.col("c0")).over(wprev), F.lit(0))
+        ).cast("bigint").alias("n0"),
+    )
+    terms = r.filter(F.col("d1") + F.col("d0") > 0).select(
+        "d1",
+        "d0",
+        F.expr(
+            "CAST(d1 * 1000000 - (d1 + d0) * n1 * 1000000 div (n1 + n0)"
+            " AS BIGINT)"
+        ).alias("oe_q"),
+        F.expr(
+            "CAST((d1 + d0)"
+            " * ((n1 * 1000000 div (n1 + n0))"
+            "    * ((n1 + n0 - n1) * 1000000 div (n1 + n0)) div 1000000)"
+            " * (CASE WHEN n1 + n0 - 1 = 0 THEN 0"
+            "         ELSE (n1 + n0 - (d1 + d0)) * 1000000"
+            "              div (n1 + n0 - 1) END)"
+            " div 1000000 AS BIGINT)"
+        ).alias("v_q"),
+    )
+    s = terms.agg(
+        F.sum("oe_q").cast("bigint").alias("oe_q"),
+        F.sum("v_q").cast("bigint").alias("var_q"),
+        F.sum("d1").cast("bigint").alias("events1"),
+        F.sum("d0").cast("bigint").alias("events0"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("n1t").alias("n_group1"),
+        F.col("n0t").alias("n_group0"),
+        "events1",
+        "events0",
+        "oe_q",
+        "var_q",
+        F.expr(
+            "CAST(CASE WHEN var_q = 0 THEN 0 ELSE floor("
+            " (CAST(oe_q AS DOUBLE) / 1000000)"
+            " * (CAST(oe_q AS DOUBLE) / 1000000)"
+            " / (CAST(var_q AS DOUBLE) / 1000000) * 1000) END AS BIGINT)"
+        ).alias("logrank_z2_milli"),
     )

@@ -5686,3 +5686,145 @@ def _register_stream_contamination() -> None:
 
 
 _register_stream_contamination()
+
+
+# ---- Incremental user-time store (18th store kind) -------------------------
+# Kaplan–Meier needs only (per user: first event day, first qualifying
+# conversion day) plus the observation end — and ALL THREE are
+# MIN/MAX-MERGEABLE: epochs may split the event stream ARBITRARILY (by
+# arrival time, no whole-user ranges needed, unlike the whole-basket
+# constraint the rules store carries), each epoch writes its batch's
+# per-user minima + a 1-row day maximum, and the resolved min/max
+# equals the batch scan. The first order-statistic-merge store kind
+# (sum-merge: rules/token; this: min/max-merge at user grain).
+INC_KM_EPOCHS = 4
+
+_EVSPLIT_MEMO: dict[tuple[str, str, int], str] = {}
+_KMSTORE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ensure_event_split(spark: SparkSession, sf_dir: str, n: int) -> str:
+    """ts-range split of the event stream (arrival order — users span
+    epochs freely; the min-merge algebra doesn't care). Memoized."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    cached = _EVSPLIT_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("event_split_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("event_split_build")
+    src = _e2e_tmpdir("alrs_evsplit_")
+    ev = normalize_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("day"),
+    )
+    ev.repartitionByRange(n, "day").write.mode("overwrite").parquet(src)
+    _EVSPLIT_MEMO[key] = src
+    return src
+
+
+def ingest_km_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One user-time maintenance epoch (module-level for the replay
+    test): the batch's per-user first-event/first-conversion day
+    minima and the batch's day maximum — pure functions of the frozen
+    batch alone, resolved downstream by global MIN/MAX."""
+    from ..operators.windows_sql import KM_VALUE_FLOOR
+
+    (
+        batch_df.groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= KM_VALUE_FLOOR),
+                    F.col("day"),
+                )
+            ).alias("pd"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{store}/usertimes/epoch={epoch_id}")
+    )
+    (
+        batch_df.agg(F.max("day").alias("m"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/maxday/epoch={epoch_id}")
+    )
+
+
+def _register_stream_km() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_kaplan_meier",
+        lambda: _REG["kaplan_meier_conversion"].oracle,
+    )
+    def stream_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED survival curve — the 18th store kind: events
+        stream in ARRIVAL-TIME ranges (users span epochs freely — the
+        min/max-merge algebra needs no whole-entity batching, unlike
+        the rules store's whole-basket constraint), each epoch writes
+        per-user first-event/first-conversion day minima plus a 1-row
+        day maximum, and the resolved minima feed the batch query's
+        own Kaplan–Meier epilogue (windows_sql._km_curve_from_user_times)
+        — hash-gated equal to kaplan_meier_conversion. The production
+        loop: the live conversion curve advances one O(batch)
+        aggregate per epoch, re-derivable at any point without
+        rescanning event history.
+
+        Scale: per epoch one map-side-combined user-grain aggregate of
+        the batch alone; resolve is a min/max roll-up of the epoch
+        deltas; replay-idempotent (pure function of the frozen batch —
+        test-locked)."""
+        from ..operators.windows_sql import _km_curve_from_user_times
+
+        tune(spark)
+        key = (spark.sparkContext.applicationId, sf_dir)
+        store = _KMSTORE_MEMO.get(key)
+        if store is None:
+            store = _e2e_tmpdir("alrs_km_store_")
+            src = _ensure_event_split(spark, sf_dir, INC_KM_EPOCHS)
+            schema = "user_id long, event_type string, value double, day date"
+            stream = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "part-*")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+            def update(batch_df: DataFrame, epoch_id: int) -> None:
+                ingest_km_epoch(spark, batch_df, epoch_id, store)
+
+            with _stream_shuffle(spark):
+                q = (
+                    stream.writeStream.foreachBatch(update)
+                    .option(
+                        "checkpointLocation", _e2e_tmpdir("alrs_km_ckpt_")
+                    )
+                    .start()
+                )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            _KMSTORE_MEMO[key] = store
+
+        up = (
+            spark.read.parquet(f"{store}/usertimes")
+            .groupBy("user_id")
+            .agg(F.min("fd").alias("fd"), F.min("pd").alias("pd"))
+        )
+        mx = spark.read.parquet(f"{store}/maxday").agg(
+            F.max("m").alias("m")
+        )
+        return _km_curve_from_user_times(up, mx)
+
+
+_register_stream_km()

@@ -239,6 +239,9 @@ QUERIES = [
     "rbo_scorer_agreement",  # two TakeOrdered prefixes + 100-row curve
     "stream_semantic_contamination",  # 17th store: per-epoch flag deltas
     "kaplan_meier_conversion",  # user-grain aggs + calendar-bounded curve
+    "markov_absorption_time",  # lag window + bounded-cell driver solve
+    "logrank_conversion_ab",  # time-grain hypergeometric terms
+    "stream_kaplan_meier",  # 18th store: min/max-merge user times
 ]
 
 
@@ -1011,6 +1014,8 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._RULESSTORE_MEMO.clear()
     _sq._TOKSTORE_MEMO.clear()
     _sq._CONTAMSTORE_MEMO.clear()
+    _sq._EVSPLIT_MEMO.clear()
+    _sq._KMSTORE_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel

@@ -153,6 +153,8 @@ def _run(spark, fn, sf_dir: str) -> float:
     _sq._RULESSTORE_MEMO.clear()
     _sq._TOKSTORE_MEMO.clear()
     _sq._CONTAMSTORE_MEMO.clear()
+    _sq._EVSPLIT_MEMO.clear()
+    _sq._KMSTORE_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel

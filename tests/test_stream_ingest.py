@@ -1685,3 +1685,79 @@ def test_incremental_contamination_replay_and_batch_equal(spark, tmp_path):
     run_epoch(0)
     run_epoch(len(files) - 1)
     assert resolved() == before
+
+
+def test_incremental_km_replay_and_batch_equal(spark, tmp_path):
+    """User-time maintenance (18th store kind, min/max-merge at user
+    grain over ARBITRARY arrival-order epochs): epochs are pure
+    functions of their own batch, the resolved minima equal the batch
+    scan, and replaying any epoch leaves the store identical."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.operators.windows_sql import (
+        KM_VALUE_FLOOR,
+    )
+    from aws_lambda_redshift_loader_spark.session import table
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_KM_EPOCHS,
+        _ensure_event_split,
+        ingest_km_epoch,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    src = _ensure_event_split(spark, sf, INC_KM_EPOCHS)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == INC_KM_EPOCHS
+    store = str(tmp_path / "store")
+
+    def run_epoch(i):
+        ingest_km_epoch(spark, spark.read.parquet(files[i]), i, store)
+
+    for i in range(INC_KM_EPOCHS):
+        run_epoch(i)
+
+    def resolved():
+        ut = {
+            (r["user_id"], r["fd"], r["pd"])
+            for r in spark.read.parquet(f"{store}/usertimes")
+            .groupBy("user_id")
+            .agg(F.min("fd").alias("fd"), F.min("pd").alias("pd"))
+            .collect()
+        }
+        m = spark.read.parquet(f"{store}/maxday").agg(
+            F.max("m").alias("m")
+        ).collect()[0]["m"]
+        return ut, m
+
+    before, m_before = resolved()
+    ev = table(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    batch = {
+        (r["user_id"], r["fd"], r["pd"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= KM_VALUE_FLOOR),
+                    F.col("day"),
+                )
+            ).alias("pd"),
+        )
+        .collect()
+    }
+    assert before == batch, "stream-maintained user times != batch scan"
+    assert m_before == ev.agg(F.max("day")).collect()[0][0]
+    # users genuinely span epochs (the arbitrary-split claim is live)
+    per_epoch_users = [
+        {r["user_id"] for r in spark.read.parquet(f).select("user_id").distinct().collect()}
+        for f in files
+    ]
+    assert per_epoch_users[0] & per_epoch_users[-1], "no user spans epochs"
+
+    run_epoch(0)
+    run_epoch(2)
+    assert resolved() == (before, m_before)
