@@ -5647,10 +5647,15 @@ def _register_stream_contamination() -> None:
         resolve is one read of the flag deltas; replay-idempotent
         (pure function of the static benchmark + the frozen batch —
         test-locked)."""
+        from ..operators import dedup as _dedup
+
         tune(spark)
         key = (spark.sparkContext.applicationId, sf_dir)
         store = _CONTAMSTORE_MEMO.get(key)
+        if store is not None:
+            _dedup.MEMO_EVENTS.append("contam_ingest_hit")
         if store is None:
+            _dedup.MEMO_EVENTS.append("contam_ingest_build")
             store = _e2e_tmpdir("alrs_contam_store_")
             src = _ensure_emb_segment_split(spark, sf_dir)
             bench = _contam_bench_frame(spark, sf_dir)
@@ -5785,10 +5790,15 @@ def _register_stream_km() -> None:
         test-locked)."""
         from ..operators.windows_sql import _km_curve_from_user_times
 
+        from ..operators import dedup as _dedup
+
         tune(spark)
         key = (spark.sparkContext.applicationId, sf_dir)
         store = _KMSTORE_MEMO.get(key)
+        if store is not None:
+            _dedup.MEMO_EVENTS.append("km_ingest_hit")
         if store is None:
+            _dedup.MEMO_EVENTS.append("km_ingest_build")
             store = _e2e_tmpdir("alrs_km_store_")
             src = _ensure_event_split(spark, sf_dir, INC_KM_EPOCHS)
             schema = "user_id long, event_type string, value double, day date"
