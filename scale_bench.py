@@ -1045,7 +1045,14 @@ def main() -> None:
         run_probe()
         return
     # Optional query-name args: re-measure a subset (results merge into an
-    # existing BENCH_SCALE.json instead of replacing it).
+    # existing BENCH_SCALE.json instead of replacing it). --warm adds an
+    # untimed 1x warm-up run per query before the timed pair: the
+    # session-level pricing_summary warmer does not JIT every plan
+    # shape, and on cheap queries the cold 1x run inflates the
+    # denominator enough to produce spurious sub-zero exponents (the
+    # r16 survival family) or, run warm-last, spurious >1 exponents
+    # (community_modularity's 1.08-in-a-warm-sweep-tail artifact).
+    warm = "--warm" in sys.argv
     subset = [a for a in sys.argv[1:] if a in QUERIES]
     build_fixture()
 
@@ -1070,6 +1077,9 @@ def main() -> None:
         f"@bits={os.environ['ALRS_LSH_BITS']}" if os.environ.get("ALRS_LSH_BITS") else ""
     )
     for name in subset or QUERIES:
+        if warm:
+            print(f"# scale-bench {name} warm-up", file=sys.stderr, flush=True)
+            run(spark, specs, SRC, name)
         print(f"# scale-bench {name} @1x", file=sys.stderr, flush=True)
         t1 = run(spark, specs, SRC, name)
         print(f"# scale-bench {name} @10x", file=sys.stderr, flush=True)
@@ -1082,6 +1092,8 @@ def main() -> None:
             # time ~ size^e  =>  e = log10(t10/t1) for a 10x size step.
             "exponent": round(math.log10(ratio), 2) if ratio and ratio > 0 else None,
         }
+        if warm:
+            results[name + key_suffix]["warmed"] = True
         print(f"# {name}: {t1}s -> {t10}s (ratio {ratio})", file=sys.stderr, flush=True)
 
     # The union-find fast path absorbs every fixture-scale edge list, so
