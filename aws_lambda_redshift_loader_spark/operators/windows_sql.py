@@ -2956,6 +2956,14 @@ def markov_absorption_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    return _markov_vi(spark, pairs)
+
+
+def _markov_vi(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Integer value-iteration epilogue over a (prev_type, event_type,
+    n) pair-count frame — shared by the batch markov_absorption_time
+    and the transition-store-served stream_markov_absorption
+    (streaming.stream_queries)."""
     pm = pairs.select(
         "prev_type",
         "event_type",

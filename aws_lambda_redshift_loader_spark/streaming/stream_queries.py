@@ -5838,3 +5838,259 @@ def _register_stream_km() -> None:
 
 
 _register_stream_km()
+
+
+# ---- Incremental transition-pair store (19th store kind) ------------------
+# The behavioral transition matrix is a count of ADJACENT event pairs
+# per user — and adjacency crosses micro-batch boundaries, so a naive
+# per-epoch lag() silently DROPS every pair whose two events arrive in
+# different epochs. The store therefore keeps, per epoch: (a) the
+# batch's INTERNAL pair counts, and (b) one BOUNDARY row per user
+# (the user's first and last event of the epoch). Resolve = internal
+# sums + the stitched boundary pairs: order each user's epochs, pair
+# epoch k's last event with the user's NEXT present epoch's first
+# event (users appear in sparse epoch subsets — the stitch window runs
+# over (user, epoch)-grain rows, bounded by the epoch count). The
+# first SEQUENCE-STITCHING store kind: sum-merge for the bulk, an
+# explicit order-dependent boundary algebra for the seams.
+INC_TRANS_EPOCHS = 4
+
+_TRANSSTORE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def ingest_transition_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One transition-maintenance epoch (module-level for the replay
+    test): internal adjacent-pair counts + per-user boundary events —
+    both pure functions of the frozen batch alone."""
+    from pyspark.sql.window import Window as W
+
+    wseq = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = batch_df.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    )
+    (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/internal/epoch={epoch_id}")
+    )
+    (
+        batch_df.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias(
+                "first_type"
+            ),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias(
+                "last_type"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{store}/boundary/epoch={epoch_id}")
+    )
+
+
+def resolve_transition_counts(spark: SparkSession, store: str) -> DataFrame:
+    """(prev_type, event_type, n) resolved from the epoch deltas:
+    internal sums + the stitched cross-epoch boundary pairs."""
+    from pyspark.sql.window import Window as W
+
+    internal = (
+        spark.read.parquet(f"{store}/internal")
+        .groupBy("prev_type", "event_type")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+    )
+    b = spark.read.parquet(f"{store}/boundary")
+    wnext = W.partitionBy("user_id").orderBy(F.col("epoch").asc())
+    seams = (
+        b.select(
+            "user_id",
+            "epoch",
+            "last_type",
+            F.lead("first_type").over(wnext).alias("next_first"),
+        )
+        .filter(F.col("next_first").isNotNull())
+        .groupBy(
+            F.col("last_type").alias("prev_type"),
+            F.col("next_first").alias("event_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        internal.unionByName(seams)
+        .groupBy("prev_type", "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def _ensure_transition_store(spark: SparkSession, sf_dir: str) -> str:
+    """Run (once per session per corpus) the stitched transition
+    maintenance stream and return the store path. Memoized:
+    stream_transition_matrix and stream_markov_absorption share one
+    ingest (the bill-payer pattern)."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _TRANSSTORE_MEMO.get(key)
+    if store is not None:
+        _dedup.MEMO_EVENTS.append("trans_ingest_hit")
+        return store
+    _dedup.MEMO_EVENTS.append("trans_ingest_build")
+    store = _e2e_tmpdir("alrs_trans_store_")
+    src = _ensure_event_ts_split(spark, sf_dir, INC_TRANS_EPOCHS)
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_transition_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_trans_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _TRANSSTORE_MEMO[key] = store
+    return store
+
+
+def _register_stream_transitions() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_transition_matrix",
+        lambda: _REG["event_transition_matrix"].oracle,
+    )
+    def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED behavioral transition matrix — the 19th store
+        kind and the first SEQUENCE-STITCHING one: events stream in
+        arrival-time ranges (users span epochs freely), each epoch
+        writes its internal adjacent-pair counts plus one boundary row
+        per user (first/last event of the epoch), and resolve stitches
+        epoch k's last event to the user's NEXT present epoch's first
+        event — recovering exactly the pairs a per-batch lag() would
+        silently drop at every micro-batch seam (the classic streaming
+        sessionization bug, made into store algebra). Hash-gated on
+        the batch event_transition_matrix oracle: stitched counts ==
+        one global lag over history.
+
+        Scale: per epoch one user-partitioned lag over the batch alone
+        + a |types|²-cell aggregate + a user-grain min_by/max_by (all
+        map-side combined); resolve is epoch-partition sums plus a
+        stitch window over (user, epoch)-grain rows — bounded by the
+        user's epoch presence, never event-grain; replay-idempotent
+        (pure function of the frozen batch — test-locked)."""
+        tune(spark)
+        store = _ensure_transition_store(spark, sf_dir)
+        pairs = resolve_transition_counts(spark, store)
+        return pairs.select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.expr(
+                "CAST((n * 1000000) div SUM(n) OVER (PARTITION BY prev_type)"
+                " AS BIGINT)"
+            ).alias("prob_q"),
+        )
+
+    @register(
+        "stream_markov_absorption",
+        lambda: _REG["markov_absorption_time"].oracle,
+    )
+    def stream_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED first-passage time: the transition store's
+        second reader (one stitched ingest, two behavioral monitors).
+        The resolved pair counts feed the batch query's own integer
+        value iteration (windows_sql._markov_vi over the bounded cell
+        table), hash-gated equal to markov_absorption_time. The live
+        form of the conversion-distance metric: as events stream in,
+        the chain's expectations re-derive from store sums without
+        replaying any user history.
+
+        Scale: the shared stitched ingest (memoized) + the bounded
+        cell resolve + the driver-side solve; this entry adds no
+        ingest of its own."""
+        from ..operators.windows_sql import _markov_vi
+
+        tune(spark)
+        store = _ensure_transition_store(spark, sf_dir)
+        pairs = resolve_transition_counts(spark, store)
+        return _markov_vi(spark, pairs)
+
+
+_register_stream_transitions()
+
+
+_EVTSSPLIT_MEMO: dict[tuple[str, str, int], str] = {}
+
+
+def _ensure_event_ts_split(spark: SparkSession, sf_dir: str, n: int) -> str:
+    """ts-range split of the RAW event stream (user_id, event_id,
+    event_type, µs ts) in strict arrival order: one file per range,
+    mtimes increasing, so epoch k holds exactly ts-range k — the seam
+    invariant the transition stitch relies on (every event of a user
+    in epoch k precedes every event of that user in epoch k+1).
+    Memoized."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    cached = _EVTSSPLIT_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("event_ts_split_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("event_ts_split_build")
+    staging = _e2e_tmpdir("alrs_evtstage_")
+    src = _e2e_tmpdir("alrs_evtsplit_")
+    ev = normalize_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", "event_id", "event_type", "ts")
+    # Range-bucket by ts THEN write one file per bucket with increasing
+    # mtimes (repartitionByRange alone gives no file-order guarantee to
+    # the FileStreamSource, which orders by timestamp).
+    from pyspark.sql.window import Window as W
+
+    bounds = list(
+        ev.select(
+            F.percentile_approx(
+                "ts", [i / n for i in range(1, n)], 10000
+            ).alias("b")
+        ).collect()[0]["b"]
+    )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("ts") >= F.lit(b), 1).otherwise(0)
+    (
+        ev.withColumn("seg", bucket.cast("int"))
+        .repartition(n, "seg")
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(staging)
+    )
+    base = 1_600_000_000
+    for k in range(n):
+        fs = glob.glob(f"{staging}/seg={k}/part-*.parquet")
+        assert len(fs) == 1, f"segment {k}: expected one file, got {fs}"
+        dst = f"{src}/part-{k:05d}.parquet"
+        shutil.move(fs[0], dst)
+        os.utime(dst, (base + k, base + k))
+    _EVTSSPLIT_MEMO[key] = src
+    return src

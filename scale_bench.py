@@ -242,6 +242,7 @@ QUERIES = [
     "markov_absorption_time",  # lag window + bounded-cell driver solve
     "logrank_conversion_ab",  # time-grain hypergeometric terms
     "stream_kaplan_meier",  # 18th store: min/max-merge user times
+    "stream_transition_matrix",  # 19th store: stitched sequence pairs
 ]
 
 
@@ -1016,6 +1017,8 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._CONTAMSTORE_MEMO.clear()
     _sq._EVSPLIT_MEMO.clear()
     _sq._KMSTORE_MEMO.clear()
+    _sq._TRANSSTORE_MEMO.clear()
+    _sq._EVTSSPLIT_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel

@@ -155,6 +155,8 @@ def _run(spark, fn, sf_dir: str) -> float:
     _sq._CONTAMSTORE_MEMO.clear()
     _sq._EVSPLIT_MEMO.clear()
     _sq._KMSTORE_MEMO.clear()
+    _sq._TRANSSTORE_MEMO.clear()
+    _sq._EVTSSPLIT_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel

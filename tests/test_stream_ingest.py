@@ -1761,3 +1761,74 @@ def test_incremental_km_replay_and_batch_equal(spark, tmp_path):
     run_epoch(0)
     run_epoch(2)
     assert resolved() == (before, m_before)
+
+
+def test_incremental_transitions_replay_stitch_and_batch_equal(spark, tmp_path):
+    """Transition-pair maintenance (19th store kind, the
+    sequence-stitching one): epochs are pure functions of their own
+    batch, the resolved internal+stitched counts equal one global lag
+    over history, cross-epoch seam pairs genuinely exist (a per-batch
+    lag WOULD have dropped them), and replaying any epoch leaves the
+    store identical."""
+    import glob
+
+    from aws_lambda_redshift_loader_spark.session import table
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        INC_TRANS_EPOCHS,
+        _ensure_event_ts_split,
+        ingest_transition_epoch,
+        resolve_transition_counts,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    sf = "/root/testdata/sf0.001"
+    src = _ensure_event_ts_split(spark, sf, INC_TRANS_EPOCHS)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == INC_TRANS_EPOCHS
+    store = str(tmp_path / "store")
+
+    def run_epoch(i):
+        ingest_transition_epoch(spark, spark.read.parquet(files[i]), i, store)
+
+    for i in range(INC_TRANS_EPOCHS):
+        run_epoch(i)
+
+    def resolved():
+        return {
+            (r["prev_type"], r["event_type"], r["n"])
+            for r in resolve_transition_counts(spark, store).collect()
+        }
+
+    before = resolved()
+    seq = table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("prev_type"),
+    )
+    batch = {
+        (r["prev_type"], r["event_type"], r["n"])
+        for r in seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert before == batch, "stitched counts != one global lag"
+    # the seam pairs are genuinely live: internal sums alone fall short
+    internal_only = sum(
+        r["c"]
+        for r in spark.read.parquet(f"{store}/internal").collect()
+    )
+    assert internal_only < sum(n for _, _, n in batch), (
+        "no cross-epoch pair existed; the stitch is untested"
+    )
+
+    run_epoch(0)
+    run_epoch(2)
+    assert resolved() == before
