@@ -5764,6 +5764,45 @@ def ingest_km_epoch(
     )
 
 
+def _ensure_km_store(spark: SparkSession, sf_dir: str) -> str:
+    """Run (once per session per corpus) the user-time maintenance
+    stream and return the store path. Memoized: stream_kaplan_meier
+    and stream_logrank share one ingest (the bill-payer pattern)."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _KMSTORE_MEMO.get(key)
+    if store is not None:
+        _dedup.MEMO_EVENTS.append("km_ingest_hit")
+        return store
+    _dedup.MEMO_EVENTS.append("km_ingest_build")
+    store = _e2e_tmpdir("alrs_km_store_")
+    src = _ensure_event_split(spark, sf_dir, INC_KM_EPOCHS)
+    schema = "user_id long, event_type string, value double, day date"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_km_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_km_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _KMSTORE_MEMO[key] = store
+    return store
+
+
 def _register_stream_km() -> None:
     from ..plans.registry import QUERIES as _REG
 
@@ -5790,42 +5829,8 @@ def _register_stream_km() -> None:
         test-locked)."""
         from ..operators.windows_sql import _km_curve_from_user_times
 
-        from ..operators import dedup as _dedup
-
         tune(spark)
-        key = (spark.sparkContext.applicationId, sf_dir)
-        store = _KMSTORE_MEMO.get(key)
-        if store is not None:
-            _dedup.MEMO_EVENTS.append("km_ingest_hit")
-        if store is None:
-            _dedup.MEMO_EVENTS.append("km_ingest_build")
-            store = _e2e_tmpdir("alrs_km_store_")
-            src = _ensure_event_split(spark, sf_dir, INC_KM_EPOCHS)
-            schema = "user_id long, event_type string, value double, day date"
-            stream = (
-                spark.readStream.schema(schema)
-                .option("pathGlobFilter", "part-*")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src)
-            )
-
-            def update(batch_df: DataFrame, epoch_id: int) -> None:
-                ingest_km_epoch(spark, batch_df, epoch_id, store)
-
-            with _stream_shuffle(spark):
-                q = (
-                    stream.writeStream.foreachBatch(update)
-                    .option(
-                        "checkpointLocation", _e2e_tmpdir("alrs_km_ckpt_")
-                    )
-                    .start()
-                )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-            _KMSTORE_MEMO[key] = store
-
+        store = _ensure_km_store(spark, sf_dir)
         up = (
             spark.read.parquet(f"{store}/usertimes")
             .groupBy("user_id")
@@ -6094,3 +6099,41 @@ def _ensure_event_ts_split(spark: SparkSession, sf_dir: str, n: int) -> str:
         os.utime(dst, (base + k, base + k))
     _EVTSSPLIT_MEMO[key] = src
     return src
+
+
+def _register_stream_logrank() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_logrank",
+        lambda: _REG["logrank_conversion_ab"].oracle,
+    )
+    def stream_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED log-rank A/B monitor — the user-time store's
+        second reader (one min/max-merge ingest, two survival
+        monitors): the resolved per-user first-event/first-conversion
+        minima feed the batch query's own hypergeometric epilogue
+        (windows_sql._logrank_from_user_times), hash-gated equal to
+        logrank_conversion_ab. The live experiment dashboard shape:
+        the censoring-aware A/B statistic re-derives per batch from
+        one user-grain roll-up, never a history replay.
+
+        Scale: the shared ingest's O(batch) aggregate per epoch; read
+        is the min/max roll-up + the time-grain epilogue — this entry
+        adds no ingest of its own."""
+        from ..operators.windows_sql import _logrank_from_user_times
+
+        tune(spark)
+        store = _ensure_km_store(spark, sf_dir)
+        up = (
+            spark.read.parquet(f"{store}/usertimes")
+            .groupBy("user_id")
+            .agg(F.min("fd").alias("fd"), F.min("pd").alias("pd"))
+        )
+        mx = spark.read.parquet(f"{store}/maxday").agg(
+            F.max("m").alias("m")
+        )
+        return _logrank_from_user_times(up, mx)
+
+
+_register_stream_logrank()

@@ -243,6 +243,8 @@ QUERIES = [
     "logrank_conversion_ab",  # time-grain hypergeometric terms
     "stream_kaplan_meier",  # 18th store: min/max-merge user times
     "stream_transition_matrix",  # 19th store: stitched sequence pairs
+    "sprt_conversion_monitor",  # day-banded LLR walk + argmin crossing
+    "stream_logrank",  # KM-store read (pays shared ingest)
 ]
 
 
