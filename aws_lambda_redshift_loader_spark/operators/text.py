@@ -4919,7 +4919,16 @@ def _warmup_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("lang", "bucket", "seq_id").agg(
         F.count("*").cast("bigint").alias("n_frags"),
         F.sum("seq_tokens").cast("bigint").alias("fill_tokens"),
-        F.expr("sum(ql * seq_tokens) div sum(seq_tokens)")
+        # Exact integer FLOOR division to match DuckDB's `//` (Spark's
+        # `div` truncates toward zero, which diverges by 1 when the
+        # weighted-quality sum is negative — possible for punct-heavy
+        # docs via the -3.0 term). pmod makes the numerator exactly
+        # divisible, so the final `div` is exact (floor == truncate).
+        F.expr(
+            "(sum(ql * seq_tokens)"
+            " - pmod(sum(ql * seq_tokens), sum(seq_tokens)))"
+            " div sum(seq_tokens)"
+        )
         .cast("bigint")
         .alias("window_quality_q"),
     )
@@ -5265,12 +5274,14 @@ def _coverage_epilogue(freq: DataFrame) -> DataFrame:
 
 
 # Character classes profiled per language: ASCII letters, digits,
-# whitespace, sentence punctuation — identical regex character classes
-# in both engines (single-char classes, no engine-specific syntax).
+# whitespace, sentence punctuation. The whitespace class is spelled
+# explicitly as [ \t\n\f\r] rather than \s because Java regex \s
+# includes \x0B (vertical tab) while DuckDB's RE2 \s does not — an
+# explicit class guarantees identical semantics in both engines.
 _CCLS = [
     ("letter", "[A-Za-z]"),
     ("digit", "[0-9]"),
-    ("space", r"[\s]"),
+    ("space", "[ \\t\\n\\f\\r]"),
     ("punct", "[.,;:!?]"),
 ]
 

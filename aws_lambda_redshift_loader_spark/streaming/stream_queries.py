@@ -6080,20 +6080,35 @@ def _ensure_event_ts_split(spark: SparkSession, sf_dir: str, n: int) -> str:
             ).alias("b")
         ).collect()[0]["b"]
     )
+    # Heavy ts duplication can return the same quantile bound twice,
+    # which would leave a ts range empty (no seg=k dir). Dedupe the
+    # bounds — fewer, non-empty segments preserve the seam invariant
+    # (strict ts ranges in arrival order), which is what the stitch
+    # readers rely on, not an exact epoch count.
+    bounds = sorted(set(bounds))
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(F.col("ts") >= F.lit(b), 1).otherwise(0)
     (
         ev.withColumn("seg", bucket.cast("int"))
-        .repartition(n, "seg")
+        .repartition(len(bounds) + 1, "seg")
         .write.mode("overwrite")
         .partitionBy("seg")
         .parquet(staging)
     )
+    segs = sorted(
+        int(p.rsplit("seg=", 1)[1])
+        for p in glob.glob(f"{staging}/seg=*")
+    )
+    if not segs:
+        raise RuntimeError(
+            f"event ts-split produced no segments under {staging}; "
+            "the events table appears to be empty"
+        )
     base = 1_600_000_000
-    for k in range(n):
-        fs = glob.glob(f"{staging}/seg={k}/part-*.parquet")
-        assert len(fs) == 1, f"segment {k}: expected one file, got {fs}"
+    for k, seg in enumerate(segs):
+        fs = glob.glob(f"{staging}/seg={seg}/part-*.parquet")
+        assert len(fs) == 1, f"segment {seg}: expected one file, got {fs}"
         dst = f"{src}/part-{k:05d}.parquet"
         shutil.move(fs[0], dst)
         os.utime(dst, (base + k, base + k))
