@@ -245,6 +245,7 @@ QUERIES = [
     "stream_transition_matrix",  # 19th store: stitched sequence pairs
     "sprt_conversion_monitor",  # day-banded LLR walk + argmin crossing
     "stream_logrank",  # KM-store read (pays shared ingest)
+    "stream_markov_absorption",  # transition-store read + bounded solve
 ]
 
 
