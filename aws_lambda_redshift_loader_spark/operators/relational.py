@@ -2229,6 +2229,15 @@ def community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (labels node-grain, broadcast-joinable) + community-grain
     aggregates; no new shuffle beyond the shared LPA rounds."""
     eu, labels = _lpa_frames(spark, sf_dir)
+    return _conductance_frame(eu, labels)
+
+
+def _conductance_frame(eu: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance epilogue over a both-direction
+    weighted edge frame + node-grain labels — shared by the batch
+    audit (community_conductance) and the store-served monitor
+    (stream_community_conductance), the same one-implementation split
+    as _modularity_frame."""
     lab_s = labels.select(F.col("node").alias("src"), F.col("label").alias("cs"))
     lab_d = labels.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
     both = eu.join(lab_s, "src").join(lab_d, "dst")

@@ -5360,3 +5360,165 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({other_sql}) * 1000000 div total_chars AS BIGINT)"
         ).alias("other_ppm"),
     )
+
+
+# --- Deterministic Poisson bootstrap CI ------------------------------------
+#
+# Replicate weights are Poisson(1) draws via inverse-CDF over the
+# 60-bit md5 uniform (hex_hash64 range [0, 2^60)): the CDF cut points
+# are Python-precomputed integer literals (the RBO/SPRT
+# precomputed-constant pattern — no engine exp()), identical in both
+# engines, truncated at w=9 (P[X>9] < 1e-7; the truncation is part of
+# the operator's definition, applied identically everywhere). This is
+# the standard streaming bootstrap (one pass, no resampling index) —
+# each replicate's multinomial resample is approximated by independent
+# Poisson(1) per-document counts, exact enough for a CI and fully
+# deterministic under the hash.
+BOOT_REPS = 48
+_POIS1_CUTS = [  # floor(CDF_Poisson(1)(k) * 2^60), k = 0..8
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+    1152920207336574720,
+]
+_POIS1_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS1_CUTS)
+    )
+    + " ELSE 9 END"
+)
+# 2.5% / 97.5% order statistics of BOOT_REPS sorted replicate means
+# (indices floor(0.025·(B−1))+1 and floor(0.975·(B−1))+1, 1-based).
+_BOOT_LO_RN = int(0.025 * (BOOT_REPS - 1)) + 1
+_BOOT_HI_RN = int(0.975 * (BOOT_REPS - 1)) + 1
+
+
+@register(
+    "bootstrap_quality_ci",
+    rf"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(floor((
+               (CAST(length(regexp_extract_all(lower(text),
+                     '\b(the|and|of|to|a|in|is)\b')) AS DOUBLE) /
+                greatest(length(regexp_extract_all(text, '\S+')), 1)) * 2.0
+               - (CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / length(text)) * 3.0
+               + (CASE WHEN greatest(length(regexp_extract_all(text, '\S+')), 1)
+                       BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+             ) * 1000000) AS BIGINT) AS ql
+      FROM documents
+    ),
+    drawn AS (
+      SELECT r.r, q.ql,
+             CAST(concat('0x', substr(md5(concat('bs|', r.r, '|', q.doc_id)),
+                                      1, 15)) AS BIGINT) AS u
+      FROM q, LATERAL (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS r) r
+    ),
+    w AS (SELECT r, ql, {_POIS1_W_SQL} AS wt FROM drawn),
+    reps AS (
+      SELECT r, CAST(SUM(wt) AS BIGINT) AS sw,
+             CAST(SUM(CAST(wt AS BIGINT) * ql) AS BIGINT) AS swql
+      FROM w GROUP BY r
+    ),
+    means AS (
+      SELECT r,
+             CAST(CASE WHEN sw = 0 THEN 0
+                  ELSE floor(CAST(swql AS DOUBLE) / sw) END AS BIGINT) AS m_q,
+             row_number() OVER (
+               ORDER BY CASE WHEN sw = 0 THEN 0
+                        ELSE floor(CAST(swql AS DOUBLE) / sw) END, r
+             ) AS rn
+      FROM reps
+    ),
+    est AS (
+      SELECT CAST(floor(CAST(SUM(ql) AS DOUBLE) / COUNT(*)) AS BIGINT) AS e
+      FROM q
+    )
+    SELECT CAST({BOOT_REPS} AS BIGINT) AS n_reps,
+           est.e AS est_mean_q,
+           (SELECT m_q FROM means WHERE rn = {_BOOT_LO_RN}) AS ci_lo_q,
+           (SELECT m_q FROM means WHERE rn = {_BOOT_HI_RN}) AS ci_hi_q
+    FROM est
+    """,
+)
+def bootstrap_quality_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC POISSON BOOTSTRAP CI for the corpus mean quality
+    score — the uncertainty quantification every curation dashboard
+    number should carry (Efron 1979 percentile bootstrap; the
+    one-pass Poissonized form is the standard at-scale variant since
+    each document's {BOOT_REPS} replicate weights are independent
+    Poisson(1) draws needing no global resample index). Replicate r's
+    weight for a document is the inverse-CDF of the 60-bit md5 uniform
+    of ('bs|', r, doc_id) against Python-precomputed integer CDF cut
+    points — reproducible to the bit across engines, runs, and
+    cluster sizes. Reports the point estimate and the 2.5%/97.5%
+    order statistics of the {BOOT_REPS} replicate means (quality in
+    the established ppm quantization, means floored).
+
+    Scale: a {BOOT_REPS}x map-only explode (each document is scored
+    once, then emits {BOOT_REPS} tiny (r, weight) rows) collapsing
+    under map-side combine to exactly {BOOT_REPS} partial-sum rows —
+    embarrassingly parallel, no shuffle wider than {BOOT_REPS} rows,
+    no driver collect beyond the final frame; the CI pick is a window
+    over a {BOOT_REPS}-row frame."""
+    d = table(spark, sf_dir, "documents")
+    q = _quality_of(d).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 1000000.0).cast("bigint").alias("ql"),
+    )
+    drawn = q.select(
+        "ql",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("r"),
+        "doc_id",
+    ).select(
+        "r",
+        "ql",
+        hex_hash64(
+            F.concat(F.lit("bs|"), F.col("r"), F.lit("|"), F.col("doc_id"))
+        ).alias("u"),
+    )
+    reps = (
+        drawn.select("r", "ql", F.expr(_POIS1_W_SQL).alias("wt"))
+        .groupBy("r")
+        .agg(
+            F.sum("wt").cast("bigint").alias("sw"),
+            F.sum(F.expr("CAST(wt AS BIGINT) * ql")).cast("bigint").alias("swql"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    m_q = F.expr(
+        "CAST(CASE WHEN sw = 0 THEN 0"
+        " ELSE floor(CAST(swql AS DOUBLE) / sw) END AS BIGINT)"
+    )
+    means = reps.select("r", m_q.alias("m_q")).withColumn(
+        "rn", F.row_number().over(W.orderBy(F.col("m_q"), F.col("r")))
+    )
+    est = q.agg(
+        F.expr(
+            "CAST(floor(CAST(SUM(ql) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        ).alias("est_mean_q")
+    )
+    lo = means.filter(F.col("rn") == _BOOT_LO_RN).select(
+        F.col("m_q").alias("ci_lo_q")
+    )
+    hi = means.filter(F.col("rn") == _BOOT_HI_RN).select(
+        F.col("m_q").alias("ci_hi_q")
+    )
+    return (
+        est.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(BOOT_REPS).cast("bigint").alias("n_reps"),
+            "est_mean_q",
+            "ci_lo_q",
+            "ci_hi_q",
+        )
+    )

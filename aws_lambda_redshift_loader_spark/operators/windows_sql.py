@@ -3310,10 +3310,22 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("conv", F.lit(1))
     )
     w = u.join(conv, "user_id", "left").select(
+        "user_id", "fd", F.coalesce("conv", F.lit(0)).alias("conv")
+    )
+    return _sprt_from_user_flags(w.sparkSession, w)
+
+
+def _sprt_from_user_flags(spark: SparkSession, flags: DataFrame) -> DataFrame:
+    """SPRT walk + crossing decision over a per-user (user_id, fd
+    first-event day, conv 0/1) frame — shared by the batch monitor
+    (sprt_conversion_monitor) and the KM-store-served reader
+    (stream_queries.stream_sprt), the same one-epilogue split as
+    _logrank_from_user_times."""
+    w = flags.select(
         "user_id",
         "fd",
-        F.coalesce("conv", F.lit(0)).alias("conv"),
-        F.when(F.col("conv").isNull(), F.lit(_SPRT_C0))
+        "conv",
+        F.when(F.col("conv") == 0, F.lit(_SPRT_C0))
         .otherwise(F.lit(_SPRT_C1))
         .cast("bigint")
         .alias("inc"),
@@ -3369,4 +3381,329 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("cross_position"),
+    )
+
+
+# --- Mann–Whitney U: nonparametric split-quality comparison ----------------
+#
+# Value-range band width for the distributed rank walk: quality values
+# are ppm-quantized into [-3e6, ~3.1e6], so div-banding by 1e5 yields a
+# CALENDAR-CLASS bounded cell count (~65) however large the corpus —
+# the cusum/sprt banding pattern applied to the value axis instead of
+# the time axis.
+MWU_BAND = 100_000
+
+_MWU_VAR = (
+    "((CAST(n_train AS DOUBLE)*n_val/12.0) * ((n_train+n_val+1)"
+    " - CAST(tie_term AS DOUBLE)/((n_train+n_val)*(n_train+n_val-1.0))))"
+)
+
+
+def _register_mann_whitney() -> None:
+    from .text import SPLIT_BUCKETS, SPLIT_TRAIN_LT, SPLIT_VAL_LT
+
+    @register(
+        "mann_whitney_quality_ab",
+        rf"""
+    WITH q AS (
+      SELECT CAST(floor((
+               (CAST(length(regexp_extract_all(lower(text),
+                     '\b(the|and|of|to|a|in|is)\b')) AS DOUBLE) /
+                greatest(length(regexp_extract_all(text, '\S+')), 1)) * 2.0
+               - (CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / length(text)) * 3.0
+               + (CASE WHEN greatest(length(regexp_extract_all(text, '\S+')), 1)
+                       BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+             ) * 1000000) AS BIGINT) AS v,
+             CAST(concat('0x', substr(md5(concat('sp|', doc_id)), 1, 15))
+                  AS BIGINT) % {SPLIT_BUCKETS} AS b
+      FROM documents
+    ),
+    grp AS (
+      SELECT v, CASE WHEN b < {SPLIT_TRAIN_LT} THEN 1 ELSE 0 END AS g
+      FROM q WHERE b < {SPLIT_VAL_LT}
+    ),
+    per AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2v
+      FROM grp GROUP BY v
+    ),
+    wd AS (
+      SELECT n1v, n2v,
+             CAST(COALESCE(SUM(n2v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c2
+      FROM per
+    ),
+    agg AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n_train,
+             CAST(SUM(n2v) AS BIGINT) AS n_val,
+             CAST(SUM(2*n1v*c2 + n1v*n2v) AS BIGINT) AS u_x2,
+             CAST(SUM((n1v+n2v)*(n1v+n2v)*(n1v+n2v) - (n1v+n2v)) AS BIGINT)
+               AS tie_term
+      FROM wd
+    )
+    SELECT n_train, n_val, u_x2, tie_term,
+           CAST(CASE WHEN n_train = 0 OR n_val = 0 THEN 0
+                WHEN {_MWU_VAR} <= 0.0 THEN 0
+                ELSE floor((u_x2 - n_train*n_val) / (2.0*sqrt({_MWU_VAR}))
+                     * 1000000.0)
+                END AS BIGINT) AS z_q
+    FROM agg
+    """,
+    )
+    def mann_whitney_quality_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MANN–WHITNEY U between the train and val splits' quality
+        scores — the nonparametric location test next to
+        ks_two_sample (distribution shape) and logrank_conversion_ab
+        (censored time-to-event): does the hash-ring val split carry
+        the same quality distribution as train (it must, by
+        construction — this is the split-health audit that would
+        expose a selection-biased split)? U is computed at
+        DISTINCT-VALUE grain — U₁ = Σ_v n₁(v)·cum₂(<v) + ½·n₁(v)·n₂(v)
+        (reported doubled, u_x2, to stay integer) — with the
+        tie-corrected normal approximation z = (U₁ − n₁n₂/2)/σ,
+        σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))). Quality values are
+        the established ppm-quantized score (curriculum ql), the split
+        is dataset_split_assign's md5 ring, and z is ppm-floored; the
+        double arithmetic is a fixed parenthesized expression of exact
+        integers — sqrt/divide/multiply are correctly rounded, so both
+        engines produce the identical double (the no-raw-ln rule).
+        The tie cube Σt³ fits int64 while no single exact score value
+        exceeds ~2M documents (ppm quantization keeps exact-tie mass
+        far below that on real corpora).
+
+        Scale: one map-only score+hash pass, one distinct-value-grain
+        aggregate (map-side combine), and the rank walk banded by
+        VALUE RANGE (MWU_BAND): the band cells (≤ ~65, bounded by the
+        score range, not the data) collect to the driver, offsets
+        broadcast back, and the cumulative-count windows partition per
+        band — no global sort, no one-task funnel, however large the
+        corpus."""
+        from ..functions.scalar import hex_hash64
+        from .text import _quality_of
+
+        d = table(spark, sf_dir, "documents")
+        qs = _quality_of(d).select(
+            F.floor(F.col("quality_score") * 1000000.0)
+            .cast("bigint")
+            .alias("v"),
+            (hex_hash64(F.col("doc_id"), salt="sp|") % SPLIT_BUCKETS).alias(
+                "b"
+            ),
+        ).filter(F.col("b") < SPLIT_VAL_LT)
+        per = (
+            qs.select(
+                "v",
+                F.when(F.col("b") < SPLIT_TRAIN_LT, 1).otherwise(0).alias("g"),
+            )
+            .groupBy("v")
+            .agg(
+                F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n1v"),
+                F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n2v"),
+            )
+        )
+        banded = per.withColumn("vb", F.expr(f"v div {MWU_BAND}"))
+        cells = banded.groupBy("vb").agg(F.sum("n2v").alias("c2")).collect()
+        off_rows, acc = [], 0
+        for r in sorted(cells, key=lambda r: r["vb"]):
+            off_rows.append((r["vb"], acc))
+            acc += r["c2"]
+        offs = spark.createDataFrame(off_rows, "vb long, off2 long")
+        w2 = (
+            W.partitionBy("vb")
+            .orderBy(F.col("v").asc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        wd = banded.join(F.broadcast(offs), "vb").select(
+            "n1v",
+            "n2v",
+            (F.col("off2") + F.coalesce(F.sum("n2v").over(w2), F.lit(0)))
+            .cast("bigint")
+            .alias("c2"),
+        )
+        agg = wd.agg(
+            F.sum("n1v").cast("bigint").alias("n_train"),
+            F.sum("n2v").cast("bigint").alias("n_val"),
+            F.sum(F.expr("2*n1v*c2 + n1v*n2v")).cast("bigint").alias("u_x2"),
+            F.sum(
+                F.expr("(n1v+n2v)*(n1v+n2v)*(n1v+n2v) - (n1v+n2v)")
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+        return agg.select(
+            "n_train",
+            "n_val",
+            "u_x2",
+            "tie_term",
+            F.expr(
+                f"CAST(CASE WHEN n_train = 0 OR n_val = 0 THEN 0"
+                f" WHEN {_MWU_VAR} <= 0.0 THEN 0"
+                f" ELSE floor((u_x2 - n_train*n_val) / (2.0*sqrt({_MWU_VAR}))"
+                f" * 1000000.0) END AS BIGINT)"
+            ).alias("z_q"),
+        )
+
+
+_register_mann_whitney()
+
+
+# --- CUPED: variance-reduced A/B readout -----------------------------------
+#
+# All second-moment terms are computed as doubles FROM exact integer
+# sums (cast-before-multiply): the bigint sums themselves stay exact,
+# and every subsequent double op (multiply/divide/subtract) is
+# correctly rounded, so both engines produce identical doubles — the
+# same discipline as the MWU z and the logrank chi-square. Products of
+# raw bigint sums are never formed (n·Σxy overflows int64 first).
+_CUPED_COV = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)"
+_CUPED_VARX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)"
+_CUPED_VARY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)"
+_CUPED_THETA = (
+    f"(CASE WHEN {_CUPED_VARX} <= 0.0 THEN 0.0"
+    f" ELSE {_CUPED_COV} / {_CUPED_VARX} END)"
+)
+_CUPED_RHO2_PPM = (
+    f"(CASE WHEN {_CUPED_VARX} <= 0.0 OR {_CUPED_VARY} <= 0.0 THEN 0"
+    f" ELSE floor({_CUPED_COV} * {_CUPED_COV}"
+    f" / ({_CUPED_VARX} * {_CUPED_VARY}) * 1000000.0) END)"
+)
+
+
+@register(
+    "cuped_adjusted_ab",
+    f"""
+    WITH ev AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS v_c,
+             CAST(ts AS DATE) AS day
+      FROM events WHERE value >= 0
+    ),
+    span AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+    ),
+    ux AS (
+      SELECT e.user_id, e.grp,
+             CAST(COALESCE(SUM(CASE WHEN datediff('day', s.d0, e.day) * 2
+                    <= datediff('day', s.d0, s.d1) THEN e.v_c END), 0)
+                  AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN datediff('day', s.d0, e.day) * 2
+                    > datediff('day', s.d0, s.d1) THEN e.v_c END), 0)
+                  AS BIGINT) AS y
+      FROM ev e CROSS JOIN span s
+      GROUP BY e.user_id, e.grp
+    ),
+    pool AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM ux
+    ),
+    arms AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS gx, CAST(SUM(y) AS BIGINT) AS gy
+      FROM ux GROUP BY grp
+    )
+    SELECT a.grp, a.n_users,
+           CAST(floor(CAST(a.gy AS DOUBLE)/a.n_users * 1000000.0) AS BIGINT)
+             AS mean_y_q,
+           CAST(floor(CAST(a.gx AS DOUBLE)/a.n_users * 1000000.0) AS BIGINT)
+             AS mean_x_q,
+           CAST(floor((CAST(a.gy AS DOUBLE)/a.n_users
+                - {_CUPED_THETA} * (CAST(a.gx AS DOUBLE)/a.n_users
+                                    - CAST(sx AS DOUBLE)/n))
+                * 1000000.0) AS BIGINT) AS adj_mean_y_q,
+           CAST(floor({_CUPED_THETA} * 1000000.0) AS BIGINT) AS theta_q,
+           CAST({_CUPED_RHO2_PPM} AS BIGINT) AS var_reduction_ppm
+    FROM arms a CROSS JOIN pool
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-ADJUSTED A/B readout — the variance-reduction standard of
+    production experimentation (Deng, Xu, Kohavi & Walker 2013) next
+    to the significance tests (log-rank, SPRT, chi-square): split the
+    observation calendar at its midpoint, use each user's PRE-period
+    spend as the covariate X for their POST-period spend Y, estimate
+    θ = cov(X,Y)/var(X) POOLED across arms (id-parity assignment, the
+    logrank convention), and report each arm's adjusted mean
+    Ȳ_g − θ·(X̄_g − X̄) plus the achieved variance-reduction factor
+    ρ² = cov²/(var X · var Y) in ppm. Values are per-event
+    cents-quantized before any sum; every moment is an exact BIGINT
+    sum; θ/ρ²/means form from those sums via correctly-rounded double
+    divide/multiply in one fixed expression order (no pow, no ln) and
+    are micro-floored. Σx², Σxy fit int64 while per-user period spend
+    stays under ~$30M — event-scale cents, not an at-scale hazard.
+
+    Scale: one map-only pass (parity arm, day bucket vs a
+    broadcast-scalar calendar span), ONE user-grain shuffle with
+    map-side combine, then two tiny aggregates (5 global sums, one
+    row per arm) — the whole statistic rides the aggregate tree; no
+    window, no sort, no per-row Python."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value") >= 0)
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("v_c"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    pre = F.datediff(F.col("day"), F.col("d0")) * 2 <= F.datediff(
+        F.col("d1"), F.col("d0")
+    )
+    ux = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, F.col("v_c"))), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~pre, F.col("v_c"))), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    pool = ux.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x*y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x*x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y*y")).cast("bigint").alias("syy"),
+    )
+    arms = ux.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("gx"),
+        F.sum("y").cast("bigint").alias("gy"),
+    )
+    return arms.crossJoin(F.broadcast(pool)).select(
+        "grp",
+        "n_users",
+        F.expr(
+            "CAST(floor(CAST(gy AS DOUBLE)/n_users * 1000000.0) AS BIGINT)"
+        ).alias("mean_y_q"),
+        F.expr(
+            "CAST(floor(CAST(gx AS DOUBLE)/n_users * 1000000.0) AS BIGINT)"
+        ).alias("mean_x_q"),
+        F.expr(
+            f"CAST(floor((CAST(gy AS DOUBLE)/n_users"
+            f" - {_CUPED_THETA} * (CAST(gx AS DOUBLE)/n_users"
+            f" - CAST(sx AS DOUBLE)/n)) * 1000000.0) AS BIGINT)"
+        ).alias("adj_mean_y_q"),
+        F.expr(
+            f"CAST(floor({_CUPED_THETA} * 1000000.0) AS BIGINT)"
+        ).alias("theta_q"),
+        F.expr(f"CAST({_CUPED_RHO2_PPM} AS BIGINT)").alias(
+            "var_reduction_ppm"
+        ),
     )

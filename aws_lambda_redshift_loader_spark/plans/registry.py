@@ -110,6 +110,12 @@ def _resolve_lazy_oracles() -> None:
 # correctness files are unavailable. The local tests/test_oracle.py sweep
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
+    # round-17 new queries (no prior correctness row)
+    "bootstrap_quality_ci",
+    "cuped_adjusted_ab",
+    "mann_whitney_quality_ab",
+    "stream_sprt",
+    "stream_community_conductance",
     # round-11 new queries (no prior correctness row)
     "max_drawdown_by_user",
     "seasonal_outliers",

@@ -5316,6 +5316,46 @@ def _register_incremental_gann_hier() -> None:
 _register_incremental_gann_hier()
 
 
+_STORE_LPA_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _ensure_store_lpa(spark: SparkSession, sf_dir: str):
+    """(both-direction weighted edge frame, read-time LPA labels)
+    resolved from the assoc-rules store's pair-support sums — the
+    store-path twin of relational._lpa_frames, shared by the two
+    store-served community monitors (modularity + conductance) so the
+    one read-time LPA recompute serves both readers, exactly the way
+    the batch pair splits _lpa_frames. Memoized per (session, corpus);
+    the underlying ingest is _ensure_rules_ingest (shared further with
+    stream_incremental_assoc_rules)."""
+    from ..operators import dedup as _dedup
+    from ..operators.relational import _lpa_label_rounds
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STORE_LPA_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("store_lpa_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("store_lpa_build")
+    store = _ensure_rules_ingest(spark, sf_dir)
+    pe = (
+        spark.read.parquet(f"{store}/pairs")
+        .groupBy("part_a", "part_b")
+        .agg(F.sum("c").cast("bigint").alias("w"))
+    )
+    eu = pe.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"
+    ).unionByName(
+        pe.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "w"
+        )
+    )
+    eu = eu.localCheckpoint(eager=True)  # root of every round's DAG
+    labels = _lpa_label_rounds(eu)
+    _STORE_LPA_MEMO[key] = (eu, labels)
+    return _STORE_LPA_MEMO[key]
+
+
 def _register_stream_community_modularity() -> None:
     from ..plans.registry import QUERIES as _REG
 
@@ -5347,32 +5387,53 @@ def _register_stream_community_modularity() -> None:
         rounds and the modularity epilogue are the batch query's own
         measured plans (exponents 0.97 / 0.95 — the graph's inherent
         linear edge volume); maintenance is the shared ingest's
-        O(whole-basket batch) per epoch."""
-        from ..operators.relational import (
-            _lpa_label_rounds,
-            _modularity_frame,
-        )
+        O(whole-basket batch) per epoch. The resolved edges and the
+        read-time labels are shared with stream_community_conductance
+        via _ensure_store_lpa (one recompute, two monitors)."""
+        from ..operators.relational import _modularity_frame
 
         tune(spark)
-        store = _ensure_rules_ingest(spark, sf_dir)
-        pe = (
-            spark.read.parquet(f"{store}/pairs")
-            .groupBy("part_a", "part_b")
-            .agg(F.sum("c").cast("bigint").alias("w"))
-        )
-        eu = pe.select(
-            F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"
-        ).unionByName(
-            pe.select(
-                F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "w"
-            )
-        )
-        eu = eu.localCheckpoint(eager=True)  # root of every round's DAG
-        labels = _lpa_label_rounds(eu)
+        eu, labels = _ensure_store_lpa(spark, sf_dir)
         return _modularity_frame(eu, labels)
 
 
 _register_stream_community_modularity()
+
+
+def _register_stream_community_conductance() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_community_conductance",
+        lambda: _REG["community_conductance"].oracle,
+    )
+    def stream_community_conductance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """STORE-SERVED community cut-quality monitor — per-community
+        conductance over the co-purchase graph resolved from the
+        assoc-rules store, the second reader of the read-time LPA that
+        stream_community_modularity pays for (shared via
+        _ensure_store_lpa, mirroring how the batch pair
+        community_modularity / community_conductance split
+        _lpa_frames: one label recompute, two quality monitors).
+        Hash-gated on the batch community_conductance oracle:
+        store-resolved edges == batch edges, same LPA rounds, same
+        conductance epilogue (relational._conductance_frame).
+
+        Scale: this entry adds NO ingest and NO LPA of its own — the
+        memoized (edges, labels) pair serves both monitors; the
+        epilogue is two node-grain label joins + community-grain
+        aggregates + one broadcast-scalar total, the batch query's own
+        measured plan (exponent 0.54 warmed)."""
+        from ..operators.relational import _conductance_frame
+
+        tune(spark)
+        eu, labels = _ensure_store_lpa(spark, sf_dir)
+        return _conductance_frame(eu, labels)
+
+
+_register_stream_community_conductance()
 
 
 def _register_stream_budget_allocation() -> None:
@@ -6152,3 +6213,50 @@ def _register_stream_logrank() -> None:
 
 
 _register_stream_logrank()
+
+
+def _register_stream_sprt() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_sprt",
+        lambda: _REG["sprt_conversion_monitor"].oracle,
+    )
+    def stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED sequential conversion monitor — the user-time
+        store's THIRD reader (one min/max-merge ingest now feeds the
+        survival curve, the log-rank A/B, and the Wald SPRT): the
+        resolved per-user first-event/first-conversion minima collapse
+        to the (fd, conv) flags the batch walk consumes, and the same
+        banded-prefix-sum epilogue (windows_sql._sprt_from_user_flags)
+        reports the boundary crossing — hash-gated equal to
+        sprt_conversion_monitor. This closes the live early-stopping
+        loop: each arriving epoch advances one user-grain roll-up and
+        the go/no-go decision re-derives WITHOUT replaying event
+        history — the monitor a production experiment platform keeps
+        hot between assignment and decision.
+
+        Scale: the shared ingest's O(batch) aggregate per epoch; read
+        is the user-grain min roll-up + the calendar-day-banded walk
+        (day-sized tasks, crossing = two conditional MINs, no sort) —
+        this entry adds no ingest of its own."""
+        from ..operators.windows_sql import _sprt_from_user_flags
+
+        tune(spark)
+        store = _ensure_km_store(spark, sf_dir)
+        up = (
+            spark.read.parquet(f"{store}/usertimes")
+            .groupBy("user_id")
+            .agg(F.min("fd").alias("fd"), F.min("pd").alias("pd"))
+        )
+        flags = up.select(
+            "user_id",
+            "fd",
+            F.when(F.col("pd").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("conv"),
+        )
+        return _sprt_from_user_flags(spark, flags)
+
+
+_register_stream_sprt()

@@ -246,6 +246,11 @@ QUERIES = [
     "sprt_conversion_monitor",  # day-banded LLR walk + argmin crossing
     "stream_logrank",  # KM-store read (pays shared ingest)
     "stream_markov_absorption",  # transition-store read + bounded solve
+    "stream_community_conductance",  # 2nd reader of the store LPA memo
+    "stream_sprt",  # KM-store 3rd reader: banded walk epilogue
+    "mann_whitney_quality_ab",  # value-range-banded rank walk
+    "cuped_adjusted_ab",  # one user-grain shuffle + moment epilogue
+    "bootstrap_quality_ci",  # 48x map-only explode, 48-row combine
 ]
 
 
@@ -1022,6 +1027,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._KMSTORE_MEMO.clear()
     _sq._TRANSSTORE_MEMO.clear()
     _sq._EVTSSPLIT_MEMO.clear()
+    _sq._STORE_LPA_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel
@@ -1060,6 +1066,13 @@ def main() -> None:
     # (community_modularity's 1.08-in-a-warm-sweep-tail artifact).
     warm = "--warm" in sys.argv
     subset = [a for a in sys.argv[1:] if a in QUERIES]
+    unknown = [
+        a for a in sys.argv[1:] if not a.startswith("--") and a not in QUERIES
+    ]
+    if unknown:
+        # A typo'd subset name silently fell through to a FULL sweep
+        # before this guard — fail loud instead.
+        sys.exit(f"scale_bench: unknown query names {unknown}")
     build_fixture()
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
