@@ -2704,6 +2704,17 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_cusum"
         ),
     )
+    return _cusum_select(scored)
+
+
+def _cusum_select(scored: DataFrame) -> DataFrame:
+    """Per-type changepoint pick over a candidate frame carrying
+    (event_type, event_id, ts, n, mean_c, abs_cusum) — max |S| with
+    the earliest-(ts, event_id) tiebreak as one max_by aggregate.
+    Shared by the batch detector (candidates = every event) and the
+    hull-store reader (candidates = hull vertices, which provably
+    contain every achiever of the max — see stream_queries's
+    cusum-store notes)."""
     return scored.groupBy("event_type").agg(
         F.first("n").alias("n_events"),
         F.first("mean_c").alias("mean_c"),

@@ -111,6 +111,7 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-17 new queries (no prior correctness row)
+    "stream_cusum",
     "bootstrap_quality_ci",
     "cuped_adjusted_ab",
     "mann_whitney_quality_ab",

@@ -6126,9 +6126,11 @@ def _ensure_event_ts_split(spark: SparkSession, sf_dir: str, n: int) -> str:
     _dedup.MEMO_EVENTS.append("event_ts_split_build")
     staging = _e2e_tmpdir("alrs_evtstage_")
     src = _e2e_tmpdir("alrs_evtsplit_")
+    # `value` rides along for the hull-store consumer (the transition
+    # readers' explicit readStream schemas simply project it away).
     ev = normalize_nanos(
         spark.read.parquet(f"{sf_dir}/events.parquet")
-    ).select("user_id", "event_id", "event_type", "ts")
+    ).select("user_id", "event_id", "event_type", "value", "ts")
     # Range-bucket by ts THEN write one file per bucket with increasing
     # mtimes (repartitionByRange alone gives no file-order guarantee to
     # the FileStreamSource, which orders by timestamp).
@@ -6260,3 +6262,236 @@ def _register_stream_sprt() -> None:
 
 
 _register_stream_sprt()
+
+
+# --- 20th store kind: per-cell convex-hull (running-extrema) store ---------
+#
+# CUSUM's changepoint is argmax_i |S_i| with S_i = run_s_i − i·mean —
+# and mean = s div n is a GLOBAL statistic that changes with every
+# arriving epoch, so no per-epoch argmax is mergeable (the r15
+# incremental-LPA-style impossibility, one level down: the scoring
+# slope itself moves). What IS mergeable: within any (type, day) cell,
+# S_i = OFF + (ls_i − mean·li_i) with OFF constant across the cell, so
+# for EVERY possible mean the cell's max lies on the UPPER CONVEX HULL
+# of its local walk points (li, ls) and its min on the LOWER hull —
+# the convex-hull trick. The store therefore keeps, per epoch per
+# (type, day): the walk's hull VERTICES (with their ts/event_id) plus
+# the cell's (Σv, n) totals. Hull-of-hulls is a hull, day totals are
+# additive, and epochs are strict ts ranges (_ensure_event_ts_split),
+# so the read path recomputes nothing event-grain: offsets and the
+# global mean resolve from the tiny cells frame, every hull vertex is
+# scored exactly, and the batch epilogue picks the argmax.
+#
+# Tie exactness: an interior walk point can never exceed a supporting
+# line of the hull, and on an exactly-mean-sloped collinear run every
+# point ties — but the run's LEFT endpoint (the earliest, the batch
+# tiebreak's pick) is always a kept vertex, so the strict hull
+# (collinear interiors dropped) preserves the earliest-achiever
+# answer bit-for-bit. Worst-case hull size is the cell's event count
+# (a monotone-convex day); typical cells collapse to a handful of
+# vertices — measured on the fixture via BENCH_DETAIL.
+_CUSUMSTORE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def ingest_cusum_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One hull-store maintenance epoch (module-level for the replay
+    test): per (type, day) cell of the frozen batch, the walk's
+    strict upper+lower hull vertices and the cell totals — pure
+    functions of the batch alone, overwrite-idempotent per epoch."""
+    ev = (
+        batch_df.filter(F.col("value") >= 0)
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 100).cast("bigint").alias("v_c"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+    (
+        ev.groupBy("event_type", "day")
+        .agg(
+            F.sum("v_c").cast("bigint").alias("ds"),
+            F.count("*").cast("bigint").alias("dn"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{store}/cells/epoch={epoch_id}")
+    )
+
+    def hulls(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        ls = pdf["v_c"].cumsum().tolist()
+        pts = list(
+            zip(
+                range(1, len(pdf) + 1),
+                ls,
+                pdf["ts"].tolist(),
+                pdf["event_id"].tolist(),
+            )
+        )
+
+        def chain(sign):
+            h = []
+            for p in pts:
+                while (
+                    len(h) >= 2
+                    and sign
+                    * (
+                        (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                        - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                    )
+                    >= 0
+                ):
+                    h.pop()
+                h.append(p)
+            return h
+
+        keep = {p[0]: p for p in chain(1) + chain(-1)}
+        out = sorted(keep.values())
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "day": pdf["day"].iloc[0],
+                "li": [p[0] for p in out],
+                "ls": [p[1] for p in out],
+                "ts": [p[2] for p in out],
+                "event_id": [p[3] for p in out],
+            }
+        )
+
+    (
+        ev.groupBy("event_type", "day")
+        .applyInPandas(
+            hulls,
+            "event_type string, day date, li long, ls long,"
+            " ts timestamp, event_id long",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{store}/hull/epoch={epoch_id}")
+    )
+
+
+def _ensure_cusum_store(spark: SparkSession, sf_dir: str) -> str:
+    """Run (once per session per corpus) the hull-store maintenance
+    stream and return the store path. Shares the ts-range event split
+    with the transition store (same epoch count, same memoized
+    fixture)."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _CUSUMSTORE_MEMO.get(key)
+    if store is not None:
+        _dedup.MEMO_EVENTS.append("cusum_ingest_hit")
+        return store
+    _dedup.MEMO_EVENTS.append("cusum_ingest_build")
+    store = _e2e_tmpdir("alrs_cusum_store_")
+    src = _ensure_event_ts_split(spark, sf_dir, INC_TRANS_EPOCHS)
+    schema = (
+        "user_id long, event_id long, event_type string,"
+        " value double, ts timestamp"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_cusum_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_cusum_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _CUSUMSTORE_MEMO[key] = store
+    return store
+
+
+def _cusum_from_store(spark: SparkSession, store: str) -> DataFrame:
+    """Resolve the hull store into the batch CUSUM answer: offsets and
+    the global mean from the cells frame (driver-side over the
+    calendar×epoch-bounded cell grid — the batch query's own collect
+    bound), every hull vertex scored exactly, then the shared
+    _cusum_select argmax epilogue."""
+    from ..operators.windows_sql import _cusum_select
+
+    cells = spark.read.parquet(f"{store}/cells").collect()
+    # Event order is (epoch, day) lexicographic per type: epochs are
+    # strict ts ranges and days ascend with ts inside an epoch.
+    off_rows = []
+    acc: dict[str, tuple[int, int]] = {}
+    for r in sorted(
+        cells, key=lambda r: (r["event_type"], r["epoch"], r["day"])
+    ):
+        sa, na = acc.get(r["event_type"], (0, 0))
+        off_rows.append((r["event_type"], r["epoch"], r["day"], sa, na))
+        acc[r["event_type"]] = (sa + r["ds"], na + r["dn"])
+    offs = spark.createDataFrame(
+        off_rows,
+        "event_type string, epoch int, day date, off_s long, off_n long",
+    )
+    m = spark.createDataFrame(
+        [(t, s, n) for t, (s, n) in acc.items()],
+        "event_type string, s long, n long",
+    )
+    hull = spark.read.parquet(f"{store}/hull")
+    scored = (
+        hull.join(F.broadcast(offs), ["event_type", "epoch", "day"])
+        .join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            "n",
+            F.expr("CAST(s div n AS BIGINT)").alias("mean_c"),
+            F.expr(
+                "CAST(abs(off_s + ls - (off_n + li) * (s div n)) AS BIGINT)"
+            ).alias("abs_cusum"),
+        )
+    )
+    return _cusum_select(scored)
+
+
+def _register_stream_cusum() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_cusum",
+        lambda: _REG["cusum_changepoint_events"].oracle,
+    )
+    def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED CUSUM changepoint — the 20th store kind and
+        the first RUNNING-EXTREMA one: because the changepoint's
+        scoring slope (the global mean) moves with every epoch, no
+        per-epoch argmax is mergeable — but each (type, day) cell's
+        answer for ANY slope lies on the convex hull of its local
+        walk, so the store keeps hull VERTICES + cell totals (see the
+        module notes above for the exactness-with-ties argument).
+        Hash-gated equal to cusum_changepoint_events: same candidate
+        scores, same argmax/tiebreak epilogue (_cusum_select).
+
+        Scale: ingest is one map-side cell aggregate + a per-cell
+        O(cell) hull pass (Arrow-batched, day-bounded cells); read
+        touches only hull vertices and the calendar-bounded cells
+        frame — never event history. The monitor the production form
+        serves: a mean-shift alarm re-derived per epoch at
+        hull-vertex cost."""
+        tune(spark)
+        store = _ensure_cusum_store(spark, sf_dir)
+        return _cusum_from_store(spark, store)
+
+
+_register_stream_cusum()

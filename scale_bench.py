@@ -251,6 +251,7 @@ QUERIES = [
     "mann_whitney_quality_ab",  # value-range-banded rank walk
     "cuped_adjusted_ab",  # one user-grain shuffle + moment epilogue
     "bootstrap_quality_ci",  # 48x map-only explode, 48-row combine
+    "stream_cusum",  # 20th store: hull vertices + cell totals
 ]
 
 
@@ -1028,6 +1029,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._TRANSSTORE_MEMO.clear()
     _sq._EVTSSPLIT_MEMO.clear()
     _sq._STORE_LPA_MEMO.clear()
+    _sq._CUSUMSTORE_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel
