@@ -3587,6 +3587,41 @@ _CUPED_RHO2_PPM = (
 )
 
 
+def _cuped_user_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, grp, x = pre-period cents, y = post-period cents) —
+    the per-user period-spend frame under the calendar-midpoint split
+    and id-parity arms, shared by cuped_adjusted_ab /
+    diff_in_differences / permutation_test_ab (one user-grain
+    shuffle, three experiment readouts)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value") >= 0)
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("v_c"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    pre = F.datediff(F.col("day"), F.col("d0")) * 2 <= F.datediff(
+        F.col("d1"), F.col("d0")
+    )
+    return (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, F.col("v_c"))), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~pre, F.col("v_c"))), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+
+
+
 @register(
     "cuped_adjusted_ab",
     f"""
@@ -3658,32 +3693,7 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine, then two tiny aggregates (5 global sums, one
     row per arm) — the whole statistic rides the aggregate tree; no
     window, no sort, no per-row Python."""
-    ev = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("value") >= 0)
-        .select(
-            "user_id",
-            (F.col("user_id") % 2).cast("int").alias("grp"),
-            F.floor(F.col("value") * 100).cast("bigint").alias("v_c"),
-            F.to_date("ts").alias("day"),
-        )
-    )
-    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    pre = F.datediff(F.col("day"), F.col("d0")) * 2 <= F.datediff(
-        F.col("d1"), F.col("d0")
-    )
-    ux = (
-        ev.crossJoin(F.broadcast(span))
-        .groupBy("user_id", "grp")
-        .agg(
-            F.coalesce(F.sum(F.when(pre, F.col("v_c"))), F.lit(0))
-            .cast("bigint")
-            .alias("x"),
-            F.coalesce(F.sum(F.when(~pre, F.col("v_c"))), F.lit(0))
-            .cast("bigint")
-            .alias("y"),
-        )
-    )
+    ux = _cuped_user_xy(spark, sf_dir)
     pool = ux.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -3717,4 +3727,412 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({_CUPED_RHO2_PPM} AS BIGINT)").alias(
             "var_reduction_ppm"
         ),
+    )
+
+
+# Shared oracle CTE: the per-user (grp, pre x, post y) frame (the SQL
+# twin of _cuped_user_xy), reused by diff-in-differences and the
+# permutation test exactly as the Spark side shares one builder.
+_UX_CTE = """ev AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS v_c,
+             CAST(ts AS DATE) AS day
+      FROM events WHERE value >= 0
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+    ux AS (
+      SELECT e.user_id, e.grp,
+             CAST(COALESCE(SUM(CASE WHEN datediff('day', s.d0, e.day) * 2
+                    <= datediff('day', s.d0, s.d1) THEN e.v_c END), 0)
+                  AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN datediff('day', s.d0, e.day) * 2
+                    > datediff('day', s.d0, s.d1) THEN e.v_c END), 0)
+                  AS BIGINT) AS y
+      FROM ev e CROSS JOIN span s
+      GROUP BY e.user_id, e.grp
+    )"""
+
+
+@register(
+    "srm_check",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS grp
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM u
+    )
+    SELECT n0, n1,
+           CAST(CASE WHEN n0 + n1 = 0 THEN 0
+                ELSE floor((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                     * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                     / (CAST(n0 + n1 AS DOUBLE)/2.0) * 2.0 * 1000.0)
+                END AS BIGINT) AS chi2_milli,
+           CAST(CASE WHEN n0 + n1 = 0 THEN 0
+                ELSE CASE WHEN floor((CAST(n0 AS DOUBLE)
+                     - CAST(n0 + n1 AS DOUBLE)/2.0)
+                     * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)
+                     / (CAST(n0 + n1 AS DOUBLE)/2.0) * 2.0 * 1000.0) > 3841
+                     THEN 1 ELSE 0 END
+                END AS BIGINT) AS srm_flag
+    FROM c
+    """,
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guardrail — the first check every
+    experiment readout must pass (Kohavi et al.'s trustworthy-A/B
+    canon: a biased assignment invalidates every downstream statistic
+    before any metric is read): χ² of the observed arm counts against
+    the designed 50/50 under the id-parity assignment, flagged at the
+    α=0.05 critical value 3.841. Both (n₀−E)²/E terms are equal under
+    a two-arm split, so χ² = 2·(n₀−E)²/E — one fixed double
+    expression over two exact BIGINT counts, milli-floored; the flag
+    compares the QUANTIZED statistic to the quantized critical value
+    (integer compare, no float threshold).
+
+    Scale: one distinct-user aggregate (map-side partial) to two
+    numbers — the cheapest query in the registry, by design: it runs
+    before anything else in an experiment pipeline."""
+    u = (
+        table(spark, sf_dir, "events")
+        .select("user_id", (F.col("user_id") % 2).cast("int").alias("grp"))
+        .distinct()
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    chi = (
+        "floor((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)"
+        " * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE)/2.0)"
+        " / (CAST(n0 + n1 AS DOUBLE)/2.0) * 2.0 * 1000.0)"
+    )
+    return c.select(
+        "n0",
+        "n1",
+        F.expr(
+            f"CAST(CASE WHEN n0 + n1 = 0 THEN 0 ELSE {chi} END AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            f"CAST(CASE WHEN n0 + n1 = 0 THEN 0"
+            f" ELSE CASE WHEN {chi} > 3841 THEN 1 ELSE 0 END END AS BIGINT)"
+        ).alias("srm_flag"),
+    )
+
+
+_WELCH_S2 = {
+    g: (
+        f"((CAST(syy{g} AS DOUBLE) - CAST(sy{g} AS DOUBLE)"
+        f"*CAST(sy{g} AS DOUBLE)/n{g}) / (n{g} - 1.0))"
+    )
+    for g in (0, 1)
+}
+_WELCH_SE2 = f"({_WELCH_S2[1]}/n1 + {_WELCH_S2[0]}/n0)"
+
+
+@register(
+    "welch_t_ab",
+    f"""
+    WITH {_UX_CTE},
+    a AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+             CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+             CAST(SUM(CASE WHEN grp = 0 THEN y*y ELSE 0 END) AS BIGINT) AS syy0,
+             CAST(SUM(CASE WHEN grp = 1 THEN y*y ELSE 0 END) AS BIGINT) AS syy1
+      FROM ux
+    )
+    SELECT n0, n1,
+           CAST(floor(CAST(sy1 AS DOUBLE)/n1 * 1000.0) AS BIGINT)
+             AS mean1_milli,
+           CAST(floor(CAST(sy0 AS DOUBLE)/n0 * 1000.0) AS BIGINT)
+             AS mean0_milli,
+           CAST(CASE WHEN n0 < 2 OR n1 < 2 OR {_WELCH_SE2} <= 0.0 THEN 0
+                ELSE floor((CAST(sy1 AS DOUBLE)/n1 - CAST(sy0 AS DOUBLE)/n0)
+                     / sqrt({_WELCH_SE2}) * 1000.0)
+                END AS BIGINT) AS t_milli,
+           CAST(CASE WHEN n0 < 2 OR n1 < 2 OR {_WELCH_SE2} <= 0.0 THEN 0
+                ELSE floor({_WELCH_SE2} * {_WELCH_SE2}
+                     / (({_WELCH_S2[1]}/n1) * ({_WELCH_S2[1]}/n1) / (n1 - 1.0)
+                        + ({_WELCH_S2[0]}/n0) * ({_WELCH_S2[0]}/n0) / (n0 - 1.0))
+                     * 1000.0)
+                END AS BIGINT) AS df_milli
+    FROM a
+    """,
+)
+def welch_t_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S T-TEST on post-period user spend between the id-parity
+    arms — the workhorse unequal-variance A/B readout (Welch 1947)
+    completing the experiment family's readouts (CUPED adjusts it,
+    SRM guards it, SPRT/log-rank sequence it): per-arm means and
+    sample variances from exact BIGINT moments
+    (cast-before-multiply), the t statistic, and the
+    Welch–Satterthwaite effective degrees of freedom — all formed via
+    correctly-rounded double divide/multiply/sqrt in one fixed
+    expression order, milli-floored (no ln, no pow).
+
+    Scale: the shared _cuped_user_xy user-grain shuffle + one
+    six-sum aggregate (map-side combined) to a single row — the
+    statistic rides the aggregate tree."""
+    ux = _cuped_user_xy(spark, sf_dir)
+    a = ux.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy1"),
+        F.sum(F.when(F.col("grp") == 0, F.expr("y*y")).otherwise(0))
+        .cast("bigint")
+        .alias("syy0"),
+        F.sum(F.when(F.col("grp") == 1, F.expr("y*y")).otherwise(0))
+        .cast("bigint")
+        .alias("syy1"),
+    )
+    return a.select(
+        "n0",
+        "n1",
+        F.expr(
+            "CAST(floor(CAST(sy1 AS DOUBLE)/n1 * 1000.0) AS BIGINT)"
+        ).alias("mean1_milli"),
+        F.expr(
+            "CAST(floor(CAST(sy0 AS DOUBLE)/n0 * 1000.0) AS BIGINT)"
+        ).alias("mean0_milli"),
+        F.expr(
+            f"CAST(CASE WHEN n0 < 2 OR n1 < 2 OR {_WELCH_SE2} <= 0.0 THEN 0"
+            f" ELSE floor((CAST(sy1 AS DOUBLE)/n1 - CAST(sy0 AS DOUBLE)/n0)"
+            f" / sqrt({_WELCH_SE2}) * 1000.0) END AS BIGINT)"
+        ).alias("t_milli"),
+        F.expr(
+            f"CAST(CASE WHEN n0 < 2 OR n1 < 2 OR {_WELCH_SE2} <= 0.0 THEN 0"
+            f" ELSE floor({_WELCH_SE2} * {_WELCH_SE2}"
+            f" / (({_WELCH_S2[1]}/n1) * ({_WELCH_S2[1]}/n1) / (n1 - 1.0)"
+            f" + ({_WELCH_S2[0]}/n0) * ({_WELCH_S2[0]}/n0) / (n0 - 1.0))"
+            f" * 1000.0) END AS BIGINT)"
+        ).alias("df_milli"),
+    )
+
+
+@register(
+    "diff_in_differences",
+    f"""
+    WITH {_UX_CTE},
+    a AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      FROM ux GROUP BY grp
+    ),
+    d AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS has1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS has0,
+             SUM(CASE WHEN grp = 1
+                 THEN CAST(sy AS DOUBLE)/n_users - CAST(sx AS DOUBLE)/n_users
+                 ELSE 0.0 END)
+             - SUM(CASE WHEN grp = 0
+                 THEN CAST(sy AS DOUBLE)/n_users - CAST(sx AS DOUBLE)/n_users
+                 ELSE 0.0 END) AS did
+      FROM a
+    )
+    SELECT a.grp, a.n_users,
+           CAST(floor(CAST(a.sx AS DOUBLE)/a.n_users * 1000.0) AS BIGINT)
+             AS pre_mean_milli,
+           CAST(floor(CAST(a.sy AS DOUBLE)/a.n_users * 1000.0) AS BIGINT)
+             AS post_mean_milli,
+           CAST(floor((CAST(a.sy AS DOUBLE)/a.n_users
+                       - CAST(a.sx AS DOUBLE)/a.n_users) * 1000.0) AS BIGINT)
+             AS delta_milli,
+           CAST(CASE WHEN d.has1 = 0 OR d.has0 = 0 THEN 0
+                ELSE floor(d.did * 1000.0) END AS BIGINT) AS did_milli
+    FROM a CROSS JOIN d
+    """,
+)
+def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout — the quasi-experimental
+    estimator (Card & Krueger 1994 canon) over the same
+    calendar-midpoint pre/post frame CUPED uses: each arm's
+    (post − pre) per-user mean delta, and the treatment effect
+    estimate DiD = Δ₁ − Δ₀ that differences away any shared time
+    trend. Complements CUPED (which needs randomized arms) when the
+    arms are observational. Same exact-BIGINT-sums-then-
+    correctly-rounded-doubles discipline, milli-floored.
+
+    Scale: the shared _cuped_user_xy user-grain shuffle + one
+    arm-grain aggregate (2 rows) and a broadcast-scalar DiD join —
+    nothing wider than two rows after the shared shuffle."""
+    ux = _cuped_user_xy(spark, sf_dir)
+    a = ux.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    delta = "CAST(sy AS DOUBLE)/n_users - CAST(sx AS DOUBLE)/n_users"
+    d = a.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("has1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("has0"),
+        (
+            F.sum(F.when(F.col("grp") == 1, F.expr(delta)).otherwise(0.0))
+            - F.sum(F.when(F.col("grp") == 0, F.expr(delta)).otherwise(0.0))
+        ).alias("did"),
+    )
+    return a.crossJoin(F.broadcast(d)).select(
+        "grp",
+        "n_users",
+        F.expr(
+            "CAST(floor(CAST(sx AS DOUBLE)/n_users * 1000.0) AS BIGINT)"
+        ).alias("pre_mean_milli"),
+        F.expr(
+            "CAST(floor(CAST(sy AS DOUBLE)/n_users * 1000.0) AS BIGINT)"
+        ).alias("post_mean_milli"),
+        F.expr(f"CAST(floor(({delta}) * 1000.0) AS BIGINT)").alias(
+            "delta_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN has1 = 0 OR has0 = 0 THEN 0"
+            " ELSE floor(did * 1000.0) END AS BIGINT)"
+        ).alias("did_milli"),
+    )
+
+
+PERM_REPS = 64  # pseudo-assignments for the permutation null
+
+
+@register(
+    "permutation_test_ab",
+    f"""
+    WITH {_UX_CTE},
+    obs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(CASE WHEN SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) = 0
+                    OR SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) = 0 THEN 0
+                  ELSE floor((CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END)
+                               AS DOUBLE)
+                              / SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                            - CAST(SUM(CASE WHEN grp = 0 THEN y ELSE 0 END)
+                               AS DOUBLE)
+                              / SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END))
+                        * 1000.0)
+                  END AS BIGINT) AS obs_diff_milli
+      FROM ux
+    ),
+    drawn AS (
+      SELECT b.b, u.y,
+             CAST(concat('0x', substr(md5(concat('pm|', b.b, '|', u.user_id)),
+                                      1, 15)) AS BIGINT) % 2 AS pg
+      FROM ux u,
+           LATERAL (SELECT unnest(generate_series(0, {PERM_REPS - 1})) AS b) b
+    ),
+    reps AS (
+      SELECT b,
+             CAST(CASE WHEN SUM(CASE WHEN pg = 1 THEN 1 ELSE 0 END) = 0
+                    OR SUM(CASE WHEN pg = 0 THEN 1 ELSE 0 END) = 0 THEN 0
+                  ELSE floor((CAST(SUM(CASE WHEN pg = 1 THEN y ELSE 0 END)
+                               AS DOUBLE)
+                              / SUM(CASE WHEN pg = 1 THEN 1 ELSE 0 END)
+                            - CAST(SUM(CASE WHEN pg = 0 THEN y ELSE 0 END)
+                               AS DOUBLE)
+                              / SUM(CASE WHEN pg = 0 THEN 1 ELSE 0 END))
+                        * 1000.0)
+                  END AS BIGINT) AS d_milli
+      FROM drawn GROUP BY b
+    ),
+    ext AS (
+      SELECT CAST(SUM(CASE WHEN abs(r.d_milli) >= abs(o.obs_diff_milli)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM reps r CROSS JOIN obs o
+    )
+    SELECT o.n_users, CAST({PERM_REPS} AS BIGINT) AS n_reps,
+           o.obs_diff_milli, e.n_extreme,
+           CAST((1 + e.n_extreme) * 1000 // ({PERM_REPS} + 1) AS BIGINT)
+             AS p_milli
+    FROM obs o CROSS JOIN ext e
+    """,
+)
+def permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC PERMUTATION TEST on the arm mean-spend difference
+    — the assumption-free significance readout next to welch_t_ab
+    (exact under exchangeability, no normality needed; Fisher 1935
+    by way of the hash-seeded at-scale form): {PERM_REPS} pseudo
+    re-assignments of users to arms via the 60-bit md5 uniform of
+    ('pm|', b, user_id) build the null distribution of the
+    post-period mean difference, and p = (1 + #extreme)/(B+1) — the
+    bootstrap_quality_ci pattern applied to testing (precomputed-hash
+    draws, no engine RNG, reproducible across engines/runs/cluster
+    sizes). Differences are milli-floored BEFORE the extremity
+    compare (quantize-then-compare, both engines identical).
+
+    Scale: the shared _cuped_user_xy user-grain shuffle, then a
+    {PERM_REPS}x map-only explode collapsing under map-side combine
+    to 2·{PERM_REPS} partial sums — no shuffle wider than the
+    replicate count, the extremity count is over a {PERM_REPS}-row
+    frame."""
+    ux = _cuped_user_xy(spark, sf_dir)
+    mdiff = (
+        "CAST(CASE WHEN n1b = 0 OR n0b = 0 THEN 0"
+        " ELSE floor((CAST(s1 AS DOUBLE)/n1b - CAST(s0 AS DOUBLE)/n0b)"
+        " * 1000.0) END AS BIGINT)"
+    )
+    obs = ux.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1b"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y")).otherwise(0)).alias("s0"),
+    ).select("n_users", F.expr(mdiff).alias("obs_diff_milli"))
+    from ..functions.scalar import hex_hash64
+
+    drawn = ux.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_REPS - 1))).alias("b"),
+    ).select(
+        "b",
+        "y",
+        (
+            hex_hash64(
+                F.concat(F.lit("pm|"), F.col("b"), F.lit("|"), F.col("user_id"))
+            )
+            % 2
+        ).alias("pg"),
+    )
+    reps = drawn.groupBy("b").agg(
+        F.sum(F.when(F.col("pg") == 1, 1).otherwise(0)).alias("n1b"),
+        F.sum(F.when(F.col("pg") == 0, 1).otherwise(0)).alias("n0b"),
+        F.sum(F.when(F.col("pg") == 1, F.col("y")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("pg") == 0, F.col("y")).otherwise(0)).alias("s0"),
+    ).select("b", F.expr(mdiff).alias("d_milli"))
+    ext = reps.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("d_milli")) >= F.abs(F.col("obs_diff_milli")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    return obs.crossJoin(F.broadcast(ext)).select(
+        "n_users",
+        F.lit(PERM_REPS).cast("bigint").alias("n_reps"),
+        "obs_diff_milli",
+        "n_extreme",
+        F.expr(
+            f"CAST((1 + n_extreme) * 1000 div ({PERM_REPS} + 1) AS BIGINT)"
+        ).alias("p_milli"),
     )

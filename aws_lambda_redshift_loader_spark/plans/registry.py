@@ -111,6 +111,10 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-17 new queries (no prior correctness row)
+    "permutation_test_ab",
+    "diff_in_differences",
+    "welch_t_ab",
+    "srm_check",
     "stream_cusum",
     "bootstrap_quality_ci",
     "cuped_adjusted_ab",

@@ -252,6 +252,10 @@ QUERIES = [
     "cuped_adjusted_ab",  # one user-grain shuffle + moment epilogue
     "bootstrap_quality_ci",  # 48x map-only explode, 48-row combine
     "stream_cusum",  # 20th store: hull vertices + cell totals
+    "srm_check",  # one distinct-user aggregate
+    "welch_t_ab",  # shared user-grain shuffle + 6-sum epilogue
+    "diff_in_differences",  # shared user-grain shuffle + 2-row agg
+    "permutation_test_ab",  # 64x explode, 128 partial sums
 ]
 
 
