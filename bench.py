@@ -100,6 +100,37 @@ def main() -> None:
     spark.range(64).join(
         _F.broadcast(spark.range(8)), "id"
     ).write.format("noop").mode("overwrite").save()
+    # And the PPJoin-family plan shapes (shingle explode → prefix
+    # windows → band self-join → suffix verify): an r17 isolated A/B
+    # measured the family's first-alphabetical entry
+    # (adaptive_ppjoin_jaccard_pairs) at 18.9 s cold vs 6.7 s steady
+    # with the ANALYZE pass itself <1 s marginal — the 12 s gap is
+    # session-one-time whole-stage-codegen/JIT of these shapes, billed
+    # to whichever family query runs first. Same policy as the shapes
+    # above: a 32-row trivial frame compiles the plans, memo builds
+    # (ppj_stats_build etc.) stay billed to the queries that run them.
+    from aws_lambda_redshift_loader_spark.functions.scalar import (
+        hex_hash64 as _hh64,
+    )
+    from aws_lambda_redshift_loader_spark.operators import dedup as _dd
+
+    _tinydocs = spark.range(32).select(
+        _F.col("id").alias("doc_id"),
+        _F.concat_ws(
+            " ",
+            *[
+                _F.concat(_F.lit(f"w{j}x"), (_F.col("id") % (j + 2)))
+                for j in range(8)
+            ],
+        ).alias("text"),
+    )
+    _tsh = _dd._shingles_of(_tinydocs).select(
+        "doc_id", _hh64(_F.col("shingle")).alias("shingle")
+    )
+    _tw, _ts, _tc = _dd._ppjoin_candidates(_tsh, _dd.JACCARD_THRESHOLD)
+    _dd._ppjoin_verify_suffix(
+        _tw, _ts, _tc, _dd.JACCARD_THRESHOLD
+    ).write.format("noop").mode("overwrite").save()
 
     # Memo-consumer labeling (round-7 verdict item 3): the dedup pair
     # graph is built once per session and consumed by ~7 queries, so a
