@@ -3882,7 +3882,12 @@ def welch_t_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the shared _cuped_user_xy user-grain shuffle + one
     six-sum aggregate (map-side combined) to a single row — the
     statistic rides the aggregate tree."""
-    ux = _cuped_user_xy(spark, sf_dir)
+    return _welch_from_ux(_cuped_user_xy(spark, sf_dir))
+
+
+def _welch_from_ux(ux: DataFrame) -> DataFrame:
+    """Welch-t epilogue over a (grp, y) frame — shared by the batch
+    readout and the spend-store reader (stream_welch_t)."""
     a = ux.agg(
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
         .cast("bigint")
@@ -3973,7 +3978,12 @@ def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the shared _cuped_user_xy user-grain shuffle + one
     arm-grain aggregate (2 rows) and a broadcast-scalar DiD join —
     nothing wider than two rows after the shared shuffle."""
-    ux = _cuped_user_xy(spark, sf_dir)
+    return _did_from_ux(_cuped_user_xy(spark, sf_dir))
+
+
+def _did_from_ux(ux: DataFrame) -> DataFrame:
+    """Diff-in-differences epilogue over a (grp, x, y) frame — shared
+    by the batch readout and the spend-store reader (stream_did)."""
     a = ux.groupBy("grp").agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("x").cast("bigint").alias("sx"),

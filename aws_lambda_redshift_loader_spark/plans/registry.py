@@ -111,6 +111,8 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-17 new queries (no prior correctness row)
+    "stream_did",
+    "stream_welch_t",
     "permutation_test_ab",
     "diff_in_differences",
     "welch_t_ab",

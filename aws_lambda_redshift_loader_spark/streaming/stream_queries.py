@@ -6495,3 +6495,159 @@ def _register_stream_cusum() -> None:
 
 
 _register_stream_cusum()
+
+
+# --- 21st store kind: calendar-keyed additive spend store ------------------
+#
+# The experiment readouts (Welch t, DiD, CUPED) all consume per-user
+# PRE/POST period spend — but the period boundary is the GLOBAL
+# calendar midpoint, which MOVES as epochs arrive, so per-user (x, y)
+# deltas computed against an epoch-local boundary are not mergeable.
+# What is: (user, day)-grain cent sums (pure addition across epochs,
+# arrival order irrelevant) plus a 1-row min/max day per epoch. The
+# read path re-derives the boundary from the merged span and rolls
+# user-days up to (x, y) — history never rescanned, and the same
+# store serves every reader of the family.
+_SPENDSTORE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def ingest_spend_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One spend-store maintenance epoch (module-level for the replay
+    test): the batch's (user, day) cent sums and day span — pure
+    functions of the frozen batch, overwrite-idempotent per epoch."""
+    ev = batch_df.filter(F.col("value") >= 0).select(
+        "user_id",
+        "day",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    (
+        ev.groupBy("user_id", "day")
+        .agg(F.sum("v_c").cast("bigint").alias("c"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/userdays/epoch={epoch_id}")
+    )
+    (
+        # Span over the SAME value >= 0 filter as the batch query's
+        # frame — an epoch whose min/max day were held only by
+        # negative-value events must not move the boundary.
+        ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .write.mode("overwrite")
+        .parquet(f"{store}/span/epoch={epoch_id}")
+    )
+
+
+def _ensure_spend_store(spark: SparkSession, sf_dir: str) -> str:
+    """Run (once per session per corpus) the spend-store maintenance
+    stream and return the store path. Shares the day-range event
+    split fixture with the KM store (same epoch count, memoized)."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _SPENDSTORE_MEMO.get(key)
+    if store is not None:
+        _dedup.MEMO_EVENTS.append("spend_ingest_hit")
+        return store
+    _dedup.MEMO_EVENTS.append("spend_ingest_build")
+    store = _e2e_tmpdir("alrs_spend_store_")
+    src = _ensure_event_split(spark, sf_dir, INC_KM_EPOCHS)
+    schema = "user_id long, event_type string, value double, day date"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_spend_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_spend_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _SPENDSTORE_MEMO[key] = store
+    return store
+
+
+def _spend_store_ux(spark: SparkSession, store: str) -> DataFrame:
+    """Resolve the spend store into the (user_id, grp, x, y) frame the
+    experiment epilogues consume: merged span → boundary, user-day
+    sums → per-user pre/post roll-up (windows_sql._cuped_user_xy's
+    twin, served from state)."""
+    ud = (
+        spark.read.parquet(f"{store}/userdays")
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    span = spark.read.parquet(f"{store}/span").agg(
+        F.min("d0").alias("d0"), F.max("d1").alias("d1")
+    )
+    pre = F.datediff(F.col("day"), F.col("d0")) * 2 <= F.datediff(
+        F.col("d1"), F.col("d0")
+    )
+    return (
+        ud.crossJoin(F.broadcast(span))
+        .groupBy(
+            "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+        )
+        .agg(
+            F.coalesce(F.sum(F.when(pre, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~pre, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+
+
+def _register_stream_spend_readers() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register("stream_welch_t", lambda: _REG["welch_t_ab"].oracle)
+    def stream_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED Welch t — first reader of the calendar-keyed
+        additive spend store (21st kind; see the store notes above for
+        why (user, day) grain is the mergeable algebra when the
+        pre/post boundary moves with the calendar): the resolved
+        user-day sums roll up to the (grp, x, y) frame and feed the
+        batch epilogue (windows_sql._welch_from_ux), hash-gated equal
+        to welch_t_ab. The live experiment dashboard's primary
+        readout, re-derived per epoch from state.
+
+        Scale: ingest is one (user, day)-grain aggregate per batch;
+        read is an additive roll-up + the six-sum epilogue — no event
+        history, no window, no sort."""
+        from ..operators.windows_sql import _welch_from_ux
+
+        tune(spark)
+        store = _ensure_spend_store(spark, sf_dir)
+        return _welch_from_ux(_spend_store_ux(spark, store))
+
+    @register("stream_did", lambda: _REG["diff_in_differences"].oracle)
+    def stream_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED difference-in-differences — the spend store's
+        second reader (one additive ingest, two readouts): same
+        resolved (grp, x, y) frame, batch epilogue
+        windows_sql._did_from_ux, hash-gated equal to
+        diff_in_differences.
+
+        Scale: adds no ingest of its own — the store resolve is
+        shared; the epilogue is a 2-row arm aggregate plus a
+        broadcast-scalar join."""
+        from ..operators.windows_sql import _did_from_ux
+
+        tune(spark)
+        store = _ensure_spend_store(spark, sf_dir)
+        return _did_from_ux(_spend_store_ux(spark, store))
+
+
+_register_stream_spend_readers()

@@ -256,6 +256,8 @@ QUERIES = [
     "welch_t_ab",  # shared user-grain shuffle + 6-sum epilogue
     "diff_in_differences",  # shared user-grain shuffle + 2-row agg
     "permutation_test_ab",  # 64x explode, 128 partial sums
+    "stream_welch_t",  # 21st store: additive user-day cents
+    "stream_did",  # spend store 2nd reader (shared resolve)
 ]
 
 
@@ -1034,6 +1036,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._EVTSSPLIT_MEMO.clear()
     _sq._STORE_LPA_MEMO.clear()
     _sq._CUSUMSTORE_MEMO.clear()
+    _sq._SPENDSTORE_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel

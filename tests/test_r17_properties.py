@@ -136,3 +136,56 @@ def test_hull_compresses_collinear_runs(spark, tmp_path):
     hull_rows = spark.read.parquet(f"{store}/hull").count()
     # 3 cells x 20 events = 60 points; flat runs keep endpoints only.
     assert hull_rows <= 9, f"hull kept {hull_rows} of 60 collinear points"
+
+
+def test_spend_store_replay_and_merge(spark, tmp_path):
+    """The additive spend store must (a) be replay-idempotent and
+    (b) resolve identically however users/days are split across
+    epochs — including a user and a day split MID-DAY across epochs
+    (the algebra is pure addition, so arrival order is free)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        _spend_store_ux,
+        ingest_spend_epoch,
+    )
+
+    t0 = datetime.date(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i % 5,
+                "purchase",
+                float(i % 7) + 0.25,
+                t0 + datetime.timedelta(days=i % 4),
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, day date"
+    )
+    one = str(tmp_path / "one")
+    ingest_spend_epoch(spark, ev, 0, one)
+    whole = sorted(tuple(r) for r in _spend_store_ux(spark, one).collect())
+
+    split = str(tmp_path / "split")
+    # Adversarial split: odd/even row interleave (same user+day lands
+    # in BOTH epochs — the sums must merge).
+    evi = ev.withColumn(
+        "rn", F.monotonically_increasing_id()
+    )
+    ingest_spend_epoch(spark, evi.filter("rn % 2 = 0").drop("rn"), 0, split)
+    ingest_spend_epoch(spark, evi.filter("rn % 2 = 1").drop("rn"), 1, split)
+    merged = sorted(
+        tuple(r) for r in _spend_store_ux(spark, split).collect()
+    )
+    assert whole == merged
+
+    # Replay epoch 1 — overwrite must be a no-op.
+    ingest_spend_epoch(spark, evi.filter("rn % 2 = 1").drop("rn"), 1, split)
+    again = sorted(
+        tuple(r) for r in _spend_store_ux(spark, split).collect()
+    )
+    assert merged == again
