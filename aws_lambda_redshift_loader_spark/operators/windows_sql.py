@@ -3410,6 +3410,114 @@ _MWU_VAR = (
 )
 
 
+def _quality_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-quality-value counts per split — (v ppm-quantized
+    quality, n1v train count, n2v val count), the shared front half of
+    mann_whitney_quality_ab and winsorized_quality_ab (and the frame
+    the value-count store resolves to)."""
+    return _quality_split_counts_of(table(spark, sf_dir, "documents"))
+
+
+def _quality_split_counts_of(d: DataFrame) -> DataFrame:
+    """_quality_split_counts over ANY (doc_id, text) frame — the
+    streaming value-count store ingests each micro-batch with the
+    identical plan (per-doc scoring is batch-local == corpus-global,
+    and the counts are pure addition across batches)."""
+    from ..functions.scalar import hex_hash64
+    from .text import SPLIT_BUCKETS, SPLIT_TRAIN_LT, SPLIT_VAL_LT, _quality_of
+
+    qs = (
+        _quality_of(d)
+        .select(
+            F.floor(F.col("quality_score") * 1000000.0)
+            .cast("bigint")
+            .alias("v"),
+            (hex_hash64(F.col("doc_id"), salt="sp|") % SPLIT_BUCKETS).alias(
+                "b"
+            ),
+        )
+        .filter(F.col("b") < SPLIT_VAL_LT)
+    )
+    return (
+        qs.select(
+            "v",
+            F.when(F.col("b") < SPLIT_TRAIN_LT, 1).otherwise(0).alias("g"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1v"),
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2v"),
+        )
+    )
+
+
+def _split_count_walk(spark: SparkSession, per: DataFrame) -> DataFrame:
+    """Value-range-banded EXCLUSIVE cumulative counts over the
+    distinct-value frame: (v, n1v, n2v, c1, c2) where c_g counts
+    strictly-smaller values per split. The MWU_BAND cells (bounded by
+    the score range, not the data) collect to the driver; offsets
+    broadcast back; windows partition per band — the cusum banding
+    pattern on the value axis."""
+    banded = per.withColumn("vb", F.expr(f"v div {MWU_BAND}"))
+    cells = (
+        banded.groupBy("vb")
+        .agg(F.sum("n1v").alias("c1"), F.sum("n2v").alias("c2"))
+        .collect()
+    )
+    off_rows, a1, a2 = [], 0, 0
+    for r in sorted(cells, key=lambda r: r["vb"]):
+        off_rows.append((r["vb"], a1, a2))
+        a1 += r["c1"]
+        a2 += r["c2"]
+    offs = spark.createDataFrame(off_rows, "vb long, off1 long, off2 long")
+    w2 = (
+        W.partitionBy("vb")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return banded.join(F.broadcast(offs), "vb").select(
+        "v",
+        "n1v",
+        "n2v",
+        (F.col("off1") + F.coalesce(F.sum("n1v").over(w2), F.lit(0)))
+        .cast("bigint")
+        .alias("c1"),
+        (F.col("off2") + F.coalesce(F.sum("n2v").over(w2), F.lit(0)))
+        .cast("bigint")
+        .alias("c2"),
+    )
+
+
+def _mwu_from_counts(spark: SparkSession, per: DataFrame) -> DataFrame:
+    """Mann-Whitney U epilogue over the distinct-value count frame —
+    shared by the batch query and the value-count store reader."""
+    wd = _split_count_walk(spark, per)
+    agg = wd.agg(
+        F.sum("n1v").cast("bigint").alias("n_train"),
+        F.sum("n2v").cast("bigint").alias("n_val"),
+        F.sum(F.expr("2*n1v*c2 + n1v*n2v")).cast("bigint").alias("u_x2"),
+        F.sum(F.expr("(n1v+n2v)*(n1v+n2v)*(n1v+n2v) - (n1v+n2v)"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    return agg.select(
+        "n_train",
+        "n_val",
+        "u_x2",
+        "tie_term",
+        F.expr(
+            f"CAST(CASE WHEN n_train = 0 OR n_val = 0 THEN 0"
+            f" WHEN {_MWU_VAR} <= 0.0 THEN 0"
+            f" ELSE floor((u_x2 - n_train*n_val) / (2.0*sqrt({_MWU_VAR}))"
+            f" * 1000000.0) END AS BIGINT)"
+        ).alias("z_q"),
+    )
+
+
 def _register_mann_whitney() -> None:
     from .text import SPLIT_BUCKETS, SPLIT_TRAIN_LT, SPLIT_VAL_LT
 
@@ -3492,74 +3600,7 @@ def _register_mann_whitney() -> None:
         broadcast back, and the cumulative-count windows partition per
         band — no global sort, no one-task funnel, however large the
         corpus."""
-        from ..functions.scalar import hex_hash64
-        from .text import _quality_of
-
-        d = table(spark, sf_dir, "documents")
-        qs = _quality_of(d).select(
-            F.floor(F.col("quality_score") * 1000000.0)
-            .cast("bigint")
-            .alias("v"),
-            (hex_hash64(F.col("doc_id"), salt="sp|") % SPLIT_BUCKETS).alias(
-                "b"
-            ),
-        ).filter(F.col("b") < SPLIT_VAL_LT)
-        per = (
-            qs.select(
-                "v",
-                F.when(F.col("b") < SPLIT_TRAIN_LT, 1).otherwise(0).alias("g"),
-            )
-            .groupBy("v")
-            .agg(
-                F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n1v"),
-                F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n2v"),
-            )
-        )
-        banded = per.withColumn("vb", F.expr(f"v div {MWU_BAND}"))
-        cells = banded.groupBy("vb").agg(F.sum("n2v").alias("c2")).collect()
-        off_rows, acc = [], 0
-        for r in sorted(cells, key=lambda r: r["vb"]):
-            off_rows.append((r["vb"], acc))
-            acc += r["c2"]
-        offs = spark.createDataFrame(off_rows, "vb long, off2 long")
-        w2 = (
-            W.partitionBy("vb")
-            .orderBy(F.col("v").asc())
-            .rowsBetween(W.unboundedPreceding, -1)
-        )
-        wd = banded.join(F.broadcast(offs), "vb").select(
-            "n1v",
-            "n2v",
-            (F.col("off2") + F.coalesce(F.sum("n2v").over(w2), F.lit(0)))
-            .cast("bigint")
-            .alias("c2"),
-        )
-        agg = wd.agg(
-            F.sum("n1v").cast("bigint").alias("n_train"),
-            F.sum("n2v").cast("bigint").alias("n_val"),
-            F.sum(F.expr("2*n1v*c2 + n1v*n2v")).cast("bigint").alias("u_x2"),
-            F.sum(
-                F.expr("(n1v+n2v)*(n1v+n2v)*(n1v+n2v) - (n1v+n2v)")
-            )
-            .cast("bigint")
-            .alias("tie_term"),
-        )
-        return agg.select(
-            "n_train",
-            "n_val",
-            "u_x2",
-            "tie_term",
-            F.expr(
-                f"CAST(CASE WHEN n_train = 0 OR n_val = 0 THEN 0"
-                f" WHEN {_MWU_VAR} <= 0.0 THEN 0"
-                f" ELSE floor((u_x2 - n_train*n_val) / (2.0*sqrt({_MWU_VAR}))"
-                f" * 1000000.0) END AS BIGINT)"
-            ).alias("z_q"),
-        )
+        return _mwu_from_counts(spark, _quality_split_counts(spark, sf_dir))
 
 
 _register_mann_whitney()
@@ -4146,3 +4187,159 @@ def permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((1 + n_extreme) * 1000 div ({PERM_REPS} + 1) AS BIGINT)"
         ).alias("p_milli"),
     )
+
+
+def _register_winsorized() -> None:
+    from .text import SPLIT_BUCKETS, SPLIT_TRAIN_LT, SPLIT_VAL_LT
+
+    @register(
+        "winsorized_quality_ab",
+        rf"""
+    WITH q AS (
+      SELECT CAST(floor((
+               (CAST(length(regexp_extract_all(lower(text),
+                     '\b(the|and|of|to|a|in|is)\b')) AS DOUBLE) /
+                greatest(length(regexp_extract_all(text, '\S+')), 1)) * 2.0
+               - (CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / length(text)) * 3.0
+               + (CASE WHEN greatest(length(regexp_extract_all(text, '\S+')), 1)
+                       BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+             ) * 1000000) AS BIGINT) AS v,
+             CAST(concat('0x', substr(md5(concat('sp|', doc_id)), 1, 15))
+                  AS BIGINT) % {SPLIT_BUCKETS} AS b
+      FROM documents
+    ),
+    grp AS (
+      SELECT v, CASE WHEN b < {SPLIT_TRAIN_LT} THEN 1 ELSE 0 END AS g
+      FROM q WHERE b < {SPLIT_VAL_LT}
+    ),
+    per AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2v
+      FROM grp GROUP BY v
+    ),
+    wd AS (
+      SELECT v, n1v, n2v,
+             CAST(SUM(n1v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS ic1,
+             CAST(SUM(n2v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS ic2
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(n2v) AS BIGINT) AS n2
+      FROM per
+    ),
+    th AS (
+      SELECT MIN(CASE WHEN ic1 >= (n1 + 19) // 20 THEN v END) AS lo1,
+             MIN(CASE WHEN ic1 >= (19*n1 + 19) // 20 THEN v END) AS hi1,
+             MIN(CASE WHEN ic2 >= (n2 + 19) // 20 THEN v END) AS lo2,
+             MIN(CASE WHEN ic2 >= (19*n2 + 19) // 20 THEN v END) AS hi2
+      FROM wd CROSS JOIN tot
+    ),
+    s AS (
+      SELECT CAST(SUM(least(greatest(v, lo1), hi1) * n1v) AS BIGINT) AS s1,
+             CAST(SUM(least(greatest(v, lo2), hi2) * n2v) AS BIGINT) AS s2
+      FROM wd CROSS JOIN th
+    )
+    SELECT 'train' AS split, n1 AS n_docs,
+           CAST(lo1 AS BIGINT) AS lo_q, CAST(hi1 AS BIGINT) AS hi_q,
+           CAST(CASE WHEN n1 = 0 THEN 0 ELSE s1 // n1 END AS BIGINT)
+             AS wins_mean_q
+    FROM s CROSS JOIN th CROSS JOIN tot
+    UNION ALL
+    SELECT 'val', n2, CAST(lo2 AS BIGINT), CAST(hi2 AS BIGINT),
+           CAST(CASE WHEN n2 = 0 THEN 0 ELSE s2 // n2 END AS BIGINT)
+    FROM s CROSS JOIN th CROSS JOIN tot
+    """,
+    )
+    def winsorized_quality_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """WINSORIZED MEAN QUALITY per split — the robust-metric
+        standard (Tukey; every experiment platform winsorizes heavy-
+        tailed metrics before averaging): per split, the EXACT
+        p05/p95 value thresholds (smallest value whose inclusive
+        cumulative count reaches ceil(q·n), pure integer), and the
+        mean with values clamped into [p05, p95] — the outlier-robust
+        companion to mann_whitney_quality_ab over the same
+        distinct-value count frame (_quality_split_counts +
+        _split_count_walk: one value walk, two statistics). The
+        clamped mean uses exact integer floor division (matched to
+        DuckDB's // via pmod — quality values go negative).
+
+        Scale: the shared distinct-value aggregate and value-banded
+        walk (≤ ~65 cells); thresholds are conditional MIN aggregates
+        (no sort, no ntile); the clamped mean is one more sum over
+        the distinct-value frame."""
+        return _winsorized_from_counts(
+            spark, _quality_split_counts(spark, sf_dir)
+        )
+
+
+def _winsorized_from_counts(spark: SparkSession, per: DataFrame) -> DataFrame:
+    """Winsorized-mean epilogue over the distinct-value count frame —
+    shared by the batch query and the value-count store reader
+    (stream_winsorized)."""
+    wd = _split_count_walk(spark, per).select(
+        "v",
+        "n1v",
+        "n2v",
+        (F.col("c1") + F.col("n1v")).cast("bigint").alias("ic1"),
+        (F.col("c2") + F.col("n2v")).cast("bigint").alias("ic2"),
+    )
+    tot = per.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum("n2v").cast("bigint").alias("n2"),
+    )
+    j = wd.crossJoin(F.broadcast(tot))
+    th = j.agg(
+        F.min(
+            F.when(F.col("ic1") >= F.expr("(n1 + 19) div 20"), F.col("v"))
+        ).alias("lo1"),
+        F.min(
+            F.when(
+                F.col("ic1") >= F.expr("(19*n1 + 19) div 20"), F.col("v")
+            )
+        ).alias("hi1"),
+        F.min(
+            F.when(F.col("ic2") >= F.expr("(n2 + 19) div 20"), F.col("v"))
+        ).alias("lo2"),
+        F.min(
+            F.when(
+                F.col("ic2") >= F.expr("(19*n2 + 19) div 20"), F.col("v")
+            )
+        ).alias("hi2"),
+    )
+    s = j.crossJoin(F.broadcast(th)).agg(
+        F.sum(F.expr("least(greatest(v, lo1), hi1) * n1v"))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.expr("least(greatest(v, lo2), hi2) * n2v"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    one = s.crossJoin(F.broadcast(th)).crossJoin(F.broadcast(tot))
+    train = one.select(
+        F.lit("train").alias("split"),
+        F.col("n1").alias("n_docs"),
+        F.col("lo1").cast("bigint").alias("lo_q"),
+        F.col("hi1").cast("bigint").alias("hi_q"),
+        F.expr(
+            "CAST(CASE WHEN n1 = 0 THEN 0"
+            " ELSE (s1 - pmod(s1, n1)) div n1 END AS BIGINT)"
+        ).alias("wins_mean_q"),
+    )
+    val = one.select(
+        F.lit("val").alias("split"),
+        F.col("n2").alias("n_docs"),
+        F.col("lo2").cast("bigint").alias("lo_q"),
+        F.col("hi2").cast("bigint").alias("hi_q"),
+        F.expr(
+            "CAST(CASE WHEN n2 = 0 THEN 0"
+            " ELSE (s2 - pmod(s2, n2)) div n2 END AS BIGINT)"
+        ).alias("wins_mean_q"),
+    )
+    return train.unionByName(val)
+
+
+_register_winsorized()

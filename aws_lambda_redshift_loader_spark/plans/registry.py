@@ -111,6 +111,9 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-17 new queries (no prior correctness row)
+    "stream_winsorized",
+    "stream_mann_whitney",
+    "winsorized_quality_ab",
     "stream_did",
     "stream_welch_t",
     "permutation_test_ab",

@@ -6651,3 +6651,134 @@ def _register_stream_spend_readers() -> None:
 
 
 _register_stream_spend_readers()
+
+
+# --- 22nd store kind: distinct-value count store ---------------------------
+#
+# The rank-statistics family (Mann–Whitney, winsorized means, exact
+# quantiles) consumes distinct-quality-value counts per split — and
+# counts at value grain are PURE ADDITION across epochs (no ordering,
+# no boundary, no slope: the simplest mergeable algebra in the store
+# zoo, which is exactly the point — the heavy part, per-document
+# scoring, happens once at ingest and the rank walk reruns only over
+# the value-grain frame).
+_VALCOUNT_MEMO: dict[tuple[str, str], str] = {}
+INC_VALCOUNT_EPOCHS = 4
+
+
+def ingest_valcount_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
+) -> None:
+    """One value-count maintenance epoch (module-level for the replay
+    test): the batch's distinct-value split counts — pure functions of
+    the frozen batch, overwrite-idempotent per epoch."""
+    from ..operators.windows_sql import _quality_split_counts_of
+
+    (
+        _quality_split_counts_of(batch_df)
+        .write.mode("overwrite")
+        .parquet(f"{store}/counts/epoch={epoch_id}")
+    )
+
+
+def _ensure_valcount_store(spark: SparkSession, sf_dir: str) -> str:
+    """Run (once per session per corpus) the value-count maintenance
+    stream and return the store path. Shares the doc-split fixture
+    with the other document stores."""
+    from ..operators import dedup as _dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _VALCOUNT_MEMO.get(key)
+    if store is not None:
+        _dedup.MEMO_EVENTS.append("valcount_ingest_hit")
+        return store
+    _dedup.MEMO_EVENTS.append("valcount_ingest_build")
+    store = _e2e_tmpdir("alrs_valcount_store_")
+    src = _ensure_doc_split(spark, sf_dir, INC_VALCOUNT_EPOCHS)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_valcount_epoch(spark, batch_df, epoch_id, store)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", _e2e_tmpdir("alrs_valcount_ckpt_"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _VALCOUNT_MEMO[key] = store
+    return store
+
+
+def _valcount_per(spark: SparkSession, store: str) -> DataFrame:
+    """Resolve the value-count store to the distinct-value count frame
+    the rank-statistics epilogues consume (one additive roll-up)."""
+    return (
+        spark.read.parquet(f"{store}/counts")
+        .groupBy("v")
+        .agg(
+            F.sum("n1v").cast("bigint").alias("n1v"),
+            F.sum("n2v").cast("bigint").alias("n2v"),
+        )
+    )
+
+
+def _register_stream_rank_readers() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register(
+        "stream_mann_whitney",
+        lambda: _REG["mann_whitney_quality_ab"].oracle,
+    )
+    def stream_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED Mann–Whitney U — first reader of the
+        distinct-value count store (22nd kind; value-grain counts are
+        pure addition across epochs, the simplest mergeable algebra in
+        the store zoo): the resolved counts feed the batch query's
+        value-banded rank walk (windows_sql._mwu_from_counts),
+        hash-gated equal to mann_whitney_quality_ab. The split-health
+        monitor a curation stream keeps live: per-document scoring
+        happens once at ingest; the rank statistic re-derives per
+        epoch at distinct-value cost.
+
+        Scale: ingest is one map-only score pass + a value-grain
+        aggregate per batch; read is an additive roll-up + the banded
+        walk over ≤ ~65 value cells — document text never rescanned."""
+        from ..operators.windows_sql import _mwu_from_counts
+
+        tune(spark)
+        store = _ensure_valcount_store(spark, sf_dir)
+        return _mwu_from_counts(spark, _valcount_per(spark, store))
+
+    @register(
+        "stream_winsorized",
+        lambda: _REG["winsorized_quality_ab"].oracle,
+    )
+    def stream_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED winsorized mean quality — the value-count
+        store's second reader (one score-at-ingest pass, two rank
+        statistics): same resolved counts, the batch query's exact
+        p05/p95 thresholds + clamped-mean epilogue
+        (windows_sql._winsorized_from_counts), hash-gated equal to
+        winsorized_quality_ab.
+
+        Scale: adds no ingest of its own; the epilogue is the shared
+        banded walk + conditional-MIN thresholds + one more
+        distinct-value sum."""
+        from ..operators.windows_sql import _winsorized_from_counts
+
+        tune(spark)
+        store = _ensure_valcount_store(spark, sf_dir)
+        return _winsorized_from_counts(spark, _valcount_per(spark, store))
+
+
+_register_stream_rank_readers()

@@ -258,6 +258,9 @@ QUERIES = [
     "permutation_test_ab",  # 64x explode, 128 partial sums
     "stream_welch_t",  # 21st store: additive user-day cents
     "stream_did",  # spend store 2nd reader (shared resolve)
+    "winsorized_quality_ab",  # shared value walk + threshold mins
+    "stream_mann_whitney",  # 22nd store: additive value counts
+    "stream_winsorized",  # value-count store 2nd reader
 ]
 
 
@@ -1037,6 +1040,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._STORE_LPA_MEMO.clear()
     _sq._CUSUMSTORE_MEMO.clear()
     _sq._SPENDSTORE_MEMO.clear()
+    _sq._VALCOUNT_MEMO.clear()
     from aws_lambda_redshift_loader_spark.operators import text as _tx
 
     from aws_lambda_redshift_loader_spark.operators import relational as _rel

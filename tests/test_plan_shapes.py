@@ -748,3 +748,42 @@ def test_cusum_windows_are_day_banded(spark):
             assert "_day" in parts, (
                 f"cusum window partitions by type alone: {spec}"
             )
+
+
+def test_mwu_rank_walk_is_value_banded(spark):
+    # The Mann–Whitney cumulative-count windows must partition by the
+    # value band (vb) — a windowspec with no partition key is the
+    # global one-task rank funnel the banding exists to avoid.
+    plan = _formatted(spark, "mann_whitney_quality_ab")
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a windowed cumulative count in the MWU plan"
+    for spec in specs:
+        parts = [p.strip().split("#")[0] for p in spec.split(",")]
+        assert "vb" in parts, f"MWU window is not value-banded: {spec}"
+
+
+def test_experiment_family_no_cartesian_blowup(spark):
+    # The experiment readouts build on broadcast-scalar cross joins
+    # (1-row span/pool frames) — a real CartesianProduct or a
+    # non-broadcast nested loop means a frame that should be scalar
+    # is not.
+    for name in (
+        "cuped_adjusted_ab",
+        "welch_t_ab",
+        "diff_in_differences",
+        "permutation_test_ab",
+        "bootstrap_quality_ci",
+    ):
+        plan = _formatted(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_srm_check_is_pure_aggregate(spark):
+    # The guardrail must be scan → distinct → aggregate: no join, no
+    # window, no sort anywhere.
+    plan = _formatted(spark, "srm_check")
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")

@@ -189,3 +189,31 @@ def test_spend_store_replay_and_merge(spark, tmp_path):
         tuple(r) for r in _spend_store_ux(spark, split).collect()
     )
     assert merged == again
+
+
+def test_valcount_store_replay_and_merge(spark, tmp_path):
+    """The value-count store is pure addition: any epoch split of the
+    corpus resolves to the same distinct-value counts, and replaying
+    an epoch is a no-op."""
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        _valcount_per,
+        ingest_valcount_epoch,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    one = str(tmp_path / "one")
+    ingest_valcount_epoch(spark, docs, 0, one)
+    whole = sorted(tuple(r) for r in _valcount_per(spark, one).collect())
+
+    split = str(tmp_path / "split")
+    ingest_valcount_epoch(spark, docs.filter("doc_id % 3 = 0"), 0, split)
+    ingest_valcount_epoch(spark, docs.filter("doc_id % 3 = 1"), 1, split)
+    ingest_valcount_epoch(spark, docs.filter("doc_id % 3 = 2"), 2, split)
+    merged = sorted(tuple(r) for r in _valcount_per(spark, split).collect())
+    assert whole == merged
+
+    ingest_valcount_epoch(spark, docs.filter("doc_id % 3 = 1"), 1, split)
+    again = sorted(tuple(r) for r in _valcount_per(spark, split).collect())
+    assert merged == again
