@@ -4465,3 +4465,132 @@ def ivf_occupancy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hot_ppm"),
     )
+
+
+def _register_split_centroid() -> None:
+    from .text import SPLIT_BUCKETS, SPLIT_TRAIN_LT, SPLIT_VAL_LT
+
+    @register(
+        "split_centroid_similarity",
+        f"""
+    WITH q AS (
+      SELECT [CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)
+              FOR x IN embedding] AS e,
+             CAST(concat('0x', substr(md5(concat('sp|', vec_id)), 1, 15))
+                  AS BIGINT) % {SPLIT_BUCKETS} AS b
+      FROM embeddings
+    ),
+    g AS (
+      SELECT e, CASE WHEN b < {SPLIT_TRAIN_LT} THEN 1 ELSE 0 END AS grp
+      FROM q WHERE b < {SPLIT_VAL_LT}
+    ),
+    comp AS (
+      SELECT l.d, g.grp, g.e[l.d] AS x
+      FROM g, LATERAL (SELECT unnest(generate_series(1, len(g.e))) AS d) l
+    ),
+    dims AS (
+      SELECT d,
+             CAST(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS s2
+      FROM comp GROUP BY d
+    ),
+    terms AS (
+      SELECT CAST(SUM(floor(CAST(s1 AS DOUBLE) * s2 / 1000000.0)) AS BIGINT)
+               AS t12,
+             CAST(SUM(floor(CAST(s1 AS DOUBLE) * s1 / 1000000.0)) AS BIGINT)
+               AS t11,
+             CAST(SUM(floor(CAST(s2 AS DOUBLE) * s2 / 1000000.0)) AS BIGINT)
+               AS t22
+      FROM dims
+    ),
+    cnt AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+      FROM g
+    )
+    SELECT c.n_train, c.n_val,
+           CAST(CASE WHEN t.t11 <= 0 OR t.t22 <= 0 THEN 0
+                ELSE floor(CAST(t.t12 AS DOUBLE)
+                     / (sqrt(CAST(t.t11 AS DOUBLE)) * sqrt(CAST(t.t22 AS DOUBLE)))
+                     * 1000000.0)
+                END AS BIGINT) AS cos_ppm
+    FROM cnt c CROSS JOIN terms t
+    """,
+    )
+    def split_centroid_similarity(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """SPLIT-CENTROID COSINE — the embedding-space split-health
+        audit completing the trio with mann_whitney_quality_ab
+        (quality distribution) and dataset_split_assign (counts): the
+        cosine between the train and val splits' centroid vectors
+        under the same md5 hash-ring assignment. A healthy random
+        split reads near 1.0 (ppm-quantized); drift below that flags
+        a selection-biased or temporally-skewed split before any
+        model sees it. Centroids use SUM vectors (cosine is
+        scale-invariant, so means are never formed — no division
+        before the final statistic); per-dimension products quantize
+        floor(s_a·s_b / 1e6) from exact BIGINT component sums
+        (cast-before-multiply, the CUPED discipline), then the cosine
+        forms via correctly-rounded sqrt/divide only.
+
+        Scale: one map-only quantize+hash pass, ONE shuffle to
+        |dims| (= {64}) rows via posexplode + map-side-combined
+        per-dimension sums, then arithmetic on a 64-row frame — at
+        100 TB the reduce side is still 64 rows."""
+        emb = table(spark, sf_dir, "embeddings")
+        from ..functions.scalar import hex_hash64
+
+        g = emb.select(
+            _quantize("embedding").alias("e"),
+            (hex_hash64(F.col("vec_id"), salt="sp|") % SPLIT_BUCKETS).alias(
+                "b"
+            ),
+        ).filter(F.col("b") < SPLIT_VAL_LT).select(
+            "e",
+            F.when(F.col("b") < SPLIT_TRAIN_LT, 1).otherwise(0).alias("grp"),
+        )
+        comp = g.select("grp", F.posexplode("e").alias("pos", "x")).select(
+            (F.col("pos") + 1).alias("d"), "grp", "x"
+        )
+        dims = comp.groupBy("d").agg(
+            F.sum(F.when(F.col("grp") == 1, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(F.when(F.col("grp") == 0, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias("s2"),
+        )
+        terms = dims.agg(
+            F.sum(F.expr("floor(CAST(s1 AS DOUBLE) * s2 / 1000000.0)"))
+            .cast("bigint")
+            .alias("t12"),
+            F.sum(F.expr("floor(CAST(s1 AS DOUBLE) * s1 / 1000000.0)"))
+            .cast("bigint")
+            .alias("t11"),
+            F.sum(F.expr("floor(CAST(s2 AS DOUBLE) * s2 / 1000000.0)"))
+            .cast("bigint")
+            .alias("t22"),
+        )
+        cnt = g.agg(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_val"),
+        )
+        return cnt.crossJoin(F.broadcast(terms)).select(
+            "n_train",
+            "n_val",
+            F.expr(
+                "CAST(CASE WHEN t11 <= 0 OR t22 <= 0 THEN 0"
+                " ELSE floor(CAST(t12 AS DOUBLE)"
+                " / (sqrt(CAST(t11 AS DOUBLE)) * sqrt(CAST(t22 AS DOUBLE)))"
+                " * 1000000.0) END AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+
+
+_register_split_centroid()

@@ -5522,3 +5522,87 @@ def bootstrap_quality_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_q",
         )
     )
+
+
+# --- Flesch readability profile --------------------------------------------
+FLESCH_EASY_MILLI = 60_000  # score >= 60.0 reads as "plain English"
+
+
+@register(
+    "flesch_readability_profile",
+    rf"""
+    WITH per AS (
+      SELECT lang,
+             CAST(floor((
+               206.835
+               - 1.015 * (CAST(greatest(length(regexp_extract_all(text,
+                     '\S+')), 1) AS DOUBLE)
+                   / greatest(length(regexp_extract_all(text, '[.!?]+')), 1))
+               - 84.6 * (CAST(greatest(length(regexp_extract_all(lower(text),
+                     '[aeiouy]+')), 1) AS DOUBLE)
+                   / greatest(length(regexp_extract_all(text, '\S+')), 1))
+             ) * 1000) AS BIGINT) AS f_milli
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_milli) // COUNT(*) AS BIGINT) AS mean_flesch_milli,
+           CAST(SUM(CASE WHEN f_milli >= {FLESCH_EASY_MILLI}
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS easy_ppm
+    FROM per GROUP BY lang
+    """,
+)
+def flesch_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE profile per language — the readability
+    feature every curation stack scores next to the Gopher-style
+    quality heuristics (Flesch 1948; 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words)): syllables proxied by lowercase vowel
+    GROUPS ([aeiouy]+, the standard regex approximation), sentences by
+    terminal-punctuation runs ([.!?]+), every denominator floored at 1.
+    Per-document scores are milli-floored BEFORE the per-language
+    mean (quantize-then-sum), the mean is exact integer FLOOR division
+    (scores go negative for run-on text — Spark side uses the pmod
+    form to match DuckDB's //), and the 'plain-English' share
+    (score ≥ 60) is ppm-quantized.
+
+    Scale: map-only per-document regex counting (JVM regex, no
+    Python) + one |languages|-row aggregate with map-side combine —
+    char_class_profile's plan shape with a composed statistic."""
+    d = table(spark, sf_dir, "documents")
+    words = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)), F.lit(1)
+    ).cast("double")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    syls = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    ).cast("double")
+    per = d.select(
+        "lang",
+        F.floor(
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (words / sents)
+                - F.lit(84.6) * (syls / words)
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("f_milli"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST((SUM(f_milli) - pmod(SUM(f_milli), COUNT(*)))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mean_flesch_milli"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN f_milli >= {FLESCH_EASY_MILLI}"
+            f" THEN 1 ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("easy_ppm"),
+    )

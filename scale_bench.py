@@ -261,6 +261,8 @@ QUERIES = [
     "winsorized_quality_ab",  # shared value walk + threshold mins
     "stream_mann_whitney",  # 22nd store: additive value counts
     "stream_winsorized",  # value-count store 2nd reader
+    "flesch_readability_profile",  # map-only regex + lang agg
+    "split_centroid_similarity",  # one shuffle to 64 dim rows
 ]
 
 
