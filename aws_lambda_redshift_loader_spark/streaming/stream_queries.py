@@ -6290,6 +6290,12 @@ _register_stream_sprt()
 # answer bit-for-bit. Worst-case hull size is the cell's event count
 # (a monotone-convex day); typical cells collapse to a handful of
 # vertices — measured on the fixture via BENCH_DETAIL.
+#
+# Cell grain: (type, day) here, matching the batch detector's
+# day-banded windows. The hull pass materializes one cell per Arrow
+# group, so if a single type-day ever outgrows executor memory the
+# algebra admits ANY finer ts-prefix banding (hour, minute) unchanged
+# — offsets just order by the finer key; nothing else moves.
 _CUSUMSTORE_MEMO: dict[tuple[str, str], str] = {}
 
 

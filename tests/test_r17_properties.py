@@ -217,3 +217,84 @@ def test_valcount_store_replay_and_merge(spark, tmp_path):
     ingest_valcount_epoch(spark, docs.filter("doc_id % 3 = 1"), 1, split)
     again = sorted(tuple(r) for r in _valcount_per(spark, split).collect())
     assert merged == again
+
+
+def test_mwu_equals_naive_python(spark):
+    """The banded distinct-value MWU must equal a naive Python
+    rank-sum computed straight from the definition (pairwise wins +
+    half-ties) — a shared-formula-bug guard independent of the DuckDB
+    oracle, which mirrors the same CTE algebra."""
+    from aws_lambda_redshift_loader_spark.operators.windows_sql import (
+        _mwu_from_counts,
+        _quality_split_counts,
+    )
+
+    per = {
+        r["v"]: (r["n1v"], r["n2v"])
+        for r in _quality_split_counts(spark, SF_ORACLE).collect()
+    }
+    got = _mwu_from_counts(
+        spark,
+        spark.createDataFrame(
+            [(v, a, b) for v, (a, b) in per.items()],
+            "v long, n1v long, n2v long",
+        ),
+    ).collect()[0]
+
+    xs, ys = [], []
+    for v, (a, b) in per.items():
+        xs += [v] * a
+        ys += [v] * b
+    u2 = 0  # 2*U1 = 2*wins + ties, computed from sorted merge
+    ys_sorted = sorted(ys)
+    import bisect
+
+    for x in xs:
+        lo = bisect.bisect_left(ys_sorted, x)
+        hi = bisect.bisect_right(ys_sorted, x)
+        u2 += 2 * lo + (hi - lo)
+    assert got["n_train"] == len(xs)
+    assert got["n_val"] == len(ys)
+    assert got["u_x2"] == u2
+    n = len(xs) + len(ys)
+    from collections import Counter
+
+    t = sum(c**3 - c for c in Counter(xs + ys).values())
+    assert got["tie_term"] == t
+
+
+def test_winsorized_equals_naive_python(spark):
+    """The banded winsorized mean must equal the naive definition:
+    exact ceil-quantile thresholds over the sorted values, clamp,
+    floor-divide."""
+    import math
+
+    from aws_lambda_redshift_loader_spark.operators.windows_sql import (
+        _quality_split_counts,
+        _winsorized_from_counts,
+    )
+
+    per = [
+        (r["v"], r["n1v"], r["n2v"])
+        for r in _quality_split_counts(spark, SF_ORACLE).collect()
+    ]
+    got = {
+        r["split"]: r.asDict()
+        for r in _winsorized_from_counts(
+            spark,
+            spark.createDataFrame(per, "v long, n1v long, n2v long"),
+        ).collect()
+    }
+    for split, idx in (("train", 1), ("val", 2)):
+        vals = sorted(
+            v for v, *counts in per for _ in range(counts[idx - 1])
+        )
+        n = len(vals)
+        lo = vals[math.ceil(0.05 * n) - 1] if n else 0
+        hi = vals[math.ceil(0.95 * n) - 1] if n else 0
+        s = sum(min(max(v, lo), hi) for v in vals)
+        g = got[split]
+        assert g["n_docs"] == n
+        assert g["lo_q"] == lo, (split, g["lo_q"], lo)
+        assert g["hi_q"] == hi, (split, g["hi_q"], hi)
+        assert g["wins_mean_q"] == ((s - (s % n)) // n if n else 0)
