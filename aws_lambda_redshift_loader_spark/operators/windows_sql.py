@@ -3842,6 +3842,12 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", (F.col("user_id") % 2).cast("int").alias("grp"))
         .distinct()
     )
+    return _srm_from_users(u)
+
+
+def _srm_from_users(u: DataFrame) -> DataFrame:
+    """SRM epilogue over a distinct (user_id, grp) frame — shared by
+    the batch guardrail and the KM-store reader (stream_srm)."""
     c = u.agg(
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
         .cast("bigint")
@@ -4343,3 +4349,95 @@ def _winsorized_from_counts(spark: SparkSession, per: DataFrame) -> DataFrame:
 
 
 _register_winsorized()
+
+
+# z(1-0.025) and z(0.8): Python-precomputed literals (the RBO/SPRT
+# constant pattern — no engine quantile function), verbatim in both
+# engines.
+_Z_ALPHA2 = 1.959963984540054
+_Z_POWER = 0.8416212335729143
+_MDE_EXPR = (
+    f"(({_Z_ALPHA2!r} + {_Z_POWER!r}) * sqrt({_WELCH_SE2}))"
+)
+
+
+@register(
+    "mde_power_ab",
+    f"""
+    WITH {_UX_CTE},
+    a AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+             CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+             CAST(SUM(CASE WHEN grp = 0 THEN y*y ELSE 0 END) AS BIGINT) AS syy0,
+             CAST(SUM(CASE WHEN grp = 1 THEN y*y ELSE 0 END) AS BIGINT) AS syy1
+      FROM ux
+    )
+    SELECT n0, n1,
+           CAST(CASE WHEN n0 < 2 OR n1 < 2 OR {_WELCH_SE2} <= 0.0 THEN 0
+                ELSE floor(sqrt({_WELCH_SE2}) * 1000.0)
+                END AS BIGINT) AS se_milli,
+           CAST(CASE WHEN n0 < 2 OR n1 < 2 OR {_WELCH_SE2} <= 0.0 THEN 0
+                ELSE floor({_MDE_EXPR} * 1000.0)
+                END AS BIGINT) AS mde_milli,
+           CAST(CASE WHEN n0 < 2 OR n1 < 2 OR {_WELCH_SE2} <= 0.0
+                     OR CAST(sy0 AS DOUBLE)/n0 <= 0.0 THEN 0
+                ELSE floor({_MDE_EXPR} / (CAST(sy0 AS DOUBLE)/n0) * 1000000.0)
+                END AS BIGINT) AS mde_rel_ppm
+    FROM a
+    """,
+)
+def mde_power_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT at α=0.05 / power 0.8 — the
+    design-side readout that closes the experiment family (run it
+    BEFORE the test: an A/B whose MDE exceeds any plausible effect is
+    theater): MDE = (z_{{1−α/2}} + z_{{power}})·SE with the same
+    Welch standard error the t-test uses, both z constants
+    Python-precomputed literals (no engine quantile function), plus
+    the relative MDE against the control mean in ppm. Same exact
+    moments, same correctly-rounded double discipline, milli/ppm
+    floored.
+
+    Scale: the shared _cuped_user_xy user-grain shuffle + one six-sum
+    aggregate — identical plan to welch_t_ab with a different
+    epilogue expression."""
+    ux = _cuped_user_xy(spark, sf_dir)
+    a = ux.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy1"),
+        F.sum(F.when(F.col("grp") == 0, F.expr("y*y")).otherwise(0))
+        .cast("bigint")
+        .alias("syy0"),
+        F.sum(F.when(F.col("grp") == 1, F.expr("y*y")).otherwise(0))
+        .cast("bigint")
+        .alias("syy1"),
+    )
+    guard = f"n0 < 2 OR n1 < 2 OR {_WELCH_SE2} <= 0.0"
+    return a.select(
+        "n0",
+        "n1",
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN 0"
+            f" ELSE floor(sqrt({_WELCH_SE2}) * 1000.0) END AS BIGINT)"
+        ).alias("se_milli"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} THEN 0"
+            f" ELSE floor({_MDE_EXPR} * 1000.0) END AS BIGINT)"
+        ).alias("mde_milli"),
+        F.expr(
+            f"CAST(CASE WHEN {guard} OR CAST(sy0 AS DOUBLE)/n0 <= 0.0 THEN 0"
+            f" ELSE floor({_MDE_EXPR} / (CAST(sy0 AS DOUBLE)/n0)"
+            f" * 1000000.0) END AS BIGINT)"
+        ).alias("mde_rel_ppm"),
+    )

@@ -111,6 +111,8 @@ def _resolve_lazy_oracles() -> None:
 # covers ALL queries every session regardless of this ordering.
 _FIRST = [
     # round-17 new queries (no prior correctness row)
+    "stream_srm",
+    "mde_power_ab",
     "split_centroid_similarity",
     "flesch_readability_profile",
     "stream_winsorized",

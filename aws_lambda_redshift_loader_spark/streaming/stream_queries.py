@@ -6788,3 +6788,38 @@ def _register_stream_rank_readers() -> None:
 
 
 _register_stream_rank_readers()
+
+
+def _register_stream_srm() -> None:
+    from ..plans.registry import QUERIES as _REG
+
+    @register("stream_srm", lambda: _REG["srm_check"].oracle)
+    def stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STORE-SERVED sample-ratio-mismatch guardrail — the user-time
+        store's FOURTH reader (one min/max-merge ingest now feeds KM,
+        log-rank, SPRT, and the assignment guardrail): the resolved
+        per-user rows ARE the distinct user set, so the id-parity arm
+        counts and the quantized-χ² flag re-derive from state without
+        touching event history (windows_sql._srm_from_users, the batch
+        epilogue). The check every live experiment dashboard runs
+        FIRST, served at user-grain store cost.
+
+        Scale: the shared ingest's O(batch) aggregate per epoch; read
+        is one user-grain distinct roll-up to two counts — this entry
+        adds no ingest of its own."""
+        from ..operators.windows_sql import _srm_from_users
+
+        tune(spark)
+        store = _ensure_km_store(spark, sf_dir)
+        u = (
+            spark.read.parquet(f"{store}/usertimes")
+            .select(
+                "user_id",
+                (F.col("user_id") % 2).cast("int").alias("grp"),
+            )
+            .distinct()
+        )
+        return _srm_from_users(u)
+
+
+_register_stream_srm()

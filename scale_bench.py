@@ -263,6 +263,8 @@ QUERIES = [
     "stream_winsorized",  # value-count store 2nd reader
     "flesch_readability_profile",  # map-only regex + lang agg
     "split_centroid_similarity",  # one shuffle to 64 dim rows
+    "mde_power_ab",  # welch-plan twin, different epilogue
+    "stream_srm",  # KM-store 4th reader: user-grain distinct
 ]
 
 
