@@ -298,3 +298,68 @@ def test_winsorized_equals_naive_python(spark):
         assert g["lo_q"] == lo, (split, g["lo_q"], lo)
         assert g["hi_q"] == hi, (split, g["hi_q"], hi)
         assert g["wins_mean_q"] == ((s - (s % n)) // n if n else 0)
+
+
+def test_poisson_cuts_match_recomputation():
+    """The bootstrap's precomputed Poisson(1) CDF cut points must
+    equal a from-scratch recomputation (guards a typo in the literal
+    table — the operator's determinism rests on these constants)."""
+    import math
+
+    from aws_lambda_redshift_loader_spark.operators.text import _POIS1_CUTS
+
+    cdf, term = 0.0, math.exp(-1.0)
+    for k, cut in enumerate(_POIS1_CUTS):
+        cdf += term
+        assert cut == math.floor(cdf * (1 << 60)), k
+        term /= k + 1
+
+
+def test_hull_store_equals_naive_on_random_walks(spark, tmp_path):
+    """Randomized end-to-end pin: random-valued walks (with heavy
+    duplication so collinear runs and argmax ties occur) through the
+    hull ingest + store reader must equal the naive per-type CUSUM —
+    the flat-run test's generalization."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        _cusum_from_store,
+        ingest_cusum_epoch,
+    )
+
+    rng = random.Random(1701)
+    t0 = datetime.datetime(2024, 3, 1)
+    for trial in range(4):
+        rows = []
+        eid = 0
+        for day in range(3):
+            for i in range(25):
+                # values from a tiny support -> frequent exact ties
+                val = rng.choice([1.0, 1.0, 2.0, 5.0, 5.0, 9.0])
+                ts = t0 + datetime.timedelta(days=day, seconds=i // 4)
+                rows.append((eid % 5, eid, "m", val, ts))
+                eid += 1
+        ev = _mk_events(spark, rows)
+        store = str(tmp_path / f"store{trial}")
+        cut = rng.randrange(10, 65)
+        ingest_cusum_epoch(spark, ev.filter(F.col("event_id") < cut), 0, store)
+        ingest_cusum_epoch(spark, ev.filter(F.col("event_id") >= cut), 1, store)
+        got = _cusum_from_store(spark, store).collect()[0].asDict()
+
+        vs = sorted(rows, key=lambda r: (r[4], r[1]))
+        v_c = [int(r[3] * 100) for r in vs]
+        s, n = sum(v_c), len(v_c)
+        mean = s // n
+        best, run = None, 0
+        for i, r in enumerate(vs):
+            run += v_c[i]
+            a = abs(run - (i + 1) * mean)
+            key = (a, -r[4].timestamp(), -r[1])
+            if best is None or key > best[0]:
+                best = (key, r[1], a)
+        assert got["n_events"] == n and got["mean_c"] == mean, trial
+        assert got["max_abs_cusum"] == best[2], trial
+        assert got["cp_event_id"] == best[1], trial
