@@ -1743,6 +1743,63 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 COPURCHASE_TOP = 25
 
 
+def _basket_part_sets(li: DataFrame) -> DataFrame:
+    """(l_orderkey, l_partkey) rows → one row per order with the SORTED
+    DISTINCT part array. ONE shuffle to basket grain (collect_set
+    partial-aggregates map-side; basket size is order-bounded, ≤7 parts
+    in TPC-H-shaped data), replacing the items-DISTINCT exchange the
+    self-join form paid before touching any pair."""
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+
+
+def _pair_supports_from_baskets(
+    baskets: DataFrame, a: str, b: str, w: str
+) -> DataFrame:
+    """Basket-set frame → (a, b, w) distinct same-order part pairs with
+    support counts. Pair expansion is MAP-SIDE over each row's sorted
+    array (array is distinct+ascending, so x < y by construction and
+    each unordered pair appears exactly once per order); the only
+    exchange is the final pair-grain aggregate."""
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pr")
+    )
+    return pairs.groupBy(F.col("pr.a").alias(a), F.col("pr.b").alias(b)).agg(
+        F.count("*").cast("bigint").alias(w)
+    )
+
+
+def _copurchase_pair_supports(
+    li: DataFrame, a: str = "part_a", b: str = "part_b", w: str = "support"
+) -> DataFrame:
+    """Distinct same-order part pairs with order-count support — the
+    co-purchase edge builder shared by the pairs/rules/LPA/node-Jaccard
+    /PPR family (and, per epoch, the assoc-rules store ingest).
+
+    r18 rewrite (guide §2.3 "aggregate before you shuffle", §2.4
+    "remove shuffles outright"): the former plan was
+    items = DISTINCT(l_orderkey, l_partkey)  (exchange 1, on both cols)
+    items ⋈ items ON l_orderkey, pa < pb     (exchanges 2+3 — the
+                                              distinct's (ok, pk)
+                                              partitioning cannot serve
+                                              a join keyed on ok alone)
+    GROUP BY (pa, pb)                        (exchange 4).
+    Now: ONE shuffle to basket grain (collect_set dedups in place of
+    the DISTINCT), map-side pair expansion of the sorted array (bounded
+    by basket size — C(7,2) at most here, never corpus-sized), ONE
+    shuffle to pair grain. 4 exchanges + a join → 2 exchanges, no join;
+    identical output (the unchanged items-self-join oracle CTE is the
+    equivalence proof, hash-gated on every consumer)."""
+    return _pair_supports_from_baskets(_basket_part_sets(li), a, b, w)
+
+
 @register(
     "copurchase_pairs",
     f"""
@@ -1775,18 +1832,8 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting is a map-side-combined groupBy and only pair aggregates
     reach the final top-k window."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
-        .agg(F.count("*").cast("bigint").alias("support"))
+    pairs = _copurchase_pair_supports(
+        li.select("l_orderkey", "l_partkey"), "part_a", "part_b", "support"
     )
     from pyspark.sql.window import Window as W
 
@@ -1867,21 +1914,20 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scalable window (rank ≤ {RULES_TOP} prunes early under
     AQE's TopK)."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_baskets = items.select("l_orderkey").distinct().count()
-    isup = items.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("s"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
-        .agg(F.count("*").cast("bigint").alias("support"))
+    # One basket-grain shuffle feeds all three supports (r18, guide
+    # §2.3/§2.4 — see _copurchase_pair_supports): n_baskets is the
+    # basket row count, item support the per-part basket count (each
+    # part appears once per basket set), pair support the map-side
+    # pair expansion. The items-distinct + self-join plan this
+    # replaces paid 4 exchanges and a join for the pairs alone.
+    baskets = _basket_part_sets(li.select("l_orderkey", "l_partkey"))
+    n_baskets = baskets.count()
+    isup = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("s"))
     )
+    pairs = _pair_supports_from_baskets(baskets, "part_a", "part_b", "support")
     return _rules_from_supports(pairs, isup, n_baskets)
 
 
@@ -2034,18 +2080,8 @@ def _lpa_frames(spark: SparkSession, sf_dir: str):
         return cached
     _dedup.MEMO_EVENTS.append("lpa_build")
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pe = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").cast("bigint").alias("w"))
+    pe = _copurchase_pair_supports(
+        li.select("l_orderkey", "l_partkey"), "pa", "pb", "w"
     )
     eu = pe.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
@@ -2337,20 +2373,9 @@ def copurchase_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered (per-partition heap), with the rank window over the
     {NODEJ_TOP}-row result only."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pe = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").cast("bigint").alias("w"))
-        .filter(F.col("w") >= NODEJ_SUPPORT)
-    )
+    pe = _copurchase_pair_supports(
+        li.select("l_orderkey", "l_partkey"), "pa", "pb", "w"
+    ).filter(F.col("w") >= NODEJ_SUPPORT)
     eu = pe.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         pe.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -5011,18 +5036,11 @@ def ppr_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one int per node. Seeds ride a broadcast-size dimension join."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").cast("bigint").alias("w"))
+    # r18: edge build via the shared aggregate-then-expand builder
+    # (guide §2.3/§2.4 — see _copurchase_pair_supports), replacing the
+    # items self-join.
+    half = _copurchase_pair_supports(
+        li.select("l_orderkey", "l_partkey"), "src", "dst", "w"
     )
     edges = half.unionByName(
         half.select(
@@ -5030,6 +5048,18 @@ def ppr_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     outdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
+    # Materialize the per-round inputs once: the loop re-references
+    # edges/outdeg/seeds every iteration, and without this each round
+    # would replay the edge build (the bm25_prf rationale). r18 (guide
+    # §2.4 "two operations keyed the same way share one exchange"): the
+    # outdeg join leaves this frame hash-partitioned on src, and
+    # localCheckpoint PRESERVES that partitioning — so each round's
+    # edges⋈ranks needs no exchange on the edge side at all; seeds (and
+    # therefore every derived ranks frame) is node-partitioned the same
+    # way, so the only per-round exchange left is the groupBy(dst)
+    # transfer, which IS the propagation. Before: each round re-shuffled
+    # both join inputs (2 extra exchanges x {PPR_ITERS} rounds).
+    edges = edges.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     seeds = nodes.join(
         F.broadcast(p.select("p_partkey", "p_brand")),
@@ -5038,23 +5068,23 @@ def ppr_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.when(F.col("p_brand") == PPR_SEED_BRAND, 1).otherwise(0).alias("is_seed"),
     )
-    # Materialize the per-round inputs once: the loop re-references
-    # edges/outdeg/seeds every iteration, and without this each round
-    # would replay the fact self-join (the bm25_prf rationale).
-    edges = edges.join(outdeg, "src").localCheckpoint(eager=True)
     seeds = seeds.localCheckpoint(eager=True)
     ranks = seeds.select(
         "node", (F.col("is_seed") * PPR_SCALE).cast("bigint").alias("r")
     )
     for _ in range(PPR_ITERS):
+        # SHUFFLE_HASH on the rank side: both sides are co-partitioned
+        # already, and hashing the node-grain rank frame avoids the
+        # per-round sort of the (much larger) edge list a sort-merge
+        # join would re-pay every iteration (guide §3.1).
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(ranks.hint("shuffle_hash"), edges.src == ranks.node)
             .select("dst", F.expr("(r * w) div wout").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("contrib"))
         )
         ranks = seeds.join(
-            contribs, seeds.node == contribs.dst, "left"
+            contribs.hint("shuffle_hash"), seeds.node == contribs.dst, "left"
         ).select(
             "node",
             (

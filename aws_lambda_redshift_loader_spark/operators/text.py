@@ -3665,9 +3665,20 @@ def _prf_frames(spark: SparkSession, sf_dir: str):
     bm25_prf_topk so the scale_bench @probe instrument can count the
     postings each pass's vocabulary prune actually touches with the
     exact production frames."""
+    from ..session import defer_unpersist
+
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
-    corpus = toks.filter(F.col("doc_id") >= BM25_QUERY_MAX)
+    # r18 (guide §5): the two-pass PRF pipeline consumes this posting
+    # stream in five separate subtrees across three jobs (pass-1
+    # tf/doclen/stats under the fb checkpoint, fbtf/fbdf under the
+    # expansion checkpoint, pass-2 tf/doclen/stats in the final job);
+    # un-persisted, every subtree re-tokenized the documents scan. One
+    # in-query persist (harness-released after the action — never a
+    # cross-run cache) pays the tokenize once.
+    corpus = defer_unpersist(
+        toks.filter(F.col("doc_id") >= BM25_QUERY_MAX).persist()
+    )
     qterms = (
         toks.filter(F.col("doc_id") < BM25_QUERY_MAX)
         .select(F.col("doc_id").alias("query_id"), "token")

@@ -1532,8 +1532,8 @@ def _ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> tuple:
     from ..operators.similarity import (
         IVF_TRAIN_ITERS,
         _assign_cells,
-        _kmeans_centroids,
         _quantize,
+        _trained_centroids,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1549,7 +1549,7 @@ def _ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> tuple:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _quantize("embedding").alias("e")
     )
-    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    ids, cent = _trained_centroids(spark, sf_dir, IVF_TRAIN_ITERS)
 
     emb.repartitionByRange(INC_IVF_EPOCHS, "vec_id").write.mode(
         "overwrite"
@@ -4269,8 +4269,8 @@ def _ensure_gann_ingest(spark: SparkSession, sf_dir: str) -> tuple:
     from ..operators import dedup as _dedup
     from ..operators.similarity import (
         IVF_TRAIN_ITERS,
-        _kmeans_centroids,
         _quantize,
+        _trained_centroids,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -4287,7 +4287,7 @@ def _ensure_gann_ingest(spark: SparkSession, sf_dir: str) -> tuple:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _quantize("embedding").alias("e")
     )
-    ids, cent = _kmeans_centroids(spark, emb, IVF_TRAIN_ITERS)
+    ids, cent = _trained_centroids(spark, sf_dir, IVF_TRAIN_ITERS)
     emb.repartitionByRange(INC_GANN_EPOCHS, "vec_id").write.mode(
         "overwrite"
     ).parquet(src)
@@ -5063,35 +5063,43 @@ def ingest_rules_epoch(
     aggregates, each written to its own epoch partition. Pure function
     of the frozen batch file alone (no cross-epoch state at all — the
     purest mergeable store here), so replays rewrite identical bytes."""
-    items = batch_df.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .write.mode("overwrite")
-        .parquet(f"{store}/pairs/epoch={epoch_id}")
+    from ..operators.relational import (
+        _basket_part_sets,
+        _pair_supports_from_baskets,
     )
-    (
-        items.groupBy("l_partkey")
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .write.mode("overwrite")
-        .parquet(f"{store}/items/epoch={epoch_id}")
-    )
-    (
-        items.agg(
-            F.countDistinct("l_orderkey").cast("bigint").alias("n")
+
+    # r18 (guide §2.3/§2.4, mirroring the batch family's rewrite in
+    # relational._copurchase_pair_supports): ONE basket-grain shuffle of
+    # the batch feeds all three delta writes — pair supports via
+    # map-side expansion of the sorted part set, item supports via a
+    # per-basket explode, the basket count as the frame's row count
+    # (== the old COUNT(DISTINCT l_orderkey) over distinct items).
+    # persist() because three write actions consume the same ~1-file
+    # batch aggregate; unpersisted, each action would replay the
+    # batch scan + basket shuffle.
+    baskets = _basket_part_sets(
+        batch_df.select("l_orderkey", "l_partkey")
+    ).persist()
+    try:
+        (
+            _pair_supports_from_baskets(baskets, "part_a", "part_b", "c")
+            .write.mode("overwrite")
+            .parquet(f"{store}/pairs/epoch={epoch_id}")
         )
-        .write.mode("overwrite")
-        .parquet(f"{store}/baskets/epoch={epoch_id}")
-    )
+        (
+            baskets.select(F.explode("ps").alias("l_partkey"))
+            .groupBy("l_partkey")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{store}/items/epoch={epoch_id}")
+        )
+        (
+            baskets.agg(F.count("*").cast("bigint").alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{store}/baskets/epoch={epoch_id}")
+        )
+    finally:
+        baskets.unpersist()
 
 
 # The rules store is consumed by the rules entry AND the store-served

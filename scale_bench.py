@@ -1022,6 +1022,11 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     dedup._PAIRS_MEMO.clear()
     dedup._CC_MEMO.clear()
     dedup._PPJ_STATS_MEMO.clear()
+    dedup._SHINGLE_MEMO.clear()
+    from aws_lambda_redshift_loader_spark.operators import similarity as _sim
+
+    _sim._KMEANS_MEMO.clear()
+    _sim._GANN_EDGES_MEMO.clear()
     from aws_lambda_redshift_loader_spark.streaming import stream_queries as _sq
 
     _sq._INGEST_MEMO.clear()
