@@ -1800,6 +1800,29 @@ def _copurchase_pair_supports(
     return _pair_supports_from_baskets(_basket_part_sets(li), a, b, w)
 
 
+def _mirror_pairs(
+    pe: DataFrame, a: str, b: str, oa: str, ob: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Both orientations of an undirected pair frame in ONE pass of the
+    pair subtree (r18, guide §2.4 "remove shuffles outright"): the
+    ``pe.select(a→oa,b→ob) UNION pe.select(b→oa,a→ob)`` form evaluates
+    the whole pair-support subtree once PER BRANCH — measured at sf0.1,
+    the eu localCheckpoint cost 3.6 s (warm) with the union vs 2.1 s
+    with this map-side explode of the two orientation structs, because
+    exchange reuse does not cover the post-aggregate projection under
+    AQE + localCheckpoint. Identical multiset (each input row emits
+    exactly its two orientations); row ORDER differs from the union
+    form, which no consumer observes (all are joins/aggregates)."""
+    mk = lambda x, y: F.struct(  # noqa: E731 — two orientations, one schema
+        F.col(x).alias(oa), F.col(y).alias(ob), *[F.col(c) for c in carry]
+    )
+    return pe.select(F.explode(F.array(mk(a, b), mk(b, a))).alias("e")).select(
+        F.col(f"e.{oa}").alias(oa),
+        F.col(f"e.{ob}").alias(ob),
+        *[F.col(f"e.{c}").alias(c) for c in carry],
+    )
+
+
 @register(
     "copurchase_pairs",
     f"""
@@ -1938,13 +1961,7 @@ def _rules_from_supports(
     pair supports and (l_partkey, s) item supports — factored so the
     incremental support store serves the identical rule computation."""
     pairs = pairs.filter(F.col("support") >= RULES_MIN_SUPPORT)
-    rules = pairs.select(
-        F.col("part_a").alias("ante"), F.col("part_b").alias("cons"), "support"
-    ).unionByName(
-        pairs.select(
-            F.col("part_b").alias("ante"), F.col("part_a").alias("cons"), "support"
-        )
-    )
+    rules = _mirror_pairs(pairs, "part_a", "part_b", "ante", "cons", ("support",))
     sa = isup.select(F.col("l_partkey").alias("ante"), F.col("s").alias("sa"))
     sc = isup.select(F.col("l_partkey").alias("cons"), F.col("s").alias("sc"))
     scored = (
@@ -2083,11 +2100,7 @@ def _lpa_frames(spark: SparkSession, sf_dir: str):
     pe = _copurchase_pair_supports(
         li.select("l_orderkey", "l_partkey"), "pa", "pb", "w"
     )
-    eu = pe.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
-    ).unionByName(
-        pe.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
-    )
+    eu = _mirror_pairs(pe, "pa", "pb", "src", "dst", ("w",))
     eu = eu.localCheckpoint(eager=True)  # root of every round's DAG
     labels = _lpa_label_rounds(eu)
     _LPA_MEMO[key] = (eu, labels)
@@ -2376,9 +2389,7 @@ def copurchase_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pe = _copurchase_pair_supports(
         li.select("l_orderkey", "l_partkey"), "pa", "pb", "w"
     ).filter(F.col("w") >= NODEJ_SUPPORT)
-    eu = pe.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
-        pe.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
+    eu = _mirror_pairs(pe, "pa", "pb", "src", "dst")
     eu = eu.localCheckpoint(eager=True)  # wedge join + two degree reads
     deg = eu.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
@@ -5042,11 +5053,7 @@ def ppr_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = _copurchase_pair_supports(
         li.select("l_orderkey", "l_partkey"), "src", "dst", "w"
     )
-    edges = half.unionByName(
-        half.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    )
+    edges = _mirror_pairs(half, "src", "dst", "src", "dst", ("w",))
     outdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
     # Materialize the per-round inputs once: the loop re-references
     # edges/outdeg/seeds every iteration, and without this each round

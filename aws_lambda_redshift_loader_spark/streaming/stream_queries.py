@@ -5351,13 +5351,9 @@ def _ensure_store_lpa(spark: SparkSession, sf_dir: str):
         .groupBy("part_a", "part_b")
         .agg(F.sum("c").cast("bigint").alias("w"))
     )
-    eu = pe.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"
-    ).unionByName(
-        pe.select(
-            F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "w"
-        )
-    )
+    from ..operators.relational import _mirror_pairs
+
+    eu = _mirror_pairs(pe, "part_a", "part_b", "src", "dst", ("w",))
     eu = eu.localCheckpoint(eager=True)  # root of every round's DAG
     labels = _lpa_label_rounds(eu)
     _STORE_LPA_MEMO[key] = (eu, labels)
