@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import codes_expr, codes_sql, hex_hash64, norm_text, rolling_hash_expr, rolling_hash_sql
+from ..functions.scalar import codes_sql, hex_hash64, norm_text, rolling_hash_sql
 from ..plans.registry import register
 from ..session import table
 
@@ -1386,41 +1386,58 @@ def _cdc_chunk_rows(docs: DataFrame) -> DataFrame:
     _simhash_sigs): chunk boundaries depend only on the doc's own
     content, so the streaming incremental form chunks each micro-batch
     bit-identically to the batch plan."""
+    # r18 (guide §4.2): the Catalyst higher-order pipeline (codes →
+    # O(n·k) aggregate-per-gram rolling hash → boundary transform) is
+    # CodegenFallback, i.e. interpreted per array element — isolated at
+    # sf0.1 it was 2.6 s of this frame's 2.7 s. One mapInPandas with the
+    # O(n)-vectorized numpy twin (make_kr_gram_hasher — modular-inverse
+    # prefix Horner, bit-identical hashes, unit-pinned against the old
+    # recurrence) computes boundaries and chunk md5s per batch instead;
+    # chunking stays map-only, and only (doc_id, lowered text) crosses
+    # the Python boundary (§4.1 column pruning). The lower() stays
+    # JVM-side so engine lower() semantics are untouched.
+    from ..functions.scalar import make_kr_gram_hasher
+
     d = docs.filter(F.length("text") >= CDC_W)
-    base = d.select(
-        "doc_id",
-        F.lower("text").alias("t"),
-        F.expr(codes_expr()).alias("cs"),
-    )
-    ghs = base.select(
-        "doc_id", "t", "cs", F.expr(rolling_hash_expr(CDC_W, "cs")).alias("gh")
-    )
-    starts = ghs.select(
-        "doc_id", "t", F.size("cs").alias("n"),
-        F.expr(
-            f"filter(concat(array(CAST(1 AS BIGINT)), "
-            f"transform(filter(sequence(1, size(gh)), "
-            f"i -> element_at(gh, i) % {CDC_DIV} = 0), "
-            f"i -> CAST(i + {CDC_W} AS BIGINT))), s -> s <= size(cs))"
-        ).alias("st"),
-    )
-    return starts.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(st)), j -> named_struct("
-                "'start', element_at(st, j), "
-                "'clen', (CASE WHEN j < size(st) THEN element_at(st, j + 1) - 1 "
-                "ELSE CAST(n AS BIGINT) END) - element_at(st, j) + 1))"
+    base = d.select("doc_id", F.lower("text").alias("t"))
+    gram_hashes = make_kr_gram_hasher(CDC_W)
+    div, w = CDC_DIV, CDC_W
+
+    def chunk_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[str] = []
+            ls: list[int] = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                gh = gram_hashes(t)
+                n = len(t)
+                # Boundary starts: gram position i (1-based) with
+                # hash % div == 0 cuts at i + w; prepend 1; clip to n —
+                # exactly the old filter(concat(array(1), ...)) expr.
+                st = np.flatnonzero(gh % div == 0) + 1 + w
+                starts = np.concatenate(([1], st[st <= n]))
+                ends = np.concatenate((starts[1:] - 1, [n]))
+                for s, e in zip(starts, ends):
+                    ids.append(doc_id)
+                    hs.append(
+                        hashlib.md5(t[s - 1 : e].encode("utf-8")).hexdigest()
+                    )
+                    ls.append(e - s + 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "chunk_hash": pd.array(hs, dtype="object"),
+                    "chunk_len": np.asarray(ls, dtype=np.int64),
+                }
             )
-        ).alias("c"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        F.expr("md5(substr(t, CAST(c.start AS INT), CAST(c.clen AS INT)))").alias(
-            "chunk_hash"
-        ),
-        F.col("c.clen").alias("chunk_len"),
+
+    return base.mapInPandas(
+        chunk_batches, schema="doc_id bigint, chunk_hash string, chunk_len bigint"
     )
 
 

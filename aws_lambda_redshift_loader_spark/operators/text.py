@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.scalar import codes_expr, codes_sql, hex_hash64, norm_text, rolling_hash_expr, rolling_hash_sql
+from ..functions.scalar import codes_sql, hex_hash64, norm_text, rolling_hash_sql
 from ..plans.registry import register
 from ..session import defer_unpersist, table
 
@@ -326,25 +326,63 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
     _cdc_chunk_rows): every step — rolling hash, window MIN, distinct —
     is within-doc, so the streaming incremental form fingerprints each
     micro-batch bit-identically to the batch plan."""
+    # r18 (guide §4.2 + §2.4): the interpreted O(n·k) rolling-hash expr
+    # (CodegenFallback, see _cdc_chunk_rows) AND the per-char explode →
+    # doc_id-window MIN → global DISTINCT (two exchanges of one row per
+    # character) collapse into ONE map-only mapInPandas: every step —
+    # gram hashing, the sliding-window minimum (full windows via
+    # stride tricks, the shortening tail windows via a suffix-min
+    # scan), and the per-doc unique — is within-document, so the
+    # emitted (doc_id, fingerprint) rows are already distinct and the
+    # query plan carries ZERO exchanges where it had two. Hashes are
+    # bit-identical (make_kr_gram_hasher, unit-pinned); the unchanged
+    # window-SQL oracle is the equivalence gate.
+    from ..functions.scalar import make_kr_gram_hasher
+
     d = docs.filter(F.length("text") >= WINNOW_K)
-    grams = (
-        d.select("doc_id", F.expr(codes_expr()).alias("codes"))
-        .select(
-            "doc_id",
-            F.posexplode(F.expr(rolling_hash_expr(WINNOW_K, "codes"))).alias(
-                "pos0", "gram_hash"
-            ),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash")
-    )
-    w = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, WINNOW_W - 1)
-    )
-    return (
-        grams.select("doc_id", F.min("gram_hash").over(w).alias("fingerprint"))
-        .distinct()
+    base = d.select("doc_id", F.lower("text").alias("t"))
+    gram_hashes = make_kr_gram_hasher(WINNOW_K)
+    wsz = WINNOW_W
+
+    def winnow_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                gh = gram_hashes(t)
+                m = len(gh)
+                if m == 0:
+                    continue
+                full = (
+                    np.lib.stride_tricks.sliding_window_view(gh, wsz).min(axis=1)
+                    if m >= wsz
+                    else np.empty(0, dtype=np.int64)
+                )
+                # Tail positions have fewer than wsz following rows:
+                # ROWS BETWEEN CURRENT AND wsz-1 FOLLOWING degrades to
+                # min(gh[pos:]) — a reversed running minimum.
+                tail = np.minimum.accumulate(gh[max(m - wsz + 1, 0) :][::-1])[
+                    ::-1
+                ]
+                u = np.unique(np.concatenate((full, tail)))
+                ids.extend([int(doc_id)] * len(u))
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "fingerprint": (
+                        np.concatenate(fps)
+                        if fps
+                        else np.empty(0, dtype=np.int64)
+                    ),
+                }
+            )
+
+    return base.mapInPandas(
+        winnow_batches, schema="doc_id bigint, fingerprint bigint"
     )
 
 

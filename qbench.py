@@ -122,6 +122,13 @@ def main() -> None:
                     fh.write(buf.getvalue())
             release_persisted()
             spark.catalog.clearCache()
+            for tbl in spark.catalog.listTables():
+                if tbl.name.startswith("stream_result_"):
+                    spark.catalog.dropTempView(tbl.name)
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
         spark.sparkContext.setJobDescription(None)
 
 
