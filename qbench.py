@@ -69,6 +69,11 @@ def warm(spark) -> None:
     _dd._ppjoin_verify_suffix(_tw, _ts, _tc, _dd.JACCARD_THRESHOLD).write.format(
         "noop"
     ).mode("overwrite").save()
+    from aws_lambda_redshift_loader_spark.streaming.stream_queries import (
+        warm_stream_shapes,
+    )
+
+    warm_stream_shapes(spark)
 
 
 def main() -> None:

@@ -1544,16 +1544,21 @@ def test_incremental_rules_replay_and_batch_equal(spark, tmp_path):
         run_epoch(i)
 
     def support_rows():
+        # r18 fused layout: one kind-tagged epoch partition per trigger
+        # (kind 0 = pair counts, kind 2 = basket markers).
+        st = spark.read.parquet(store)
         pairs = {
             (r["part_a"], r["part_b"], r["s"])
-            for r in spark.read.parquet(f"{store}/pairs")
-            .groupBy("part_a", "part_b")
+            for r in st.filter(F.col("kind") == 0)
+            .groupBy(F.col("ka").alias("part_a"), F.col("kb").alias("part_b"))
             .agg(F.sum("c").alias("s"))
             .collect()
         }
-        nb = spark.read.parquet(f"{store}/baskets").agg(
-            F.sum("n").alias("n")
-        ).collect()[0]["n"]
+        nb = (
+            st.filter(F.col("kind") == 2)
+            .agg(F.sum("c").alias("n"))
+            .collect()[0]["n"]
+        )
         return pairs, nb
 
     before, nb_before = support_rows()
