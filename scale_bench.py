@@ -1055,6 +1055,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     from aws_lambda_redshift_loader_spark.operators import relational as _rel
 
     _rel._LPA_MEMO.clear()
+    _rel._COPURCHASE_MEMO.clear()
     _tx._SURP_MEMO.clear()
     _tx._NB_MEMO.clear()
     _tx._DSIR_MEMO.clear()
