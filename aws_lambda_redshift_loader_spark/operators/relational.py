@@ -2049,6 +2049,19 @@ def _rules_from_supports(
 
 LPA_ROUNDS = 4  # synchronous label-propagation rounds (unrolled oracle)
 
+# r18 (guide §3.1 "pick the join strategy deliberately"): the per-round
+# label/rank frames of the iterative graph queries are NODE-grain (two
+# int64s per node) while the edge frame is EDGE-grain — broadcasting the
+# node frame turns every round's join map-side, so the edge list is
+# never shuffled inside the loop. Node-grain state fits comfortably up
+# to millions of nodes (16 B/row: 5 M nodes ≈ 80 MB built relation);
+# past the cap the loop falls back to the shuffle join, which is the
+# right plan at that scale. Scale-adaptive by COUNT, not by a local[32]
+# constant — the same decision an optimizer with fresh stats would make.
+import os as _os
+
+GRAPH_BCAST_MAX_NODES = int(_os.environ.get("ALRS_GRAPH_BCAST_MAX", 5_000_000))
+
 _LPA_EDGES_CTE = """items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
@@ -2177,12 +2190,32 @@ def _lpa_label_rounds(eu: DataFrame) -> DataFrame:
     (_lpa_frames) and the store-served modularity monitor
     (streaming.stream_queries.stream_community_modularity), which
     rebuilds the edge frame from the assoc-rules store's pair sums."""
-    labels = eu.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    return _lpa_label_rounds_plan(eu).localCheckpoint(eager=True)
+
+
+def _lpa_label_rounds_plan(eu: DataFrame) -> DataFrame:
+    """The lazy rounds plan behind _lpa_label_rounds — split out so the
+    plan-shape CI can assert the broadcast-join strategy of the round
+    joins (the checkpoint in the public helper hides the loop's plan)."""
+    # r18: nodes checkpointed so the broadcast-size guard's count() and
+    # the round-0 seed share one tiny materialization.
+    nodes = (
+        eu.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    # r18 (guide §3.1, see GRAPH_BCAST_MAX_NODES): labels are node-grain
+    # — broadcast them so each round's edge⋈label join is map-side and
+    # the edge frame (already laid out by src at the checkpoint) is
+    # never re-shuffled; only the map-side-combined vote aggregates
+    # cross the wire. Join values are identical either way, so the
+    # unrolled oracle is unaffected.
+    bcast = nodes.count() <= GRAPH_BCAST_MAX_NODES
     for _ in range(LPA_ROUNDS):
+        lab = F.broadcast(labels) if bcast else labels
         votes = (
-            eu.join(labels, eu.dst == labels.node)
+            eu.join(lab, eu["dst"] == lab["node"])
             .groupBy(F.col("src").alias("n"), "label")
             .agg(F.sum("w").alias("wt"))
         )
@@ -2198,7 +2231,7 @@ def _lpa_label_rounds(eu: DataFrame) -> DataFrame:
                 "label", F.struct(F.col("wt"), (-F.col("label")).alias("nl"))
             ).alias("label")
         )
-    return labels.localCheckpoint(eager=True)
+    return labels
 
 
 @register(
@@ -5141,19 +5174,25 @@ def ppr_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = seeds.select(
         "node", (F.col("is_seed") * PPR_SCALE).cast("bigint").alias("r")
     )
+    # r18 (guide §3.1, see GRAPH_BCAST_MAX_NODES): ranks and contribs
+    # are node-grain — broadcast them so the only per-round exchange
+    # left is the groupBy(dst) partial-sum transfer, which IS the
+    # propagation. The edge list (checkpointed above) is never shuffled
+    # inside the loop. Past the node cap the loop falls back to the
+    # r17 shuffled-hash plan (hash the node-grain side, never sort the
+    # edge list).
+    bcast = seeds.count() <= GRAPH_BCAST_MAX_NODES
     for _ in range(PPR_ITERS):
-        # SHUFFLE_HASH on the rank side: both sides are co-partitioned
-        # already, and hashing the node-grain rank frame avoids the
-        # per-round sort of the (much larger) edge list a sort-merge
-        # join would re-pay every iteration (guide §3.1).
+        rk = F.broadcast(ranks) if bcast else ranks.hint("shuffle_hash")
         contribs = (
-            edges.join(ranks.hint("shuffle_hash"), edges.src == ranks.node)
+            edges.join(rk, edges["src"] == rk["node"])
             .select("dst", F.expr("(r * w) div wout").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("contrib"))
         )
+        cb = F.broadcast(contribs) if bcast else contribs.hint("shuffle_hash")
         ranks = seeds.join(
-            contribs.hint("shuffle_hash"), seeds.node == contribs.dst, "left"
+            cb, seeds["node"] == cb["dst"], "left"
         ).select(
             "node",
             (

@@ -787,3 +787,42 @@ def test_srm_check_is_pure_aggregate(spark):
     assert "Join" not in plan
     assert "windowspecdefinition" not in plan
     assert "Sort" not in plan.replace("SortAggregate", "")
+
+
+def test_lpa_rounds_broadcast_labels(spark):
+    # r18 (guide §3.1): under the GRAPH_BCAST_MAX_NODES guard every
+    # round's edge⋈label join must be a map-side broadcast — the edge
+    # frame is never shuffled inside the loop. One BroadcastHashJoin
+    # per round, zero sort-merge/shuffled-hash joins in the rounds plan.
+    from aws_lambda_redshift_loader_spark.operators import relational as rel
+
+    eu = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 97, 1) for i in range(97)]
+        + [((i * 7 + 1) % 97, i, 1) for i in range(97)],
+        "src long, dst long, w long",
+    )
+    plan_df = rel._lpa_label_rounds_plan(eu)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = plan_df._jdf.queryExecution().explainString(mode)
+    assert plan.count("BroadcastHashJoin") >= rel.LPA_ROUNDS, plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_ppr_rounds_broadcast_node_frames(spark):
+    # r18 (guide §3.1): the PPR loop broadcasts the node-grain rank and
+    # contribution frames under the same guard — the only per-round
+    # exchange left is the groupBy(dst) propagation transfer. Both join
+    # flavors (edges⋈ranks inner, seeds⋈contribs left) must plan
+    # broadcast; the edge list must never sort-merge inside the loop.
+    from aws_lambda_redshift_loader_spark.operators import relational as rel
+
+    df = SPECS["ppr_copurchase_parts"].fn(spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count("BroadcastHashJoin") >= 2 * rel.PPR_ITERS, plan[:800]
+    assert "SortMergeJoin" not in plan
