@@ -4035,16 +4035,22 @@ def _gann_edges(probed: DataFrame) -> DataFrame:
         mat = np.array(list(pdf["e"]), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
         cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
-        srcs, dsts, coss = [], [], []
-        for i in range(n):
-            row = cos[i].copy()
-            row[i] = -np.inf  # exclude self
-            order = np.lexsort((ids, -row))
-            for j in order[: min(GANN_DEG, n - 1)]:
-                srcs.append(ids[i])
-                dsts.append(ids[j])
-                coss.append(row[j])
-        return pd.DataFrame({"src": srcs, "dst": dsts, "cos": coss})
+        # r18 (guide §4.2): one whole-matrix lexsort replaces the
+        # per-row Python loop + list appends — identical keys
+        # (cos DESC, dst ASC; self masked to -inf sorts last, and
+        # k <= n-1 keeps it out of every row's top-k).
+        np.fill_diagonal(cos, -np.inf)
+        k = min(GANN_DEG, n - 1)
+        order = np.lexsort(
+            (np.broadcast_to(ids, cos.shape), -cos), axis=-1
+        )[:, :k]
+        return pd.DataFrame(
+            {
+                "src": np.repeat(ids, k),
+                "dst": ids[order].ravel(),
+                "cos": np.take_along_axis(cos, order, axis=1).ravel(),
+            }
+        )
 
     cands = (
         probed.groupBy("cell")

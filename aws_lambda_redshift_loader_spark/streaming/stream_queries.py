@@ -4214,27 +4214,45 @@ def _gann_delta_edges(members: DataFrame, epoch_id: int) -> DataFrame:
         cos_new = (mat[new_idx] @ mat.T) / (
             norms[new_idx][:, None] * norms[None, :]
         )
-        srcs: list = []
-        dsts: list = []
-        coss: list = []
-        for k, i in enumerate(new_idx):
-            row = cos_new[k].copy()
-            row[i] = -np.inf  # exclude self
-            order = np.lexsort((ids, -row))
-            for j in order[: min(GANN_DEG, n - 1)]:
-                srcs.append(ids[i])
-                dsts.append(ids[j])
-                coss.append(row[j])
+        # r18 (guide §4.2): whole-matrix lexsorts replace the per-row
+        # Python loops + list appends — identical keys (cos DESC,
+        # dst ASC), identical row sets (order of emitted rows is
+        # irrelevant: downstream dedupes and re-ranks).
+        m = len(new_idx)
+        cos_a = cos_new.copy()
+        cos_a[np.arange(m), new_idx] = -np.inf  # exclude self
+        k1 = min(GANN_DEG, n - 1)
+        order1 = np.lexsort(
+            (np.broadcast_to(ids, cos_a.shape), -cos_a), axis=-1
+        )[:, :k1]
+        parts = [
+            (
+                np.repeat(ids[new_idx], k1),
+                ids[order1].ravel(),
+                np.take_along_axis(cos_a, order1, axis=1).ravel(),
+            )
+        ]
         if len(old_idx):
             new_ids = ids[new_idx]
-            for j in old_idx:
-                row = cos_new[:, j]
-                order = np.lexsort((new_ids, -row))
-                for k in order[: min(GANN_DEG, len(new_idx))]:
-                    srcs.append(ids[j])
-                    dsts.append(new_ids[k])
-                    coss.append(row[k])
-        return pd.DataFrame({"src": srcs, "dst": dsts, "cos": coss})
+            cos_b = cos_new[:, old_idx].T  # (n_old, m): old src x new cand
+            k2 = min(GANN_DEG, m)
+            order2 = np.lexsort(
+                (np.broadcast_to(new_ids, cos_b.shape), -cos_b), axis=-1
+            )[:, :k2]
+            parts.append(
+                (
+                    np.repeat(ids[old_idx], k2),
+                    new_ids[order2].ravel(),
+                    np.take_along_axis(cos_b, order2, axis=1).ravel(),
+                )
+            )
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([p[0] for p in parts]),
+                "dst": np.concatenate([p[1] for p in parts]),
+                "cos": np.concatenate([p[2] for p in parts]),
+            }
+        )
 
     cands = (
         members.groupBy("cell")

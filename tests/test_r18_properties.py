@@ -90,3 +90,48 @@ def test_winnow_tail_windows_match_sql_semantics():
         tail = np.minimum.accumulate(gh[max(m - WINNOW_W + 1, 0):][::-1])[::-1]
         got = set(np.unique(np.concatenate((full, tail))).tolist())
         assert got == _naive_winnow(t, WINNOW_K, WINNOW_W), n
+
+
+def test_bucket_topg_lexsort_matches_row_loop():
+    """r18: the whole-matrix lexsort that replaced the per-row Python
+    loops in the gann bucket kernels (similarity._gann_edges /
+    stream_queries gann delta) must reproduce the original recurrence
+    exactly — per row, top-k by (cos DESC, dst ASC) with self masked to
+    -inf. Heavy ties on purpose: cosines are drawn from a tiny
+    quantized set so the id tie-break decides most slots."""
+    import numpy as np
+
+    rng = random.Random(99)
+    for trial in range(30):
+        n = rng.randrange(2, 40)
+        g = rng.choice([1, 3, 8, n, n + 5])
+        ids = np.array(
+            sorted(rng.sample(range(1000), n)), dtype="int64"
+        )
+        rng.shuffle(ids)
+        cos = np.array(
+            [[rng.choice([0.0, 0.25, 0.5, 1.0]) for _ in range(n)] for _ in range(n)]
+        )
+        # original recurrence
+        want = []
+        for i in range(n):
+            row = cos[i].copy()
+            row[i] = -np.inf
+            order = np.lexsort((ids, -row))
+            for j in order[: min(g, n - 1)]:
+                want.append((ids[i], ids[j], row[j]))
+        # vectorized twin (the shipped expression)
+        c = cos.copy()
+        np.fill_diagonal(c, -np.inf)
+        k = min(g, n - 1)
+        order2 = np.lexsort((np.broadcast_to(ids, c.shape), -c), axis=-1)[:, :k]
+        got = list(
+            zip(
+                np.repeat(ids, k),
+                ids[order2].ravel(),
+                np.take_along_axis(c, order2, axis=1).ravel(),
+            )
+        )
+        assert [(int(a), int(b), float(x)) for a, b, x in got] == [
+            (int(a), int(b), float(x)) for a, b, x in want
+        ], f"trial {trial} n={n} g={g}"
