@@ -2212,10 +2212,27 @@ def _lpa_label_rounds_plan(eu: DataFrame) -> DataFrame:
     # cross the wire. Join values are identical either way, so the
     # unrolled oracle is unaffected.
     bcast = nodes.count() <= GRAPH_BCAST_MAX_NODES
+    # r18 N3 (guide §2.4 "two operations keyed the same way can share
+    # one exchange"): the checkpoint erases the edge frame's hash(src)
+    # layout (LogicalRDD = UnknownPartitioning), so every round paid two
+    # aggregate exchanges — hash(src,label) for the votes and hash(node)
+    # for the top-1. One in-plan repartition("src") re-establishes KNOWN
+    # hash(src) partitioning, which satisfies ClusteredDistribution for
+    # BOTH aggregates (src ⊆ (src,label); the broadcast join preserves
+    # the streamed side's partitioning, and the aggregate's src→n alias
+    # propagates it), so the rounds run exchange-free; the 4 identical
+    # repartition subtrees collapse to one physical shuffle via AQE
+    # stage reuse within the single rounds action. Measured (3-rep A/B,
+    # fresh frames): plan 8 Exchange → 4 (all the one reused
+    # repartition), rounds 4.0-9.8 s → 1.4-5.2 s at sf0.1 and
+    # 17.6-32.2 s → 12.6-13.7 s at 10x, labels identical. Only in the
+    # broadcast branch: the fallback's shuffle join re-keys by dst, so
+    # an upfront src exchange would serve nothing there.
+    edges = eu.repartition("src") if bcast else eu
     for _ in range(LPA_ROUNDS):
         lab = F.broadcast(labels) if bcast else labels
         votes = (
-            eu.join(lab, eu["dst"] == lab["node"])
+            edges.join(lab, edges["dst"] == lab["node"])
             .groupBy(F.col("src").alias("n"), "label")
             .agg(F.sum("w").alias("wt"))
         )

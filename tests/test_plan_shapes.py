@@ -809,6 +809,15 @@ def test_lpa_rounds_broadcast_labels(spark):
     assert plan.count("BroadcastHashJoin") >= rel.LPA_ROUNDS, plan[:800]
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+    # r18 N3 (guide §2.4): the in-plan repartition("src") re-establishes
+    # hash(src) partitioning, which satisfies BOTH per-round aggregates
+    # (src ⊆ (src,label); alias-propagated through the broadcast join
+    # and the partial aggregate) — so the rounds tree must carry exactly
+    # one Exchange per round subtree (the reused repartition) and no
+    # aggregate exchange: 8 → 4 tree Exchanges at LPA_ROUNDS=4.
+    tree = plan.split("\n\n", 1)[0]
+    n_exchange = tree.count("+- Exchange") + tree.count(":- Exchange")
+    assert n_exchange == rel.LPA_ROUNDS, f"{n_exchange} exchanges\n{tree}"
 
 
 def test_ppr_rounds_broadcast_node_frames(spark):
