@@ -5169,15 +5169,14 @@ def ppr_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
     # Materialize the per-round inputs once: the loop re-references
     # edges/outdeg/seeds every iteration, and without this each round
-    # would replay the edge build (the bm25_prf rationale). r18 (guide
-    # §2.4 "two operations keyed the same way share one exchange"): the
-    # outdeg join leaves this frame hash-partitioned on src, and
-    # localCheckpoint PRESERVES that partitioning — so each round's
-    # edges⋈ranks needs no exchange on the edge side at all; seeds (and
-    # therefore every derived ranks frame) is node-partitioned the same
-    # way, so the only per-round exchange left is the groupBy(dst)
-    # transfer, which IS the propagation. Before: each round re-shuffled
-    # both join inputs (2 extra exchanges x {PPR_ITERS} rounds).
+    # would replay the edge build (the bm25_prf rationale). NOTE
+    # (r18 probe, see _lpa_frames): localCheckpoint does NOT preserve
+    # partitioning info — the edge side avoids per-round shuffles via
+    # the broadcast below, not via layout. The only per-round exchange
+    # left is the groupBy(dst) transfer, which IS the propagation; an
+    # in-plan repartition("dst") to elide it (the LPA C12 trick) was
+    # measured a wash-to-loss at sf0.1 and 10x — it swaps a combined
+    # partial-sum exchange for a full edge-list shuffle one-for-one.
     edges = edges.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     seeds = nodes.join(

@@ -5424,7 +5424,11 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Poisson(1) per-document counts, exact enough for a CI and fully
 # deterministic under the hash.
 BOOT_REPS = 48
-_POIS1_CUTS = [  # floor(CDF_Poisson(1)(k) * 2^60), k = 0..8
+_POIS1_CUTS = [  # ~floor(CDF_Poisson(1)(k) * 2^60), k = 0..8 — float64-
+    # computed literals, off the exact integer floor by ~15-80 (e.g. k=0
+    # exact is ...305329, stored ...305344). Deliberately NOT regenerated
+    # exactly: only cross-engine identity matters, and the identical
+    # literals are substituted into both engines' SQL (r18, ADVICE).
     424136118829305344,
     848272237658610688,
     1060340297073263360,
@@ -5614,6 +5618,16 @@ def flesch_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scores go negative for run-on text — Spark side uses the pmod
     form to match DuckDB's //), and the 'plain-English' share
     (score ≥ 60) is ppm-quantized.
+
+    CROSS-ENGINE ASSUMPTION (r18, ADVICE): the word regex \\S+ (here
+    and in the Gopher-style scorers that share the idiom) treats
+    \\x0B (vertical tab) as whitespace in Java regex but not in
+    DuckDB's RE2, the same divergence class the _CCLS fix spelled
+    away explicitly. The operators rely on the FIXTURE-LEVEL
+    invariant that document text contains no \\x0B — verified
+    empirically across sf0.001/0.01/0.1 this round; a corpus with
+    vertical tabs needs the _CCLS-style explicit class
+    ([^ \\t\\n\\f\\r]+) substituted in BOTH engines.
 
     Scale: map-only per-document regex counting (JVM regex, no
     Python) + one |languages|-row aggregate with map-side combine —

@@ -3589,9 +3589,17 @@ def _register_mann_whitney() -> None:
         double arithmetic is a fixed parenthesized expression of exact
         integers — sqrt/divide/multiply are correctly rounded, so both
         engines produce the identical double (the no-raw-ln rule).
-        The tie cube Σt³ fits int64 while no single exact score value
-        exceeds ~2M documents (ppm quantization keeps exact-tie mass
-        far below that on real corpora).
+        EXPLICIT OPERATING BOUND (r18, ADVICE): the tie cube Σt³ is
+        summed in BIGINT, so no single exact score value may be shared
+        by more than ~2.1M documents (2^63 ^(1/3) ≈ 2,097,152) — the
+        score DOES have exact atoms (e.g. 0, or 1000000 for whole
+        no-stopword/no-punct document classes), and past the bound
+        Spark wraps silently while DuckDB raises, so the engines
+        diverge rather than agree. A corpus that concentrates one atom
+        past ~2.1M docs needs the tie cube computed in DOUBLE in both
+        engines (it only feeds the double variance); the BIGINT form
+        is kept here because the fixtures and the oracle contract are
+        exact-integer and far below the bound.
 
         Scale: one map-only score+hash pass, one distinct-value-grain
         aggregate (map-side combine), and the rank walk banded by
