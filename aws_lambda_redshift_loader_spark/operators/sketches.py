@@ -79,10 +79,22 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     length — THE skew detector for a 100 TB shuffle (find hot keys
     before salting); building it is one groupBy over (row, bucket) with
     map-side combine, so the shuffle carries at most DEPTH×WIDTH rows
-    per partition."""
+    per partition.
+
+    r18 (guide §2.4): the corpus is tokenized+hashed exactly ONCE — the
+    token-grain exact aggregate (which this self-auditing form needs
+    anyway) is checkpointed and the counters derive from it by the
+    grouping identity (_cms_from_exact); before, the counter union and
+    the probe branches re-ran the tokenize subtree ~8×."""
     d = table(spark, sf_dir, "documents")
     tokens = d.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
-    return _cms_report(tokens, _cms_of(tokens))
+    wb = _token_buckets(tokens)
+    exact = (
+        wb.groupBy("token", *[f"b{i}" for i in range(CMS_DEPTH)])
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
+    return _cms_report(tokens, _cms_from_exact(exact), exact=exact)
 
 
 def _token_buckets(tokens: DataFrame) -> DataFrame:
@@ -101,29 +113,84 @@ def _cms_of(tokens: DataFrame) -> DataFrame:
     """(token) frame → count-min counters (i, bucket, c). Linear in the
     input (pure counter sums), so per-shard/per-epoch sketches built
     with this merge EXACTLY by adding counters per (i, bucket) — the
-    property the streaming CMS store's hash gate proves."""
+    property the streaming CMS store's hash gate proves.
+
+    r18 (guide §2.4): ONE pass — the {CMS_DEPTH} per-depth groupBys used
+    to ride a union whose branches each re-ran the tokenize+hash subtree
+    (4 full corpus passes); exploding the (i, bucket) pairs map-side
+    feeds a single map-side-combined aggregate with the identical
+    multiset of keys, so the counters are value-identical."""
     wb = _token_buckets(tokens)
-    cms = None
-    for i in range(CMS_DEPTH):
-        row = (
-            wb.groupBy(F.col(f"b{i}").alias("bucket"))
-            .agg(F.count("*").cast("bigint").alias("c"))
-            .select(F.lit(i).alias("i"), "bucket", "c")
+    pairs = wb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"b{i}").alias("bucket")
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("ib")
+    )
+    return (
+        pairs.groupBy(
+            F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket")
         )
-        cms = row if cms is None else cms.unionByName(row)
-    return cms
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select("i", "bucket", "c")
+    )
 
 
-def _cms_report(tokens: DataFrame, cms: DataFrame) -> DataFrame:
+def _cms_from_exact(exact: DataFrame) -> DataFrame:
+    """(token, b0.., exact_count) frame → the SAME (i, bucket, c)
+    counters _cms_of builds: c(i, bucket) = Σ exact_count over tokens
+    hashing there, which equals count(*) over the raw token stream by
+    the grouping identity. Lets the batch report derive the sketch from
+    the one token-grain aggregate instead of re-scanning the corpus
+    (r18, guide §2.4)."""
+    pairs = exact.select(
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"b{i}").alias("bucket")
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("ib"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket")
+        )
+        .agg(F.sum("exact_count").cast("bigint").alias("c"))
+        .select("i", "bucket", "c")
+    )
+
+
+def _cms_report(
+    tokens: DataFrame, cms: DataFrame, exact: DataFrame | None = None
+) -> DataFrame:
     """Heavy-hitters report: exact per-token counts (the audit side)
     joined against a (i, bucket, c) counter frame, estimate = MIN over
     the token's {CMS_DEPTH} counters, top-{CMS_TOP}. Shared by the
     batch sketch and the streaming counter store (whose cms frame is
-    the additive merge of per-epoch sketches)."""
-    wb = _token_buckets(tokens)
-    exact = wb.groupBy("token", *[f"b{i}" for i in range(CMS_DEPTH)]).agg(
-        F.count("*").cast("bigint").alias("exact_count")
-    )
+    the additive merge of per-epoch sketches).
+
+    r18: the cms frame is ≤ DEPTH×WIDTH rows by construction but its
+    subtree used to be re-evaluated once per broadcast probe (4×) —
+    localCheckpoint materializes it once (guide §5 lineage cut on a
+    bounded frame). Callers that already hold the token-grain exact
+    aggregate pass it in so the corpus is scanned exactly once."""
+    if exact is None:
+        wb = _token_buckets(tokens)
+        exact = wb.groupBy("token", *[f"b{i}" for i in range(CMS_DEPTH)]).agg(
+            F.count("*").cast("bigint").alias("exact_count")
+        )
+    cms = cms.localCheckpoint(eager=True)
     est = exact
     for i in range(CMS_DEPTH):
         row_i = cms.filter(F.col("i") == i).select(
@@ -195,16 +262,11 @@ def heavy_hitters_cms_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented trade of the sketch."""
     d = table(spark, sf_dir, "documents")
     tokens = d.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
-    cms = None
-    for i in range(CMS_DEPTH):
-        row = (
-            tokens.groupBy(
-                (hex_hash64(F.col("token"), salt=f"{i}:") % CMS_WIDTH).alias("bucket")
-            )
-            .agg(F.count("*").cast("bigint").alias("c"))
-            .select(F.lit(i).alias("i"), "bucket", "c")
-        )
-        cms = row if cms is None else cms.unionByName(row)
+    # r18 (guide §2.4): one corpus pass for all {CMS_DEPTH} counter rows
+    # (map-side (i, bucket) explode in _cms_of), checkpointed so the
+    # per-depth broadcast probes below scan the bounded materialized
+    # counters instead of each re-running a full tokenize pass.
+    cms = _cms_of(tokens).localCheckpoint(eager=True)
     candidates = (
         d.filter(F.col("doc_id") < CMS_CAND_DOCS)
         .select(F.explode(F.split(norm_text("text"), " ")).alias("token"))

@@ -1577,6 +1577,39 @@ _register_incremental_neardup()
 INC_IVF_EPOCHS = 4
 
 
+# Quantized-embedding range split, per (session, corpus) — r18. Three
+# ingest streams (IVF postings, the IVF refresh stream, the gann base
+# ingest) each wrote the IDENTICAL source split: scan embeddings →
+# _quantize → repartitionByRange({INC_IVF_EPOCHS}, vec_id) → parquet.
+# repartitionByRange on the same input is deterministic, so sharing the
+# one written split changes no epoch boundary any consumer sees; it just
+# stops re-deriving the same files. MEMO_EVENTS-labeled (qemb_split_build
+# / qemb_split_hit) so BENCH_DETAIL attributes the one write;
+# scale_bench clears it so exponents still price the full derive.
+_QEMBSPLIT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ensure_quantized_emb_split(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators import dedup as _dedup
+    from ..operators.similarity import _quantize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _QEMBSPLIT_MEMO.get(key)
+    if cached is not None:
+        _dedup.MEMO_EVENTS.append("qemb_split_hit")
+        return cached
+    _dedup.MEMO_EVENTS.append("qemb_split_build")
+    src = _e2e_tmpdir("alrs_qemb_src_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _quantize("embedding").alias("e")
+    )
+    emb.repartitionByRange(INC_IVF_EPOCHS, "vec_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    _QEMBSPLIT_MEMO[key] = src
+    return src
+
+
 # The IVF postings store is consumed by the search entry AND the
 # stream-served occupancy audit — one ingest per (session, corpus).
 _IVFSTORE_MEMO: dict[tuple[str, str], tuple] = {}
@@ -1603,7 +1636,6 @@ def _ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> tuple:
         return cached
     _dedup.MEMO_EVENTS.append("ivf_ingest_build")
 
-    src = _e2e_tmpdir("alrs_ivf_src_")
     postings_dir = _e2e_tmpdir("alrs_ivf_postings_")
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -1611,9 +1643,7 @@ def _ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> tuple:
     )
     ids, cent = _trained_centroids(spark, sf_dir, IVF_TRAIN_ITERS)
 
-    emb.repartitionByRange(INC_IVF_EPOCHS, "vec_id").write.mode(
-        "overwrite"
-    ).parquet(src)
+    src = _ensure_quantized_emb_split(spark, sf_dir)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("pathGlobFilter", "part-*")
@@ -1865,16 +1895,13 @@ def _register_incremental_ivf_refresh() -> None:
         )
 
         tune(spark)
-        src = _e2e_tmpdir("alrs_ivfr_src_")
         store = _e2e_tmpdir("alrs_ivfr_store_")
         store2 = _e2e_tmpdir("alrs_ivfr_store2_")
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", _quantize("embedding").alias("e")
         )
-        emb.repartitionByRange(INC_IVF_EPOCHS, "vec_id").write.mode(
-            "overwrite"
-        ).parquet(src)
+        src = _ensure_quantized_emb_split(spark, sf_dir)
         stream = (
             spark.readStream.schema(emb.schema)
             .option("pathGlobFilter", "part-*")
@@ -4358,7 +4385,6 @@ def _ensure_gann_ingest(spark: SparkSession, sf_dir: str) -> tuple:
         return cached
     _dedup.MEMO_EVENTS.append("gann_ingest_build")
 
-    src = _e2e_tmpdir("alrs_gann_src_")
     postings = _e2e_tmpdir("alrs_gann_post_")
     edges_dir = _e2e_tmpdir("alrs_gann_edges_")
 
@@ -4366,9 +4392,10 @@ def _ensure_gann_ingest(spark: SparkSession, sf_dir: str) -> tuple:
         "vec_id", _quantize("embedding").alias("e")
     )
     ids, cent = _trained_centroids(spark, sf_dir, IVF_TRAIN_ITERS)
-    emb.repartitionByRange(INC_GANN_EPOCHS, "vec_id").write.mode(
-        "overwrite"
-    ).parquet(src)
+    # INC_GANN_EPOCHS == INC_IVF_EPOCHS (both 4): the shared split's
+    # epoch count IS this stream's epoch count.
+    assert INC_GANN_EPOCHS == INC_IVF_EPOCHS
+    src = _ensure_quantized_emb_split(spark, sf_dir)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("pathGlobFilter", "part-*")

@@ -1038,6 +1038,7 @@ def run(spark, specs, sf_dir: str, name: str) -> float:
     _sq._GANNBASE_MEMO.clear()
     _sq._PACKSTORE_MEMO.clear()
     _sq._IVFSTORE_MEMO.clear()
+    _sq._QEMBSPLIT_MEMO.clear()
     _sq._BASKETSPLIT_MEMO.clear()
     _sq._RULESSTORE_MEMO.clear()
     _sq._TOKSTORE_MEMO.clear()
