@@ -2024,6 +2024,14 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint").alias("h"),
     )
+    # r18 NOTE (measured rejection): this plan re-evaluates the shingle
+    # subtree ~5x (signatures, both band-join sides, sizes, both wedge
+    # sides — 20 parquet scans). Checkpointing the signature frame, the
+    # candidate list, or both was measured a consistent LOSS at sf0.1
+    # (warm 2.55 s -> 3.8-4.5 s): the duplicate subtrees execute as
+    # CONCURRENT stages inside the one noop action on idle cores, while
+    # an eager checkpoint serializes the pipeline into sequential jobs —
+    # the r5 shingle-set lesson, re-measured this round.
     hashed = base.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * _mh_ab(i)[0] + _mh_ab(i)[1]) % MINHASH_P).alias(f"mh{i}")

@@ -1734,6 +1734,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token"))
     corpus = toks.filter(F.col("doc_id") >= BM25_QUERY_MAX)
+    # r18 NOTE (measured rejection): the plan's ~6 tokenize subtrees (16
+    # parquet scans) looked like a §5 caching candidate, but every
+    # checkpoint variant (tf+qterms+doclen; doclen-only + stats derived
+    # from it) measured a LOSS at sf0.1 (warm 2.2-2.7 s -> 2.6-2.9 s):
+    # inside the one action the duplicate subtrees run as concurrent
+    # stages, while eager checkpoints serialize jobs.
     qterms = (
         toks.filter(F.col("doc_id") < BM25_QUERY_MAX)
         .select(F.col("doc_id").alias("query_id"), "token")
@@ -5060,6 +5066,13 @@ def curriculum_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fill_tokens").cast("bigint").alias("bt")
     )
     wband = W.partitionBy("lang").orderBy(F.col("band").desc())
+    # r18 NOTE (measured rejection): this plan evaluates the window
+    # frame 3x (the band aggregate and the picked join) — 44 parquet
+    # scans — but BOTH checkpoint variants (the window frame itself;
+    # just this tiny band frame) measured consistent LOSSES at sf0.1
+    # (warm 2.9-3.7 s -> 3.7-6.8 s): the re-evaluations execute as
+    # concurrent stages inside the one action, while eager checkpoints
+    # serialize the pipeline into sequential jobs.
     bands = (
         bands.withColumn(
             "cum_bt", F.sum("bt").over(wband).cast("bigint")
