@@ -4366,7 +4366,7 @@ def _gann_beam_rounds(
 
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("node").asc())
     scored = None
-    for _ in range(rounds):
+    for t in range(rounds):
         cands = frontier.unionByName(
             edges.join(F.broadcast(frontier), edges.src == frontier.node)
             .select("query_id", F.col("dst").alias("node"))
@@ -4377,6 +4377,16 @@ def _gann_beam_rounds(
             .filter(F.col("rk") <= beam)
             .select("query_id", "node")
         )
+        # r18 (guide §5 lineage cut): each round references the previous
+        # frontier in TWO branches (the union and the broadcast join), so
+        # un-materialized the prior rounds' ArrowEval scoring passes
+        # re-evaluate ~2^t times — and the rounds are SEQUENTIAL, so no
+        # concurrent-stage masking applies (unlike the L7 rejections).
+        # The frontier is beam × queries rows; the checkpoint is the
+        # loop-invariant materialization the LPA/PPR loops already use.
+        # The last round's frontier stays lazy — callers rank `scored`.
+        if t < rounds - 1:
+            frontier = frontier.localCheckpoint(eager=True)
     return frontier, scored
 
 
@@ -4445,6 +4455,10 @@ def _gann_hier_search(
         uscored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= GANN_SEEDS)
         .select("query_id", "node")
+        # r18: the base layer's first round references the seed frame
+        # twice (union + broadcast join); un-materialized, both replay
+        # the ENTIRE upper-layer search. queries × GANN_SEEDS rows.
+        .localCheckpoint(eager=True)
     )
     _, scored = _gann_beam_rounds(seeds, edges, emb, GANN_HIER_ROUNDS, GANN_BEAM)
     final = scored.withColumn("rk", F.row_number().over(w)).filter(
