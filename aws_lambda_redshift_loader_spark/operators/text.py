@@ -789,12 +789,18 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("w"))
     )
     outdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
+    # r18 (the PPR/LPA loop pattern, guide §5): materialize the
+    # loop-invariant edge and node frames once — un-checkpointed, every
+    # one of the {PR_ITERS} unrolled rounds re-ran the tokenize + edge
+    # aggregate (14 distinct parquet scans, zero ReusedExchange in the
+    # final plan).
+    edges = edges.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges = edges.join(outdeg, "src")
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):
         contribs = (
