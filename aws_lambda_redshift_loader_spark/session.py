@@ -6,9 +6,12 @@ settings (session timezone, AQE, shuffle parallelism) to *any* session,
 while :func:`get_spark` builds a fully tuned local session for tests/bench.
 
 Scale notes (100 TB / 1000-executor target):
-- ``spark.sql.shuffle.partitions`` here is sized for local[32] test runs;
-  at cluster scale AQE coalescing makes the static number mostly moot, but
-  production would set it to ~2-3x total cores and rely on
+- ``spark.sql.shuffle.partitions`` is derived from the execution width
+  (``$SPARK_GRAFT_CPUS``, falling back to the host core count) rather
+  than a local[32] constant, so the driver's lower-core-count scaling
+  runs get a proportionate default; at cluster scale AQE coalescing
+  makes the static number mostly moot, but production would set it to
+  ~2-3x total cores and rely on
   ``spark.sql.adaptive.coalescePartitions.enabled``.
 - Timezone is pinned to UTC so timestamp semantics are stable across the
   DuckDB oracle, the JVM, and any real warehouse sink.
@@ -45,6 +48,17 @@ def _session_cache(spark: SparkSession) -> dict:
     return cache
 
 
+def _shuffle_partitions() -> str:
+    """Default shuffle parallelism = execution width: $SPARK_GRAFT_CPUS
+    when the harness pins the core count (bench.py's contract), the host
+    core count otherwise. AQE still coalesces below this; clusters
+    override via normal Spark conf."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if cpus.isdigit() and int(cpus) > 0:
+        return cpus
+    return str(os.cpu_count() or 8)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to a session we did not build."""
     cache = _session_cache(spark)
@@ -63,7 +77,7 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     try:
         # Local test scale: ~cores. At cluster scale AQE re-coalesces anyway.
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", _shuffle_partitions())
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass  # static confs on some deployments; never fail a query over tuning
@@ -76,7 +90,7 @@ def get_spark(app_name: str = "aws-lambda-redshift-loader-spark") -> SparkSessio
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", _shuffle_partitions())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -135,3 +135,22 @@ def test_bucket_topg_lexsort_matches_row_loop():
         assert [(int(a), int(b), float(x)) for a, b, x in got] == [
             (int(a), int(b), float(x)) for a, b, x in want
         ], f"trial {trial} n={n} g={g}"
+
+
+def test_shuffle_partitions_derive_from_execution_width(monkeypatch):
+    """The session default shuffle parallelism must track the pinned core
+    count ($SPARK_GRAFT_CPUS), not a local[32] constant, so the driver's
+    lower-core-count scaling runs get a proportionate default."""
+    import os
+
+    from aws_lambda_redshift_loader_spark.session import _shuffle_partitions
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert _shuffle_partitions() == "8"
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert _shuffle_partitions() == "32"
+    # unset / wildcard fall back to the host width, never a literal
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "*")
+    assert _shuffle_partitions() == str(os.cpu_count() or 8)
+    monkeypatch.delenv("SPARK_GRAFT_CPUS")
+    assert _shuffle_partitions() == str(os.cpu_count() or 8)
