@@ -1451,83 +1451,177 @@ def ingest_neardup_epoch(
 
 
 # The shared ingest pipeline is run ONCE per (session, sf_dir) and
-# consumed by BOTH stream_incremental_neardup and
-# stream_incremental_curation — the production shape: one continuously
-# maintained store, many downstream consumers (the same per-session
-# sharing contract as the dedup pair-graph memo, and labeled the same
-# way: "inc_ingest_build"/"inc_ingest_hit" events land in
-# dedup.MEMO_EVENTS so BENCH_DETAIL attributes the build cost to
-# whichever consumer ran first). Scale instruments clear the memo so
+# consumed by every doc-fed store reader (near-dup pair graph, CC labels,
+# curation, BM25, SimHash, CDC, winnowing, standing top-K, KMV, CMS,
+# token counts, value counts) — the production shape: ONE continuously
+# maintained ingest stream, many stores advanced per trigger, many
+# downstream consumers (round-18 verdict item 1, "fuse the multi-store
+# incremental triggers"). Previously each of these stores ran its OWN
+# micro-batch stream over the identical document split, so the suite
+# paid stream setup + {DOC_STREAM_EPOCHS} trigger cycles of
+# MicroBatchExecution/commit fixed cost ~10x over. The fused stream pays
+# it once, and the per-epoch store bodies — the SAME module-level epoch
+# functions the replay tests lock — run as independent jobs overlapped
+# by a small driver thread pool (guide §2.6: concurrent jobs back-fill
+# executors left idle by each small job's tail; FIFO scheduling keeps
+# the first-submitted long pole resourced first). Per-epoch store
+# CONTENT is bit-identical to the per-stream form: same split files,
+# same epoch ids (FileStreamSource orders by mtime then path — one
+# write job, name-ordered parts), same epoch bodies, and every reader's
+# oracle hash gates it. Labeled "docstream_build"/"docstream_hit" in
+# dedup.MEMO_EVENTS so BENCH_DETAIL attributes the one build to
+# whichever consumer ran first; scale instruments clear the memo so
 # exponents measure full builds.
-_INGEST_MEMO: dict[tuple[str, str], tuple[str, str, str, str, str]] = {}
+_DOCSTREAM_MEMO: dict[tuple[str, str], dict[str, object]] = {}
+
+# 2-3 concurrent jobs fill each other's scheduling tails without
+# fighting for executor cores; the neardup+CC chain (the long pole) is
+# submitted first so FIFO keeps it resourced (guide §2.6).
+DOC_STREAM_POOL = 4
 
 
-def _ensure_neardup_ingest(
-    spark: SparkSession, sf_dir: str
-) -> tuple[str, str, str, str, str]:
-    """Run the shared near-dup ingest stream (documents split into
-    {INC_NEARDUP_EPOCHS} range files, one file per trigger, foreachBatch
-    = ingest_neardup_epoch + warm-start incremental CC + the map-only
-    per-batch feature pass) once per session per fixture; returns
-    (docs_wh, store, pairs_dir, feat_dir, cc_dir)."""
+def _ensure_doc_stream(spark: SparkSession, sf_dir: str) -> dict[str, object]:
+    """Run the fused document-ingest stream once per (session, corpus):
+    documents split into {INC_NEARDUP_EPOCHS} range files, one file per
+    trigger, foreachBatch = EVERY doc-fed store's per-epoch maintenance
+    body (near-dup band+probe+verify + warm-start CC + feature pass,
+    SimHash sign+probe with mid-stream compaction, BM25 segment, CDC
+    chunks, winnowing sketch, standing top-K merge, KMV merge, CMS
+    counters, token counts, value counts) — one stream, one trigger
+    sequence, all stores advanced per trigger. Returns the store-path
+    map; see the block comment for the fusion/identity argument."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators import dedup as _dedup
     from ..operators.dedup import _doc_features
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _INGEST_MEMO.get(key)
+    cached = _DOCSTREAM_MEMO.get(key)
     if cached is not None:
-        _dedup.MEMO_EVENTS.append("inc_ingest_hit")
+        _dedup.MEMO_EVENTS.append("docstream_hit")
         return cached
-    _dedup.MEMO_EVENTS.append("inc_ingest_build")
+    _dedup.MEMO_EVENTS.append("docstream_build")
 
     tune(spark)
-    store = _e2e_tmpdir("alrs_inc_store_")
+    assert (
+        INC_NEARDUP_EPOCHS == INC_BM25_EPOCHS == INC_SIMHASH_EPOCHS
+        == INC_CDC_EPOCHS == INC_WINNOW_EPOCHS == INC_TOPK_EPOCHS
+        == INC_KMV_EPOCHS == INC_CMS_EPOCHS == INC_TOK_EPOCHS
+        == INC_VALCOUNT_EPOCHS
+    ), "fused doc stream assumes one shared epoch split"
+    nd_store = _e2e_tmpdir("alrs_inc_store_")
     docs_wh = _e2e_tmpdir("alrs_inc_docs_")
     pairs_dir = _e2e_tmpdir("alrs_inc_pairs_")
-    feat_dir = docs_wh  # features ride the warehouse write (see update)
     cc_dir = _e2e_tmpdir("alrs_inc_cc_")
     cc2_dir = _e2e_tmpdir("alrs_inc_cc2_")
+    bm25_dir = _e2e_tmpdir("alrs_bm25_segs_")
+    sim_store = _e2e_tmpdir("alrs_sim_store_")
+    sim_store2 = _e2e_tmpdir("alrs_sim_store2_")
+    cdc_store = _e2e_tmpdir("alrs_cdc_store_")
+    win_store = _e2e_tmpdir("alrs_win_store_")
+    topk_dir = _e2e_tmpdir("alrs_topk_state_")
+    kmv_dir = _e2e_tmpdir("alrs_kmv_state_")
+    cms_store = _e2e_tmpdir("alrs_cms_store_")
+    tok_store = _e2e_tmpdir("alrs_tok_store_")
+    val_store = _e2e_tmpdir("alrs_valcount_store_")
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     src = _ensure_doc_split(spark, sf_dir, INC_NEARDUP_EPOCHS)
+    schema = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .schema
+    )
     stream = (
-        spark.readStream.schema(docs.schema)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "part-*")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    sim_bkts: dict[int, list[int]] = {}
 
     def update(batch_df: DataFrame, epoch_id: int) -> None:
-        # Curation features ride the arrived-docs warehouse write (one
-        # job instead of a separate feature store): per-doc expressions,
-        # so batch-local equals corpus-global, and consumers read the
-        # feature columns from docs_wh with text pruned at the scan.
-        aug = batch_df.join(_doc_features(batch_df), "doc_id")
-        delta = ingest_neardup_epoch(
-            spark, aug, epoch_id, docs_wh, store, pairs_dir
-        )
-        # Warm-start CC over the pair delta just observed: labels stay a
-        # standing store, so consumers never re-run CC over the
-        # accumulated pairs; the label store is snapshot-compacted
-        # mid-stream (see cc_epoch_with_compaction).
-        cc_epoch_with_compaction(
-            spark, epoch_id, pairs_dir, cc_dir, cc2_dir, delta_rows=delta
-        )
+        # Each store body sees exactly the columns its former dedicated
+        # stream declared (parquet projection prunes the rest).
+        b2 = batch_df.select("doc_id", "text")
+        b3 = batch_df.select("doc_id", "lang", "text")
+
+        def run_neardup() -> None:
+            # Curation features ride the arrived-docs warehouse write
+            # (one job instead of a separate feature store): per-doc
+            # expressions, so batch-local equals corpus-global, and
+            # consumers read the feature columns from docs_wh with text
+            # pruned at the scan. Warm-start CC over the pair delta
+            # observed by the same write keeps labels a standing store
+            # (snapshot-compacted mid-stream, cc_epoch_with_compaction).
+            aug = b2.join(_doc_features(b2), "doc_id")
+            delta = ingest_neardup_epoch(
+                spark, aug, epoch_id, docs_wh, nd_store, pairs_dir
+            )
+            cc_epoch_with_compaction(
+                spark, epoch_id, pairs_dir, cc_dir, cc2_dir, delta_rows=delta
+            )
+
+        def run_simhash() -> None:
+            sim_bkts[epoch_id] = simhash_epoch_with_compaction(
+                spark, b2, epoch_id, sim_store, sim_store2, sim_bkts
+            )
+
+        tasks = [
+            run_neardup,
+            run_simhash,
+            lambda: ingest_bm25_epoch(spark, b2, epoch_id, bm25_dir),
+            lambda: ingest_cdc_epoch(spark, b2, epoch_id, cdc_store),
+            lambda: ingest_winnow_epoch(spark, b2, epoch_id, win_store),
+            lambda: merge_topk_epoch(spark, b2, epoch_id, topk_dir),
+            lambda: merge_kmv_epoch(spark, b3, epoch_id, kmv_dir),
+            lambda: ingest_cms_epoch(spark, b2, epoch_id, cms_store),
+            lambda: ingest_token_counts_epoch(spark, b2, epoch_id, tok_store),
+            lambda: ingest_valcount_epoch(spark, b2, epoch_id, val_store),
+        ]
+        with ThreadPoolExecutor(max_workers=DOC_STREAM_POOL) as pool:
+            futures = [pool.submit(t) for t in tasks]
+            for f in futures:
+                f.result()
 
     with _stream_shuffle(spark):
         q = (
             stream.writeStream.foreachBatch(update)
-            .option("checkpointLocation", _e2e_tmpdir("alrs_inc_ckpt_"))
+            .option("checkpointLocation", _e2e_tmpdir("alrs_docstream_ckpt_"))
             .start()
         )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    # Consumers resolve the POST-compaction store (every pre-compaction
-    # node is in the snapshot).
-    _INGEST_MEMO[key] = (docs_wh, store, pairs_dir, feat_dir, cc2_dir)
-    return _INGEST_MEMO[key]
+    # The SimHash store's deferred-delta design pays one post-stream
+    # flush for the final epoch (see flush_simhash_delta).
+    last = INC_SIMHASH_EPOCHS - 1
+    flush_simhash_delta(spark, sim_store2, last, prev_bkts=sim_bkts.get(last))
+
+    _DOCSTREAM_MEMO[key] = {
+        # Consumers resolve the POST-compaction CC store (every
+        # pre-compaction node is in the snapshot); features ride docs_wh.
+        "neardup": (docs_wh, nd_store, pairs_dir, docs_wh, cc2_dir),
+        "bm25": bm25_dir,
+        "simhash": (sim_store, sim_store2),
+        "cdc": cdc_store,
+        "winnow": win_store,
+        "topk": topk_dir,
+        "kmv": kmv_dir,
+        "cms": cms_store,
+        "token": tok_store,
+        "valcount": val_store,
+    }
+    return _DOCSTREAM_MEMO[key]
+
+
+def _ensure_neardup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str, str, str]:
+    """(docs_wh, store, pairs_dir, feat_dir, cc_dir) of the shared
+    near-dup ingest — served by the fused doc stream (one stream, every
+    doc-fed store advanced per trigger; see _ensure_doc_stream)."""
+    return _ensure_doc_stream(spark, sf_dir)["neardup"]
 
 
 def _register_incremental_neardup() -> None:
@@ -1958,6 +2052,41 @@ _register_incremental_ivf_refresh()
 INC_BM25_EPOCHS = 4
 
 
+def ingest_bm25_epoch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, seg_dir: str
+) -> None:
+    """One BM25 segment-maintenance epoch (module-level so replay
+    idempotence is directly testable): tokenize the batch, split doc
+    postings vs query-token rows on the doc_id < BM25_QUERY_MAX
+    convention, and commit BOTH in ONE epoch-partition write (an
+    is_query flag splits them at read time) — one job per micro-batch,
+    half the per-epoch fixed cost of separate stores. Pure function of
+    the frozen batch file (batch-local groupBy — every document arrives
+    whole), so replays rewrite identical bytes."""
+    from ..functions.scalar import norm_text
+    from ..operators.text import BM25_QUERY_MAX
+
+    toks = batch_df.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token")
+    )
+    post = (
+        toks.filter(F.col("doc_id") >= BM25_QUERY_MAX)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn("is_query", F.lit(False))
+    )
+    qtok = (
+        toks.filter(F.col("doc_id") < BM25_QUERY_MAX)
+        .select("doc_id", "token")
+        .distinct()
+        .withColumn("tf", F.lit(None).cast("bigint"))
+        .withColumn("is_query", F.lit(True))
+    )
+    post.unionByName(qtok).write.mode("overwrite").parquet(
+        f"{seg_dir}/epoch={epoch_id}"
+    )
+
+
 def _register_incremental_bm25() -> None:
     from ..plans.registry import QUERIES as _REG
 
@@ -1982,56 +2111,14 @@ def _register_incremental_bm25() -> None:
         scoring join bounded by query terms, same as batch. Doc postings
         and query-token rows land in ONE segment write per epoch (an
         is_query flag splits them at read time) — one job per
-        micro-batch, half the per-epoch fixed cost of separate stores."""
-        from ..operators.text import BM25_QUERY_MAX, _bm25_rank
-        from ..functions.scalar import norm_text
+        micro-batch, half the per-epoch fixed cost of separate stores.
+        The segment maintenance rides the fused doc stream (r19: one
+        stream advances every doc-fed store per trigger — see
+        _ensure_doc_stream; ingest_bm25_epoch is this store's body)."""
+        from ..operators.text import _bm25_rank
 
         tune(spark)
-        seg_dir = _e2e_tmpdir("alrs_bm25_segs_")
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
-        )
-        src = _ensure_doc_split(spark, sf_dir, INC_BM25_EPOCHS)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            toks = batch_df.select(
-                "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("token")
-            )
-            post = (
-                toks.filter(F.col("doc_id") >= BM25_QUERY_MAX)
-                .groupBy("doc_id", "token")
-                .agg(F.count("*").cast("bigint").alias("tf"))
-                .withColumn("is_query", F.lit(False))
-            )
-            qtok = (
-                toks.filter(F.col("doc_id") < BM25_QUERY_MAX)
-                .select("doc_id", "token")
-                .distinct()
-                .withColumn("tf", F.lit(None).cast("bigint"))
-                .withColumn("is_query", F.lit(True))
-            )
-            post.unionByName(qtok).write.mode("overwrite").parquet(
-                f"{seg_dir}/epoch={epoch_id}"
-            )
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_bm25_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-
+        seg_dir = _ensure_doc_stream(spark, sf_dir)["bm25"]
         segs = spark.read.parquet(seg_dir)
         postings = segs.filter(~F.col("is_query")).select("doc_id", "token", "tf")
         qterms = segs.filter(F.col("is_query")).select(
@@ -2459,40 +2546,12 @@ def _register_incremental_simhash() -> None:
         arrival epoch. This is the Hamming-band analog of the MinHash
         store, with verification fused into the probe join — and ONE
         output commit per trigger (deferred delta, see the block
-        comment), plus one post-stream flush for the final epoch."""
+        comment), plus one post-stream flush for the final epoch.
+        The store rides the fused doc stream (r19, _ensure_doc_stream),
+        which runs the compaction router per trigger and the
+        final-epoch flush."""
         tune(spark)
-        store = _e2e_tmpdir("alrs_sim_store_")
-        store2 = _e2e_tmpdir("alrs_sim_store2_")
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
-        )
-        src = _ensure_doc_split(spark, sf_dir, INC_SIMHASH_EPOCHS)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        bkts: dict[int, list[int]] = {}
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            bkts[epoch_id] = simhash_epoch_with_compaction(
-                spark, batch_df, epoch_id, store, store2, bkts
-            )
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_sim_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        last = INC_SIMHASH_EPOCHS - 1
-        flush_simhash_delta(spark, store2, last, prev_bkts=bkts.get(last))
+        store, store2 = _ensure_doc_stream(spark, sf_dir)["simhash"]
         pair_cols = ["doc_a", "doc_b", "hamming"]
         return (
             spark.read.parquet(store)
@@ -2566,34 +2625,10 @@ def _register_incremental_cdc() -> None:
         append-only and read only at report (compaction) time, where
         the chunk-hash groupBy is map-side combined on ~uniform md5
         keys. This is the write path a chunked 100 TB corpus store
-        runs on every arrival batch."""
+        runs on every arrival batch. The store rides the fused doc
+        stream (r19, _ensure_doc_stream)."""
         tune(spark)
-        store = _e2e_tmpdir("alrs_cdc_store_")
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
-        )
-        src = _ensure_doc_split(spark, sf_dir, INC_CDC_EPOCHS)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_cdc_epoch(spark, batch_df, epoch_id, store)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_cdc_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        store = _ensure_doc_stream(spark, sf_dir)["cdc"]
         chunks = spark.read.parquet(store).select("doc_id", "chunk_hash", "chunk_len")
         return (
             chunks.groupBy("chunk_hash")
@@ -2651,34 +2686,10 @@ def _register_incremental_winnow() -> None:
         MIN shuffles each batch on doc_id and nothing else); the store
         is append-only. The sketch is ~len/w hashes per doc, so the
         store stays ~6% of corpus text — the copy-detection index shape
-        a 100 TB corpus maintains per arrival batch."""
+        a 100 TB corpus maintains per arrival batch. The store rides
+        the fused doc stream (r19, _ensure_doc_stream)."""
         tune(spark)
-        store = _e2e_tmpdir("alrs_win_store_")
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
-        )
-        src = _ensure_doc_split(spark, sf_dir, INC_WINNOW_EPOCHS)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_winnow_epoch(spark, batch_df, epoch_id, store)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_win_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        store = _ensure_doc_stream(spark, sf_dir)["winnow"]
         return spark.read.parquet(store).select("doc_id", "fingerprint")
 
 
@@ -3013,34 +3024,10 @@ def _register_stream_topk_quality() -> None:
         Scale: per-epoch work is O(batch) scoring + a window over at
         most K + batch rows — corpus-size-independent state, the
         standing-query/leaderboard shape. The global window the batch
-        form needs never materializes here at all."""
+        form needs never materializes here at all. The state chain
+        rides the fused doc stream (r19, _ensure_doc_stream)."""
         tune(spark)
-        state_dir = _e2e_tmpdir("alrs_topk_state_")
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
-        )
-        src = _ensure_doc_split(spark, sf_dir, INC_TOPK_EPOCHS)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            merge_topk_epoch(spark, batch_df, epoch_id, state_dir)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_topk_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        state_dir = _ensure_doc_stream(spark, sf_dir)["topk"]
         return spark.read.parquet(f"{state_dir}/epoch={INC_TOPK_EPOCHS - 1}").select(
             "doc_id", "quality_score", "rank"
         )
@@ -3571,33 +3558,14 @@ def _register_stream_kmv_distinct() -> None:
         Scale: state is {STREAM_KMV_K} hashes per language regardless
         of corpus size; per-epoch work is O(batch) hashing + a window
         over at most langs x (K + batch-vocab) rows. The exact side
-        rescans the corpus only because the audit demands it."""
+        rescans the corpus only because the audit demands it. The
+        state chain rides the fused doc stream (r19,
+        _ensure_doc_stream)."""
         tune(spark)
-        state_dir = _e2e_tmpdir("alrs_kmv_state_")
+        state_dir = _ensure_doc_stream(spark, sf_dir)["kmv"]
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "lang", "text"
         )
-        src = _ensure_doc_split(spark, sf_dir, INC_KMV_EPOCHS)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            merge_kmv_epoch(spark, batch_df, epoch_id, state_dir)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_kmv_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         from ..functions.scalar import norm_text
 
         state = spark.read.parquet(f"{state_dir}/epoch={INC_KMV_EPOCHS - 1}")
@@ -3675,36 +3643,16 @@ def _register_stream_cms() -> None:
         Scale: per-epoch state written is bounded (DEPTH x WIDTH rows)
         regardless of batch or corpus size; the merge touches
         epochs x DEPTH x WIDTH counter rows; the exact audit side in
-        the report is what production drops."""
+        the report is what production drops. The counter store rides
+        the fused doc stream (r19, _ensure_doc_stream)."""
         from ..functions.scalar import norm_text
         from ..operators.sketches import _cms_report
 
         tune(spark)
-        store = _e2e_tmpdir("alrs_cms_store_")
+        store = _ensure_doc_stream(spark, sf_dir)["cms"]
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        src = _ensure_doc_split(spark, sf_dir, INC_CMS_EPOCHS)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-
-        def update(batch_df: DataFrame, epoch_id: int) -> None:
-            ingest_cms_epoch(spark, batch_df, epoch_id, store)
-
-        with _stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(update)
-                .option("checkpointLocation", _e2e_tmpdir("alrs_cms_ckpt_"))
-                .start()
-            )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         merged = (
             spark.read.parquet(store)
             .groupBy("i", "bucket")
@@ -5613,9 +5561,6 @@ _register_stream_budget_allocation()
 # rewrite identical bytes (pure function of the frozen batch file).
 INC_TOK_EPOCHS = 4
 
-_TOKSTORE_MEMO: dict[tuple[str, str], str] = {}
-
-
 def ingest_token_counts_epoch(
     spark: SparkSession, batch_df: DataFrame, epoch_id: int, store: str
 ) -> None:
@@ -5636,44 +5581,11 @@ def ingest_token_counts_epoch(
 
 
 def _ensure_token_ingest(spark: SparkSession, sf_dir: str) -> str:
-    """Run (once per session per corpus) the token-count maintenance
-    stream over the shared doc split and return the store path.
-    Memoized — stream_vocab_coverage and stream_zipf_slope share one
-    ingest (the bill-payer pattern)."""
-    from ..operators import dedup as _dedup
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _TOKSTORE_MEMO.get(key)
-    if cached is not None:
-        _dedup.MEMO_EVENTS.append("tok_ingest_hit")
-        return cached
-    _dedup.MEMO_EVENTS.append("tok_ingest_build")
-
-    store = _e2e_tmpdir("alrs_tok_store_")
-    src = _ensure_doc_split(spark, sf_dir, INC_TOK_EPOCHS)
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("pathGlobFilter", "part-*")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-
-    def update(batch_df: DataFrame, epoch_id: int) -> None:
-        ingest_token_counts_epoch(spark, batch_df, epoch_id, store)
-
-    with _stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(update)
-            .option("checkpointLocation", _e2e_tmpdir("alrs_tok_ckpt_"))
-            .start()
-        )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    _TOKSTORE_MEMO[key] = store
-    return store
+    """Token-count store path — maintained by the fused doc stream
+    (r19, _ensure_doc_stream; ingest_token_counts_epoch is this store's
+    per-trigger body). stream_vocab_coverage and stream_zipf_slope
+    share it (the bill-payer pattern)."""
+    return _ensure_doc_stream(spark, sf_dir)["token"]
 
 
 def _resolve_token_counts(spark: SparkSession, store: str) -> DataFrame:
@@ -6793,7 +6705,6 @@ _register_stream_spend_readers()
 # zoo, which is exactly the point — the heavy part, per-document
 # scoring, happens once at ingest and the rank walk reruns only over
 # the value-grain frame).
-_VALCOUNT_MEMO: dict[tuple[str, str], str] = {}
 INC_VALCOUNT_EPOCHS = 4
 
 
@@ -6813,41 +6724,10 @@ def ingest_valcount_epoch(
 
 
 def _ensure_valcount_store(spark: SparkSession, sf_dir: str) -> str:
-    """Run (once per session per corpus) the value-count maintenance
-    stream and return the store path. Shares the doc-split fixture
-    with the other document stores."""
-    from ..operators import dedup as _dedup
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    store = _VALCOUNT_MEMO.get(key)
-    if store is not None:
-        _dedup.MEMO_EVENTS.append("valcount_ingest_hit")
-        return store
-    _dedup.MEMO_EVENTS.append("valcount_ingest_build")
-    store = _e2e_tmpdir("alrs_valcount_store_")
-    src = _ensure_doc_split(spark, sf_dir, INC_VALCOUNT_EPOCHS)
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("pathGlobFilter", "part-*")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-
-    def update(batch_df: DataFrame, epoch_id: int) -> None:
-        ingest_valcount_epoch(spark, batch_df, epoch_id, store)
-
-    with _stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(update)
-            .option("checkpointLocation", _e2e_tmpdir("alrs_valcount_ckpt_"))
-            .start()
-        )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    _VALCOUNT_MEMO[key] = store
-    return store
+    """Value-count store path — maintained by the fused doc stream
+    (r19, _ensure_doc_stream; ingest_valcount_epoch is this store's
+    per-trigger body). Shared by the rank-statistics readers."""
+    return _ensure_doc_stream(spark, sf_dir)["valcount"]
 
 
 def _valcount_per(spark: SparkSession, store: str) -> DataFrame:

@@ -63,6 +63,33 @@ def substitutable(orig_memo_events: list[str]) -> bool:
     return not any(ev.endswith("_build") for ev in orig_memo_events)
 
 
+def _cpu_ticks() -> list[int]:
+    """Aggregate /proc/stat cpu counters (user nice system idle iowait
+    irq softirq steal ...). Hypervisor steal is invisible to loadavg —
+    the r18 round lost comparability to a 13.5% steal wave that no
+    artifact field recorded (round-18 verdict item 5)."""
+    try:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:]]
+    except Exception:
+        return []
+
+
+def _cpu_delta_pct(before: list[int], after: list[int]) -> dict:
+    """steal%/busy% of total cpu ticks elapsed between two snapshots."""
+    if not before or not after or len(after) < 8:
+        return {}
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d)
+    if total <= 0:
+        return {}
+    idle = d[3] + (d[4] if len(d) > 4 else 0)
+    return {
+        "steal_pct": round(100.0 * d[7] / total, 2),
+        "busy_pct": round(100.0 * (total - idle - d[7]) / total, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -158,6 +185,7 @@ def main() -> None:
     # BENCH_r{N} can adjudicate a hot run from the artifact alone.
     load_start = round(os.getloadavg()[0], 2)
     load_max = load_start
+    cpu_start = _cpu_ticks()
     for name in sorted(specs):
         print(f"# bench running {name}", file=sys.stderr, flush=True)
         n_events = len(_dedup.MEMO_EVENTS)
@@ -263,11 +291,12 @@ def main() -> None:
         if common
         else None
     )
+    cpu_pct = _cpu_delta_pct(cpu_start, _cpu_ticks())
     if common_ratio is not None:
         lvl = "UNIFORM-INFLATION WARNING" if common_ratio > 1.05 else "ok"
         print(
             f"# bench common-{len(common)} total vs committed prior: "
-            f"{common_ratio}x ({lvl})",
+            f"{common_ratio}x ({lvl}); cpu {cpu_pct}",
             file=sys.stderr,
         )
     with open(detail_path, "w") as fh:
@@ -286,6 +315,12 @@ def main() -> None:
                     "end": round(os.getloadavg()[0], 2),
                     "max": load_max,
                 },
+                # Whole-run /proc/stat delta: steal_pct > ~3 means a
+                # hypervisor-contention wave inflated this run's totals
+                # uniformly (the r18 post-close calibration measured
+                # 13.5% under such a wave, 1.9% at idle) — compare runs
+                # accordingly. busy_pct is the box's own utilization.
+                "cpu": cpu_pct,
                 "queries": timings,
                 "flagged_reruns": reruns,
                 # Which queries built vs cache-hit the shared dedup pair

@@ -1014,52 +1014,14 @@ def run_probe() -> None:
 
 
 def run(spark, specs, sf_dir: str, name: str) -> float:
-    # Scale exponents measure each query's FULL cost: reset the dedup
-    # family's shared pair-graph memo so a prior query's materialization
-    # doesn't zero out this one's 1x or 10x time.
-    from aws_lambda_redshift_loader_spark.operators import dedup
+    # Scale exponents measure each query's FULL cost: clear EVERY
+    # session memo (pair graphs, quantizers, splits, store ingests)
+    # before the timed run. The registry auto-discovers the memo dicts
+    # by naming convention so a newly added memo cannot silently escape
+    # clearing (tests/test_memo_registry.py locks the convention).
+    from aws_lambda_redshift_loader_spark.memos import clear_session_memos
 
-    dedup._PAIRS_MEMO.clear()
-    dedup._CC_MEMO.clear()
-    dedup._PPJ_STATS_MEMO.clear()
-    dedup._SHINGLE_MEMO.clear()
-    from aws_lambda_redshift_loader_spark.operators import similarity as _sim
-
-    _sim._KMEANS_MEMO.clear()
-    _sim._GANN_EDGES_MEMO.clear()
-    from aws_lambda_redshift_loader_spark.streaming import stream_queries as _sq
-
-    _sq._INGEST_MEMO.clear()
-    _sq._DRIFT_MEMO.clear()
-    _sq._SPLIT_MEMO.clear()
-    _sq._GRAM_MEMO.clear()
-    _sq._EMBSEG_MEMO.clear()
-    _sq._PACKSPLIT_MEMO.clear()
-    _sq._GANNBASE_MEMO.clear()
-    _sq._PACKSTORE_MEMO.clear()
-    _sq._IVFSTORE_MEMO.clear()
-    _sq._QEMBSPLIT_MEMO.clear()
-    _sq._BASKETSPLIT_MEMO.clear()
-    _sq._RULESSTORE_MEMO.clear()
-    _sq._TOKSTORE_MEMO.clear()
-    _sq._CONTAMSTORE_MEMO.clear()
-    _sq._EVSPLIT_MEMO.clear()
-    _sq._KMSTORE_MEMO.clear()
-    _sq._TRANSSTORE_MEMO.clear()
-    _sq._EVTSSPLIT_MEMO.clear()
-    _sq._STORE_LPA_MEMO.clear()
-    _sq._CUSUMSTORE_MEMO.clear()
-    _sq._SPENDSTORE_MEMO.clear()
-    _sq._VALCOUNT_MEMO.clear()
-    from aws_lambda_redshift_loader_spark.operators import text as _tx
-
-    from aws_lambda_redshift_loader_spark.operators import relational as _rel
-
-    _rel._LPA_MEMO.clear()
-    _rel._COPURCHASE_MEMO.clear()
-    _tx._SURP_MEMO.clear()
-    _tx._NB_MEMO.clear()
-    _tx._DSIR_MEMO.clear()
+    clear_session_memos()
     t0 = time.perf_counter()
     specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0

@@ -130,41 +130,12 @@ def scale_fixture():
 
 
 def _run(spark, fn, sf_dir: str) -> float:
-    # The dedup family shares one materialized pair-graph per (session,
-    # corpus) — correct architecture for consumers, but this gate measures
-    # each query's FULL cost, so reset the memo before every timed run.
-    from aws_lambda_redshift_loader_spark.operators import dedup
+    # Exponents measure each query's FULL cost: clear every session
+    # memo via the central registry (see aws_lambda_redshift_loader_spark.memos;
+    # test_memo_registry locks the naming convention it discovers by).
+    from aws_lambda_redshift_loader_spark.memos import clear_session_memos
 
-    dedup._PAIRS_MEMO.clear()
-    dedup._CC_MEMO.clear()
-    dedup._PPJ_STATS_MEMO.clear()
-    from aws_lambda_redshift_loader_spark.streaming import stream_queries as _sq
-
-    _sq._INGEST_MEMO.clear()
-    _sq._DRIFT_MEMO.clear()
-    _sq._SPLIT_MEMO.clear()
-    _sq._GRAM_MEMO.clear()
-    _sq._EMBSEG_MEMO.clear()
-    _sq._PACKSPLIT_MEMO.clear()
-    _sq._GANNBASE_MEMO.clear()
-    _sq._PACKSTORE_MEMO.clear()
-    _sq._IVFSTORE_MEMO.clear()
-    _sq._BASKETSPLIT_MEMO.clear()
-    _sq._RULESSTORE_MEMO.clear()
-    _sq._TOKSTORE_MEMO.clear()
-    _sq._CONTAMSTORE_MEMO.clear()
-    _sq._EVSPLIT_MEMO.clear()
-    _sq._KMSTORE_MEMO.clear()
-    _sq._TRANSSTORE_MEMO.clear()
-    _sq._EVTSSPLIT_MEMO.clear()
-    from aws_lambda_redshift_loader_spark.operators import text as _tx
-
-    from aws_lambda_redshift_loader_spark.operators import relational as _rel
-
-    _rel._LPA_MEMO.clear()
-    _tx._SURP_MEMO.clear()
-    _tx._NB_MEMO.clear()
-    _tx._DSIR_MEMO.clear()
+    clear_session_memos()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
